@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are organized as `QueryFamily` modules under `graft.operators`,
+  * one per SURVEY.md §2 letter; this object is the aggregation point the
+  * driver's smoke/verify/bench harnesses consume.
+  */
 object SparkEntry {
+  private val families: Seq[QueryFamily] = Seq(
+    operators.ScanSink,      // §2.A sources & sinks
+    operators.ProjectFilter, // §2.B projection / filter / predicates
+    operators.Aggregates,    // §2.D aggregations
+    operators.SortLimitSet,  // §2.F sorts/limits + §2.G set ops
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_agg_hashgroup")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    families.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    families.flatMap(_.oracles).toMap
 }

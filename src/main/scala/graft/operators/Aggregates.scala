@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Dets._
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * All money sums go through DECIMAL(12,2) casts so aggregation is exact
+  * integer arithmetic — order-independent, hence identical across Spark's
+  * partial+final HashAggregate and DuckDB's single-node agg (§7.4 R2).
+  * Averages are computed as double(exact-decimal sum)/count: one IEEE
+  * division, same in both engines. Intrinsically inexact stats (stddev,
+  * corr) are rounded to 4 dp and never used as sort keys.
+  *
+  * Scale: groupBy on low-cardinality keys is a map-side partial agg +
+  * tiny shuffle; distinct aggs rewrite to Expand + two-phase agg; the
+  * high-cardinality path at 100 TB is `approx_count_distinct` (HLL) —
+  * declared below without an oracle (sketches aren't cross-engine).
+  */
+object Aggregates extends QueryFamily {
+
+  private def revenue = money(col("l_extendedprice")) *
+    frac(lit(1.0) - col("l_discount"))
+
+  /** Shared ROLLUP/CUBE body — identical text runs in Spark SQL and (with
+    * the grouping-set clause swapped in) in the DuckDB oracle.
+    */
+  private def rollupSql(groupClause: String): String =
+    "SELECT n_name, o_orderpriority, count(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, " +
+      "CAST(GROUPING(n_name) AS BIGINT) AS g_nation, " +
+      "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      s"GROUP BY $groupClause " +
+      "ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship — TPC-H Q1 shape (also SparkEntry.entry).
+    "q_agg_hashgroup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") <= tsLit("2000-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dbl(sum(money(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(revenue)).as("sum_disc_price"),
+          dbl(sum(revenue * frac(lit(1.0) + col("l_tax")))).as("sum_charge"),
+          (dbl(sum(money(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (dbl(sum(money(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (dbl(sum(frac(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Grand-total aggregate, no keys.
+    "q_agg_global" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dbl(sum(money(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(revenue)).as("sum_revenue"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))),
+
+    // Distinct aggregates (Expand + two-phase agg under the hood).
+    "q_agg_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          big(sum_distinct(col("l_linenumber"))).as("sum_distinct_lines"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP with grouping() markers. SQL entry: the DataFrame
+    // rollup("a","b") + grouping("a") combination trips Spark's
+    // ambiguous-attribute detection after a multi-join (analyzer false
+    // positive); GROUP BY ROLLUP through the SQL parser builds the same
+    // Aggregate(Expand(...)) plan without the dataset-id check.
+    "q_agg_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(rollupSql("ROLLUP(n_name, o_orderpriority)"))
+    }),
+
+    // CUBE, same shape.
+    "q_agg_cube" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(rollupSql("CUBE(n_name, o_orderpriority)"))
+    }),
+
+    // Explicit GROUPING SETS — SQL entry (no DSL equivalent).
+    "q_agg_gsets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT n_name, c_mktsegment, count(*) AS n, " +
+        "CAST(grouping(n_name) AS BIGINT) AS g_n, " +
+        "CAST(grouping(c_mktsegment) AS BIGINT) AS g_s " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ()) " +
+        "ORDER BY g_n, g_s, n_name NULLS FIRST, c_mktsegment NULLS FIRST")
+    }),
+
+    // Statistical aggregates — inexact by nature: rounded, never sort keys.
+    "q_agg_stats" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+        .orderBy("l_returnflag")),
+
+    // max_by/min_by with a deterministic tiebreak: the ordering value is
+    // price*1e6+key — an integer-valued double < 2^53, so exact, unique.
+    "q_agg_minmaxby" -> ((s, dir) => {
+      val tie = dbl(money(col("o_totalprice")) * lit(1000000L) + col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), tie).as("top_order"),
+          min_by(col("o_orderkey"), tie).as("bottom_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Ordered list agg — emitted as a joined string (no array columns in
+    // output: engines serialize lists differently, §7.4 R4).
+    "q_agg_collect" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier"); val n = Tables(s, dir, "nation")
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_sup"),
+          concat_ws("|", sort_array(collect_list(col("s_name")))).as("suppliers"))
+        .orderBy("n_name")
+    }),
+
+    // Filtered aggregates (FILTER clause analog).
+    "q_agg_filtered" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_orderstatus") === "F", lit(1))).as("n_f"),
+          dbl(sum(when(col("o_orderstatus") === "O", money(col("o_totalprice"))))).as("total_open"))
+        .orderBy("o_orderpriority")),
+
+    // Exact interpolated percentiles.
+    "q_agg_percentile" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer"); val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // HLL sketch — the 100 TB distinct-count path. No oracle: sketch
+    // estimates aren't cross-engine; exact count sits beside it for the
+    // in-repo tolerance test.
+    "q_agg_approxdistinct" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
+    // Pivot to a wide table (source × lang doc counts).
+    "q_agg_pivot" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0)
+        .orderBy("source")),
+  )
+
+  private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(12,2))) AS DOUBLE)"
+  private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_hashgroup" -> ("SELECT l_returnflag, l_linestatus, " +
+      decSum.format("l_quantity") + " AS sum_qty, " +
+      decSum.format("l_extendedprice") + " AS sum_base_price, " +
+      s"CAST(SUM($rev) AS DOUBLE) AS sum_disc_price, " +
+      s"CAST(SUM($rev * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge, " +
+      decSum.format("l_quantity") + " / COUNT(*) AS avg_qty, " +
+      decSum.format("l_extendedprice") + " / COUNT(*) AS avg_price, " +
+      "CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
+      "COUNT(*) AS count_order FROM lineitem " +
+      "WHERE l_shipdate <= TIMESTAMP '2000-09-01' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q_agg_global" -> ("SELECT COUNT(*) AS n_rows, " +
+      decSum.format("l_quantity") + " AS sum_qty, " +
+      s"CAST(SUM($rev) AS DOUBLE) AS sum_revenue, " +
+      "min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship FROM lineitem"),
+
+    "q_agg_distinct" -> ("SELECT l_returnflag, " +
+      "count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+      "CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_lines " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_agg_rollup" -> ("SELECT n_name, o_orderpriority, count(*) AS n, " +
+      decSum.format("o_totalprice") + " AS total, " +
+      "CAST(GROUPING(n_name) AS BIGINT) AS g_nation, " +
+      "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY ROLLUP(n_name, o_orderpriority) " +
+      "ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST"),
+
+    "q_agg_cube" -> ("SELECT n_name, o_orderpriority, count(*) AS n, " +
+      decSum.format("o_totalprice") + " AS total, " +
+      "CAST(GROUPING(n_name) AS BIGINT) AS g_nation, " +
+      "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY CUBE(n_name, o_orderpriority) " +
+      "ORDER BY g_nation, g_prio, n_name NULLS FIRST, o_orderpriority NULLS FIRST"),
+
+    "q_agg_gsets" -> ("SELECT n_name, c_mktsegment, count(*) AS n, " +
+      "CAST(GROUPING(n_name) AS BIGINT) AS g_n, " +
+      "CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_s " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ()) " +
+      "ORDER BY g_n, g_s, n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
+
+    "q_agg_stats" -> ("SELECT l_returnflag, " +
+      "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+      "round(var_samp(l_quantity), 4) AS var_qty, " +
+      "round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, " +
+      "round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_agg_minmaxby" -> ("SELECT o_orderpriority, " +
+      "arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2))*1000000 + o_orderkey AS DOUBLE)) AS top_order, " +
+      "arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2))*1000000 + o_orderkey AS DOUBLE)) AS bottom_order, " +
+      "max(o_totalprice) AS max_price, min(o_totalprice) AS min_price " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_agg_collect" -> ("SELECT n_name, count(*) AS n_sup, " +
+      "string_agg(s_name, '|' ORDER BY s_name) AS suppliers " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "GROUP BY n_name ORDER BY n_name"),
+
+    "q_agg_filtered" -> ("SELECT o_orderpriority, count(*) AS n_all, " +
+      "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_open " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_agg_percentile" -> ("SELECT c_mktsegment, " +
+      "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50, " +
+      "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q_agg_pivot" -> ("SELECT source, " +
+      "count(*) FILTER (WHERE lang='de') AS de, " +
+      "count(*) FILTER (WHERE lang='en') AS en, " +
+      "count(*) FILTER (WHERE lang='es') AS es, " +
+      "count(*) FILTER (WHERE lang='fr') AS fr, " +
+      "count(*) FILTER (WHERE lang='zh') AS zh " +
+      "FROM documents GROUP BY source ORDER BY source"),
+  )
+}
