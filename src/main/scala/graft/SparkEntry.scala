@@ -12,8 +12,11 @@ object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     operators.ScanSink,      // §2.A sources & sinks
     operators.ProjectFilter, // §2.B projection / filter / predicates
+    operators.Joins,         // §2.C joins
     operators.Aggregates,    // §2.D aggregations
+    operators.Windows,       // §2.E window functions
     operators.SortLimitSet,  // §2.F sorts/limits + §2.G set ops
+    operators.ScalarFuncs,   // §2.H scalar function families
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

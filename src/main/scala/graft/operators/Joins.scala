@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Scale strategy per shape: small dims broadcast (explicit `broadcast()`
+  * for part, automatic under the 10 MB threshold elsewhere); fact-fact
+  * joins shuffle on their equi-keys and AQE handles skew/coalesce; the
+  * range join is implemented as a *binned equi-join* (time-bucket key +
+  * residual predicate) instead of a nested-loop — the plan that survives
+  * 100 TB; the as-of join is the equi-join + per-key window-top-1 form,
+  * whose 100 TB alternative is a sorted merge with carry-forward state.
+  */
+object Joins extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Equi inner hash join.
+    "q_join_inner" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders"); val c = Tables(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(o("o_orderkey"), c("c_name"), o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Explicit broadcast of the dimension side.
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem"); val p = Tables(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("l_quantity")))).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Forced sort-merge join.
+    "q_join_sortmerge" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dbl(sum(money(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left outer — partial at sf0.1 (embeddings 2k < documents 5k), so
+    // nulls genuinely appear (SURVEY.md §7.5).
+    "q_join_left" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents"); val e = Tables(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"), "left")
+        .select(d("doc_id"), d("lang"), e("label"),
+          e("vec_id").isNotNull.as("has_vec"))
+        .orderBy("doc_id")
+    }),
+
+    // Full outer with coalesced key.
+    "q_join_full" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents"); val e = Tables(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"), "full")
+        .select(coalesce(d("doc_id"), e("vec_id")).as("join_key"),
+          d("lang"), e("label"),
+          d("doc_id").isNotNull.as("has_doc"),
+          e("vec_id").isNotNull.as("has_vec"))
+        .orderBy("join_key")
+    }),
+
+    // Left semi (EXISTS): customers with >=1 urgent order.
+    "q_join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer"); val o = Tables(s, dir, "orders")
+      c.join(o.where(col("o_orderpriority") === "1-URGENT"),
+          c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left anti (NOT EXISTS): parts never shipped.
+    "q_join_anti" -> ((s, dir) => {
+      val p = Tables(s, dir, "part"); val li = Tables(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    // Cartesian product (5 x 25 — deliberately tiny).
+    "q_join_cross" -> ((s, dir) => {
+      val r = Tables(s, dir, "region"); val n = Tables(s, dir, "nation")
+      r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+    }),
+
+    // Non-equi band join (broadcast nested loop territory; the supplier
+    // side stays small at every SF, so BNLJ with a broadcast side is the
+    // right plan even at scale — band-bin it only if both sides grow).
+    "q_join_theta" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier"); val c = Tables(s, dir, "customer")
+      sup.join(c, abs(sup("s_acctbal") - c("c_acctbal")) < lit(1.0))
+        .select(sup("s_suppkey"), c("c_custkey"),
+          round(abs(sup("s_acctbal") - c("c_acctbal")), 2).as("bal_diff"))
+        .orderBy("s_suppkey", "c_custkey")
+    }),
+
+    // Interval/range join: purchase within 1h after a signup, same user.
+    // Implemented as the 100 TB-safe shape: truncate to hour buckets,
+    // explode the probe side to its 2 candidate buckets, equi-join on
+    // (user, bucket), then apply the exact range residual. Each pair
+    // matches exactly once because the build side has a single bucket.
+    "q_join_range" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sgn = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+        .withColumn("bucket", explode(array(
+          date_trunc("hour", col("s_ts")),
+          date_trunc("hour", col("s_ts") + expr("INTERVAL 1 HOUR")))))
+      val pur = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"),
+          date_trunc("hour", col("ts")).as("p_bucket"))
+      sgn.join(pur, sgn("user_id") === pur("p_user") &&
+          sgn("bucket") === pur("p_bucket") &&
+          pur("p_ts") > sgn("s_ts") &&
+          pur("p_ts") <= sgn("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("s_id"), col("p_id"), col("s_ts"), col("p_ts"))
+        .orderBy("s_id", "p_id")
+    }),
+
+    // As-of join: for each event, the latest order of that customer with
+    // o_orderdate <= ts (deterministic tiebreak on o_orderkey).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // 4-way star join, TPC-H Q5 shape: revenue per nation for 1996.
+    "q_join_multiway" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer"); val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .where(o("o_orderdate") >= tsLit("1996-01-01") &&
+               o("o_orderdate") < tsLit("1997-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          dbl(sum(money(col("l_extendedprice")) * frac(lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_inner" -> ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+
+    "q_join_broadcast" -> ("SELECT p_brand, count(*) AS n, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "GROUP BY p_brand ORDER BY p_brand"),
+
+    "q_join_sortmerge" -> ("SELECT o_orderpriority, count(*) AS n_lines, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_join_left" -> ("SELECT doc_id, lang, label, (vec_id IS NOT NULL) AS has_vec " +
+      "FROM documents LEFT JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+
+    "q_join_full" -> ("SELECT coalesce(doc_id, vec_id) AS join_key, lang, label, " +
+      "(doc_id IS NOT NULL) AS has_doc, (vec_id IS NOT NULL) AS has_vec " +
+      "FROM documents FULL JOIN embeddings ON doc_id = vec_id ORDER BY join_key"),
+
+    "q_join_semi" -> ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+      "ORDER BY c_custkey"),
+
+    "q_join_anti" -> ("SELECT p_partkey, p_name FROM part WHERE NOT EXISTS " +
+      "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey) ORDER BY p_partkey"),
+
+    "q_join_cross" -> ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+      "ORDER BY r_name, n_name"),
+
+    "q_join_theta" -> ("SELECT s_suppkey, c_custkey, " +
+      "round(abs(s_acctbal - c_acctbal), 2) AS bal_diff " +
+      "FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) < 1.0 " +
+      "ORDER BY s_suppkey, c_custkey"),
+
+    "q_join_range" -> ("SELECT e1.user_id AS user_id, e1.event_id AS s_id, " +
+      "e2.event_id AS p_id, e1.ts AS s_ts, e2.ts AS p_ts " +
+      "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id " +
+      "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR " +
+      "WHERE e1.event_type = 'signup' AND e2.event_type = 'purchase' " +
+      "ORDER BY s_id, p_id"),
+
+    "q_join_asof" -> ("SELECT event_id, user_id, o_orderkey, o_orderdate FROM " +
+      "(SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, " +
+      "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+      "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
+      "WHERE rn = 1 ORDER BY event_id"),
+
+    "q_join_multiway" -> ("SELECT r_name, n_name, count(*) AS n_lines, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+  )
+}

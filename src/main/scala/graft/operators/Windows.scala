@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Determinism: rank/dense_rank/percent_rank are computed over an ordering
+  * with deliberate ties (a coarse bucket) — their outputs are well-defined
+  * under ties; row_number/ntile get a unique tiebreaker appended so row
+  * assignment is total. Every query ends with a unique total ORDER BY.
+  *
+  * Scale: windows partitioned by a key shuffle once on that key; the only
+  * single-partition window in the repo is the batching demo in ScanSink
+  * (documented there). Running/sliding frames stream in one pass per
+  * partition; the RANGE frame is O(n log n) per partition.
+  */
+object Windows extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ranking family over (nation, coarse balance bucket desc).
+    "q_win_rank" -> ((s, dir) => {
+      val df = Tables(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0))
+      val wTies = Window.partitionBy("c_nationkey").orderBy(col("bal_bucket").desc)
+      val wTotal = Window.partitionBy("c_nationkey")
+        .orderBy(col("bal_bucket").desc, col("c_custkey"))
+      df.select(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+          big(rank().over(wTies)).as("rnk"),
+          big(dense_rank().over(wTies)).as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          big(row_number().over(wTotal)).as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    // Top-3 orders per customer.
+    "q_win_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), big(col("rn")).as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running (cumulative) sum per customer in date order.
+    "q_win_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          dbl(sum(money(col("o_totalprice"))).over(w)).as("run_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Moving average over the previous 2 rows + current.
+    "q_win_sliding" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          (dbl(sum(dec6(col("value"))).over(w)) / count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("event_id")
+    }),
+
+    // RANGE frame over a numeric: all orders within +-1000 of the current
+    // price inside the priority class.
+    "q_win_rangeframe" -> ((s, dir) => {
+      val over = "OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)"
+      Tables(s, dir, "orders").selectExpr(
+          "o_orderkey", "o_orderpriority", "o_totalprice",
+          s"CAST(count(*) $over AS BIGINT) AS n_band",
+          s"CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) $over AS DOUBLE) AS sum_band")
+        .orderBy("o_orderkey")
+    }),
+
+    // lag/lead deltas over event time per user.
+    "q_win_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("value", 1).over(w).as("next_value"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    }),
+
+    // ntile + first/last/nth with explicit full frame.
+    "q_win_ntile_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          big(ntile(4).over(w)).as("quartile"),
+          first(col("o_orderkey")).over(wFull).as("cheapest_key"),
+          last(col("o_orderkey")).over(wFull).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_win_rank" -> ("SELECT c_custkey, c_nationkey, " +
+      "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket, " +
+      "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0) DESC) AS BIGINT) AS rnk, " +
+      "CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0) DESC) AS BIGINT) AS drnk, " +
+      "percent_rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0) DESC) AS prnk, " +
+      "CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0) DESC, c_custkey) AS BIGINT) AS rn " +
+      "FROM customer ORDER BY c_custkey"),
+
+    "q_win_topk" -> ("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM " +
+      "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
+      "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "q_win_running" -> ("SELECT o_custkey, o_orderdate, o_orderkey, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total " +
+      "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+
+    "q_win_sliding" -> ("SELECT event_id, user_id, ts, value, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+      "/ COUNT(*) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg " +
+      "FROM events ORDER BY event_id"),
+
+    "q_win_rangeframe" -> ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+      "CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+      "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS BIGINT) AS n_band, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice " +
+      "RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS DOUBLE) AS sum_band " +
+      "FROM orders ORDER BY o_orderkey"),
+
+    "q_win_leadlag" -> ("SELECT event_id, user_id, ts, value, " +
+      "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
+      "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value, " +
+      "value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta " +
+      "FROM events ORDER BY event_id"),
+
+    "q_win_ntile_firstlast" -> ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+      "CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile, " +
+      "first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_key, " +
+      "last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key, " +
+      "nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key " +
+      "FROM orders ORDER BY o_orderkey"),
+  )
+}
