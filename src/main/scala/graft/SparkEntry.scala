@@ -17,6 +17,10 @@ object SparkEntry {
     operators.Windows,       // §2.E window functions
     operators.SortLimitSet,  // §2.F sorts/limits + §2.G set ops
     operators.ScalarFuncs,   // §2.H scalar function families
+    operators.Dedup,         // §2.I dedup + similarity search
+    operators.TextOps,       // §2.I text analysis + multimodal
+    operators.StreamOps,     // §2.J streaming analogs
+    operators.Extensibility, // §2.K UDF / UDAF / UDTF
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

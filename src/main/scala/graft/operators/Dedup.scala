@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2.I (part 1) — deduplication + similarity search for an
+  * LLM-training-data pipeline.
+  *
+  * Cross-engine hash: H(s) = first 15 hex digits of md5(s) parsed as a
+  * 60-bit integer — Spark `conv(substr(md5(s),1,15),16,10)`, DuckDB
+  * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`. md5 is identical
+  * everywhere, so MinHash/SimHash signatures are reproducible in the
+  * oracle, unlike engine-native hash().
+  *
+  * Scale design:
+  *  - exact dedup = hash groupBy (shuffle on text hash; at 100 TB group by
+  *    md5(text) instead of raw text to keep shuffle rows narrow);
+  *  - blocked Jaccard = equi-join on (lang, length-bucket) — never an
+  *    unblocked O(n^2) cross join;
+  *  - MinHash-LSH = band-signature equi-join producing candidates, exact
+  *    verify after; candidate count is controlled by (rows/band, bands);
+  *  - SimHash = 16-bit signature + same-lang pair filter on hamming
+  *    distance (at 100 TB: block on the signature's high byte);
+  *  - ANN = brute-force cosine against a broadcast probe set, and an
+  *    IVF-style variant that prunes candidates to the probe's coarse
+  *    cluster (label) — the partition-pruning shape a real IVF index has.
+  */
+object Dedup extends QueryFamily {
+
+  /** Spark-side H(expr) as a SQL fragment. */
+  private def hs(e: String) =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  /** DuckDB-side H(expr). */
+  private def hd(e: String) =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+      expr("n_chars DIV 50").as("bucket"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+
+  private val jaccSpark = "CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+    "(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical doc per distinct text. groupBy+min, not
+    // dropDuplicates (which keeps an arbitrary row).
+    "q_dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), md5(col("text")).as("fp"), col("n_copies"))
+        .orderBy("canonical_id")),
+
+    // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
+    // blocks.
+    "q_dedup_near" -> ((s, dir) => {
+      val d = docsWithToks(s, dir)
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .where(expr(jaccSpark) >= 0.8)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(expr(jaccSpark), 4).as("jacc"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash(8) + LSH (2 bands x 4 rows) candidates, then exact-Jaccard
+    // verification at 0.8. Approximate by design: a >=0.8 pair missed by
+    // both bands is absent — the oracle runs the identical two-stage
+    // pipeline, so outputs still hash-match.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val mh = (0 until 8).map(i =>
+        s"array_min(transform(toks, t -> ${hs(s"concat(t, '#$i')")})) AS mh$i")
+      val sig = d.selectExpr(Seq("doc_id", "lang", "toks") ++ mh: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+          concat_ws(":", col("lang"), lit(0), col("mh0"), col("mh1"), col("mh2"), col("mh3")),
+          concat_ws(":", col("lang"), lit(1), col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
+        .as("band_key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+      val j = "CAST(size(array_intersect(toks_a, toks_b)) AS DOUBLE) / " +
+        "(size(toks_a) + size(toks_b) - size(array_intersect(toks_a, toks_b)))"
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .where(expr(j) >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(expr(j), 4).as("jacc"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 16-bit signature from per-bit token majority votes; pairs
+    // with hamming distance <= 3 inside the same language.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val bits = (0 until 16).map(b =>
+        s"(CASE WHEN 2 * size(filter(toks, t -> (shiftright(${hs("concat(t, '#s')")}, $b) & 1) = 1)) > size(toks) THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      val sig = d.selectExpr("doc_id", "lang", s"CAST($bits AS BIGINT) AS simhash")
+      sig.as("a").join(sig.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Character 3-gram Jaccard >= 0.6 inside (lang, n_chars/100) blocks.
+    // Shape matters here: the blocked self-join emits id-only pairs (no
+    // arrays through the skewed block-key shuffle), the pairs are
+    // repartitioned evenly, and the trigram sets are attached via two
+    // broadcast joins so the O(pairs * |grams|) intersection runs once,
+    // spread across all cores — the plan that survives a 100x scale-up.
+    "q_dedup_ngram" -> ((s, dir) => {
+      val ids = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars DIV 100 AS bucket")
+      val grams = Tables(s, dir, "documents").selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) AS toks")
+        .withColumn("n", size(col("toks")))
+      val pairs = ids.as("a").join(ids.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .repartition(col("doc_a"), col("doc_b"))
+      val ga = grams.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na"))
+      val gb = grams.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb"))
+      pairs.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jacc_raw") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Embedding near-dup: cosine >= 0.3 inside the same coarse cluster
+    // (label).
+    "q_dedup_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", expr(dot) / (col("a.norm") * col("b.norm")))
+        .where(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Similarity search: brute-force cosine top-5 for 10 probe vectors
+    // against all the rest; probe side broadcasts.
+    "q_sim_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+      val cands = e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cnorm"))
+      val dot = "aggregate(zip_with(pv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
+      cands.crossJoin(broadcast(probes))
+        .withColumn("score", round(expr(dot) / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), big(col("rank")).as("rank"), col("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF-style ANN: search only the probe's coarse cluster (label) — the
+    // partition-pruned scale path; top-3 per probe.
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+          col("v").as("pv"), col("norm").as("pnorm"))
+      val dot = "aggregate(zip_with(pv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+      e.join(broadcast(probes),
+          col("label") === col("plabel") && col("vec_id") =!= col("probe_id"))
+        .withColumn("score", round(expr(dot) / (col("pnorm") * col("norm")), 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+  )
+
+  private val jaccDuck = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+    "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> ("SELECT min(doc_id) AS canonical_id, md5(text) AS fp, " +
+      "count(*) AS n_copies FROM documents GROUP BY text ORDER BY canonical_id"),
+
+    "q_dedup_near" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+      "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      s"round($jaccDuck, 4) AS jacc " +
+      "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      s"WHERE $jaccDuck >= 0.8 ORDER BY doc_a, doc_b"),
+
+    "q_dedup_minhash" -> {
+      val mh = (0 until 8).map(i =>
+        s"list_min(list_transform(toks, t -> ${hd(s"t || '#$i'")})) AS mh$i").mkString(", ")
+      val j = "CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) / " +
+        "(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)))"
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      s"s AS (SELECT doc_id, lang, toks, $mh FROM d), " +
+      "b AS (SELECT doc_id, unnest([concat_ws(':', lang, 0, mh0, mh1, mh2, mh3), " +
+      "concat_ws(':', lang, 1, mh4, mh5, mh6, mh7)]) AS band_key FROM s), " +
+      "c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
+      "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, round($j, 4) AS jacc FROM c " +
+      "JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b " +
+      s"WHERE $j >= 0.8 ORDER BY doc_a, doc_b"
+    },
+
+    "q_dedup_simhash" -> {
+      val bits = (0 until 16).map(b =>
+        s"(CASE WHEN 2 * len(list_filter(toks, t -> ((${hd("t || '#s'")} >> $b) & 1) = 1)) > len(toks) THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      s"s AS (SELECT doc_id, lang, CAST($bits AS BIGINT) AS simhash FROM d) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+      "FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"
+    },
+
+    "q_dedup_ngram" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 100 AS bucket, " +
+      "list_distinct([substr(text, i, 3) for i in generate_series(1, CAST(length(text) AS INT) - 2)]) AS toks " +
+      "FROM documents) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      s"round($jaccDuck, 4) AS jacc " +
+      "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      s"WHERE $jaccDuck >= 0.6 ORDER BY doc_a, doc_b"),
+
+    "q_dedup_cosine" -> ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim " +
+      "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3 " +
+      "ORDER BY vec_a, vec_b"),
+
+    "q_sim_topk" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS score, " +
+      "CAST(row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS BIGINT) AS rank " +
+      "FROM embeddings p, embeddings c WHERE p.vec_id < 10 AND c.vec_id >= 10) " +
+      "WHERE rank <= 5 ORDER BY probe_id, rank"),
+
+    "q_sim_ivf" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS score, " +
+      "CAST(row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS BIGINT) AS rank " +
+      "FROM embeddings p JOIN embeddings c ON p.label = c.label AND c.vec_id != p.vec_id " +
+      "WHERE p.vec_id < 10) " +
+      "WHERE rank <= 3 ORDER BY probe_id, rank"),
+  )
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2.I (part 2) — text analysis + multimodal columns.
+  *
+  * Text ops are two-phase: a corpus-level statistics pass (token counts,
+  * document frequency, language signatures) joined back to the per-doc
+  * pass — the same shape a 100 TB pipeline uses, with the small corpus
+  * statistics broadcast to the per-doc map side.
+  *
+  * Multimodal: binary payloads are opaque `binary` columns with typed
+  * metadata; here the "media" is the utf-8 encoding of text (the decode
+  * step for real image/audio needs codecs this container doesn't ship —
+  * see graft.multimodal.MediaPipeline for the stubbed decode plumbing).
+  */
+object TextOps extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenizer as a generator (explode) + global top-20 token counts.
+    "q_text_tokenize" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
+    // TF-IDF: top-3 terms per doc by tf * ln(N/df); ordered by the rounded
+    // score so both engines rank identically.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(n)
+        .withColumn("score", score)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), big(col("rnk")).as("rnk"), col("term"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Corpus stats per (lang, source): all ratios from exact integer sums.
+    "q_text_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"),
+          size(array_distinct(split(col("text"), " "))).as("n_dist"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          (dbl(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"),
+          (dbl(sum(col("n_toks"))) / count(lit(1))).as("avg_toks"),
+          (dbl(sum(col("n_dist"))) / dbl(sum(col("n_toks")))).as("distinct_ratio"))
+        .orderBy("lang", "source")),
+
+    // Language ID by corpus statistics: each token votes for the language
+    // it appears most in; a doc's guess is the majority of its tokens'
+    // votes. Both argmaxes use row_number with explicit tiebreaks.
+    "q_text_langid" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val wv = Window.partitionBy("token").orderBy(col("cnt").desc, col("lang"))
+      val vote = toks.groupBy("token", "lang").agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(wv)).where(col("r") === 1)
+        .select(col("token"), col("lang").as("voted_lang"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("votes").desc, col("voted_lang"))
+      val guess = toks.select("doc_id", "token").join(vote, "token")
+        .groupBy("doc_id", "voted_lang").agg(count(lit(1)).as("votes"))
+        .withColumn("r", row_number().over(wd)).where(col("r") === 1)
+        .select(col("doc_id"), col("voted_lang").as("guessed_lang"))
+      docs.select("doc_id", "lang").join(guess, "doc_id")
+        .select(col("doc_id"), col("lang"), col("guessed_lang"),
+          (col("lang") === col("guessed_lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: distinct-token ratio, stopword (global top-10
+    // token) ratio, token length/density — the usual pretraining filters.
+    "q_text_quality" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val stop = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(10).select("token")
+      val stopCnt = toks.join(stop, "token")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"),
+          size(array_distinct(split(col("text"), " "))).as("n_dist"))
+        .join(stopCnt, Seq("doc_id"), "left")
+        .withColumn("n_stop", coalesce(col("n_stop"), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_toks").cast("bigint").as("n_toks"),
+          col("n_dist").cast("bigint").as("n_dist"), col("n_stop"),
+          (dbl(col("n_chars") - (col("n_toks") - 1)) / col("n_toks")).as("avg_tok_len"),
+          round(dbl(col("n_dist")) / col("n_toks") * 0.5 +
+            (lit(1.0) - dbl(col("n_stop")) / col("n_toks")) * 0.5, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: order-sensitive position-weighted hash
+    // (a rolling-hash analog that stays exact in 64-bit), plus an md5
+    // prefix as the content id.
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(aggregate(transform(split(text, ' '), (t, i) -> " +
+          "(CAST(i AS BIGINT) + 1) * (CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 1000003)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) % 2147483647 AS BIGINT) AS fp",
+        "substr(md5(text), 1, 8) AS content_id")
+        .orderBy("doc_id")),
+
+    // Multimodal join: text features with vector features, outer where the
+    // embedding is missing (genuinely partial at sf0.1).
+    "q_multimodal_join" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents"); val e = Tables(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"), "left")
+        .select(d("doc_id"), d("n_chars"), d("lang"), e("label"),
+          round(sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (a, x) => a + x * x)), 4).as("emb_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Pseudo-cluster profile per label: element-wise centroid (long-form
+    // posexplode -> per-(label,pos) mean -> rejoin), each member's distance
+    // to its centroid, the farthest member, and the cluster spread.
+    "q_multimodal_cluster" -> ((s, dir) => {
+      val pe = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("pos", "x")))
+      val cent = pe.groupBy("label", "pos").agg(avg("x").as("c"))
+      val dist = pe.join(cent, Seq("label", "pos"))
+        .withColumn("d2", (col("x") - col("c")) * (col("x") - col("c")))
+        .groupBy("vec_id", "label").agg(round(sqrt(sum(col("d2"))), 4).as("dist"))
+      val m = dist.groupBy("label").agg(count(lit(1)).as("n_members"),
+        round(avg(col("dist")), 4).as("avg_dist"))
+      val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+      dist.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("label"), col("vec_id").as("far_vec"), col("dist").as("far_dist"))
+        .join(m, "label")
+        .select("label", "far_vec", "far_dist", "n_members", "avg_dist")
+        .orderBy("label")
+    }),
+
+    // Binary-column plumbing: encode -> byte length, hexdump head, content
+    // hash, base64 "frame sample" — the schema/ops a real media pipeline
+    // runs before a decode UDF.
+    "q_multimodal_binary" -> ((s, dir) =>
+      Tables(s, dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes",
+        "substr(hex(encode(text, 'UTF-8')), 1, 16) AS head_hex",
+        "md5(text) AS content_md5",
+        "base64(encode(substr(text, 1, 9), 'UTF-8')) AS b64_head")
+        .orderBy("doc_id")),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokenize" -> ("SELECT token, count(*) AS n FROM " +
+      "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
+      "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+
+    "q_text_tfidf" -> ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+      "GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents) " +
+      "SELECT doc_id, rnk, term, score FROM " +
+      "(SELECT tf.doc_id, tf.term, " +
+      "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS score, " +
+      "CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY " +
+      "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) DESC, tf.term) AS BIGINT) AS rnk " +
+      "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) " +
+      "WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+
+    "q_text_stats" -> ("SELECT lang, source, count(*) AS n_docs, " +
+      "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
+      "CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_toks, " +
+      "CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS DOUBLE) / " +
+      "CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS distinct_ratio " +
+      "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+
+    "q_text_langid" -> ("WITH toks AS (SELECT doc_id, lang, " +
+      "unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "vote AS (SELECT token, lang AS voted_lang FROM " +
+      "(SELECT token, lang, count(*) AS cnt, " +
+      "row_number() OVER (PARTITION BY token ORDER BY count(*) DESC, lang) AS r " +
+      "FROM toks GROUP BY token, lang) WHERE r = 1), " +
+      "guess AS (SELECT doc_id, voted_lang AS guessed_lang FROM " +
+      "(SELECT t.doc_id, v.voted_lang, count(*) AS votes, " +
+      "row_number() OVER (PARTITION BY t.doc_id ORDER BY count(*) DESC, v.voted_lang) AS r " +
+      "FROM toks t JOIN vote v ON t.token = v.token GROUP BY t.doc_id, v.voted_lang) WHERE r = 1) " +
+      "SELECT d.doc_id, d.lang, g.guessed_lang, (d.lang = g.guessed_lang) AS correct " +
+      "FROM documents d JOIN guess g ON d.doc_id = g.doc_id ORDER BY d.doc_id"),
+
+    "q_text_quality" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "stop AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY token " +
+      "ORDER BY cnt DESC, token LIMIT 10)), " +
+      "sc AS (SELECT doc_id, count(*) AS n_stop FROM toks JOIN stop USING (token) GROUP BY doc_id), " +
+      "base AS (SELECT doc_id, lang, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist FROM documents) " +
+      "SELECT base.doc_id, lang, n_toks, n_dist, coalesce(sc.n_stop, 0) AS n_stop, " +
+      "CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks AS avg_tok_len, " +
+      "round(CAST(n_dist AS DOUBLE) / n_toks * 0.5 + " +
+      "(1.0 - CAST(coalesce(sc.n_stop, 0) AS DOUBLE) / n_toks) * 0.5, 4) AS quality " +
+      "FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id ORDER BY base.doc_id"),
+
+    "q_text_fingerprint" -> ("SELECT doc_id, " +
+      "CAST(list_sum([i * (CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 15)) AS BIGINT) % 1000003) " +
+      "for i in generate_series(1, len(string_split(text, ' ')))]) % 2147483647 AS BIGINT) AS fp, " +
+      "substr(md5(text), 1, 8) AS content_id " +
+      "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_join" -> ("SELECT doc_id, n_chars, lang, label, " +
+      "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm " +
+      "FROM documents LEFT JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+
+    "q_multimodal_cluster" -> ("WITH pe AS (SELECT vec_id, label, i AS pos, " +
+      "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, generate_series(1, 64) AS t(i)), " +
+      "cent AS (SELECT label, pos, avg(x) AS c FROM pe GROUP BY label, pos), " +
+      "d AS (SELECT pe.vec_id, pe.label, round(sqrt(sum((x - c) * (x - c))), 4) AS dist " +
+      "FROM pe JOIN cent ON pe.label = cent.label AND pe.pos = cent.pos GROUP BY pe.vec_id, pe.label), " +
+      "m AS (SELECT label, count(*) AS n_members, round(avg(dist), 4) AS avg_dist FROM d GROUP BY label), " +
+      "f AS (SELECT label, vec_id, dist, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS r FROM d) " +
+      "SELECT f.label, f.vec_id AS far_vec, f.dist AS far_dist, m.n_members, m.avg_dist " +
+      "FROM f JOIN m ON f.label = m.label WHERE f.r = 1 ORDER BY f.label"),
+
+    "q_multimodal_binary" -> ("SELECT doc_id, " +
+      "octet_length(encode(text)) AS n_bytes, " +
+      "substr(hex(encode(text)), 1, 16) AS head_hex, " +
+      "md5(text) AS content_md5, " +
+      "to_base64(encode(substr(text, 1, 9))) AS b64_head " +
+      "FROM documents ORDER BY doc_id"),
+  )
+}
