@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.J — true Structured Streaming (no oracle: DuckDB cannot
+  * model triggers/watermarks).
+  *
+  * The events fixture is replayed as a file-source stream: rewritten into
+  * many small parquet files consumed with maxFilesPerTrigger=1, so the
+  * query really executes as a sequence of micro-batches and the watermark
+  * advances between them.
+  *
+  * Three canonical stateful patterns:
+  *  1. watermarked tumbling-window aggregation (update mode);
+  *  2. stateful dedup via dropDuplicatesWithinWatermark;
+  *  3. custom session state via flatMapGroupsWithState — the count is
+  *     cross-checked against the batch session_window query by the test
+  *     suite (two independent implementations, one answer).
+  *
+  * 100 TB notes: state lives in the state store (RocksDB provider in a
+  * real cluster: spark.sql.streaming.stateStore.providerClass), watermark
+  * bounds state size, and the file source becomes Kafka with the same
+  * query body.
+  */
+object StreamDemo {
+
+  case class Ev(event_id: Long, user_id: Long, ts_us: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n: Int)
+
+  private val gapUs = 30L * 60 * 1000000 // 30 minutes in microseconds
+
+  /** Rewrite events as time-ordered parquet chunks so the stream has real
+    * micro-batches that replay in event-time order — with out-of-order
+    * chunks the 1h watermark would (correctly) drop whole files as late,
+    * which is the behavior being demonstrated, not the fixture we want.
+    * Chunks are written sequentially so file mtimes (the file source's
+    * replay order) follow event time. Adds ts_us for the typed path.
+    */
+  def stage(spark: SparkSession, sfDir: String, workDir: String): Unit = {
+    val ev = Tables(spark, sfDir, "events")
+      // withWatermark demands TIMESTAMP (not NTZ); session TZ is UTC so the
+      // cast is value-preserving.
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .withColumn("chunk", expr("(dayofmonth(ts) - 1) DIV 8"))
+    (0 to 3).foreach { c =>
+      ev.where(col("chunk") === c).drop("chunk").coalesce(1)
+        .write.mode(if (c == 0) "overwrite" else "append").parquet(s"$workDir/in")
+    }
+  }
+
+  private def source(spark: SparkSession, workDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$workDir/in").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$workDir/in")
+  }
+
+  /** Watermarked tumbling aggregation; late data beyond 1h is dropped once
+    * the watermark passes it.
+    */
+  def windowedCounts(spark: SparkSession, workDir: String): DataFrame = {
+    val q = source(spark, workDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_windowed").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("stream_windowed")
+  }
+
+  /** Stateful streaming dedup: first event per (user, type, minute) with
+    * bounded state (expired by the watermark).
+    */
+  def dedup(spark: SparkSession, workDir: String): DataFrame = {
+    val q = source(spark, workDir)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("stream_dedup")
+  }
+
+  /** Custom sessionization with explicit GroupState: same 30-minute-gap
+    * semantics as session_window / the gaps-and-islands oracle. Events
+    * arrive in timestamp order per user (the fixture is time-ordered and
+    * files are replayed in order), so carry-forward state suffices.
+    */
+  def sessions(spark: SparkSession, workDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val ds = source(spark, workDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .as[Ev]
+
+    def fn(userId: Long, events: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        st match {
+          case null =>
+            st = SessionState(e.ts_us, e.ts_us, 1)
+          case s if e.ts_us - s.last < gapUs =>
+            st = SessionState(s.start, e.ts_us, s.n + 1)
+          case s =>
+            out += SessionOut(userId, s.start, s.last + gapUs, s.n)
+            st = SessionState(e.ts_us, e.ts_us, 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    val q = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions").start()
+    q.processAllAvailable(); q.stop()
+
+    // Closed sessions were emitted; flush the still-open per-user tail by
+    // reading the final state indirectly: re-run statically for the count
+    // check the suite performs (open sessions = one per active user).
+    spark.table("stream_sessions").as[SessionOut]
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    stage(spark, sfDir, work)
+    println(s"windowed rows: ${windowedCounts(spark, work).count()}")
+    println(s"dedup rows:    ${dedup(spark, work).count()}")
+    println(s"closed sessions: ${sessions(spark, work).count()}")
+    spark.stop()
+  }
+}

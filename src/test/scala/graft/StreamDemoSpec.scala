@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.StreamDemo
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamDemoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val work = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_test").toString
+    StreamDemo.stage(spark, sf0001, dir)
+    dir
+  }
+
+  test("watermarked windowed aggregation produces every (window, type) group") {
+    val streamed = StreamDemo.windowedCounts(spark, work)
+    // update-mode memory sink keeps the latest row per group; group count
+    // must equal the batch tumbling query's.
+    val batchGroups = SparkEntry.queries("q_stream_tumbling")(spark, sf0001).count()
+    assert(streamed.select("window", "event_type").distinct().count() == batchGroups)
+  }
+
+  test("streaming dedup matches the batch keyed-dedup row count") {
+    val streamed = StreamDemo.dedup(spark, work).count()
+    val batch = SparkEntry.queries("q_stream_dedup")(spark, sf0001).count()
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessions agree with batch session_window") {
+    import org.apache.spark.sql.functions._
+    val closed = StreamDemo.sessions(spark, work).count()
+    val batch = SparkEntry.queries("q_stream_session")(spark, sf0001)
+    val users = batch.select("user_id").distinct().count()
+    // The streaming job only emits *closed* sessions; each user's final
+    // session is still open when the input ends.
+    assert(closed == batch.count() - users)
+    // And closed sessions' (user, n) multiset must match the batch result
+    // dropping each user's last session.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("s_start").desc)
+    val batchClosed = batch
+      .withColumn("r", row_number().over(w)).where(col("r") > 1)
+      .groupBy("user_id").agg(sum("n").as("events"))
+    val streamClosed = StreamDemo.sessions(spark, work)
+      .groupBy("user_id").agg(sum("n").as("events"))
+    assert(streamClosed.exceptAll(batchClosed).isEmpty &&
+      batchClosed.exceptAll(streamClosed).isEmpty)
+  }
+}
