@@ -35,7 +35,19 @@ object Tables {
     case other => spark.read.parquet(s"$sfDir/$other.parquet")
   }
 
-  /** Register all fixtures as temp views (for SQL-string entry points). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Register all fixtures as temp views (for SQL-string entry points).
+    * Idempotent per (session, dir): several SQL-entry queries call this
+    * back-to-back in Verify/Bench and re-registering 10 views each time
+    * costs more than the queries themselves.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (registeredDir.get(key) != sfDir) {
+      names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+      registeredDir.put(key, sfDir)
+    }
+  }
 }

@@ -37,14 +37,6 @@ object Dedup extends QueryFamily {
   private def hd(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
-  private def docsWithToks(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-      expr("n_chars DIV 50").as("bucket"),
-      array_distinct(split(col("text"), " ")).as("toks"))
-
-  private val jaccSpark = "CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-    "(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks)))"
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per distinct text. groupBy+min, not
     // dropDuplicates (which keeps an arbitrary row).
@@ -56,15 +48,28 @@ object Dedup extends QueryFamily {
         .orderBy("canonical_id")),
 
     // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
-    // blocks.
+    // blocks. Same scale shape as q_dedup_ngram: id-only pairs through the
+    // skewed block join, even repartition, broadcast-attach sorted token
+    // sets, one linear-merge intersection per pair.
     "q_dedup_near" -> ((s, dir) => {
-      val d = docsWithToks(s, dir)
-      d.as("a").join(d.as("b"),
+      graft.functions.SortedIntersectSize.register(s)
+      val ids = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
+      val toks = Tables(s, dir, "documents").selectExpr("doc_id",
+        "array_sort(array_distinct(split(text, ' '))) AS toks")
+        .withColumn("n", size(col("toks")))
+      val pairs = ids.as("a").join(ids.as("b"),
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-        .where(expr(jaccSpark) >= 0.8)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(expr(jaccSpark), 4).as("jacc"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .repartition(col("doc_a"), col("doc_b"))
+      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb"))
+      pairs.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+        .withColumn("inter", expr("sorted_intersect_size(ta, tb)"))
+        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jacc_raw") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -73,8 +78,9 @@ object Dedup extends QueryFamily {
     // both bands is absent — the oracle runs the identical two-stage
     // pipeline, so outputs still hash-match.
     "q_dedup_minhash" -> ((s, dir) => {
+      graft.functions.SortedIntersectSize.register(s)
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-        array_distinct(split(col("text"), " ")).as("toks"))
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       val mh = (0 until 8).map(i =>
         s"array_min(transform(toks, t -> ${hs(s"concat(t, '#$i')")})) AS mh$i")
       val sig = d.selectExpr(Seq("doc_id", "lang", "toks") ++ mh: _*)
@@ -86,13 +92,14 @@ object Dedup extends QueryFamily {
           col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      val j = "CAST(size(array_intersect(toks_a, toks_b)) AS DOUBLE) / " +
-        "(size(toks_a) + size(toks_b) - size(array_intersect(toks_a, toks_b)))"
-      cand.join(ta, "doc_a").join(tb, "doc_b")
-        .where(expr(j) >= 0.8)
-        .select(col("doc_a"), col("doc_b"), round(expr(j), 4).as("jacc"))
+        .repartition(col("doc_a"), col("doc_b"))
+      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), size(col("toks")).as("na"))
+      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), size(col("toks")).as("nb"))
+      cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+        .withColumn("inter", expr("sorted_intersect_size(toks_a, toks_b)"))
+        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .where(col("jacc_raw") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -101,8 +108,11 @@ object Dedup extends QueryFamily {
     "q_dedup_simhash" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
+        // hash each token once, then derive all 16 bits from the long —
+        // not one md5 per (token, bit)
+        .withColumn("th", expr(s"transform(toks, t -> ${hs("concat(t, '#s')")})"))
       val bits = (0 until 16).map(b =>
-        s"(CASE WHEN 2 * size(filter(toks, t -> (shiftright(${hs("concat(t, '#s')")}, $b) & 1) = 1)) > size(toks) THEN ${1 << b} ELSE 0 END)")
+        s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1 << b} ELSE 0 END)")
         .mkString(" + ")
       val sig = d.selectExpr("doc_id", "lang", s"CAST($bits AS BIGINT) AS simhash")
       sig.as("a").join(sig.as("b"),
@@ -121,10 +131,14 @@ object Dedup extends QueryFamily {
     // broadcast joins so the O(pairs * |grams|) intersection runs once,
     // spread across all cores — the plan that survives a 100x scale-up.
     "q_dedup_ngram" -> ((s, dir) => {
+      graft.functions.SortedIntersectSize.register(s)
       val ids = Tables(s, dir, "documents")
         .selectExpr("doc_id", "lang", "n_chars DIV 100 AS bucket")
+      // Sort the gram set once per document so each candidate pair is a
+      // zero-allocation linear merge (custom codegen'd expression) instead
+      // of a per-pair hash set build.
       val grams = Tables(s, dir, "documents").selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))) AS toks")
+        "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))) AS toks")
         .withColumn("n", size(col("toks")))
       val pairs = ids.as("a").join(ids.as("b"),
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
@@ -134,7 +148,7 @@ object Dedup extends QueryFamily {
       val ga = grams.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na"))
       val gb = grams.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb"))
       pairs.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("inter", expr("sorted_intersect_size(ta, tb)"))
         .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .where(col("jacc_raw") >= 0.6)
         .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The physical plans we depend on at scale, locked in as assertions —
+  * "it ran" is not "it ran with the right plan" (builder prompt: explain
+  * and iterate). If Catalyst ever stops picking these shapes, these fail
+  * before the benchmark does.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown pushes the shipdate predicate and prunes columns") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // ReadSchema carries only the 3 projected + 1 filter column
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"))
+  }
+
+  test("q_join_broadcast builds a BroadcastHashJoin") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_sortmerge honors the merge hint") {
+    assert(plan("q_join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("q_limit_topk collapses to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_hashgroup is a two-phase hash aggregate") {
+    val p = plan("q_agg_hashgroup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("q_sim_topk broadcasts the probe side") {
+    assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("q_sim_topk").contains("BroadcastExchange"))
+  }
+
+  test("q_dedup_ngram stays in whole-stage codegen through the custom expression") {
+    val df = SparkEntry.queries("q_dedup_ngram")(spark, sf0001)
+    df.collect() // finalize THIS df's adaptive plan (count() would build a new one)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("sorted_intersect_size"))
+    // '*(n)' marks whole-stage-codegen stages in the finalized plan
+    assert(p.contains("*("), p.take(1500))
+  }
+
+  test("flagship plan has no cartesian products or unexpected sorts before aggregation") {
+    val p = plan("q_agg_hashgroup")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
