@@ -158,10 +158,11 @@ object Dedup extends QueryFamily {
     // Embedding near-dup: cosine >= 0.3 inside the same coarse cluster
     // (label).
     "q_dedup_cosine" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-      val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val dot = "vec_dot(a.v, b.v)"
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", expr(dot) / (col("a.norm") * col("b.norm")))
@@ -174,14 +175,15 @@ object Dedup extends QueryFamily {
     // Similarity search: brute-force cosine top-5 for 10 probe vectors
     // against all the rest; probe side broadcasts.
     "q_sim_topk" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
       val probes = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
       val cands = e.where(col("vec_id") >= 10)
         .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("norm").as("cnorm"))
-      val dot = "aggregate(zip_with(pv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+      val dot = "vec_dot(pv, cv)"
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("neighbor_id"))
       cands.crossJoin(broadcast(probes))
         .withColumn("score", round(expr(dot) / (col("pnorm") * col("cnorm")), 4))
@@ -194,13 +196,14 @@ object Dedup extends QueryFamily {
     // IVF-style ANN: search only the probe's coarse cluster (label) — the
     // partition-pruned scale path; top-3 per probe.
     "q_sim_ivf" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
       val probes = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
           col("v").as("pv"), col("norm").as("pnorm"))
-      val dot = "aggregate(zip_with(pv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+      val dot = "vec_dot(pv, v)"
       val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
       e.join(broadcast(probes),
           col("label") === col("plabel") && col("vec_id") =!= col("probe_id"))

@@ -118,11 +118,12 @@ object TextOps extends QueryFamily {
     // Multimodal join: text features with vector features, outer where the
     // embedding is missing (genuinely partial at sf0.1).
     "q_multimodal_join" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
       val d = Tables(s, dir, "documents"); val e = Tables(s, dir, "embeddings")
-      d.join(e, d("doc_id") === e("vec_id"), "left")
-        .select(d("doc_id"), d("n_chars"), d("lang"), e("label"),
-          round(sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
-            lit(0.0), (a, x) => a + x * x)), 4).as("emb_norm"))
+      d.join(e.withColumn("v", transform(col("embedding"), x => x.cast("double"))),
+          d("doc_id") === col("vec_id"), "left")
+        .select(d("doc_id"), d("n_chars"), d("lang"), col("label"),
+          round(expr("sqrt(vec_dot(v, v))"), 4).as("emb_norm"))
         .orderBy("doc_id")
     }),
 

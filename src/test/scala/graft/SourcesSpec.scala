@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format coverage beyond parquet (SURVEY.md §2.A): the same
+  * DataFrames round-trip through csv and json sinks/sources losslessly —
+  * the reference's world is "rows out of one system, rows into another",
+  * so format plumbing is part of the capability surface.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("csv round-trip preserves customer rows (header + explicit schema)") {
+    val dir = tmp()
+    val c = Tables(spark, sf0001, "customer")
+    c.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val back = spark.read.option("header", "true").schema(c.schema).csv(s"$dir/c")
+    assert(back.count() == c.count())
+    assert(back.exceptAll(c).isEmpty && c.exceptAll(back).isEmpty)
+  }
+
+  test("json round-trip preserves orders rows (timestamps included)") {
+    val dir = tmp()
+    val o = Tables(spark, sf0001, "orders")
+    o.write.mode("overwrite").json(s"$dir/o")
+    val back = spark.read.schema(o.schema).json(s"$dir/o")
+    assert(back.count() == o.count())
+    assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+  }
+
+  test("es-doc sink output is parseable JSON with unique ids") {
+    val docs = SparkEntry.queries("q_sink_esdocs")(spark, sf0001)
+    val parsed = docs.select(col("es_id"),
+      from_json(col("doc"), org.apache.spark.sql.types.StructType.fromDDL(
+        "order_id BIGINT, customer STRING, status STRING, total DOUBLE")).as("j"))
+    assert(parsed.where(col("j").isNull).count() == 0)
+    assert(parsed.where(col("j.order_id") =!= col("es_id")).count() == 0)
+    assert(docs.select("es_id").distinct().count() == docs.count())
+  }
+}
