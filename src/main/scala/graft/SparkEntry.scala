@@ -12,6 +12,7 @@ object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     operators.ScanSink,      // §2.A sources & sinks
     operators.ProjectFilter, // §2.B projection / filter / predicates
+    operators.Subqueries,    // correlated/IN subqueries + CTE (HiveQL surface)
     operators.Joins,         // §2.C joins
     operators.Aggregates,    // §2.D aggregations
     operators.Windows,       // §2.E window functions

@@ -52,7 +52,7 @@ object Dedup extends QueryFamily {
     // skewed block join, even repartition, broadcast-attach sorted token
     // sets, one linear-merge intersection per pair.
     "q_dedup_near" -> ((s, dir) => {
-      graft.functions.SortedIntersectSize.register(s)
+      graft.functions.SortedJaccardGe.register(s)
       val ids = Tables(s, dir, "documents")
         .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
       val toks = Tables(s, dir, "documents").selectExpr("doc_id",
@@ -63,12 +63,11 @@ object Dedup extends QueryFamily {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .repartition(col("doc_a"), col("doc_b"))
-      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na"))
-      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb"))
+      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
       pairs.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
-        .withColumn("inter", expr("sorted_intersect_size(ta, tb)"))
-        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jacc_raw") >= 0.8)
+        .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.8D)"))
+        .where(col("jacc_raw").isNotNull)
         .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -78,7 +77,7 @@ object Dedup extends QueryFamily {
     // both bands is absent — the oracle runs the identical two-stage
     // pipeline, so outputs still hash-match.
     "q_dedup_minhash" -> ((s, dir) => {
-      graft.functions.SortedIntersectSize.register(s)
+      graft.functions.SortedJaccardGe.register(s)
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       val mh = (0 until 8).map(i =>
@@ -93,12 +92,11 @@ object Dedup extends QueryFamily {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
         .repartition(col("doc_a"), col("doc_b"))
-      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), size(col("toks")).as("na"))
-      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), size(col("toks")).as("nb"))
+      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
       cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
-        .withColumn("inter", expr("sorted_intersect_size(toks_a, toks_b)"))
-        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jacc_raw") >= 0.8)
+        .withColumn("jacc_raw", expr("sorted_jaccard_ge(toks_a, toks_b, 0.8D)"))
+        .where(col("jacc_raw").isNotNull)
         .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -131,26 +129,28 @@ object Dedup extends QueryFamily {
     // broadcast joins so the O(pairs * |grams|) intersection runs once,
     // spread across all cores — the plan that survives a 100x scale-up.
     "q_dedup_ngram" -> ((s, dir) => {
-      graft.functions.SortedIntersectSize.register(s)
-      val ids = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang", "n_chars DIV 100 AS bucket")
+      graft.functions.SortedJaccardGe.register(s)
       // Sort the gram set once per document so each candidate pair is a
       // zero-allocation linear merge (custom codegen'd expression) instead
       // of a per-pair hash set build.
       val grams = Tables(s, dir, "documents").selectExpr("doc_id",
         "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))) AS toks")
         .withColumn("n", size(col("toks")))
+      // Pair generation stays id-only: putting a gram-count prefilter in
+      // this join re-inlines the whole gram computation into the join
+      // condition (CollapseProject) and evaluates it per candidate pair.
+      val ids = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars DIV 100 AS bucket")
       val pairs = ids.as("a").join(ids.as("b"),
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .repartition(col("doc_a"), col("doc_b"))
-      val ga = grams.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("n").as("na"))
-      val gb = grams.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("n").as("nb"))
+      val ga = grams.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+      val gb = grams.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
       pairs.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
-        .withColumn("inter", expr("sorted_intersect_size(ta, tb)"))
-        .withColumn("jacc_raw", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .where(col("jacc_raw") >= 0.6)
+        .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.6D)"))
+        .where(col("jacc_raw").isNotNull)
         .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),

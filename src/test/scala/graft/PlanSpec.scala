@@ -46,7 +46,7 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q_dedup_ngram")(spark, sf0001)
     df.collect() // finalize THIS df's adaptive plan (count() would build a new one)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("sorted_intersect_size"))
+    assert(p.contains("sorted_jaccard_ge"))
     // '*(n)' marks whole-stage-codegen stages in the finalized plan
     assert(p.contains("*("), p.take(1500))
   }
