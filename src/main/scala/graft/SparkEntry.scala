@@ -20,6 +20,7 @@ object SparkEntry {
     operators.ScalarFuncs,   // §2.H scalar function families
     operators.Dedup,         // §2.I dedup + similarity search
     operators.TextOps,       // §2.I text analysis + multimodal
+    operators.Sampling,      // §2.I reproducible sampling / splits / cleaning pipeline
     operators.StreamOps,     // §2.J streaming analogs
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
   )

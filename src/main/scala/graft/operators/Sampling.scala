@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** Reproducible sampling & split assignment + the composed cleaning
+  * pipeline — the operations that turn a raw corpus into training data.
+  *
+  * Sampling is content-hash based (md5 bucket), NOT rand(): the same
+  * document lands in the same sample/split on every run, on any cluster,
+  * at any parallelism — the property a 100 TB pipeline needs for
+  * resumability and for honest train/test separation (a re-crawled dup
+  * can't hop splits). rand()-based sampling is banned by the same
+  * determinism law as the rest of the engine (SURVEY.md §7.4 R3).
+  */
+object Sampling extends QueryFamily {
+
+  /** 60-bit integer from the md5 prefix — same value in DuckDB. */
+  private val hSpark = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+  private val hDuck = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic ~10% sample: hash bucket 0 of 10.
+    "q_sample_hash" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("h", expr(hSpark))
+        .where(pmod(col("h"), lit(10L)) === 0)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // Train/val/test assignment 80/10/10 by content-hash percentile;
+    // emits per-(split, lang) counts — the reviewer's sanity table.
+    "q_split_assign" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("pct", pmod(expr(hSpark), lit(100L)))
+        .withColumn("split",
+          when(col("pct") < 80, "train").when(col("pct") < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (dbl(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"))
+        .orderBy("split", "lang")),
+
+    // The composed cleaning pipeline, one query: exact-dedup (keep the
+    // lowest doc_id per text) -> quality floor (distinct-token ratio
+    // >= 0.35) -> near-dup removal (drop the higher doc_id of every
+    // blocked token-Jaccard >= 0.8 pair) -> survivors per lang.
+    "q_pipeline_clean" -> ((s, dir) => {
+      graft.functions.SortedJaccardGe.register(s)
+      val docs = Tables(s, dir, "documents")
+      val canon = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val quality = canon
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("n_dist", size(array_distinct(split(col("text"), " "))))
+        .where(dbl(col("n_dist")) / col("n_toks") >= 0.35)
+      val ids = quality.selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
+      val toks = quality.selectExpr("doc_id",
+        "array_sort(array_distinct(split(text, ' '))) AS toks")
+      val pairs = ids.as("a").join(ids.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .repartition(col("doc_a"), col("doc_b"))
+      val dupB = pairs
+        .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
+        .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
+        .where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
+        .select(col("doc_b").as("doc_id")).distinct()
+      quality.join(dupB, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          (dbl(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sample_hash" -> (s"SELECT doc_id, lang, n_chars FROM documents " +
+      s"WHERE $hDuck % 10 = 0 ORDER BY doc_id"),
+
+    "q_split_assign" -> ("SELECT split, lang, count(*) AS n_docs, " +
+      "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM " +
+      s"(SELECT lang, n_chars, CASE WHEN $hDuck % 100 < 80 THEN 'train' " +
+      s"WHEN $hDuck % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents) " +
+      "GROUP BY split, lang ORDER BY split, lang"),
+
+    "q_pipeline_clean" -> ("WITH canon AS (SELECT d.doc_id, d.lang, d.n_chars, d.text " +
+      "FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k " +
+      "JOIN documents d ON d.doc_id = k.doc_id), " +
+      "quality AS (SELECT doc_id, lang, n_chars, text, " +
+      "list_distinct(string_split(text, ' ')) AS dt FROM canon " +
+      "WHERE CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+      "len(string_split(text, ' ')) >= 0.35), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dt AS ta, b.dt AS tb " +
+      "FROM quality a JOIN quality b ON a.lang = b.lang " +
+      "AND a.n_chars // 50 = b.n_chars // 50 AND a.doc_id < b.doc_id), " +
+      "dupb AS (SELECT DISTINCT doc_b AS doc_id FROM pairs " +
+      "WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) / " +
+      "(len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.8) " +
+      "SELECT lang, count(*) AS n_kept, " +
+      "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
+      "FROM quality WHERE doc_id NOT IN (SELECT doc_id FROM dupb) " +
+      "GROUP BY lang ORDER BY lang"),
+  )
+}
