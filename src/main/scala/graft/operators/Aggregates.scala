@@ -176,6 +176,18 @@ object Aggregates extends QueryFamily {
         .count()
         .na.fill(0)
         .orderBy("source")),
+
+    // Unpivot (melt) the pivoted table back to long form — the wide->long
+    // inverse, a Generator-backed Expand under the hood.
+    "q_agg_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0)
+        .unpivot(Array(col("source")), Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
+          "lang", "n_docs")
+        .orderBy("source", "lang")),
   )
 
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(12,2))) AS DOUBLE)"
@@ -265,5 +277,15 @@ object Aggregates extends QueryFamily {
       "count(*) FILTER (WHERE lang='fr') AS fr, " +
       "count(*) FILTER (WHERE lang='zh') AS zh " +
       "FROM documents GROUP BY source ORDER BY source"),
+
+    // Pivot-then-unpivot round trip == counts for every (source, lang)
+    // combination including zeros.
+    "q_agg_unpivot" -> ("SELECT s.source, l.lang, " +
+      "CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs FROM " +
+      "(SELECT DISTINCT source FROM documents) s CROSS JOIN " +
+      "(SELECT unnest(['de','en','es','fr','zh']) AS lang) l LEFT JOIN " +
+      "(SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang) c " +
+      "ON s.source = c.source AND l.lang = c.lang " +
+      "ORDER BY s.source, l.lang"),
   )
 }

@@ -92,6 +92,16 @@ object Windows extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // cume_dist over deliberate ties (same bucket trick as q_win_rank).
+    "q_win_cumedist" -> ((s, dir) => {
+      val df = Tables(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000.0))
+      val w = Window.partitionBy("c_nationkey").orderBy(col("bal_bucket"))
+      df.select(col("c_custkey"), col("c_nationkey"), col("bal_bucket"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // ntile + first/last/nth with explicit full frame.
     "q_win_ntile_firstlast" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -146,6 +156,11 @@ object Windows extends QueryFamily {
       "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value, " +
       "value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta " +
       "FROM events ORDER BY event_id"),
+
+    "q_win_cumedist" -> ("SELECT c_custkey, c_nationkey, " +
+      "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket, " +
+      "cume_dist() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0)) AS cd " +
+      "FROM customer ORDER BY c_custkey"),
 
     "q_win_ntile_firstlast" -> ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
       "CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile, " +

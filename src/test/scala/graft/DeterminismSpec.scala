@@ -11,11 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val risky = Seq(
-    "q_agg_hashgroup", "q_agg_stats", "q_agg_percentile", "q_agg_minmaxby",
-    "q_agg_collect", "q_win_rank", "q_win_running", "q_sim_topk",
-    "q_dedup_near", "q_dedup_minhash", "q_text_tfidf", "q_multimodal_cluster",
-    "q_stream_session", "q_udaf_typed", "q_sink_batched")
+  // Every declared query — the gate hashes all of them.
+  private val risky = SparkEntry.queries.keys.toSeq.sorted
 
   private def runWith(parts: Int, name: String): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
