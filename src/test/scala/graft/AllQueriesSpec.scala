@@ -17,6 +17,30 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2 inventory is fully implemented") {
+    val surveyKeys = Seq(
+      "q_scan_parquet", "q_scan_sql_view", "q_scan_pushdown", "q_sink_esdocs", "q_sink_batched",
+      "q_project_rename", "q_project_expr", "q_filter_pred", "q_filter_null", "q_filter_incremental",
+      "q_join_inner", "q_join_broadcast", "q_join_sortmerge", "q_join_left", "q_join_full",
+      "q_join_semi", "q_join_anti", "q_join_cross", "q_join_theta", "q_join_range",
+      "q_join_asof", "q_join_multiway",
+      "q_agg_hashgroup", "q_agg_global", "q_agg_distinct", "q_agg_rollup", "q_agg_cube",
+      "q_agg_gsets", "q_agg_stats", "q_agg_minmaxby", "q_agg_collect", "q_agg_filtered",
+      "q_agg_percentile", "q_agg_approxdistinct", "q_agg_pivot",
+      "q_win_rank", "q_win_topk", "q_win_running", "q_win_sliding", "q_win_rangeframe",
+      "q_win_leadlag", "q_win_ntile_firstlast",
+      "q_sort_multi", "q_limit_topk", "q_limit_offset",
+      "q_set_unionall", "q_set_union", "q_set_intersect", "q_set_except",
+      "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_cond", "q_fn_cast", "q_fn_array",
+      "q_fn_map", "q_fn_json", "q_fn_hash",
+      "q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_tokenize", "q_text_tfidf",
+      "q_text_stats", "q_multimodal_join", "q_multimodal_cluster",
+      "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
+      "q_udf_scalar", "q_udaf_typed", "q_udtf_explode")
+    val missing = surveyKeys.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val df = fn(spark, sf0001)
