@@ -68,7 +68,7 @@ object Dedup extends QueryFamily {
       pairs.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
         .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.8D)"))
         .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
+        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -97,7 +97,7 @@ object Dedup extends QueryFamily {
       cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
         .withColumn("jacc_raw", expr("sorted_jaccard_ge(toks_a, toks_b, 0.8D)"))
         .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
+        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -151,7 +151,7 @@ object Dedup extends QueryFamily {
       pairs.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
         .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.6D)"))
         .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), round(col("jacc_raw"), 4).as("jacc"))
+        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -226,7 +226,7 @@ object Dedup extends QueryFamily {
     "q_dedup_near" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
       "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      s"round($jaccDuck, 4) AS jacc " +
+      s"$jaccDuck AS jacc " +
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.8 ORDER BY doc_a, doc_b"),
 
@@ -241,7 +241,7 @@ object Dedup extends QueryFamily {
       "concat_ws(':', lang, 1, mh4, mh5, mh6, mh7)]) AS band_key FROM s), " +
       "c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
       "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-      s"SELECT doc_a, doc_b, round($j, 4) AS jacc FROM c " +
+      s"SELECT doc_a, doc_b, $j AS jacc FROM c " +
       "JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b " +
       s"WHERE $j >= 0.8 ORDER BY doc_a, doc_b"
     },
@@ -262,7 +262,7 @@ object Dedup extends QueryFamily {
       "list_distinct([substr(text, i, 3) for i in generate_series(1, CAST(length(text) AS INT) - 2)]) AS toks " +
       "FROM documents) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      s"round($jaccDuck, 4) AS jacc " +
+      s"$jaccDuck AS jacc " +
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.6 ORDER BY doc_a, doc_b"),
 

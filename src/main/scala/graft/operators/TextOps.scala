@@ -98,8 +98,13 @@ object TextOps extends QueryFamily {
         .select(col("doc_id"), col("lang"), col("n_toks").cast("bigint").as("n_toks"),
           col("n_dist").cast("bigint").as("n_dist"), col("n_stop"),
           (dbl(col("n_chars") - (col("n_toks") - 1)) / col("n_toks")).as("avg_tok_len"),
-          round(dbl(col("n_dist")) / col("n_toks") * 0.5 +
-            (lit(1.0) - dbl(col("n_stop")) / col("n_toks")) * 0.5, 4).as("quality"))
+          // raw double, NOT rounded: both engines compute the identical
+          // IEEE value from identical integers, while round() itself is
+          // the cross-engine hazard (Spark rounds the shortest decimal
+          // repr, DuckDB the binary value — they disagree on exact
+          // boundaries like 77/160 = "0.48125")
+          (dbl(col("n_dist")) / col("n_toks") * 0.5 +
+            (lit(1.0) - dbl(col("n_stop")) / col("n_toks")) * 0.5).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -209,8 +214,8 @@ object TextOps extends QueryFamily {
       "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist FROM documents) " +
       "SELECT base.doc_id, lang, n_toks, n_dist, coalesce(sc.n_stop, 0) AS n_stop, " +
       "CAST(n_chars - (n_toks - 1) AS DOUBLE) / n_toks AS avg_tok_len, " +
-      "round(CAST(n_dist AS DOUBLE) / n_toks * 0.5 + " +
-      "(1.0 - CAST(coalesce(sc.n_stop, 0) AS DOUBLE) / n_toks) * 0.5, 4) AS quality " +
+      "CAST(n_dist AS DOUBLE) / n_toks * 0.5 + " +
+      "(1.0 - CAST(coalesce(sc.n_stop, 0) AS DOUBLE) / n_toks) * 0.5 AS quality " +
       "FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id ORDER BY base.doc_id"),
 
     "q_text_fingerprint" -> ("SELECT doc_id, " +
