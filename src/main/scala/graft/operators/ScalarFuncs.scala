@@ -118,12 +118,15 @@ object ScalarFuncs extends QueryFamily {
       Tables(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         big(size(col("embedding"))).as("dim"),
-        round(element_at(vd, 1), 4).as("first_val"),
+        // direct element values stay UNROUNDED: a float cast to double is
+        // the same dyadic rational in both engines, while round() can
+        // disagree on its shortest-repr boundary (see q_text_quality note)
+        element_at(vd, 1).as("first_val"),
         round(aggregate(slice(vd, 1, 8), lit(0.0), (a, x) => a + x), 4).as("sum_first8"),
         big(size(filter(vd, _ > 0.0))).as("n_pos"),
         round(sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"),
-        round(element_at(array_sort(vd), 1), 4).as("min_val"),
-        round(element_at(array_sort(vd), 64), 4).as("max_val"))
+        element_at(array_sort(vd), 1).as("min_val"),
+        element_at(array_sort(vd), 64).as("max_val"))
         .orderBy("vec_id")
     }),
 
@@ -239,12 +242,12 @@ object ScalarFuncs extends QueryFamily {
 
     "q_fn_array" -> ("SELECT vec_id, label, " +
       "len(embedding) AS dim, " +
-      "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, " +
+      "CAST(embedding[1] AS DOUBLE) AS first_val, " +
       "round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS sum_first8, " +
       "len(list_filter(embedding, x -> x > 0.0)) AS n_pos, " +
       "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, " +
-      "round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val, " +
-      "round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val " +
+      "CAST(list_min(embedding) AS DOUBLE) AS min_val, " +
+      "CAST(list_max(embedding) AS DOUBLE) AS max_val " +
       "FROM embeddings ORDER BY vec_id"),
 
     "q_fn_map" -> ("SELECT source, " +
