@@ -78,14 +78,16 @@ object Dedup extends QueryFamily {
     // pipeline, so outputs still hash-match.
     "q_dedup_minhash" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
+      graft.functions.MinHashSig.register(s)
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      val mh = (0 until 8).map(i =>
-        s"array_min(transform(toks, t -> ${hs(s"concat(t, '#$i')")})) AS mh$i")
-      val sig = d.selectExpr(Seq("doc_id", "lang", "toks") ++ mh: _*)
+      // one md5 per token for the whole 8-hash signature (custom expr)
+      val sig = d.withColumn("mh", expr("minhash_sig(toks)"))
       val bands = sig.select(col("doc_id"), explode(array(
-          concat_ws(":", col("lang"), lit(0), col("mh0"), col("mh1"), col("mh2"), col("mh3")),
-          concat_ws(":", col("lang"), lit(1), col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
+          concat_ws(":", col("lang"), lit(0), element_at(col("mh"), 1),
+            element_at(col("mh"), 2), element_at(col("mh"), 3), element_at(col("mh"), 4)),
+          concat_ws(":", col("lang"), lit(1), element_at(col("mh"), 5),
+            element_at(col("mh"), 6), element_at(col("mh"), 7), element_at(col("mh"), 8))))
         .as("band_key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
@@ -231,8 +233,10 @@ object Dedup extends QueryFamily {
       s"WHERE $jaccDuck >= 0.8 ORDER BY doc_a, doc_b"),
 
     "q_dedup_minhash" -> {
-      val mh = (0 until 8).map(i =>
-        s"list_min(list_transform(toks, t -> ${hd(s"t || '#$i'")})) AS mh$i").mkString(", ")
+      val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
+      val mh = as.zipWithIndex.map { case (a, i) =>
+        s"list_min(list_transform(toks, t -> ((${hd("t")} % 2147483647) * $a + $i) % 2147483647)) AS mh$i"
+      }.mkString(", ")
       val j = "CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) / " +
         "(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)))"
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
