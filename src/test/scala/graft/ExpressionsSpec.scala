@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Each custom Catalyst expression must agree exactly with its built-in
+  * (slower) formulation on real data — the optimization is only allowed
+  * to change the plan, never a bit of the result.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private lazy val toksDf = {
+    graft.functions.SortedIntersectSize.register(spark)
+    graft.functions.SortedJaccardGe.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.VecDot.register(spark)
+    Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "array_sort(array_distinct(split(text, ' '))) AS toks")
+  }
+
+  test("sorted_intersect_size == size(array_intersect) on sorted sets") {
+    val pairs = toksDf.limit(40).as("a").crossJoin(toksDf.limit(40).as("b"))
+      .selectExpr("sorted_intersect_size(a.toks, b.toks) AS fast",
+        "size(array_intersect(a.toks, b.toks)) AS ref")
+    assert(pairs.where(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("sorted_jaccard_ge: NULL below threshold, exact ratio at/above") {
+    val pairs = toksDf.limit(60).as("a").crossJoin(toksDf.limit(60).as("b"))
+      .selectExpr(
+        "sorted_jaccard_ge(a.toks, b.toks, 0.3D) AS fused",
+        "CAST(size(array_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+          "(size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))) AS ref")
+    assert(pairs.where(col("ref") >= 0.3 && (col("fused").isNull || col("fused") =!= col("ref"))).count() == 0)
+    assert(pairs.where(col("ref") < 0.3 && col("fused").isNotNull).count() == 0)
+  }
+
+  test("vec_dot == aggregate(zip_with) fold, bit-exact") {
+    val e = Tables(spark, sf0001, "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_dot(v, v) AS fast",
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, p) -> a + p) AS ref")
+    assert(e.where(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("minhash_sig equals the naive per-hash formulation") {
+    val h = "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
+    val naive = as.zipWithIndex.map { case (a, i) =>
+      s"array_min(transform(toks, t -> (($h % 2147483647) * $a + $i) % 2147483647))"
+    }.mkString("array(", ", ", ") AS ref")
+    val df = toksDf.selectExpr("minhash_sig(toks) AS fast", naive)
+    assert(df.where(col("fast") =!= col("ref")).count() == 0)
+  }
+}
