@@ -25,14 +25,24 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // Empty (or all-null-element) input yields null — matching what the
+  // oracle's list_min gives — so the output is nullable over non-null input.
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MinHashSig.sig(input.asInstanceOf[ArrayData]))
+  override def nullSafeEval(input: Any): Any = {
+    val s = MinHashSig.sig(input.asInstanceOf[ArrayData])
+    if (s == null) null else new GenericArrayData(s)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.MinHashSig$$.MODULE$$.sig($a))")
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("graftSig")
+      s"""
+         |long[] $s = graft.functions.MinHashSig$$.MODULE$$.sig($a);
+         |if ($s == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($s); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -61,21 +71,30 @@ object MinHashSig {
     v >>> 4
   }
 
+  /** Null (not Long.MaxValue sentinels) when no hashable element exists —
+    * the value DuckDB's list_min gives on an empty list. Null elements are
+    * skipped, as every list_* aggregate-style reduction skips NULLs.
+    */
   def sig(toks: ArrayData): Array[Long] = {
     val out = Array.fill(A.length)(Long.MaxValue)
     val n = toks.numElements()
+    var seen = false
     var t = 0
     while (t < n) {
-      val base = h(toks.getUTF8String(t).getBytes) % M
-      var i = 0
-      while (i < A.length) {
-        val hi = (base * A(i) + i) % M
-        if (hi < out(i)) out(i) = hi
-        i += 1
+      val u = if (toks.isNullAt(t)) null else toks.getUTF8String(t)
+      if (u != null) {
+        seen = true
+        val base = h(u.getBytes) % M
+        var i = 0
+        while (i < A.length) {
+          val hi = (base * A(i) + i) % M
+          if (hi < out(i)) out(i) = hi
+          i += 1
+        }
       }
       t += 1
     }
-    out
+    if (seen) out else null
   }
 
   def register(spark: SparkSession): Unit =

@@ -19,12 +19,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Mismatched lengths yield null (below), so the output is nullable
+  // even over non-null inputs.
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else VecDot.dot(a, b)
+  }
 
+  // Hand-rolled null-safe codegen: the length check produces null, and the
+  // happy path stays a primitive (unboxed) static call.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot$$.MODULE$$.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.VecDot$$.MODULE$$.dot($a, $b); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -32,8 +44,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+  /** Primitive sum loop; callers (eval/codegen above) have already
+    * established equal lengths — a mismatch yields null there, the same
+    * answer the `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation
+    * gives after zip_with null-pads the shorter side.
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

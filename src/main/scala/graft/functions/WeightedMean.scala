@@ -16,8 +16,16 @@ object WeightedMean extends Aggregator[(Double, Int), WeightedAcc, Double] {
   def zero: WeightedAcc = WeightedAcc(0L, 0L)
 
   def reduce(b: WeightedAcc, a: (Double, Int)): WeightedAcc =
-    WeightedAcc(b.sumWeightedCents + math.round(a._1 * 100.0) * a._2,
+    WeightedAcc(b.sumWeightedCents + WeightedMean.cents(a._1) * a._2,
       b.sumWeights + a._2)
+
+  /** money → exact integer cents, HALF_UP (round half AWAY FROM ZERO, like
+    * CAST(x AS DECIMAL(12,2)) in both engines) — `math.round` would round
+    * -0.125 half toward +inf and diverge on negative half-cent boundaries.
+    */
+  def cents(x: Double): Long =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.unscaledValue.longValueExact
 
   def merge(x: WeightedAcc, y: WeightedAcc): WeightedAcc =
     WeightedAcc(x.sumWeightedCents + y.sumWeightedCents,

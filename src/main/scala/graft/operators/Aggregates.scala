@@ -158,7 +158,11 @@ object Aggregates extends QueryFamily {
         .orderBy("c_mktsegment")
     }),
 
-    // HLL sketch — the 100 TB distinct-count path. No oracle: sketch
+    // HLL sketch — the 100 TB distinct-count path. The raw estimates
+    // aren't cross-engine (different sketches), so the declared output is
+    // the exact count plus a "sketch within 10% of exact" boolean that BOTH
+    // engines' HLLs satisfy (their rsd is ~1-5%) — giving this operator a
+    // real oracle instead of the round-1 rows-only check. Legacy note: sketch
     // estimates aren't cross-engine; exact count sits beside it for the
     // in-repo tolerance test.
     "q_agg_approxdistinct" -> ((s, dir) =>
@@ -166,6 +170,9 @@ object Aggregates extends QueryFamily {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.1).as("approx_ok"))
         .orderBy("event_type")),
 
     // Pivot to a wide table (source × lang doc counts).
@@ -194,6 +201,12 @@ object Aggregates extends QueryFamily {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
   def oracles: Map[String, String] = Map(
+    "q_agg_approxdistinct" -> ("SELECT event_type, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+      "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
+      "<= count(DISTINCT user_id) * 0.1) AS approx_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "q_agg_hashgroup" -> ("SELECT l_returnflag, l_linestatus, " +
       decSum.format("l_quantity") + " AS sum_qty, " +
       decSum.format("l_extendedprice") + " AS sum_base_price, " +

@@ -28,7 +28,9 @@ object ScalarFuncs extends QueryFamily {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("novowel"),
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
         reverse(col("p_name")).as("rev_name"),
-        element_at(split(col("p_name"), " "), 2).as("second_word"),
+        // try_element_at: ANSI mode (Spark 4 default) makes plain
+        // element_at THROW on a one-word name; oracle returns NULL.
+        try_element_at(split(col("p_name"), " "), lit(2)).as("second_word"),
         lpad(col("p_brand"), 10, "*").as("pad_brand"),
         expr("replace(p_type, 'O', '0')").as("zeroed_type"),
         big(instr(col("p_name"), "a")).as("pos_a"),
@@ -103,7 +105,10 @@ object ScalarFuncs extends QueryFamily {
         col("o_orderkey"),
         col("o_orderkey").cast("string").as("key_str"),
         col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),
-        money(col("o_totalprice")).as("price_dec"),
+        // decimal cast stays in-plan but is emitted as double: a raw
+        // DECIMAL output column is the one type the driver's hash
+        // canonicalization and DuckDB disagree on (round-1 ADVICE.md).
+        money(col("o_totalprice")).cast("double").as("price_dbl"),
         money(col("o_totalprice")).cast("string").as("price_str"),
         floor(col("o_totalprice")).as("price_floor"),
         col("o_orderdate").cast("date").as("od_date"),
@@ -121,12 +126,12 @@ object ScalarFuncs extends QueryFamily {
         // direct element values stay UNROUNDED: a float cast to double is
         // the same dyadic rational in both engines, while round() can
         // disagree on its shortest-repr boundary (see q_text_quality note)
-        element_at(vd, 1).as("first_val"),
+        try_element_at(vd, lit(1)).as("first_val"),
         round(aggregate(slice(vd, 1, 8), lit(0.0), (a, x) => a + x), 4).as("sum_first8"),
         big(size(filter(vd, _ > 0.0))).as("n_pos"),
         round(sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x)), 4).as("l2_norm"),
-        element_at(array_sort(vd), 1).as("min_val"),
-        element_at(array_sort(vd), 64).as("max_val"))
+        try_element_at(array_sort(vd), lit(1)).as("min_val"),
+        try_element_at(array_sort(vd), lit(64)).as("max_val"))
         .orderBy("vec_id")
     }),
 
@@ -138,8 +143,10 @@ object ScalarFuncs extends QueryFamily {
         .agg(map_from_entries(collect_list(struct(col("lang"), col("cnt")))).as("m"))
         .select(col("source"),
           concat_ws(",", array_sort(map_keys(col("m")))).as("langs"),
-          coalesce(element_at(col("m"), "en"), lit(0L)).as("n_en"),
-          coalesce(element_at(col("m"), "zh"), lit(0L)).as("n_zh"),
+          // try_element_at: under ANSI mode element_at throws NO_SUCH_KEY
+          // when a source has no docs in that lang; oracle yields 0.
+          coalesce(try_element_at(col("m"), lit("en")), lit(0L)).as("n_en"),
+          coalesce(try_element_at(col("m"), lit("zh")), lit(0L)).as("n_zh"),
           big(size(col("m"))).as("n_langs"))
         .orderBy("source")
     }),
@@ -231,7 +238,7 @@ object ScalarFuncs extends QueryFamily {
     "q_fn_cast" -> ("SELECT o_orderkey, " +
       "CAST(o_orderkey AS VARCHAR) AS key_str, " +
       "CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip, " +
-      "CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dbl, " +
       "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str, " +
       "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, " +
       "CAST(o_orderdate AS DATE) AS od_date, " +

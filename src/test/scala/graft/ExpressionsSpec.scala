@@ -44,6 +44,39 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(e.where(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("vec_dot is NULL on length mismatch (zip_with null-pad semantics)") {
+    toksDf // force registration
+    val df = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS mismatch,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nullin""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.isNullAt(2))
+  }
+
+  test("minhash_sig: skips NULL elements, NULL for empty input (list_min semantics)") {
+    toksDf // force registration
+    val df = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b')) AS skipped,
+        |       minhash_sig(array('a', 'b')) AS plain,
+        |       minhash_sig(CAST(array() AS ARRAY<STRING>)) AS empty,
+        |       minhash_sig(array(CAST(NULL AS STRING))) AS allnull""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.isNullAt(2))
+    assert(r.isNullAt(3))
+  }
+
+  test("weighted-mean cents: HALF_UP away from zero on negative half-cents") {
+    import graft.functions.WeightedMean
+    assert(WeightedMean.cents(0.125) == 13L)
+    assert(WeightedMean.cents(-0.125) == -13L) // math.round would give -12
+    assert(WeightedMean.cents(1234.56) == 123456L)
+    assert(WeightedMean.cents(-1234.56) == -123456L)
+  }
+
   test("minhash_sig equals the naive per-hash formulation") {
     val h = "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
     val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
