@@ -132,12 +132,13 @@ object Dedup extends QueryFamily {
     // spread across all cores — the plan that survives a 100x scale-up.
     "q_dedup_ngram" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
-      // Sort the gram set once per document so each candidate pair is a
-      // zero-allocation linear merge (custom codegen'd expression) instead
-      // of a per-pair hash set build.
-      val grams = Tables(s, dir, "documents").selectExpr("doc_id",
-        "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))) AS toks")
-        .withColumn("n", size(col("toks")))
+      graft.functions.TrigramCodes.register(s)
+      // Sorted distinct trigram set per document as packed 63-bit code
+      // points (one pass, zero string allocation; injective packing keeps
+      // Jaccard bit-identical to the string formulation the oracle runs),
+      // so each candidate pair is a primitive-long linear merge.
+      val grams = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "trigram_codes(text) AS toks")
       // Pair generation stays id-only: putting a gram-count prefilter in
       // this join re-inlines the whole gram computation into the join
       // condition (CollapseProject) and evaluates it per candidate pair.

@@ -77,6 +77,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(WeightedMean.cents(-1234.56) == -123456L)
   }
 
+  test("trigram_codes jaccard == string-trigram jaccard, bit-exact") {
+    graft.functions.TrigramCodes.register(spark)
+    toksDf // force registration of sorted_jaccard_ge
+    val d = Tables(spark, sf0001, "documents").selectExpr("doc_id",
+      "trigram_codes(text) AS tc",
+      "array_sort(array_distinct(transform(sequence(1, length(text) - 2), i -> substr(text, i, 3)))) AS ts")
+    val pairs = d.limit(30).as("a").crossJoin(d.limit(30).as("b"))
+      .selectExpr("sorted_jaccard_ge(a.tc, b.tc, 0.1D) AS fast",
+        "sorted_jaccard_ge(a.ts, b.ts, 0.1D) AS ref")
+    assert(pairs.where(!(col("fast") <=> col("ref"))).count() == 0)
+  }
+
+  test("trigram_codes handles non-ASCII code points and short strings") {
+    graft.functions.TrigramCodes.register(spark)
+    val r = spark.sql(
+      """SELECT size(trigram_codes('ab')) AS short,
+        |       size(trigram_codes('aaaa')) AS dedup,
+        |       size(trigram_codes('日本語テスト')) AS cjk""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 1) // 'aaa' twice, distinct once
+    assert(r.getInt(2) == 4) // 6 code points -> 4 trigrams, all distinct
+  }
+
   test("minhash_sig equals the naive per-hash formulation") {
     val h = "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
     val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
