@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Spark-native installation point for the engine's custom Catalyst
+  * expressions — the supported way to extend a cluster-wide session
+  * without touching application code:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * Every function this injects is also registrable per-session via each
+  * expression's `register(spark)` (which the query definitions call
+  * defensively), but on a shared 1000-executor cluster the extensions
+  * route is the one an operator of the reference system would configure:
+  * builtin-level registration, visible in every new session, no
+  * temp-function scoping.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a intersect b| over sorted distinct arrays"),
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_jaccard_ge"),
+      info("sorted_jaccard_ge",
+        "sorted_jaccard_ge(a, b, t) - Jaccard if >= t else NULL, over sorted distinct arrays"),
+      (es: Seq[Expression]) => SortedJaccardGe(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(toks) - 8-hash MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es.head)))
+    ext.injectFunction((FunctionIdentifier("trigram_codes"),
+      info("trigram_codes",
+        "trigram_codes(s) - sorted distinct character trigrams as packed 63-bit codes"),
+      (es: Seq[Expression]) => TrigramCodes(es.head)))
+  }
+}

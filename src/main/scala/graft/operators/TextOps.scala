@@ -133,16 +133,30 @@ object TextOps extends QueryFamily {
     }),
 
     // Pseudo-cluster profile per label: element-wise centroid (long-form
-    // posexplode -> per-(label,pos) mean -> rejoin), each member's distance
-    // to its centroid, the farthest member, and the cluster spread.
+    // posexplode -> per-(label,pos) mean), each member's distance to its
+    // centroid, the farthest member, and the cluster spread.
+    //
+    // Scale shape: the centroid table is tiny (labels x 64), so it is
+    // gathered back into one ordered array per label and BROADCAST —
+    // members are never reshuffled and the distance is per-row array math.
+    // The long-form alternative (re-join members on (label, pos) and
+    // re-aggregate per vec_id) shuffles the full exploded fact table
+    // twice; at a billion vectors that's the plan that falls over.
     "q_multimodal_cluster" -> ((s, dir) => {
       val pe = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           posexplode(transform(col("embedding"), x => x.cast("double"))).as(Seq("pos", "x")))
       val cent = pe.groupBy("label", "pos").agg(avg("x").as("c"))
-      val dist = pe.join(cent, Seq("label", "pos"))
-        .withColumn("d2", (col("x") - col("c")) * (col("x") - col("c")))
-        .groupBy("vec_id", "label").agg(round(sqrt(sum(col("d2"))), 4).as("dist"))
+      val centArr = cent.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cv"))
+      val dist = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .join(broadcast(centArr), "label")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(zip_with(col("v"), col("cv"),
+            (x, c) => (x - c) * (x - c)), lit(0.0), (a, d2) => a + d2)), 4).as("dist"))
       val m = dist.groupBy("label").agg(count(lit(1)).as("n_members"),
         round(avg(col("dist")), 4).as("avg_dist"))
       val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))

@@ -100,6 +100,14 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4) // 6 code points -> 4 trigrams, all distinct
   }
 
+  test("GraftExtensions installs all five custom functions") {
+    // ExpressionInfo validates its arguments eagerly, so applying the
+    // extensions exercises the whole injectFunction surface (the builders
+    // themselves are covered by the equivalence tests above via register()).
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
   test("minhash_sig equals the naive per-hash formulation") {
     val h = "CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
     val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
