@@ -12,10 +12,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: JIT/codegen/scan/shuffle machinery init otherwise
-    // lands on whichever query happens to iterate first.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
+    // Untimed warm-up: JIT/codegen/scan/shuffle/broadcast/window/generator
+    // machinery init otherwise lands on whichever query happens to iterate
+    // first (Map order shifts whenever a query is added).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .join(broadcast(d.select(col("doc_id"))), "doc_id")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy("t")))
+        .groupBy("t").agg(count(lit(1))).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -51,6 +51,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("q_multimodal_cluster broadcasts the centroid arrays (members never reshuffled)") {
+    val df = SparkEntry.queries("q_multimodal_cluster")(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("flagship plan has no cartesian products or unexpected sorts before aggregation") {
     val p = plan("q_agg_hashgroup")
     assert(!p.contains("CartesianProduct"))
