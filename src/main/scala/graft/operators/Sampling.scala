@@ -53,6 +53,12 @@ object Sampling extends QueryFamily {
         .select("doc_id")
         .join(docs, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      // quality feeds three consumers (pair blocking, token sets, the
+      // final anti-join) — left declarative: ReuseExchange already dedupes
+      // the identical shuffle subtrees (persist() measured slower here, it
+      // serializes the pipeline behind cache materialization). At 100 TB
+      // the equivalent lever is a checkpoint between the dedup and
+      // pair-scoring phases.
       val quality = canon
         .withColumn("n_toks", size(split(col("text"), " ")))
         .withColumn("n_dist", size(array_distinct(split(col("text"), " "))))

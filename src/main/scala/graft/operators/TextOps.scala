@@ -34,11 +34,13 @@ object TextOps extends QueryFamily {
       val docs = Tables(s, dir, "documents")
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
+      // document frequency as a window over tf — one shuffle on term,
+      // instead of a groupBy(term) plus a join back to tf (two shuffles)
+      val dfw = count(lit(1)).over(Window.partitionBy("term"))
       val score = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(n)
+      tf.withColumn("df", dfw).crossJoin(n)
         .withColumn("score", score)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
