@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,8 +15,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JIT/codegen/scan/shuffle/broadcast/window/generator
     // machinery init otherwise lands on whichever query happens to iterate
-    // first (Map order shifts whenever a query is added).
-    locally {
+    // first. Best-effort — a missing table degrades to a cold first query,
+    // it must not abort the benchmark.
+    try {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -26,20 +28,32 @@ object Bench {
         .withColumn("r", row_number().over(
           Window.partitionBy("doc_id").orderBy("t")))
         .groupBy("t").agg(count(lit(1))).count()
+    } catch { case _: Throwable => () }
+    // `runs` timed passes per query (stable name order); the reported
+    // number is the per-query MEDIAN, so one GC pause / compilation stall
+    // no longer reads as a round-over-round regression. "noise" records
+    // the median relative spread ((max-min)/median) across queries.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = names.map { name =>
+      name -> (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def median(v: Seq[Double]): Double = v(v.size / 2)
+    val results = samples.map { case (n, v) => n -> median(v) }
+    val noise = median(samples.map { case (_, v) =>
+      if (median(v) > 0) (v.last - v.head) / median(v) else 0.0 }.sorted)
     // Keep the JSON line SHORT (3-decimal secs): the driver parses it from
     // a bounded tail of the sbt log, and full-precision doubles over 90
     // queries overflow that buffer (round-1 BENCH parsed:null).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,24 +25,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
+  /** Arity guard: a wrong argument count must surface as a readable
+    * analysis-time error, not an IndexOutOfBoundsException from the
+    * builder reaching into the argument Seq.
+    */
+  private def arity(name: String, n: Int, es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> es.length.toString, "docroot" -> ""))
+    es
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
-      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+      (es: Seq[Expression]) => { val a = arity("vec_dot", 2, es); VecDot(a(0), a(1)) }))
     ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |a intersect b| over sorted distinct arrays"),
-      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))))
+      (es: Seq[Expression]) => { val a = arity("sorted_intersect_size", 2, es)
+        SortedIntersectSize(a(0), a(1)) }))
     ext.injectFunction((FunctionIdentifier("sorted_jaccard_ge"),
       info("sorted_jaccard_ge",
         "sorted_jaccard_ge(a, b, t) - Jaccard if >= t else NULL, over sorted distinct arrays"),
-      (es: Seq[Expression]) => SortedJaccardGe(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => { val a = arity("sorted_jaccard_ge", 3, es)
+        SortedJaccardGe(a(0), a(1), a(2)) }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(toks) - 8-hash MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es.head)))
+      (es: Seq[Expression]) => MinHashSig(arity("minhash_sig", 1, es).head)))
     ext.injectFunction((FunctionIdentifier("trigram_codes"),
       info("trigram_codes",
         "trigram_codes(s) - sorted distinct character trigrams as packed 63-bit codes"),
-      (es: Seq[Expression]) => TrigramCodes(es.head)))
+      (es: Seq[Expression]) => TrigramCodes(arity("trigram_codes", 1, es).head)))
   }
 }

@@ -22,8 +22,14 @@ import Dets._
   *    unblocked O(n^2) cross join;
   *  - MinHash-LSH = band-signature equi-join producing candidates, exact
   *    verify after; candidate count is controlled by (rows/band, bands);
-  *  - SimHash = 16-bit signature + same-lang pair filter on hamming
-  *    distance (at 100 TB: block on the signature's high byte);
+  *  - SimHash = 16-bit signature; candidates by pigeonhole-LSH on the
+  *    signature's 4 nibbles (hamming <= 3 implies at least one of 4
+  *    disjoint bands is equal), exact hamming verify after — identical
+  *    output to the all-pairs form the oracle runs, bounded pairs;
+  *  - verify stages attach per-doc sets to candidate pairs via SHUFFLE
+  *    joins on hash-encoded (60-bit) token codes — never a corpus-size
+  *    broadcast (the set table is terabytes at 100 TB, and long codes
+  *    keep the attach shuffle narrow);
   *  - ANN = brute-force cosine against a broadcast probe set, and an
   *    IVF-style variant that prunes candidates to the probe's coarse
   *    cluster (label) — the partition-pruning shape a real IVF index has.
@@ -37,6 +43,37 @@ object Dedup extends QueryFamily {
   private def hd(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Distinct token set of `text`, hash-encoded to sorted 60-bit codes.
+    * H is injective on any real vocabulary with overwhelming probability
+    * (~1e-9 collision odds at a 10^5 vocab; the hash gate would catch
+    * one), so set intersections — and therefore Jaccard — are identical
+    * to the string formulation the oracle runs, while the verify-stage
+    * shuffle moves arrays of longs instead of strings.
+    */
+  private def tokenCodes(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents").selectExpr("doc_id",
+      s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
+
+  /** Verify stage shared by the Jaccard dedup paths: attach each side's
+    * sorted code set via a SHUFFLE join on the id-only candidate pairs —
+    * never a corpus-size broadcast (the per-doc set table is terabytes at
+    * 100 TB; the hint pins the plan AQE picks at scale, where fixture-size
+    * tables would otherwise auto-broadcast). The threshold-fused Jaccard
+    * runs ONCE per pair: explode(array(j)) + IS NOT NULL above the
+    * Generate — a bare filter on a projected column gets re-inlined by
+    * CollapseProject/PushDownPredicate and evaluates the merge twice.
+    */
+  private def jaccardVerify(pairs: DataFrame, enc: DataFrame, thresh: Double): DataFrame = {
+    val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
+    val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
+    pairs.join(ca.hint("shuffle_hash"), "doc_a")
+      .join(cb.hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(expr(s"sorted_jaccard_ge(ca, cb, ${thresh}D)"))).as("jacc"))
+      .where(col("jacc").isNotNull)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per distinct text. groupBy+min, not
     // dropDuplicates (which keeps an arbitrary row).
@@ -48,28 +85,17 @@ object Dedup extends QueryFamily {
         .orderBy("canonical_id")),
 
     // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
-    // blocks. Same scale shape as q_dedup_ngram: id-only pairs through the
-    // skewed block join, even repartition, broadcast-attach sorted token
-    // sets, one linear-merge intersection per pair.
+    // blocks. Id-only pairs through the skewed block join, then the shared
+    // shuffle-attach verify (one linear merge per pair over long codes).
     "q_dedup_near" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       val ids = Tables(s, dir, "documents")
         .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
-      val toks = Tables(s, dir, "documents").selectExpr("doc_id",
-        "array_sort(array_distinct(split(text, ' '))) AS toks")
-        .withColumn("n", size(col("toks")))
       val pairs = ids.as("a").join(ids.as("b"),
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .repartition(col("doc_a"), col("doc_b"))
-      val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
-      val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
-      pairs.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
-        .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.8D)"))
-        .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
-        .orderBy("doc_a", "doc_b")
+      jaccardVerify(pairs, tokenCodes(s, dir), 0.8)
     }),
 
     // MinHash(8) + LSH (2 bands x 4 rows) candidates, then exact-Jaccard
@@ -93,18 +119,16 @@ object Dedup extends QueryFamily {
           col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .repartition(col("doc_a"), col("doc_b"))
-      val ta = d.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val tb = d.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
-        .withColumn("jacc_raw", expr("sorted_jaccard_ge(toks_a, toks_b, 0.8D)"))
-        .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
-        .orderBy("doc_a", "doc_b")
+      jaccardVerify(cand, tokenCodes(s, dir), 0.8)
     }),
 
     // SimHash: 16-bit signature from per-bit token majority votes; pairs
-    // with hamming distance <= 3 inside the same language.
+    // with hamming distance <= 3 inside the same language. Candidates by
+    // pigeonhole-LSH: 3 differing bits touch at most 3 of the 4 disjoint
+    // nibbles, so every qualifying pair shares at least one (band, nibble)
+    // — an equi-join on (lang, band, nib), never a lang-only self-join
+    // (quadratic within each language). Exact recall: output is identical
+    // to the all-pairs form, which is what the oracle runs.
     "q_dedup_simhash" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -115,30 +139,35 @@ object Dedup extends QueryFamily {
         s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1 << b} ELSE 0 END)")
         .mkString(" + ")
       val sig = d.selectExpr("doc_id", "lang", s"CAST($bits AS BIGINT) AS simhash")
-      sig.as("a").join(sig.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+      val bands = sig.select(col("doc_id"), col("lang"), col("simhash"),
+          explode(array((0 until 4).map(lit): _*)).as("band"))
+        .withColumn("nib", expr("shiftright(simhash, band * 4) & 15"))
+      bands.as("x").join(bands.as("y"),
+          col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
+          col("x.nib") === col("y.nib") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        // verify BEFORE the distinct: a surviving pair appears once per
+        // agreeing band (<= 4), so the dedup shuffle carries only matches
         .where(col("hamming") <= 3)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sim_a"), col("hamming"))
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("hamming"))
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
     // Character 3-gram Jaccard >= 0.6 inside (lang, n_chars/100) blocks.
     // Shape matters here: the blocked self-join emits id-only pairs (no
-    // arrays through the skewed block-key shuffle), the pairs are
-    // repartitioned evenly, and the trigram sets are attached via two
-    // broadcast joins so the O(pairs * |grams|) intersection runs once,
-    // spread across all cores — the plan that survives a 100x scale-up.
+    // arrays through the skewed block-key shuffle), the trigram sets —
+    // packed 63-bit code points from TrigramCodes (one pass, zero string
+    // allocation; injective packing keeps Jaccard bit-identical to the
+    // string formulation the oracle runs) — are shuffle-attached, and the
+    // O(pairs * |grams|) primitive-long merge runs once per pair.
     "q_dedup_ngram" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       graft.functions.TrigramCodes.register(s)
-      // Sorted distinct trigram set per document as packed 63-bit code
-      // points (one pass, zero string allocation; injective packing keeps
-      // Jaccard bit-identical to the string formulation the oracle runs),
-      // so each candidate pair is a primitive-long linear merge.
       val grams = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "trigram_codes(text) AS toks")
+        .selectExpr("doc_id", "trigram_codes(text) AS codes")
       // Pair generation stays id-only: putting a gram-count prefilter in
       // this join re-inlines the whole gram computation into the join
       // condition (CollapseProject) and evaluates it per candidate pair.
@@ -148,14 +177,7 @@ object Dedup extends QueryFamily {
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .repartition(col("doc_a"), col("doc_b"))
-      val ga = grams.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
-      val gb = grams.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
-      pairs.join(broadcast(ga), "doc_a").join(broadcast(gb), "doc_b")
-        .withColumn("jacc_raw", expr("sorted_jaccard_ge(ta, tb, 0.6D)"))
-        .where(col("jacc_raw").isNotNull)
-        .select(col("doc_a"), col("doc_b"), col("jacc_raw").as("jacc"))
-        .orderBy("doc_a", "doc_b")
+      jaccardVerify(pairs, grams, 0.6)
     }),
 
     // Embedding near-dup: cosine >= 0.3 inside the same coarse cluster

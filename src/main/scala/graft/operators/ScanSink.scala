@@ -59,18 +59,31 @@ object ScanSink extends QueryFamily {
     }),
 
     // Bulk batching analog: batch number of size 500 in key order, stats per
-    // batch. (Global row_number = single-partition sort; at 100 TB the same
-    // contract is met with monotonically-increasing per-partition offsets or
-    // a range-partitioned id — documented, not needed at fixture scale.)
-    "q_sink_batched" -> ((s, dir) =>
-      Tables(s, dir, "orders")
-        .withColumn("rn", row_number().over(Window.orderBy("o_orderkey")))
+    // batch. The global rank is computed scalably: deterministic key-range
+    // buckets (never a sampled range partitioner — bucket membership must
+    // not depend on run-time sampling), a per-bucket count whose running
+    // total gives each bucket's rank offset, and a PARALLEL per-bucket
+    // row_number. The only totally-ordered window runs over the bucket
+    // COUNTS (one row per bucket — thousands at 100 TB, never row-scale);
+    // no row-scale single-partition window anywhere in the plan.
+    "q_sink_batched" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), expr("o_orderkey DIV 2048 AS bkt"))
+      val offs = o.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "off")
+      o.join(broadcast(offs), "bkt")
+        .withColumn("rn", col("off") +
+          row_number().over(Window.partitionBy("bkt").orderBy("o_orderkey")))
         .withColumn("batch_id", expr("CAST((rn - 1) DIV 500 AS BIGINT)"))
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_docs"),
              min("o_orderkey").as("first_key"),
              max("o_orderkey").as("last_key"))
-        .orderBy("batch_id")),
+        .orderBy("batch_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(

@@ -35,12 +35,17 @@ object TextOps extends QueryFamily {
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      // document frequency as a window over tf — one shuffle on term,
-      // instead of a groupBy(term) plus a join back to tf (two shuffles)
-      val dfw = count(lit(1)).over(Window.partitionBy("term"))
+      // document frequency via groupBy + join-back: one more shuffle than
+      // a count() window partitioned by term, but the window form does NO
+      // partial aggregation — at corpus scale every occurrence of a
+      // stopword lands in a single partition, while groupBy map-side
+      // combines the hot keys before the shuffle. df is (vocab)-sized, so
+      // it may or may not be broadcastable — leave the join strategy to
+      // the optimizer/AQE rather than forcing either.
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val score = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.withColumn("df", dfw).crossJoin(n)
+      tf.join(dfreq, "term").crossJoin(n)
         .withColumn("score", score)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
@@ -153,6 +158,10 @@ object TextOps extends QueryFamily {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           e => e.getField("c")).as("cv"))
       val dist = Tables(s, dir, "embeddings")
+        // a NULL/empty embedding contributes no posexplode rows to the
+        // centroid pass (and no unnest rows in the oracle) — drop it from
+        // the member pass too, or n_members/avg_dist diverge cross-engine
+        .where(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
         .join(broadcast(centArr), "label")

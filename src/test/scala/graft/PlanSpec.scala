@@ -62,4 +62,43 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_agg_hashgroup")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_dedup_simhash candidates join on pigeonhole bands, not lang alone") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the self-join's equi-keys must include the (band, nib) columns — a
+    // lang-only key set is the quadratic-within-language shape
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("lang")).getOrElse("")
+    assert(joinLine.contains("band") && joinLine.contains("nib"),
+      s"simhash join keys missing band/nib: $joinLine")
+  }
+
+  test("dedup verify stages shuffle-attach token sets (no corpus broadcast)") {
+    // the set-attach joins on doc_a/doc_b must honor the shuffle_hash hint;
+    // a BroadcastExchange feeding them would ship the corpus to every task
+    for (q <- Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_minhash")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+        s"$q: expected 2 shuffle-hash attach joins\n${p.take(2000)}")
+      val attachBroadcasts = p.linesIterator.filter(_.contains("BroadcastHashJoin"))
+        .filter(l => l.contains("doc_a") || l.contains("doc_b")).toSeq
+      assert(attachBroadcasts.isEmpty,
+        s"$q: corpus-size broadcast in verify stage: $attachBroadcasts")
+    }
+  }
+
+  test("q_sink_batched has no row-scale single-partition window") {
+    val df = SparkEntry.queries("q_sink_batched")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-row rank window must be partitioned by bucket; the only
+    // unpartitioned window may run over the per-bucket counts (tiny)
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
+      s"row_number window not bucket-partitioned: $rn")
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew machinery, exercised instead of asserted (SURVEY.md §7.6): the
+  * fixtures carry no skewed key, so these build one — a single hot key
+  * holding most of the rows — and prove both escape hatches work at
+  * local[8]:
+  *  - AQE's skew-join split actually fires (the finalized SortMergeJoin
+  *    node is marked `skew=true`) once the skewed side crosses the
+  *    (test-lowered) thresholds;
+  *  - the deliberate salting rewrite returns row-identical results to the
+  *    plain join while provably splitting the hot key across salt buckets.
+  */
+class SkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ~200k rows of hot key 0 + 2k spread over keys 1..100; small dim side.
+  private def skewed = {
+    import spark.implicits._
+    spark.range(0, 202000).select(
+      when(col("id") < 200000, lit(0L)).otherwise(pmod(col("id"), lit(100L)) + 1)
+        .as("k"),
+      col("id").as("payload"))
+  }
+  private def dim = {
+    import spark.implicits._
+    spark.range(0, 101).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+  }
+
+  test("AQE splits the hot partition of a skewed sort-merge join (skew=true)") {
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and make the hot partition count as "skewed"
+      // at test scale (thresholds are production-tuned by default)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // sum(payload) keeps the high-entropy column in the shuffle: a
+      // constant-key-only hot partition compresses under the threshold
+      val joined = skewed.join(dim, "k")
+        .groupBy("name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      joined.collect() // finalize the adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("salted join is row-identical to the plain join and splits the hot key") {
+    val plain = skewed.join(dim, "k")
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .orderBy("k").collect()
+    val salted = graft.operators.Salting
+      .saltedInnerJoin(skewed, dim, "k", col("payload"), buckets = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .orderBy("k").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key's rows really spread across all 8 salt buckets
+    val spread = skewed.where(col("k") === 0)
+      .select(pmod(hash(col("payload")), lit(8)).as("salt"))
+      .distinct().count()
+    assert(spread == 8, s"hot key only hit $spread of 8 salt buckets")
+  }
+}
