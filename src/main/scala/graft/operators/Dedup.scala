@@ -146,13 +146,18 @@ object Dedup extends QueryFamily {
           col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
           col("x.nib") === col("y.nib") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
+          col("x.band").as("band"))
         .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-        // verify BEFORE the distinct: a surviving pair appears once per
-        // agreeing band (<= 4), so the dedup shuffle carries only matches
-        .where(col("hamming") <= 3)
+        // a qualifying pair meets in every agreeing band (<= 4 copies);
+        // keep only the FIRST agreeing band's copy — exactly-once by
+        // construction, so no distinct() shuffle over the (dense) matches
+        .where(col("hamming") <= 3 && col("band") === expr(
+          """CASE WHEN ((sim_a ^ sim_b) & 15) = 0 THEN 0
+            |     WHEN ((sim_a ^ sim_b) & 240) = 0 THEN 1
+            |     WHEN ((sim_a ^ sim_b) & 3840) = 0 THEN 2
+            |     ELSE 3 END""".stripMargin))
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("hamming"))
-        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
