@@ -57,6 +57,22 @@ object Writers {
     path
   }
 
+  /** Bucketed warehouse table: pays the shuffle ONCE at write time so
+    * every later equi-join or aggregation on `bucketCols` reads
+    * co-located buckets and skips its exchange entirely — the layout for
+    * a fact table joined repeatedly on the same key at 100 TB. sortBy
+    * keeps each bucket file key-ordered for merge-friendly reads.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(buckets > 0 && bucketCols.nonEmpty, s"bad buckets=$buckets/$bucketCols")
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Bulk-index `df` through `client`. `idCol` is the document `_id`
     * (stringified), `docCol` the serialized document body.
     */

@@ -40,6 +40,36 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("bucketed saveAsTable join reads co-located buckets with no exchange") {
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    sinks.Writers.writeBucketed(o, "g_orders_b", 4, Seq("o_orderkey"))
+    sinks.Writers.writeBucketed(l, "g_lineitem_b", 4, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join: the point is that the bucket layout
+      // replaces the shuffle both sides would otherwise pay
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("g_orders_b").join(spark.table("g_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val expected = o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() == expected)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      // the scan itself advertises the bucket layout
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    }
+  }
+
   test("bulkIndex batches in _id order per shard and replay is duplicate-free") {
     val dir = tmp("graft_bulk").toString
     val in = docs.select(col("doc_id"), to_json(struct(col("lang"), col("n_chars"))).as("doc"))

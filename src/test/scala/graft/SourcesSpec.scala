@@ -32,6 +32,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
   }
 
+  test("orc round-trip preserves part rows") {
+    val dir = tmp()
+    val p = Tables(spark, sf0001, "part")
+    p.write.mode("overwrite").orc(s"$dir/p")
+    val back = spark.read.schema(p.schema).orc(s"$dir/p")
+    assert(back.count() == p.count())
+    assert(back.exceptAll(p).isEmpty && p.exceptAll(back).isEmpty)
+  }
+
+  test("orc scan pushes predicates like parquet") {
+    val dir = tmp()
+    val li = Tables(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+    li.write.mode("overwrite").orc(s"$dir/li")
+    import org.apache.spark.sql.functions.col
+    val q = spark.read.orc(s"$dir/li").where(col("l_quantity") > 40).select("l_orderkey")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"), p.take(1500))
+    assert(q.count() == li.where(col("l_quantity") > 40).count())
+  }
+
   test("es-doc sink output is parseable JSON with unique ids") {
     val docs = SparkEntry.queries("q_sink_esdocs")(spark, sf0001)
     val parsed = docs.select(col("es_id"),
