@@ -129,6 +129,30 @@ object StreamDemo {
     spark.table("stream_sessions").as[SessionOut]
   }
 
+  /** Stream → bulk store: the batch bulk sink reused under
+    * foreachBatch. Exactly-once end to end from two layers:
+    * the checkpoint makes each micro-batch processed once (a recovered
+    * query re-runs at most the in-flight batch), and folding the
+    * micro-batch id into the delivery directory makes that re-run land
+    * on the same (batch, shard, file) keys — the idempotent client
+    * overwrites instead of appending. This is the streaming half of the
+    * "rows into a keyed store" contract (SURVEY.md §2.A / §7.6).
+    */
+  def bulkSink(spark: SparkSession, workDir: String, outDir: String): Unit = {
+    val q = source(spark, workDir)
+      .select(col("event_id"),
+        to_json(struct(col("user_id"), col("event_type"), col("value"))).as("doc"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Writers.bulkIndex(batch, "event_id", "doc",
+          shards = 4, batchSize = 500,
+          graft.sinks.FileBulkClient(s"$outDir/mb=$batchId"))
+      }
+      .option("checkpointLocation", s"$outDir/_chk")
+      .start()
+    q.processAllAvailable(); q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
