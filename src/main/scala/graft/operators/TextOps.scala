@@ -53,6 +53,20 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Token counting two ways: whitespace tokens and a BPE-ish
+    // pre-tokenizer count (letter runs | digit runs | single other char —
+    // the GPT-2 pre-tokenization shape, restricted to ASCII classes so
+    // Spark's Java regex and the oracle's RE2 agree byte-for-byte).
+    // Pure per-row map: no shuffle at any scale except the output sort.
+    "q_text_tokencount" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          big(size(split(col("text"), " "))).as("ws_tokens"),
+          big(expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"))
+            .as("bpe_tokens"),
+          big(length(col("text"))).as("n_chars"))
+        .orderBy("doc_id")),
+
     // Corpus stats per (lang, source): all ratios from exact integer sums.
     "q_text_stats" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -208,6 +222,12 @@ object TextOps extends QueryFamily {
       "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) DESC, tf.term) AS BIGINT) AS rnk " +
       "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) " +
       "WHERE rnk <= 3 ORDER BY doc_id, rnk"),
+
+    "q_text_tokencount" -> ("SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens, " +
+      "CAST(length(text) AS BIGINT) AS n_chars " +
+      "FROM documents ORDER BY doc_id"),
 
     "q_text_stats" -> ("SELECT lang, source, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars, " +
