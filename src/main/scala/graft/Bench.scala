@@ -46,14 +46,27 @@ object Bench {
     val results = samples.map { case (n, v) => n -> median(v) }
     val noise = median(samples.map { case (_, v) =>
       if (median(v) > 0) (v.last - v.head) / median(v) else 0.0 }.sorted)
-    // Keep the JSON line SHORT (3-decimal secs): the driver parses it from
-    // a bounded tail of the sbt log, and full-precision doubles over 90
-    // queries overflow that buffer (round-1 BENCH parsed:null).
+    // The driver parses the JSON line from a bounded 2000-char tail of the
+    // sbt log (rounds 1-3 all landed parsed:null because 90 full entries
+    // plus sbt's trailing "[success] Total time" line overflow it). So:
+    // full per-query detail goes to BENCH_DETAIL.json on disk, and the
+    // printed line carries the headline numbers plus as many of the
+    // SLOWEST queries as fit a hard 1500-char cap.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"n_queries":${results.size},"q_omitted":$omitted,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(results, 0)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val byCost = results.sortBy(-_._2)
+    val keep = (results.size to 0 by -1)
+      .find(k => line(byCost.take(k), results.size - k).length <= 1500)
+      .getOrElse(0)
+    println(line(byCost.take(keep), results.size - keep))
     spark.stop()
   }
 }

@@ -54,6 +54,36 @@ object Dedup extends QueryFamily {
     Tables(s, dir, "documents").selectExpr("doc_id",
       s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
 
+  /** Fixed Rademacher hyperplanes for sign-LSH: sign(b, j) for hyperplane
+    * b in [0,4), dimension j in [0,64), derived from md5 so there is no
+    * accidental structure. Computed once in Scala and inlined as +-
+    * literals into BOTH the Spark expression and the DuckDB oracle SQL —
+    * the engines then evaluate the identical left-assoc float chain, so
+    * bucket assignment is bit-identical with no runtime hashing.
+    */
+  private lazy val lshSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4).map { b =>
+      (0 until 64).map { j =>
+        val h = md.digest(s"lsh:$b:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** 4-bit sign-LSH bucket expression over a DOUBLE vector; `elem(j)`
+    * renders the engine's 1-based element access.
+    */
+  private def lshBucketExpr(elem: Int => String): String = {
+    val bits = lshSigns.zipWithIndex.map { case (signs, b) =>
+      val proj = signs.zipWithIndex.map { case (sg, j) =>
+        (if (sg > 0) " + " else " - ") + elem(j + 1)
+      }.mkString
+      s"(CASE WHEN (CAST(0.0 AS DOUBLE)$proj) > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
   /** Verify stage shared by the Jaccard dedup paths: attach each side's
     * sorted code set via a SHUFFLE join on the id-only candidate pairs —
     * never a corpus-size broadcast (the per-doc set table is terabytes at
@@ -223,6 +253,94 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id", "rank")
     }),
 
+    // Dedup clustering: connected components over the near-dup pair graph
+    // (the same blocked Jaccard >= 0.8 edges as q_dedup_near), labeling
+    // every document with the min doc_id reachable from it — the "keep one
+    // canonical doc per duplicate cluster" step of a training-data
+    // pipeline. Iterative min-label propagation with pointer jumping: each
+    // pass is one shuffle join over (tiny) id/label rows, pointer jumping
+    // composes labels so convergence is O(log diameter) passes — the
+    // two-phase star-contraction shape that scales to 100 TB graphs. The
+    // driver loop only reads a convergence bit per pass (never row data);
+    // localCheckpoint pins each pass's result so plans stay constant-size
+    // instead of growing exponentially with iterations.
+    "q_dedup_cluster" -> ((s, dir) => {
+      graft.functions.SortedJaccardGe.register(s)
+      val ids = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
+      val pairs = ids.as("a").join(ids.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val enc = tokenCodes(s, dir)
+      val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
+      val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
+      // the fused Jaccard runs once per pair here: it sits alone in a
+      // filter (its value is discarded), so there is no projection for
+      // CollapseProject to re-inline it into
+      val dup = pairs.join(ca.hint("shuffle_hash"), "doc_a")
+        .join(cb.hint("shuffle_hash"), "doc_b")
+        .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var lbl = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+      var done = false
+      var iter = 0
+      while (!done && iter < 12) {
+        val nbrMin = edges
+          .join(lbl.select(col("doc_id").as("dst_id"), col("lbl").as("dlbl")),
+            col("dst") === col("dst_id"))
+          .groupBy("src").agg(min("dlbl").as("nlbl"))
+        val stepped = lbl.join(nbrMin, lbl("doc_id") === nbrMin("src"), "left")
+          .select(lbl("doc_id").as("doc_id"),
+            least(lbl("lbl"), coalesce(col("nlbl"), lbl("lbl"))).as("lbl"))
+        // pointer jump: labels are doc_ids, so follow the label one hop
+        val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
+        val next = stepped.join(ptr, stepped("lbl") === ptr("p"))
+          .select(stepped("doc_id").as("doc_id"), col("plbl").as("lbl"))
+          .localCheckpoint()
+        done = next.as("n").join(lbl.as("o"), "doc_id")
+          .where(col("n.lbl") =!= col("o.lbl")).isEmpty
+        lbl = next
+        iter += 1
+      }
+      lbl.select(col("doc_id"), col("lbl").as("component"),
+          (col("doc_id") === col("lbl")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Sign-LSH ANN: bucket every vector by the sign pattern of 4 fixed
+    // Rademacher (+-1) hyperplane projections, then search only the
+    // probe's bucket — the third ANN modality next to brute-force
+    // (q_sim_topk) and IVF (q_sim_ivf). Approximate by design: a neighbor
+    // in a different bucket is absent; the oracle runs the identical
+    // bucketed pipeline, so outputs hash-match. The +-1 projections are
+    // plain left-assoc add/subtract chains — bit-identical in both
+    // engines and fully codegen'd (no interpreted lambda per row).
+    "q_sim_lsh" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val bucket = lshBucketExpr(j => s"element_at(v, $j)")
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+        .withColumn("bucket", expr(bucket))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("bucket").as("pbucket"),
+          col("v").as("pv"), col("norm").as("pnorm"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+      e.where(col("vec_id") >= 10)
+        .join(broadcast(probes), col("bucket") === col("pbucket"))
+        .withColumn("score", round(expr("vec_dot(pv, v)") / (col("pnorm") * col("norm")), 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF-style ANN: search only the probe's coarse cluster (label) — the
     // partition-pruned scale path; top-3 per probe.
     "q_sim_ivf" -> ((s, dir) => {
@@ -311,6 +429,29 @@ object Dedup extends QueryFamily {
       "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS BIGINT) AS rank " +
       "FROM embeddings p, embeddings c WHERE p.vec_id < 10 AND c.vec_id >= 10) " +
       "WHERE rank <= 5 ORDER BY probe_id, rank"),
+
+    "q_dedup_cluster" -> ("WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+      "list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b " +
+      "ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id <> b.doc_id " +
+      s"WHERE $jaccDuck >= 0.8), " +
+      "r(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.src, r.lbl FROM r JOIN e ON e.dst = r.id) " +
+      "SELECT id AS doc_id, min(lbl) AS component, (id = min(lbl)) AS is_canonical " +
+      "FROM r GROUP BY id ORDER BY doc_id"),
+
+    "q_sim_lsh" -> {
+      val bucket = lshBucketExpr(j => s"v[$j]")
+      "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"s AS (SELECT vec_id, v, $bucket AS bucket FROM b) " +
+      "SELECT probe_id, rank, neighbor_id, score FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(p.v, c.v), 4) AS score, " +
+      "CAST(row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(p.v, c.v), 4) DESC, c.vec_id) AS BIGINT) AS rank " +
+      "FROM s p JOIN s c ON p.bucket = c.bucket AND p.vec_id < 10 AND c.vec_id >= 10) " +
+      "WHERE rank <= 3 ORDER BY probe_id, rank"
+    },
 
     "q_sim_ivf" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +

@@ -140,6 +140,31 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // Salted join: the hot-key escape hatch (SURVEY.md §7.6) as an
+    // oracle-checked query — output identical to the plain equi-join.
+    // The fact side gets a deterministic salt in [0, 8); the dim side is
+    // exploded to all 8 salts, so the shuffle key (key, salt) spreads any
+    // hot user across 8 reducers at the cost of an 8x dim replication
+    // (dims are small — that is why they are the replicated side). The
+    // shuffle_hash hint keeps it a real shuffle join: auto-broadcast at
+    // fixture size would make the salting moot, and at 100 TB the fact
+    // side shuffles anyway. SkewSpec proves the row-identity and the
+    // salt-spread on a synthetically skewed key.
+    "q_join_salted" -> ((s, dir) => {
+      val salts = 8
+      val ev = Tables(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(array((0 until salts).map(i => lit(i.toLong)): _*)).as("csalt"))
+      ev.join(cust.hint("shuffle_hash"),
+          ev("user_id") === cust("c_custkey") && ev("salt") === cust("csalt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          dbl(sum(dec6(col("value")))).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // 4-way star join, TPC-H Q5 shape: revenue per nation for 1996.
     "q_join_multiway" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
@@ -206,6 +231,11 @@ object Joins extends QueryFamily {
       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
       "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
       "WHERE rn = 1 ORDER BY event_id"),
+
+    "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+      "FROM events JOIN customer ON user_id = c_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "q_join_multiway" -> ("SELECT r_name, n_name, count(*) AS n_lines, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +

@@ -51,6 +51,22 @@ object StreamOps extends QueryFamily {
           col("n"), col("sum_value"))
         .orderBy("user_id", "s_start")),
 
+    // Stream-static enrichment: the event stream joined to the static
+    // customer dimension (broadcast — the canonical plan for a
+    // stream-static join, re-evaluated per micro-batch with no stream
+    // state), then a tumbling 1h revenue window per market segment. The
+    // true readStream path is cross-checked against this batch analog in
+    // StreamDemoSpec.
+    "q_stream_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      Tables(s, dir, "events")
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(dec6(col("value")))).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("c_mktsegment"), col("n"), col("sum_value"))
+        .orderBy("wstart", "c_mktsegment")
+    }),
+
     // Streaming-dedup analog: earliest event per (user, type, minute) —
     // row_number, not dropDuplicates (which keeps an arbitrary row).
     "q_stream_dedup" -> ((s, dir) => {
@@ -87,6 +103,12 @@ object StreamOps extends QueryFamily {
       "SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, " +
       "count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
       "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
+
+    "q_stream_join" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, " +
+      "c_mktsegment, count(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+      "FROM events JOIN customer ON user_id = c_custkey " +
+      "GROUP BY wstart, c_mktsegment ORDER BY wstart, c_mktsegment"),
 
     "q_stream_dedup" -> ("SELECT event_id, user_id, event_type, ts, value FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type, " +
