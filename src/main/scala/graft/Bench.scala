@@ -60,8 +60,19 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"n_queries":${results.size},"q_omitted":$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     val full = line(results, 0)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Anchor the detail file to an explicit base (user.dir = the sbt
+    // project root) and never let an IO failure discard the timings the
+    // run just spent minutes computing — the printed line below is the
+    // contract, the detail file is best-effort.
+    val detailPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_DETAIL.json")
+    try {
+      java.nio.file.Files.write(detailPath,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"bench detail written: $detailPath")
+    } catch {
+      case e: Throwable => println(s"bench detail write failed ($detailPath): $e")
+    }
     val byCost = results.sortBy(-_._2)
     val keep = (results.size to 0 by -1)
       .find(k => line(byCost.take(k), results.size - k).length <= 1500)

@@ -261,9 +261,14 @@ object Dedup extends QueryFamily {
     // pass is one shuffle join over (tiny) id/label rows, pointer jumping
     // composes labels so convergence is O(log diameter) passes — the
     // two-phase star-contraction shape that scales to 100 TB graphs. The
-    // driver loop only reads a convergence bit per pass (never row data);
-    // localCheckpoint pins each pass's result so plans stay constant-size
-    // instead of growing exponentially with iterations.
+    // loop runs ONLY over nodes that have at least one edge — isolated
+    // docs (the overwhelming majority of a deduped corpus) keep
+    // lbl = doc_id and rejoin at the end, so the per-pass shuffles move
+    // the duplicate subgraph, not the corpus. The driver loop reads one
+    // convergence bit per pass, computed from the SAME checkpointed pass
+    // result (a cached-block scan, not an extra join job);
+    // localCheckpoint pins each pass so plans stay constant-size instead
+    // of growing exponentially with iterations.
     "q_dedup_cluster" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       val ids = Tables(s, dir, "documents")
@@ -285,7 +290,8 @@ object Dedup extends QueryFamily {
       val edges = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
-      var lbl = Tables(s, dir, "documents")
+      // both directions are present, so src alone covers every edge node
+      var lbl = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
       var done = false
       var iter = 0
@@ -295,20 +301,29 @@ object Dedup extends QueryFamily {
             col("dst") === col("dst_id"))
           .groupBy("src").agg(min("dlbl").as("nlbl"))
         val stepped = lbl.join(nbrMin, lbl("doc_id") === nbrMin("src"), "left")
-          .select(lbl("doc_id").as("doc_id"),
+          .select(lbl("doc_id").as("doc_id"), lbl("lbl").as("prev"),
             least(lbl("lbl"), coalesce(col("nlbl"), lbl("lbl"))).as("lbl"))
-        // pointer jump: labels are doc_ids, so follow the label one hop
+        // pointer jump: labels are doc_ids of edge nodes (a min over
+        // same-component neighbors), so following the label one hop stays
+        // inside `stepped` — the inner join is total
         val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
         val next = stepped.join(ptr, stepped("lbl") === ptr("p"))
-          .select(stepped("doc_id").as("doc_id"), col("plbl").as("lbl"))
+          .select(stepped("doc_id").as("doc_id"), col("plbl").as("lbl"),
+            (col("plbl") =!= col("prev")).as("changed"))
           .localCheckpoint()
-        done = next.as("n").join(lbl.as("o"), "doc_id")
-          .where(col("n.lbl") =!= col("o.lbl")).isEmpty
-        lbl = next
+        done = next.where(col("changed")).isEmpty
+        lbl = next.select("doc_id", "lbl")
         iter += 1
       }
-      lbl.select(col("doc_id"), col("lbl").as("component"),
-          (col("doc_id") === col("lbl")).as("is_canonical"))
+      // an unconverged exit must fail loudly — partially-propagated
+      // labels are indistinguishable from a correct answer downstream
+      if (!done) throw new IllegalStateException(
+        s"q_dedup_cluster: label propagation unconverged after $iter passes")
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(lbl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("component"))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
         .orderBy("doc_id")
     }),
 

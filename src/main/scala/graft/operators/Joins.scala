@@ -142,23 +142,19 @@ object Joins extends QueryFamily {
 
     // Salted join: the hot-key escape hatch (SURVEY.md §7.6) as an
     // oracle-checked query — output identical to the plain equi-join.
-    // The fact side gets a deterministic salt in [0, 8); the dim side is
-    // exploded to all 8 salts, so the shuffle key (key, salt) spreads any
-    // hot user across 8 reducers at the cost of an 8x dim replication
-    // (dims are small — that is why they are the replicated side). The
-    // shuffle_hash hint keeps it a real shuffle join: auto-broadcast at
-    // fixture size would make the salting moot, and at 100 TB the fact
-    // side shuffles anyway. SkewSpec proves the row-identity and the
-    // salt-spread on a synthetically skewed key.
+    // Built on the one tested rewrite, Salting.saltedInnerJoin: the fact
+    // side gets a deterministic salt in [0, 8) from event_id (never
+    // rand() — retries must re-salt identically); the dim side is
+    // replicated to all 8 salts and shuffle_hash-pinned, so the shuffle
+    // key (user_id, salt) spreads any hot user across 8 reducers at the
+    // cost of an 8x dim replication (dims are small — that is why they
+    // are the replicated side). SkewSpec proves the utility's
+    // row-identity and salt-spread on a synthetically skewed key.
     "q_join_salted" -> ((s, dir) => {
-      val salts = 8
       val ev = Tables(s, dir, "events")
-        .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
       val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          explode(array((0 until salts).map(i => lit(i.toLong)): _*)).as("csalt"))
-      ev.join(cust.hint("shuffle_hash"),
-          ev("user_id") === cust("c_custkey") && ev("salt") === cust("csalt"))
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Salting.saltedInnerJoin(ev, cust, "user_id", col("event_id"), buckets = 8)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"),
           dbl(sum(dec6(col("value")))).as("sum_value"))

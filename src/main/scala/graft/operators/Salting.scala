@@ -26,6 +26,11 @@ object Salting {
     val salted = big.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash pins the shuffle path: if the small side fit a
+    // broadcast there would be no skew to salt in the first place, and
+    // letting fixture-size inputs auto-broadcast would make the salting
+    // (and any test built on it) vacuous.
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }
