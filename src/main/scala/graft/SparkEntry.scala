@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     operators.ScanSink,      // §2.A sources & sinks
+    operators.Warehouse,     // §2.A catalog & layout: metastore, partitioning, bucketing
     operators.ProjectFilter, // §2.B projection / filter / predicates
     operators.Subqueries,    // correlated/IN subqueries + CTE (HiveQL surface)
     operators.Joins,         // §2.C joins

@@ -195,6 +195,26 @@ object Aggregates extends QueryFamily {
         .unpivot(Array(col("source")), Array(col("de"), col("en"), col("es"), col("fr"), col("zh")),
           "lang", "n_docs")
         .orderBy("source", "lang")),
+
+    // Mode (most frequent value) per group, deterministic tiebreak
+    // (count desc, then value asc) — two-phase: hash-agg the counts
+    // (partial+final, shuffle on both keys), then a per-group top-1
+    // window over the already-tiny counted table. Never a sort of raw
+    // rows: at 100 TB the heavy shuffle is the count agg, which
+    // partial-aggregates map-side.
+    "q_agg_mode" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders"); val c = Tables(s, dir, "customer")
+      val counted = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("n_orders").desc, col("o_orderpriority"))
+      counted.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+          col("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   private val decSum = "CAST(SUM(CAST(%s AS DECIMAL(12,2))) AS DOUBLE)"
@@ -282,6 +302,13 @@ object Aggregates extends QueryFamily {
       "round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90 " +
       "FROM customer JOIN orders ON c_custkey = o_custkey " +
       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q_agg_mode" -> ("SELECT c_mktsegment, o_orderpriority AS mode_priority, " +
+      "n_orders FROM (SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders, " +
+      "row_number() OVER (PARTITION BY c_mktsegment " +
+      "ORDER BY count(*) DESC, o_orderpriority) AS rk " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment, o_orderpriority) WHERE rk = 1 ORDER BY c_mktsegment"),
 
     "q_agg_pivot" -> ("SELECT source, " +
       "count(*) FILTER (WHERE lang='de') AS de, " +

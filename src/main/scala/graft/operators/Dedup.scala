@@ -290,11 +290,22 @@ object Dedup extends QueryFamily {
       val edges = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
-      // both directions are present, so src alone covers every edge node
-      var lbl = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+      // Pass 0, fused: with identity labels, "min label over neighbors"
+      // IS "min neighbor id", so the first propagation is one groupBy
+      // (both edge directions are present, so src alone covers every edge
+      // node) — no join against an identity label table, no separate
+      // init checkpoint. The pointer jump then composes two hops.
+      val nbr0 = edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("lbl"))
+        .select(col("src").as("doc_id"), col("lbl"))
+      val ptr0 = nbr0.select(col("doc_id").as("p"), col("lbl").as("plbl"))
+      var lbl = nbr0.join(ptr0, nbr0("lbl") === ptr0("p"))
+        .select(nbr0("doc_id").as("doc_id"), col("plbl").as("lbl"))
+        .localCheckpoint()
+      // pass 0 always changes labels (any node with a smaller neighbor
+      // moves), so the convergence check starts at pass 1
       var done = false
-      var iter = 0
+      var iter = 1
       while (!done && iter < 12) {
         val nbrMin = edges
           .join(lbl.select(col("doc_id").as("dst_id"), col("lbl").as("dlbl")),

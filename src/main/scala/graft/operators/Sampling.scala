@@ -30,6 +30,19 @@ object Sampling extends QueryFamily {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Stratified sample: per-stratum rates (majority language downsampled
+    // harder) from the same content-hash percentile — the "rebalance the
+    // language mix" step of corpus curation. Rates ride on the hash, so
+    // raising a stratum's rate only ADDS documents (nested samples).
+    "q_sample_stratified" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("pct", pmod(expr(hSpark), lit(100L)))
+        .withColumn("rate", when(col("lang") === "en", lit(50L)).otherwise(lit(10L)))
+        .where(col("pct") < col("rate"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "source")),
+
     // Train/val/test assignment 80/10/10 by content-hash percentile;
     // emits per-(split, lang) counts — the reviewer's sanity table.
     "q_split_assign" -> ((s, dir) =>
@@ -87,6 +100,11 @@ object Sampling extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_sample_hash" -> (s"SELECT doc_id, lang, n_chars FROM documents " +
       s"WHERE $hDuck % 10 = 0 ORDER BY doc_id"),
+
+    "q_sample_stratified" -> ("SELECT lang, source, count(*) AS n_docs " +
+      s"FROM documents WHERE $hDuck % 100 < " +
+      "(CASE WHEN lang = 'en' THEN 50 ELSE 10 END) " +
+      "GROUP BY lang, source ORDER BY lang, source"),
 
     "q_split_assign" -> ("SELECT split, lang, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM " +

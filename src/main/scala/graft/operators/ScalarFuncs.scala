@@ -175,6 +175,21 @@ object ScalarFuncs extends QueryFamily {
         sha2(concat_ws("|", col("c_custkey"), col("c_name")), 256).as("id_sha"),
         substring(md5(col("c_name")), 1, 8).as("short_id"))
         .orderBy("c_custkey")),
+
+    // Bitwise family — routing-mask / bit-flag manipulation. The shifted
+    // operand is bounded (mod 1024) so << can't overflow in either engine;
+    // `^` is xor in Spark SQL but POWER in DuckDB (oracle uses xor()).
+    "q_fn_bitwise" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("o_orderkey & o_custkey").as("b_and"),
+        expr("o_orderkey | o_custkey").as("b_or"),
+        expr("o_orderkey ^ o_custkey").as("b_xor"),
+        expr("~o_orderkey").as("b_not"),
+        expr("shiftleft(o_orderkey % 1024, 3)").as("b_shl"),
+        expr("shiftright(o_orderkey, 2)").as("b_shr"),
+        big(expr("bit_count(o_custkey)")).as("n_bits"))
+        .orderBy("o_orderkey")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -276,5 +291,15 @@ object ScalarFuncs extends QueryFamily {
       "sha256(concat_ws('|', c_custkey, c_name)) AS id_sha, " +
       "substr(md5(c_name), 1, 8) AS short_id " +
       "FROM customer ORDER BY c_custkey"),
+
+    "q_fn_bitwise" -> ("SELECT o_orderkey, " +
+      "o_orderkey & o_custkey AS b_and, " +
+      "o_orderkey | o_custkey AS b_or, " +
+      "xor(o_orderkey, o_custkey) AS b_xor, " +
+      "~o_orderkey AS b_not, " +
+      "(o_orderkey % 1024) << 3 AS b_shl, " +
+      "o_orderkey >> 2 AS b_shr, " +
+      "CAST(bit_count(o_custkey) AS BIGINT) AS n_bits " +
+      "FROM orders ORDER BY o_orderkey"),
   )
 }

@@ -129,6 +129,23 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate scrub: drop stopword tokens ('the', 'a'), re-join, and
+    // report removal stats per doc — the cleaning transform before
+    // tokenizer training. Token-level (split/filter/array_join), not
+    // regex: byte-identical across engines and stays in whole-stage
+    // codegen; a regex scrub re-parses the string per pattern.
+    "q_text_scrub" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("kept", filter(col("toks"), t => !t.isin("the", "a")))
+        .withColumn("clean", array_join(col("kept"), " "))
+        .select(col("doc_id"),
+          big(size(col("toks"))).as("n_toks"),
+          big(size(col("toks")) - size(col("kept"))).as("n_removed"),
+          big(length(col("clean"))).as("clean_chars"),
+          substring(col("clean"), 1, 80).as("clean_prefix"))
+        .orderBy("doc_id")),
+
     // Document fingerprinting: order-sensitive position-weighted hash
     // (a rolling-hash analog that stays exact in 64-bit), plus an md5
     // prefix as the content id.
@@ -262,6 +279,14 @@ object TextOps extends QueryFamily {
       "CAST(n_dist AS DOUBLE) / n_toks * 0.5 + " +
       "(1.0 - CAST(coalesce(sc.n_stop, 0) AS DOUBLE) / n_toks) * 0.5 AS quality " +
       "FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id ORDER BY base.doc_id"),
+
+    "q_text_scrub" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+      "list_filter(string_split(text, ' '), x -> x NOT IN ('the', 'a')) AS kept " +
+      "FROM documents) SELECT doc_id, len(toks) AS n_toks, " +
+      "len(toks) - len(kept) AS n_removed, " +
+      "strlen(array_to_string(kept, ' ')) AS clean_chars, " +
+      "substr(array_to_string(kept, ' '), 1, 80) AS clean_prefix " +
+      "FROM t ORDER BY doc_id"),
 
     "q_text_fingerprint" -> ("SELECT doc_id, " +
       "CAST(list_sum([i * (CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 15)) AS BIGINT) % 1000003) " +

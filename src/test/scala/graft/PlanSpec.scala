@@ -91,6 +91,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scan_partitioned prunes partitions on the lang predicate") {
+    val df = SparkEntry.queries("q_scan_partitioned")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the lang filter must land in the scan's PartitionFilters (directory
+    // pruning), never as a post-scan data filter over the whole corpus
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("lang"), s"lang not a partition filter:\n${p.take(2000)}")
+  }
+
+  test("q_join_bucketed joins with zero exchanges (bucket layout, not broadcast)") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf0001)
+    df.collect()
+    // inspect only the FINAL adaptive plan (the trailing "== Initial
+    // Plan ==" section still shows pre-AQE exchanges)
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("Bucketed: true"), p.take(1500))
+    // the only exchange allowed is the final aggregation's (+ the
+    // single-partition gather for the ordered output); the join itself
+    // must read co-located buckets
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n${joinPart.take(2000)}")
+  }
+
   test("q_sink_batched has no row-scale single-partition window") {
     val df = SparkEntry.queries("q_sink_batched")(spark, sf0001)
     df.collect()

@@ -5,16 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** One shared session for the whole test JVM (suites must not stop it). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
+    // Same catalog stack as the driver entry points: real Hive metastore
+    // (embedded Derby) + scratch warehouse, all under tmpdir (GraftSession).
+    val s = GraftSession.builder("8")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // saveAsTable (bucketed-write tests) must land in a scratch
-      // warehouse, never ./spark-warehouse inside the repo
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
