@@ -82,6 +82,67 @@ object Warehouse extends QueryFamily {
         .orderBy("source")
     }),
 
+    // Dynamic partition pruning: the lang=<v>/ fact layout joined to a
+    // small dim filtered on a NON-partition column. The partition filter
+    // is only known at runtime (which langs survive grp='west'), so
+    // Catalyst injects a dynamicpruning subquery into the fact scan —
+    // the broadcast result prunes fact directories before they're read.
+    // At 100 TB this is the star-join pattern: the dim filter decides
+    // which of thousands of date/lang partitions the fact scan touches.
+    "q_scan_dpp" -> ((s, dir) => {
+      val path = scratch("parts", dir)
+      val dimPath = scratch("dppdim", dir)
+      once(s, dir, "parts") {
+        Writers.writePartitioned(
+          Tables(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+          path, Seq("lang"))
+      }
+      once(s, dir, "dppdim") {
+        // the dim must be a real scan: a literal Seq folds to a
+        // LocalTableScan at plan time and the pruning rule sees no
+        // filterable dim side
+        import s.implicits._
+        Seq(("en", "west"), ("de", "west"), ("fr", "east"),
+          ("es", "east"), ("zh", "east")).toDF("lang", "grp")
+          .coalesce(1).write.mode("overwrite").parquet(dimPath)
+      }
+      s.read.parquet(path)
+        .join(s.read.parquet(dimPath), "lang")
+        .where(col("grp") === "west")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // MERGE/upsert — the reference's incremental-sync write semantics
+    // (re-synced rows overwrite, new rows insert) as a full-outer
+    // coalesce: updates win where both sides match, otherwise whichever
+    // side exists survives. Both inputs are derived deterministically
+    // from `customer` so the oracle can rebuild them.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      // updates: every 10th customer gets +100 balance; every 17th spawns
+      // a brand-new row (key offset by 1,000,000)
+      val changed = base.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+      val inserted = base.where(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(col("c_name"), lit("_new")).as("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+      val upd = changed.unionByName(inserted)
+        .select(col("c_custkey").as("u_custkey"), col("c_name").as("u_name"),
+          col("c_acctbal").as("u_acctbal"), col("c_mktsegment").as("u_mktsegment"))
+      base.join(upd, col("c_custkey") === col("u_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("u_custkey")).as("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("c_name"),
+          coalesce(col("u_acctbal"), col("c_acctbal")).as("c_acctbal"),
+          coalesce(col("u_mktsegment"), col("c_mktsegment")).as("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // Exchange-free equi-join: orders and customer bucketed by the join
     // key with the same bucket count; hint("merge") pins sort-merge so
     // the co-located bucket layout (not a broadcast) is what removes the
@@ -115,6 +176,26 @@ object Warehouse extends QueryFamily {
     "q_scan_partitioned" -> ("SELECT source, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE lang = 'en' " +
       "GROUP BY source ORDER BY source"),
+
+    "q_scan_dpp" -> ("SELECT d.lang, count(*) AS n_docs, " +
+      "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents d " +
+      "JOIN (VALUES ('en','west'),('de','west'),('fr','east'),('es','east')," +
+      "('zh','east')) AS m(lang, grp) ON d.lang = m.lang " +
+      "WHERE m.grp = 'west' GROUP BY d.lang ORDER BY d.lang"),
+
+    "q_merge_upsert" -> ("WITH base AS (SELECT c_custkey, c_name, c_acctbal, " +
+      "c_mktsegment FROM customer), " +
+      "upd AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, " +
+      "c_mktsegment FROM base WHERE c_custkey % 10 = 0 " +
+      "UNION ALL SELECT c_custkey + 1000000 AS c_custkey, " +
+      "concat(c_name, '_new') AS c_name, c_acctbal, c_mktsegment " +
+      "FROM base WHERE c_custkey % 17 = 0) " +
+      "SELECT coalesce(b.c_custkey, u.c_custkey) AS c_custkey, " +
+      "coalesce(u.c_name, b.c_name) AS c_name, " +
+      "coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal, " +
+      "coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment " +
+      "FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey " +
+      "ORDER BY c_custkey"),
 
     "q_join_bucketed" -> ("SELECT c_mktsegment, count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +

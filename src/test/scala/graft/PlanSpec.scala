@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("lang"), s"lang not a partition filter:\n${p.take(2000)}")
   }
 
+  test("q_scan_dpp injects a dynamic partition pruning subquery into the fact scan") {
+    val df = SparkEntry.queries("q_scan_dpp")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no runtime partition pruning in fact scan:\n${p.take(2000)}")
+  }
+
   test("q_join_bucketed joins with zero exchanges (bucket layout, not broadcast)") {
     val df = SparkEntry.queries("q_join_bucketed")(spark, sf0001)
     df.collect()
