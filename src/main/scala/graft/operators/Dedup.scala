@@ -367,6 +367,32 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id", "rank")
     }),
 
+    // Int8-quantized similarity: per-vector symmetric scalar quantization
+    // (scale = max |x| / 127), top-3 neighbors per probe by DEQUANTIZED
+    // dot product — the memory-bound ANN path: 4x smaller vectors, exact
+    // integer dot (values fit a double exactly), one multiply to
+    // dequantize. floor(x/s*127 + 0.5) is bit-identical across engines,
+    // unlike round() on arbitrary doubles.
+    "q_sim_quantized" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("sc", greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-9)))
+        .withColumn("q", expr("transform(v, x -> CAST(floor(x / sc * 127.0D + 0.5D) AS DOUBLE))"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("sc").as("psc"), col("q").as("pq"))
+      val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+      e.where(col("vec_id") >= 10)
+        .crossJoin(broadcast(probes))
+        .withColumn("score",
+          round(expr("vec_dot(pq, q)") * col("psc") / 127.0 * col("sc") / 127.0, 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF-style ANN: search only the probe's coarse cluster (label) — the
     // partition-pruned scale path; top-3 per probe.
     "q_sim_ivf" -> ((s, dir) => {
@@ -478,6 +504,20 @@ object Dedup extends QueryFamily {
       "FROM s p JOIN s c ON p.bucket = c.bucket AND p.vec_id < 10 AND c.vec_id >= 10) " +
       "WHERE rank <= 3 ORDER BY probe_id, rank"
     },
+
+    "q_sim_quantized" -> ("WITH e AS (SELECT vec_id, " +
+      "[CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings), " +
+      "s1 AS (SELECT vec_id, v, " +
+      "greatest(list_max([abs(x) for x in v]), 1e-9) AS sc FROM e), " +
+      "qt AS (SELECT vec_id, sc, " +
+      "[CAST(floor(x / sc * 127.0 + 0.5) AS DOUBLE) for x in v] AS q FROM s1), " +
+      "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "round(list_dot_product(p.q, c.q) * p.sc / 127.0 * c.sc / 127.0, 4) AS score " +
+      "FROM qt p JOIN qt c ON p.vec_id < 10 AND c.vec_id >= 10) " +
+      "SELECT probe_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, score FROM " +
+      "(SELECT probe_id, neighbor_id, score, row_number() OVER " +
+      "(PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk FROM scored) " +
+      "WHERE rnk <= 3 ORDER BY probe_id, rank"),
 
     "q_sim_ivf" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +

@@ -20,6 +20,10 @@ import Dets._
   */
 object TextOps extends QueryFamily {
 
+  /** 60-bit content hash (Spark side) — same value as the DuckDB form. */
+  private val hText = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+  private val hTextDuck = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer as a generator (explode) + global top-20 token counts.
     "q_text_tokenize" -> ((s, dir) =>
@@ -145,6 +149,47 @@ object TextOps extends QueryFamily {
           big(length(col("clean"))).as("clean_chars"),
           substring(col("clean"), 1, 80).as("clean_prefix"))
         .orderBy("doc_id")),
+
+    // Benchmark decontamination: train docs sharing a word-4-gram with
+    // the held-out split (content-hash pct >= 90, the q_split_assign
+    // test bucket). The held-out gram set is small by construction
+    // (benchmarks are), so the membership join broadcasts — the same
+    // shape a 100 TB decontamination pass has: corpus-scale gram stream
+    // probed against a broadcast benchmark-gram set.
+    "q_text_contamination" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .where(size(col("t")) >= 4)
+        .withColumn("pct", pmod(expr(hText), lit(100L)))
+        .select(col("doc_id"), col("lang"), col("pct"),
+          explode(expr("transform(sequence(1, size(t) - 3), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+            "element_at(t, i + 2), element_at(t, i + 3)))")).as("g"))
+      val testGrams = grams.where(col("pct") >= 90).select("g").distinct()
+      grams.where(col("pct") < 90)
+        .join(testGrams, "g")
+        .groupBy("doc_id", "lang")
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram LM document scoring: avg log-probability of a doc's tokens
+    // under the corpus unigram distribution — the classic cheap
+    // perplexity proxy for quality filtering. Per-token ln is rounded to
+    // 6 dp and summed as DECIMAL so the aggregate is order-independent
+    // (raw double sums are banned, SURVEY.md §7.4).
+    "q_text_logprob" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("tot"))
+      toks.join(freq, "tok").crossJoin(total)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(dbl(sum(dec6(round(log(dbl(col("cnt")) / col("tot")), 6))))
+            / count(lit(1)), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
 
     // Document fingerprinting: order-sensitive position-weighted hash
     // (a rolling-hash analog that stays exact in 64-bit), plus an md5
@@ -287,6 +332,27 @@ object TextOps extends QueryFamily {
       "strlen(array_to_string(kept, ' ')) AS clean_chars, " +
       "substr(array_to_string(kept, ' '), 1, 80) AS clean_prefix " +
       "FROM t ORDER BY doc_id"),
+
+    "q_text_contamination" -> ("WITH d AS (SELECT doc_id, lang, " +
+      s"string_split(text, ' ') AS t, $hTextDuck % 100 AS pct FROM documents " +
+      "WHERE len(string_split(text, ' ')) >= 4), " +
+      "grams AS (SELECT doc_id, lang, pct, " +
+      "unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] " +
+      "for i in generate_series(1, len(t) - 3)]) AS g FROM d), " +
+      "test_g AS (SELECT DISTINCT g FROM grams WHERE pct >= 90) " +
+      "SELECT gr.doc_id, gr.lang, count(DISTINCT gr.g) AS n_hits " +
+      "FROM grams gr JOIN test_g USING (g) WHERE gr.pct < 90 " +
+      "GROUP BY gr.doc_id, gr.lang ORDER BY gr.doc_id"),
+
+    "q_text_logprob" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
+      "total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM freq) " +
+      "SELECT doc_id, count(*) AS n_toks, " +
+      "round(CAST(SUM(CAST(round(ln(CAST(cnt AS DOUBLE) / tot), 6) " +
+      "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob " +
+      "FROM toks JOIN freq USING (tok) CROSS JOIN total " +
+      "GROUP BY doc_id ORDER BY doc_id"),
 
     "q_text_fingerprint" -> ("SELECT doc_id, " +
       "CAST(list_sum([i * (CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 15)) AS BIGINT) % 1000003) " +
