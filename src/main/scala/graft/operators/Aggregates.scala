@@ -175,6 +175,22 @@ object Aggregates extends QueryFamily {
             <= col("exact_users") * 0.15).as("approx_ok"))
         .orderBy("event_type")),
 
+    // Approximate quantile sketch (Greenwald-Khanna / t-digest family):
+    // each engine runs its OWN sketch and asserts it lands within 5% of
+    // its exact median — sketches are not cross-engine comparable, the
+    // in-bounds boolean is.
+    "q_agg_approxquantile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("approx_med"),
+          expr("percentile(o_totalprice, 0.5D)").as("exact_med"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), round(col("exact_med"), 4).as("exact_med"),
+          col("n_orders"),
+          (abs(col("approx_med") - col("exact_med"))
+            <= col("exact_med") * 0.05).as("approx_ok"))
+        .orderBy("o_orderpriority")),
+
     // Pivot to a wide table (source × lang doc counts).
     "q_agg_pivot" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -226,6 +242,14 @@ object Aggregates extends QueryFamily {
       "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
       "<= count(DISTINCT user_id) * 0.15) AS approx_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_agg_approxquantile" -> ("SELECT o_orderpriority, " +
+      "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) " +
+      "AS exact_med, count(*) AS n_orders, " +
+      "(abs(approx_quantile(o_totalprice, 0.5) - " +
+      "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)) " +
+      "<= percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) * 0.05) " +
+      "AS approx_ok FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "q_agg_hashgroup" -> ("SELECT l_returnflag, l_linestatus, " +
       decSum.format("l_quantity") + " AS sum_qty, " +

@@ -82,6 +82,41 @@ object Warehouse extends QueryFamily {
         .orderBy("source")
     }),
 
+    // CSV source: header + explicit schema (never inferSchema — a
+    // schema-inference pass reads the data twice and types drift). The
+    // oracle reads the original parquet: the round-trip must be lossless.
+    "q_scan_csv" -> ((s, dir) => {
+      val path = scratch("csv", dir)
+      once(s, dir, "csv") {
+        Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .write.mode("overwrite").option("header", "true").csv(path)
+      }
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          dbl(sum(money(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ORC source: the other columnar warehouse format; same
+    // read-back-must-equal-parquet contract.
+    "q_scan_orc" -> ((s, dir) => {
+      val path = scratch("orc", dir)
+      once(s, dir, "orc") {
+        Tables(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").orc(path)
+      }
+      s.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_sup"),
+          dbl(sum(money(col("s_acctbal")))).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // Dynamic partition pruning: the lang=<v>/ fact layout joined to a
     // small dim filtered on a NON-partition column. The partition filter
     // is only known at runtime (which langs survive grp='west'), so
@@ -176,6 +211,14 @@ object Warehouse extends QueryFamily {
     "q_scan_partitioned" -> ("SELECT source, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE lang = 'en' " +
       "GROUP BY source ORDER BY source"),
+
+    "q_scan_csv" -> ("SELECT c_mktsegment, count(*) AS n_cust, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
+      "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q_scan_orc" -> ("SELECT s_nationkey, count(*) AS n_sup, " +
+      "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
+      "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
 
     "q_scan_dpp" -> ("SELECT d.lang, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents d " +
