@@ -126,6 +126,15 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join still shuffles its inputs:\n${joinPart.take(2000)}")
   }
 
+  test("q_text_contamination probes grams against a broadcast benchmark set") {
+    val df = SparkEntry.queries("q_text_contamination")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the held-out gram set is small by construction — the corpus gram
+    // stream must probe it via broadcast, never shuffle corpus-side grams
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q_sink_batched has no row-scale single-partition window") {
     val df = SparkEntry.queries("q_sink_batched")(spark, sf0001)
     df.collect()
