@@ -139,16 +139,24 @@ object Dedup extends QueryFamily {
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       // one md5 per token for the whole 8-hash signature (custom expr)
       val sig = d.withColumn("mh", expr("minhash_sig(toks)"))
+      val b0 = concat_ws(":", col("lang"), element_at(col("mh"), 1),
+        element_at(col("mh"), 2), element_at(col("mh"), 3), element_at(col("mh"), 4))
+      val b1 = concat_ws(":", col("lang"), element_at(col("mh"), 5),
+        element_at(col("mh"), 6), element_at(col("mh"), 7), element_at(col("mh"), 8))
+      // each row carries its band key AND the other band's key, so a pair
+      // agreeing on both bands is emitted ONLY from band 0 (the band-1
+      // copy is dropped by x.other != y.other) — exactly-once by
+      // construction, no distinct() shuffle over the candidate pairs
       val bands = sig.select(col("doc_id"), explode(array(
-          concat_ws(":", col("lang"), lit(0), element_at(col("mh"), 1),
-            element_at(col("mh"), 2), element_at(col("mh"), 3), element_at(col("mh"), 4)),
-          concat_ws(":", col("lang"), lit(1), element_at(col("mh"), 5),
-            element_at(col("mh"), 6), element_at(col("mh"), 7), element_at(col("mh"), 8))))
-        .as("band_key"))
+          struct(lit(0).as("b"), b0.as("k"), b1.as("other")),
+          struct(lit(1).as("b"), b1.as("k"), b0.as("other")))).as("e"))
+        .select(col("doc_id"), col("e.b").as("b"), col("e.k").as("k"),
+          col("e.other").as("other"))
       val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.b") === 0 || col("x.other") =!= col("y.other")))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
       jaccardVerify(cand, tokenCodes(s, dir), 0.8)
     }),
 
