@@ -176,6 +176,23 @@ object ScalarFuncs extends QueryFamily {
         substring(md5(col("c_name")), 1, 8).as("short_id"))
         .orderBy("c_custkey")),
 
+    // Struct family — nested records built, navigated, and flattened
+    // back to scalars (output stays flat: engines serialize struct
+    // columns differently, so nested values are extracted, never
+    // emitted raw).
+    "q_fn_struct" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .withColumn("addr", struct(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment")))
+        .withColumn("acct", struct(col("c_custkey").as("id"),
+          struct(money(col("c_acctbal")).as("bal")).as("inner")))
+        .select(col("c_custkey"),
+          big(col("addr.nation")).as("nation"),
+          col("addr.segment").as("segment"),
+          dbl(col("acct.inner.bal")).as("bal"),
+          (col("acct.id") % 2 === 0).as("even_id"))
+        .orderBy("c_custkey")),
+
     // Bitwise family — routing-mask / bit-flag manipulation. The shifted
     // operand is bounded (mod 1024) so << can't overflow in either engine;
     // `^` is xor in Spark SQL but POWER in DuckDB (oracle uses xor()).
@@ -290,6 +307,17 @@ object ScalarFuncs extends QueryFamily {
     "q_fn_hash" -> ("SELECT c_custkey, md5(c_name) AS name_md5, " +
       "sha256(concat_ws('|', c_custkey, c_name)) AS id_sha, " +
       "substr(md5(c_name), 1, 8) AS short_id " +
+      "FROM customer ORDER BY c_custkey"),
+
+    "q_fn_struct" -> ("SELECT c_custkey, " +
+      "CAST((struct_pack(nation := c_nationkey, segment := c_mktsegment)).nation " +
+      "AS BIGINT) AS nation, " +
+      "(struct_pack(nation := c_nationkey, segment := c_mktsegment)).segment " +
+      "AS segment, " +
+      "CAST((struct_pack(id := c_custkey, inner_s := struct_pack(" +
+      "bal := CAST(c_acctbal AS DECIMAL(12,2))))).inner_s.bal AS DOUBLE) AS bal, " +
+      "((struct_pack(id := c_custkey, inner_s := struct_pack(" +
+      "bal := CAST(c_acctbal AS DECIMAL(12,2))))).id % 2 = 0) AS even_id " +
       "FROM customer ORDER BY c_custkey"),
 
     "q_fn_bitwise" -> ("SELECT o_orderkey, " +

@@ -117,6 +117,30 @@ object Warehouse extends QueryFamily {
         .orderBy("s_nationkey")
     }),
 
+    // Schema evolution: two parquet batches under one root — the older
+    // batch lacks a column added later. mergeSchema unifies them
+    // (missing column reads as NULL), the warehouse reality when a
+    // pipeline adds fields mid-history. Batch membership is
+    // deterministic (custkey parity) so the oracle can rebuild the view.
+    "q_scan_evolution" -> ((s, dir) => {
+      val path = scratch("evo", dir)
+      once(s, dir, "evo") {
+        val c = Tables(s, dir, "customer")
+        c.where(col("c_custkey") % 2 === 1)
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+        c.where(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").parquet(s"$path/batch=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_acctbal")).as("n_with_bal"),
+          dbl(sum(money(col("c_acctbal")))).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Dynamic partition pruning: the lang=<v>/ fact layout joined to a
     // small dim filtered on a NON-partition column. The partition filter
     // is only known at runtime (which langs survive grp='west'), so
@@ -219,6 +243,12 @@ object Warehouse extends QueryFamily {
     "q_scan_orc" -> ("SELECT s_nationkey, count(*) AS n_sup, " +
       "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
       "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+
+    "q_scan_evolution" -> ("SELECT c_mktsegment, count(*) AS n_rows, " +
+      "count(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END) AS n_with_bal, " +
+      "CAST(SUM(CASE WHEN c_custkey % 2 = 0 " +
+      "THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_bal " +
+      "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "q_scan_dpp" -> ("SELECT d.lang, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents d " +

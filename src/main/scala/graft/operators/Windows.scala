@@ -102,6 +102,29 @@ object Windows extends QueryFamily {
         .orderBy("c_custkey")
     }),
 
+    // Gaps-and-islands sessionization in the window DSL (lag + cumulative
+    // flag sum) — the THIRD independent sessionization next to
+    // session_window (q_stream_session) and flatMapGroupsWithState
+    // (StreamDemo); this one emits per-USER session statistics. One
+    // shuffle on user_id serves both window passes and the final agg.
+    "q_win_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            expr("ts - prev >= INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          big(sum(col("n"))).as("n_events"),
+          max(col("n")).as("longest_session"),
+          (dbl(sum(col("n"))) / count(lit(1))).as("avg_events"))
+        .orderBy("user_id")
+    }),
+
     // ntile + first/last/nth with explicit full frame.
     "q_win_ntile_firstlast" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -118,6 +141,18 @@ object Windows extends QueryFamily {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_win_sessionize" -> ("WITH e AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+      "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+      ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), " +
+      "sess AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS sid FROM e), " +
+      "per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid) " +
+      "SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, " +
+      "max(n) AS longest_session, CAST(SUM(n) AS DOUBLE) / count(*) AS avg_events " +
+      "FROM per GROUP BY user_id ORDER BY user_id"),
+
     "q_win_rank" -> ("SELECT c_custkey, c_nationkey, " +
       "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket, " +
       "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000.0) DESC) AS BIGINT) AS rnk, " +
