@@ -60,5 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("trigram_codes",
         "trigram_codes(s) - sorted distinct character trigrams as packed 63-bit codes"),
       (es: Seq[Expression]) => TrigramCodes(arity("trigram_codes", 1, es).head)))
+    // Domain optimizer rule: size-ratio prefilter ahead of the fused
+    // Jaccard merge (see JaccardSizePrefilter's scaladoc).
+    ext.injectOptimizerRule(_ => graft.plans.JaccardSizePrefilter)
   }
 }

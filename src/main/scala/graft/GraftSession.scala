@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // cluster-wide extension point: custom expressions + the
+      // JaccardSizePrefilter optimizer rule, builtin-level
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.catalogImplementation", "hive")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .config("javax.jdo.option.ConnectionURL",

@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.SortedJaccardGe
+
+/** Domain optimizer rule (SURVEY.md §4.3 stretch surface): for a filter
+  * keeping pairs with `sorted_jaccard_ge(a, b, t) IS NOT NULL`, inject
+  * the necessary size-ratio conditions
+  *
+  *   size(a) >= t * size(b)  AND  size(b) >= t * size(a)
+  *
+  * (jaccard >= t implies t*|B| <= |A∩B| <= min(|A|,|B|)). The extra
+  * conjuncts are cheap length comparisons that let Catalyst discard
+  * grossly mismatched pairs before the O(|a|+|b|) merge runs — and,
+  * because they are ordinary deterministic predicates, the optimizer is
+  * free to push or reorder them independently of the fused expression.
+  *
+  * Row-identity: the guard is implied by the kept predicate, so the
+  * filtered set is unchanged (null inputs: size(null) is null, the
+  * conjunction is null, and the original IS NOT NULL was already false).
+  * The rule runs inside the operator-optimization fixed point, so it
+  * must be idempotent: a filter that already references a Size is left
+  * alone.
+  *
+  * At fixture scale the win is subsumed by the expression's own
+  * early-exit; the rule exists because a 100 TB operator wants this
+  * decision made by the OPTIMIZER (where it composes with pushdown),
+  * not hand-inlined into every query.
+  */
+object JaccardSizePrefilter extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // the predicate may still sit in a Filter, or PushDownPredicate may
+    // already have folded it into a join condition — guard both homes
+    case f @ Filter(cond, child)
+        if !alreadyGuarded(cond) && guardsFor(cond).nonEmpty =>
+      Filter(guardsFor(cond).foldLeft(cond)(And(_, _)), child)
+    case j @ Join(_, _, _, Some(cond), _)
+        if !alreadyGuarded(cond) && guardsFor(cond).nonEmpty =>
+      j.copy(condition = Some(guardsFor(cond).foldLeft(cond)(And(_, _))))
+  }
+
+  private def guardsFor(cond: Expression): Seq[Expression] = cond.collect {
+    case IsNotNull(SortedJaccardGe(a, b, Literal(t, DoubleType))) =>
+      val td = t.asInstanceOf[Double]
+      val sa = Cast(Size(a, legacySizeOfNull = false), DoubleType)
+      val sb = Cast(Size(b, legacySizeOfNull = false), DoubleType)
+      And(
+        GreaterThanOrEqual(sa, Multiply(Literal(td), sb)),
+        GreaterThanOrEqual(sb, Multiply(Literal(td), sa)))
+  }
+
+  private def alreadyGuarded(cond: Expression): Boolean =
+    cond.exists { case _: Size => true; case _ => false }
+}

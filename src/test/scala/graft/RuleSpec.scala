@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule (JaccardSizePrefilter via
+  * GraftExtensions, active in every engine session): a
+  * `sorted_jaccard_ge(a, b, t) IS NOT NULL` filter gains size-ratio
+  * guards in the OPTIMIZED plan, and the kept row set is unchanged.
+  */
+class RuleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def pairs = {
+    functions.SortedJaccardGe.register(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "lang",
+        "array_sort(array_distinct(split(text, ' '))) AS toks")
+    docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"))
+  }
+
+  test("size-ratio guards appear in the optimized plan") {
+    val filtered = pairs.where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("sorted_jaccard_ge"), opt.take(1500))
+    assert(opt.contains("size("), s"rule did not inject size guards:\n${opt.take(1500)}")
+  }
+
+  test("guards are row-identical: rule output equals the raw predicate") {
+    // evaluate the raw expression WITHOUT the IS-NOT-NULL-filter shape the
+    // rule matches — emits jacc for every pair, then filters on the alias
+    // (an Attribute, not the expression, so the rule cannot fire here)
+    val raw = pairs
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_jaccard_ge(ta, tb, 0.8D)").as("jacc"))
+      .where(col("jacc").isNotNull)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ruled = pairs.where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ruled == raw)
+    assert(raw.nonEmpty)
+  }
+}
