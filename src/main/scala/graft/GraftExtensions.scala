@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("trigram_codes",
         "trigram_codes(s) - sorted distinct character trigrams as packed 63-bit codes"),
       (es: Seq[Expression]) => TrigramCodes(arity("trigram_codes", 1, es).head)))
+    ext.injectFunction((FunctionIdentifier("topk_sum"),
+      info("topk_sum", "topk_sum(v, k) - exact sum of the k largest cent-quantized values"),
+      (es: Seq[Expression]) => TopKSum.build(arity("topk_sum", 2, es))))
     // Domain optimizer rule: size-ratio prefilter ahead of the fused
     // Jaccard merge (see JaccardSizePrefilter's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.JaccardSizePrefilter)

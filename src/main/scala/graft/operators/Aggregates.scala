@@ -191,6 +191,35 @@ object Aggregates extends QueryFamily {
             <= col("exact_med") * 0.05).as("approx_ok"))
         .orderBy("o_orderpriority")),
 
+    // Exact top-k contribution per group via the custom
+    // TypedImperativeAggregate (functions.TopKSum): an O(k) heap buffer
+    // rides the partial/merge path, so no window or row shuffle — the
+    // "revenue share of the 10 biggest orders" question at 100 TB ships
+    // 10 longs per (partition, group).
+    "q_agg_topksum" -> ((s, dir) => {
+      graft.functions.TopKSum.register(s)
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("topk_sum(o_totalprice, 10)").as("top10_total"),
+          dbl(sum(money(col("o_totalprice")))).as("all_total"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Histogram binning: fixed-width buckets over order value — the
+    // distribution-profiling pass of data exploration; bucket boundaries
+    // are exact double ops (floor of identical IEEE values) so the
+    // binning is engine-independent.
+    "q_agg_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("bucket",
+          least(greatest(floor(col("o_totalprice") / 60000.0), lit(0.0)), lit(9.0))
+            .cast("bigint"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(money(col("o_totalprice")))).as("sum_value"))
+        .orderBy("bucket")),
+
     // Pivot to a wide table (source × lang doc counts).
     "q_agg_pivot" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -333,6 +362,22 @@ object Aggregates extends QueryFamily {
       "ORDER BY count(*) DESC, o_orderpriority) AS rk " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY c_mktsegment, o_orderpriority) WHERE rk = 1 ORDER BY c_mktsegment"),
+
+    "q_agg_topksum" -> ("WITH ranked AS (SELECT o_orderpriority, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) " +
+      "SELECT o_orderpriority, " +
+      "CAST(SUM(CASE WHEN rk <= 10 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) " +
+      "AS DOUBLE) AS top10_total, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS all_total, " +
+      "count(*) AS n_orders " +
+      "FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_agg_histogram" -> ("SELECT CAST(least(greatest(" +
+      "floor(o_totalprice / 60000.0), 0.0), 9.0) AS BIGINT) AS bucket, " +
+      "count(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+      "FROM orders GROUP BY bucket ORDER BY bucket"),
 
     "q_agg_pivot" -> ("SELECT source, " +
       "count(*) FILTER (WHERE lang='de') AS de, " +
