@@ -10,7 +10,7 @@ import Dets._
   *
   * The reference's source side is "read a table registered in a Hive
   * metastore"; its 100 TB half is "lay the data out so scans prune".
-  * Three oracle-checked queries make both real in this sandbox:
+  * The oracle-checked queries here make both real in this sandbox:
   *
   *  - `q_hive_table`: a REAL HiveExternalCatalog (embedded Derby
   *    metastore, `spark-hive` + `hive-metastore` jars ship with the
@@ -23,11 +23,16 @@ import Dets._
   *    scan's PartitionFilters carries the predicate, asserted in
   *    PlanSpec) — at 100 TB this is the difference between reading one
   *    directory and reading the corpus.
+  *  - `q_scan_dpp`: runtime partition pruning — the dim filter decides
+  *    at execution time which fact partitions are read.
   *  - `q_join_bucketed`: both join sides bucketed on the join key at
   *    write time, so the repeated equi-join pays ZERO exchanges (the
   *    shuffle was paid once, at layout time) — the fact-table layout for
   *    a key joined every day. PlanSpec asserts the only exchange left is
   *    the final aggregation's.
+  *  - `q_scan_csv` / `q_scan_orc` / `q_scan_evolution`: the other source
+  *    formats plus mergeSchema over batches with later-added columns.
+  *  - `q_merge_upsert`: the incremental-sync MERGE write semantics.
   *
   * Layout writes are memoized per (session, fixture dir): Verify pays
   * them once; Bench's 3 timed runs amortize to the read-only path.
