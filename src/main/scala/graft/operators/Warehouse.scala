@@ -106,6 +106,25 @@ object Warehouse extends QueryFamily {
         .orderBy("c_mktsegment")
     }),
 
+    // JSON-lines source: the interchange format of log pipelines;
+    // explicit schema (inference costs a second pass and guesses types),
+    // timestamps round-tripped through ISO-8601 strings.
+    "q_scan_json" -> ((s, dir) => {
+      val path = scratch("json", dir)
+      once(s, dir, "json") {
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite").json(path)
+      }
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .json(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ORC source: the other columnar warehouse format; same
     // read-back-must-equal-parquet contract.
     "q_scan_orc" -> ((s, dir) => {
@@ -244,6 +263,10 @@ object Warehouse extends QueryFamily {
     "q_scan_csv" -> ("SELECT c_mktsegment, count(*) AS n_cust, " +
       "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
       "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q_scan_json" -> ("SELECT o_orderstatus, count(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
     "q_scan_orc" -> ("SELECT s_nationkey, count(*) AS n_sup, " +
       "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
