@@ -6,6 +6,7 @@ import java.util.PriorityQueue
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,9 +39,16 @@ case class TopKSum(
   require(k > 0, s"topk_sum: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // SUM semantics: a group with no (non-null, representable) values is NULL
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "topk_sum"
+
+  // clean analysis-time error instead of a ClassCastException at execution
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_sum requires a DOUBLE value column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): PriorityQueue[java.lang.Long] =
     new PriorityQueue[java.lang.Long](k + 1)
@@ -51,19 +59,29 @@ case class TopKSum(
   }
 
   // valueOf = shortest-decimal-repr semantics, matching Spark's own
-  // DoubleType -> DecimalType cast (Dets.money) and the oracle's CAST
+  // DoubleType -> DecimalType cast (Dets.money) and the oracle's CAST.
+  // Non-finite or cent-overflowing doubles quantize to the sentinel:
+  // the DECIMAL cast they mirror yields NULL for such values, and SUM
+  // skips NULLs, so the aggregate skips them too.
+  private val NotRepresentable = Long.MinValue
   private def cents(v: Double): Long =
-    JBigDecimal.valueOf(v).setScale(2, RoundingMode.HALF_UP)
+    if (!java.lang.Double.isFinite(v) || math.abs(v) > 9.0e16) NotRepresentable
+    else JBigDecimal.valueOf(v).setScale(2, RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
   /** Test seam: quantize + offer, bypassing InternalRow plumbing. */
-  private[graft] def offerForTest(buf: PriorityQueue[java.lang.Long], v: Double): Unit =
-    offer(buf, cents(v))
+  private[graft] def offerForTest(buf: PriorityQueue[java.lang.Long], v: Double): Unit = {
+    val c = cents(v)
+    if (c != NotRepresentable) offer(buf, c)
+  }
 
   override def update(buf: PriorityQueue[java.lang.Long], input: InternalRow):
       PriorityQueue[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, cents(v.asInstanceOf[Double]))
+    if (v != null) {
+      val c = cents(v.asInstanceOf[Double])
+      if (c != NotRepresentable) offer(buf, c)
+    }
     buf
   }
 
@@ -74,12 +92,14 @@ case class TopKSum(
     buf
   }
 
-  override def eval(buf: PriorityQueue[java.lang.Long]): Any = {
-    var cents = 0L
-    val it = buf.iterator()
-    while (it.hasNext) cents += it.next()
-    cents.toDouble / 100.0
-  }
+  override def eval(buf: PriorityQueue[java.lang.Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      var cents = 0L
+      val it = buf.iterator()
+      while (it.hasNext) cents += it.next()
+      cents.toDouble / 100.0
+    }
 
   override def serialize(buf: PriorityQueue[java.lang.Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.size)

@@ -49,8 +49,18 @@ object Warehouse extends QueryFamily {
     }
   }
 
+  // Per-JVM root (like GraftSession's metastore dir): `once` memoizes per
+  // process, so two concurrent drivers (Verify + Bench, parallel test
+  // JVMs) must not share mode=overwrite scratch paths — a reader in one
+  // process could see the other's half-written layout.
+  private lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   private def scratch(name: String, dir: String): String =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    java.nio.file.Paths.get(scratchRoot,
       s"graft_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

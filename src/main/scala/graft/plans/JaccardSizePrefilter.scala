@@ -22,16 +22,19 @@ import graft.functions.SortedJaccardGe
   * Row-identity: the guard is implied by the kept predicate, so the
   * filtered set is unchanged (null inputs: size(null) is null, the
   * conjunction is null, and the original IS NOT NULL was already false).
-  * The rule runs inside the operator-optimization fixed point, so it
-  * must be idempotent: a filter that already references a Size is left
-  * alone.
+  * The implication only holds when the jaccard predicate is a TOP-LEVEL
+  * conjunct — under Or/Not/CaseWhen a row may survive via another
+  * branch, so guards are derived from splitConjunctivePredicates only,
+  * never from arbitrary subtrees. The rule runs inside the
+  * operator-optimization fixed point, so it must be idempotent: a
+  * filter that already references a Size is left alone.
   *
   * At fixture scale the win is subsumed by the expression's own
   * early-exit; the rule exists because a 100 TB operator wants this
   * decision made by the OPTIMIZER (where it composes with pushdown),
   * not hand-inlined into every query.
   */
-object JaccardSizePrefilter extends Rule[LogicalPlan] {
+object JaccardSizePrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // the predicate may still sit in a Filter, or PushDownPredicate may
@@ -44,15 +47,16 @@ object JaccardSizePrefilter extends Rule[LogicalPlan] {
       j.copy(condition = Some(guardsFor(cond).foldLeft(cond)(And(_, _))))
   }
 
-  private def guardsFor(cond: Expression): Seq[Expression] = cond.collect {
-    case IsNotNull(SortedJaccardGe(a, b, Literal(t, DoubleType))) =>
-      val td = t.asInstanceOf[Double]
-      val sa = Cast(Size(a, legacySizeOfNull = false), DoubleType)
-      val sb = Cast(Size(b, legacySizeOfNull = false), DoubleType)
-      And(
-        GreaterThanOrEqual(sa, Multiply(Literal(td), sb)),
-        GreaterThanOrEqual(sb, Multiply(Literal(td), sa)))
-  }
+  private def guardsFor(cond: Expression): Seq[Expression] =
+    splitConjunctivePredicates(cond).collect {
+      case IsNotNull(SortedJaccardGe(a, b, Literal(t, DoubleType))) =>
+        val td = t.asInstanceOf[Double]
+        val sa = Cast(Size(a, legacySizeOfNull = false), DoubleType)
+        val sb = Cast(Size(b, legacySizeOfNull = false), DoubleType)
+        And(
+          GreaterThanOrEqual(sa, Multiply(Literal(td), sb)),
+          GreaterThanOrEqual(sb, Multiply(Literal(td), sa)))
+    }
 
   private def alreadyGuarded(cond: Expression): Boolean =
     cond.exists { case _: Size => true; case _ => false }

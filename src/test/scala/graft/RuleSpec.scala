@@ -29,6 +29,35 @@ class RuleSpec extends AnyFunSuite {
     assert(opt.contains("size("), s"rule did not inject size guards:\n${opt.take(1500)}")
   }
 
+  test("no guards under a disjunction: Or-branch rows are not dropped") {
+    // jaccard>=t does NOT imply the size ratio when the predicate is only
+    // one branch of an Or — a row can survive via the other disjunct. The
+    // rule must derive guards from top-level conjuncts only.
+    val cond = col("doc_a") % 7 === 0 ||
+      expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull
+    val filtered = pairs.where(cond)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("size("),
+      s"rule fired on a disjunct — guards are not implied:\n${opt.take(1500)}")
+    // row-identity against the alias form the rule cannot touch
+    val raw = pairs
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_jaccard_ge(ta, tb, 0.8D)").as("jacc"))
+      .where(col("doc_a") % 7 === 0 || col("jacc").isNotNull)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ruled = filtered
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ruled == raw)
+    assert(raw.exists(_._1 % 7 == 0), "fixture should exercise the Or branch")
+  }
+
+  test("guards still fire on a conjunction alongside other predicates") {
+    val filtered = pairs.where(
+      expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull && col("doc_a") % 2 === 0)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("size("), s"conjunct form lost the guards:\n${opt.take(1500)}")
+  }
+
   test("guards are row-identical: rule output equals the raw predicate") {
     // evaluate the raw expression WITHOUT the IS-NOT-NULL-filter shape the
     // rule matches — emits jacc for every pair, then filters on the alias

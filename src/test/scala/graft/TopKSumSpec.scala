@@ -30,6 +30,20 @@ class TopKSumSpec extends AnyFunSuite {
     }
   }
 
+  test("SUM semantics: empty buffer is NULL, non-representable values skipped") {
+    val a = agg(3)
+    assert(a.nullable)
+    assert(a.eval(a.createAggregationBuffer()) == null)
+    // NaN/Inf/overflow mirror the Double->DECIMAL(12,2) cast (NULL), so
+    // they contribute nothing; an all-such group stays NULL like SUM
+    val b = a.createAggregationBuffer()
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 1e17)
+      .foreach(a.offerForTest(b, _))
+    assert(a.eval(b) == null)
+    a.offerForTest(b, 2.5)
+    assert(a.eval(b) == 2.5)
+  }
+
   test("topk_sum equals the window top-k sum on sf0.001 orders") {
     TopKSum.register(spark)
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
