@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup,         // §2.I dedup + similarity search
     operators.TextOps,       // §2.I text analysis + multimodal
     operators.Sampling,      // §2.I reproducible sampling / splits / cleaning pipeline
+    operators.Packing,       // §2.I training-batch construction: packing, vocab, novelty
     operators.StreamOps,     // §2.J streaming analogs
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
   )

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** Training-batch construction — the operators that turn a cleaned corpus
+  * into model-ready sequences: concatenate-and-chunk sequence packing,
+  * vocabulary construction with coverage accounting, and cross-document
+  * n-gram novelty (how much of each document is repetition of earlier
+  * corpus content).
+  *
+  * All three are deterministic (content/key ordered, no rand()) and keep
+  * the global-ordering work out of single-partition windows: packing uses
+  * the same bucket-offset decomposition as q_sink_batched, vocab ranks
+  * only the already-aggregated (small) frequency table, novelty is two
+  * key-partitioned aggregations.
+  */
+object Packing extends QueryFamily {
+
+  /** Word 4-grams of the pre-split token array `t` (guarded size >= 4:
+    * Spark's sequence(1, 0) DESCENDS where DuckDB's generate_series is
+    * empty, so callers must filter short docs first). */
+  private val gram4 = "transform(sequence(1, size(t) - 3), i -> " +
+    "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+    "element_at(t, i + 2), element_at(t, i + 3)))"
+
+  private val gram4Duck = "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] " +
+    "for i in generate_series(1, len(t) - 3)]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sequence packing, concatenate-then-chunk: documents in doc_id order
+    // are laid head-to-tail and cut every 2048 tokens; a document belongs
+    // to the chunk its first token lands in. The global running token
+    // count is NOT a single-partition window: doc_id ranges form buckets,
+    // per-bucket token totals (a tiny table) are prefix-summed and
+    // broadcast back, and each bucket computes only its LOCAL prefix sums
+    // — the q_sink_batched decomposition, which scales to any corpus
+    // because the only global state is one row per bucket.
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tok"),
+          expr("doc_id DIV 64 AS bkt"))
+      val offs = d.groupBy("bkt").agg(sum("n_tok").as("toks"))
+        .withColumn("off", coalesce(sum("toks").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "off")
+      d.join(broadcast(offs), "bkt")
+        .withColumn("before", col("off") +
+          coalesce(sum("n_tok").over(
+            Window.partitionBy("bkt").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("seq_id", expr("before DIV 2048"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("seq_id")
+    }),
+
+    // Vocabulary construction: top-100 tokens by corpus frequency with a
+    // deterministic tie-break (count desc, token asc) and the cumulative
+    // token-coverage count — the "how big must the vocab be" table. The
+    // distributed work is the groupBy; the candidate cut is a distributed
+    // top-k (TakeOrderedAndProject), so the only windowed data is the 100
+    // surviving rows.
+    "q_text_vocab" -> ((s, dir) => {
+      val freq = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val top = freq.orderBy(col("cnt").desc, col("tok")).limit(100)
+      val wRank = Window.orderBy(col("cnt").desc, col("tok"))
+      top
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("cum_cnt",
+          sum("cnt").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("rk"), col("tok"), col("cnt"), col("cum_cnt"))
+        .orderBy("rk")
+    }),
+
+    // Cross-document n-gram novelty: for each document, how many of its
+    // distinct word-4-grams first appeared in an EARLIER document (gram's
+    // min doc_id precedes this one) — the repetition-lineage signal dedup
+    // thresholds are tuned against. array_distinct dedups per doc BEFORE
+    // the explode (map-side, no shuffle); first-appearance is a
+    // partial-aggregating groupBy on the gram, joined back — the
+    // window-free form, because count(*) OVER (PARTITION BY gram) does no
+    // map-side combine and a hot gram would pile into one task (the
+    // q_text_tfidf lesson).
+    "q_text_novelty" -> ((s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .where(size(col("t")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(expr(gram4))).as("g"))
+      val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+      g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          big(sum(when(col("first_doc") < col("doc_id"), 1).otherwise(0)))
+            .as("n_repeated"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pack_sequences" -> ("WITH d AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, n_tok, " +
+      "CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW) AS BIGINT) - n_tok AS before FROM d) " +
+      "SELECT before // 2048 AS seq_id, count(*) AS n_docs, " +
+      "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+      "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+      "FROM c GROUP BY seq_id ORDER BY seq_id"),
+
+    "q_text_vocab" -> ("WITH freq AS (SELECT tok, count(*) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "GROUP BY tok), " +
+      "top AS (SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT 100) " +
+      "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rk, " +
+      "tok, cnt, " +
+      "CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt " +
+      "FROM top ORDER BY rk"),
+
+    "q_text_novelty" -> ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      "FROM documents WHERE len(string_split(text, ' ')) >= 4), " +
+      s"gr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest($gram4Duck) AS g FROM d)), " +
+      "f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY g) " +
+      "SELECT gr.doc_id, count(*) AS n_grams, " +
+      "CAST(SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_repeated FROM gr JOIN f USING (g) " +
+      "GROUP BY gr.doc_id ORDER BY gr.doc_id"),
+  )
+}
