@@ -127,16 +127,38 @@ object Joins extends QueryFamily {
     }),
 
     // As-of join: for each event, the latest order of that customer with
-    // o_orderdate <= ts (deterministic tiebreak on o_orderkey).
+    // o_orderdate <= ts (deterministic tiebreak on o_orderkey). Sorted
+    // merge with carry-forward state — the 100 TB shape: union both
+    // sides into one keyed stream, sort each user's rows by (time, kind,
+    // key) with orders BEFORE events at equal time (the join is
+    // inclusive), and let `last(order, ignoreNulls) OVER (... ROWS
+    // UNBOUNDED PRECEDING)` carry the latest qualifying order onto every
+    // event row. ONE shuffle on user_id and a linear per-user pass —
+    // a hot user with m events and n orders costs m + n rows, where the
+    // naive theta-join (events x all earlier orders, then top-1 per
+    // event) materializes m*n intermediate rows before pruning.
     "q_join_asof" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
-      val o = Tables(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("event_id"), col("ts"),
+          lit(null).cast("struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>").as("ord"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("timestamp_ntz").as("ts"),
+          struct(col("o_orderkey"), col("o_orderdate")).as("ord"))
+      // order rows sort by ascending o_orderkey inside a tied t, so the
+      // LAST order seen at any point is the (date desc, orderkey desc) winner
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("ord.o_orderkey").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(ev)
+        .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_orderdate").as("o_orderdate"))
         .orderBy("event_id")
     }),
 
