@@ -31,12 +31,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_hashgroup")(spark, "/root/testdata/sf0.001")
 
+  // toMap silently last-wins on duplicates — a copy-pasted key in one
+  // family would shadow another family's query and shrink the verified
+  // surface without any failure. Fail loudly instead.
+  private def uniqueMap[V](kvs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = kvs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate $what keys across families: ${dups.mkString(", ")}")
+    kvs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    families.flatMap(_.queries).toMap
+    uniqueMap(families.flatMap(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    families.flatMap(_.oracles).toMap
+    uniqueMap(families.flatMap(_.oracles), "oracle")
 }

@@ -60,14 +60,20 @@ case class TopKSum(
 
   // valueOf = shortest-decimal-repr semantics, matching Spark's own
   // DoubleType -> DecimalType cast (Dets.money) and the oracle's CAST.
-  // Non-finite or cent-overflowing doubles quantize to the sentinel:
-  // the DECIMAL cast they mirror yields NULL for such values, and SUM
-  // skips NULLs, so the aggregate skips them too.
+  // Non-finite doubles, and doubles whose cent-rounded magnitude exceeds
+  // DECIMAL(12,2)'s 12-digit unscaled bound, quantize to the sentinel:
+  // the DECIMAL(12,2) cast they mirror yields NULL for exactly those
+  // values (both engines), and SUM skips NULLs, so the aggregate skips
+  // them too — no divergence window outside the representable domain.
   private val NotRepresentable = Long.MinValue
+  private val MaxUnscaledCents = java.math.BigInteger.valueOf(999999999999L)
   private def cents(v: Double): Long =
-    if (!java.lang.Double.isFinite(v) || math.abs(v) > 9.0e16) NotRepresentable
-    else JBigDecimal.valueOf(v).setScale(2, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    if (!java.lang.Double.isFinite(v)) NotRepresentable
+    else {
+      val u = JBigDecimal.valueOf(v).setScale(2, RoundingMode.HALF_UP).unscaledValue()
+      if (u.abs.compareTo(MaxUnscaledCents) > 0) NotRepresentable
+      else u.longValueExact()
+    }
 
   /** Test seam: quantize + offer, bypassing InternalRow plumbing. */
   private[graft] def offerForTest(buf: PriorityQueue[java.lang.Long], v: Double): Unit = {
@@ -95,9 +101,11 @@ case class TopKSum(
   override def eval(buf: PriorityQueue[java.lang.Long]): Any =
     if (buf.isEmpty) null
     else {
+      // |cents| <= k * 1e12 — addExact is a fail-loud guard, not a
+      // reachable path at any sane k
       var cents = 0L
       val it = buf.iterator()
-      while (it.hasNext) cents += it.next()
+      while (it.hasNext) cents = Math.addExact(cents, it.next())
       cents.toDouble / 100.0
     }
 

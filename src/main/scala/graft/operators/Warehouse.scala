@@ -55,7 +55,18 @@ object Warehouse extends QueryFamily {
   // process could see the other's half-written layout.
   private lazy val scratchRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
-    p.toFile.deleteOnExit()
+    // deleteOnExit only removes an EMPTY dir; the layouts written under
+    // the root need a recursive sweep or every JVM leaks a scratch tree
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }))
     p.toString
   }
 

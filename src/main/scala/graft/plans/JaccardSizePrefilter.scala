@@ -26,8 +26,11 @@ import graft.functions.SortedJaccardGe
   * conjunct — under Or/Not/CaseWhen a row may survive via another
   * branch, so guards are derived from splitConjunctivePredicates only,
   * never from arbitrary subtrees. The rule runs inside the
-  * operator-optimization fixed point, so it must be idempotent: a
-  * filter that already references a Size is left alone.
+  * operator-optimization fixed point, so it must be idempotent: each
+  * guard is emitted as its own conjunct and only when no semantically
+  * equal conjunct is already present — so a re-run adds nothing, and a
+  * user's own unrelated `size(x)` predicate does not suppress guarding
+  * (the old any-Size check did).
   *
   * At fixture scale the win is subsumed by the expression's own
   * early-exit; the rule exists because a 100 TB operator wants this
@@ -39,25 +42,27 @@ object JaccardSizePrefilter extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // the predicate may still sit in a Filter, or PushDownPredicate may
     // already have folded it into a join condition — guard both homes
-    case f @ Filter(cond, child)
-        if !alreadyGuarded(cond) && guardsFor(cond).nonEmpty =>
-      Filter(guardsFor(cond).foldLeft(cond)(And(_, _)), child)
-    case j @ Join(_, _, _, Some(cond), _)
-        if !alreadyGuarded(cond) && guardsFor(cond).nonEmpty =>
-      j.copy(condition = Some(guardsFor(cond).foldLeft(cond)(And(_, _))))
+    case Filter(cond, child) if missingGuards(cond).nonEmpty =>
+      Filter(missingGuards(cond).foldLeft(cond)(And(_, _)), child)
+    case j @ Join(_, _, _, Some(cond), _) if missingGuards(cond).nonEmpty =>
+      j.copy(condition = Some(missingGuards(cond).foldLeft(cond)(And(_, _))))
   }
 
-  private def guardsFor(cond: Expression): Seq[Expression] =
-    splitConjunctivePredicates(cond).collect {
+  /** Guards implied by each top-level jaccard conjunct, minus any that
+    * are already (semantically) among the conjuncts — per-instance
+    * tracking, so only the rule's own prior output suppresses a guard. */
+  private def missingGuards(cond: Expression): Seq[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val guards = conjuncts.flatMap {
       case IsNotNull(SortedJaccardGe(a, b, Literal(t, DoubleType))) =>
         val td = t.asInstanceOf[Double]
         val sa = Cast(Size(a, legacySizeOfNull = false), DoubleType)
         val sb = Cast(Size(b, legacySizeOfNull = false), DoubleType)
-        And(
+        Seq(
           GreaterThanOrEqual(sa, Multiply(Literal(td), sb)),
           GreaterThanOrEqual(sb, Multiply(Literal(td), sa)))
+      case _ => Nil
     }
-
-  private def alreadyGuarded(cond: Expression): Boolean =
-    cond.exists { case _: Size => true; case _ => false }
+    guards.filterNot(g => conjuncts.exists(_.semanticEquals(g)))
+  }
 }

@@ -58,6 +58,26 @@ class RuleSpec extends AnyFunSuite {
     assert(opt.contains("size("), s"conjunct form lost the guards:\n${opt.take(1500)}")
   }
 
+  test("a user's own size() predicate does not suppress guarding") {
+    // per-instance tracking: only the rule's own prior output counts as
+    // "already guarded"; an unrelated size(x) conjunct must not mask it
+    val filtered = pairs.where(
+      expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull && expr("size(ta) > 3"))
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // the user predicate contributes one size(, the two guards more
+    val nSize = "size\\(".r.findAllIn(opt).length
+    assert(nSize >= 3, s"user size() conjunct suppressed the guards ($nSize):\n${opt.take(1500)}")
+  }
+
+  test("rule is idempotent: re-optimizing adds no duplicate guards") {
+    val filtered = pairs.where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
+    val once = filtered.queryExecution.optimizedPlan
+    val twice = plans.JaccardSizePrefilter(plans.JaccardSizePrefilter(once))
+    val n1 = "size\\(".r.findAllIn(once.toString).length
+    val n2 = "size\\(".r.findAllIn(twice.toString).length
+    assert(n1 == n2, s"guard count grew on re-run: $n1 -> $n2")
+  }
+
   test("guards are row-identical: rule output equals the raw predicate") {
     // evaluate the raw expression WITHOUT the IS-NOT-NULL-filter shape the
     // rule matches — emits jacc for every pair, then filters on the alias

@@ -35,13 +35,17 @@ class TopKSumSpec extends AnyFunSuite {
     assert(a.nullable)
     assert(a.eval(a.createAggregationBuffer()) == null)
     // NaN/Inf/overflow mirror the Double->DECIMAL(12,2) cast (NULL), so
-    // they contribute nothing; an all-such group stays NULL like SUM
+    // they contribute nothing; an all-such group stays NULL like SUM.
+    // The cutoff is DECIMAL(12,2)'s own bound: 1e10 needs 13 unscaled
+    // digits (skipped), 9999999999.99 is the largest representable.
     val b = a.createAggregationBuffer()
-    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 1e17)
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, 1e17, 1e10, -1.5e10)
       .foreach(a.offerForTest(b, _))
     assert(a.eval(b) == null)
     a.offerForTest(b, 2.5)
     assert(a.eval(b) == 2.5)
+    a.offerForTest(b, 9999999999.99)
+    assert(a.eval(b) == 9999999999.99 + 2.5)
   }
 
   test("topk_sum equals the window top-k sum on sf0.001 orders") {
