@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Packing,       // §2.I training-batch construction: packing, vocab, novelty
     operators.StreamOps,     // §2.J streaming analogs
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
+    sync.SyncQueries,        // §3.1 config-driven sync-job orchestration
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,167 @@
+package graft.sync
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sinks.BulkClient
+
+/** Config-driven sync-job orchestration (SURVEY.md §3.1) — the reference's
+  * defining product surface: a job spec names {source query/table, id
+  * column, document fields, shard count, batch size, full|incremental
+  * mode}, and a runner composes source → incremental predicate → document
+  * construction → deterministic routing/batching → idempotent bulk
+  * delivery from the engine's existing pieces.
+  *
+  * Everything about a planned job is DETERMINISTIC — routing, batch
+  * membership, in-batch order — so a replay (task retry, whole-job rerun)
+  * delivers byte-identical batches and an idempotent [[BulkClient]] yields
+  * exactly-once-equivalent state. Determinism comes from content, never
+  * from run-time artifacts: routing is a 60-bit md5 prefix of the id
+  * (stable across engines and cluster sizes, like ES `_id` routing), and
+  * the per-shard rank that defines batches is computed by the
+  * bucket-offset decomposition below, not a sampled range partitioner.
+  */
+sealed trait SyncSource
+object SyncSource {
+  /** A named fixture/catalog table. */
+  final case class Table(name: String) extends SyncSource
+  /** An arbitrary SQL query over the registered views (the reference's
+    * jobs are HiveQL strings). */
+  final case class Sql(query: String) extends SyncSource
+}
+
+sealed trait SyncMode
+object SyncMode {
+  /** Re-sync the whole source. */
+  case object Full extends SyncMode
+  /** Sync only rows past a watermark: `watermarkCol > fromLit`, where
+    * `fromLit` is a SQL literal (e.g. `TIMESTAMP '1997-06-01'`) — the
+    * reference's incremental mode [SURVEY §2.B q_filter_incremental].
+    */
+  final case class Incremental(watermarkCol: String, fromLit: String) extends SyncMode
+}
+
+/** One field of the output document: rendered as `"name":<expr>` with
+  * `expr` a Spark SQL expression; `quoted` wraps the value in JSON quotes.
+  * Documents are built with explicit concat, NOT to_json — float
+  * formatting differs across engines, and a sync job's docs must be
+  * byte-reproducible for replay/verification (SURVEY §7.4).
+  */
+final case class DocField(name: String, expr: String, quoted: Boolean)
+
+final case class SyncJob(
+    name: String,
+    source: SyncSource,
+    idCol: String,
+    fields: Seq[DocField],
+    shards: Int = 8,
+    batchSize: Int = 500,
+    mode: SyncMode = SyncMode.Full) {
+  require(name.nonEmpty, "sync job needs a name")
+  require(shards > 0 && batchSize > 0, s"bad shards=$shards/batchSize=$batchSize")
+  require(fields.nonEmpty, "sync job needs at least one document field")
+}
+
+object SyncRunner {
+
+  /** Resolve the job's source and apply its mode predicate. The
+    * incremental filter is a plain Catalyst predicate on the source scan,
+    * so it pushes down into the parquet read (PushedFilters) — an
+    * incremental sync at 100 TB reads only the new partitions, not the
+    * corpus.
+    */
+  def source(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
+    val src = job.source match {
+      case SyncSource.Table(n) => Tables(spark, sfDir, n)
+      case SyncSource.Sql(q)   => Tables.registerAll(spark, sfDir); spark.sql(q)
+    }
+    job.mode match {
+      case SyncMode.Full                     => src
+      case SyncMode.Incremental(wm, fromLit) => src.where(expr(s"$wm > $fromLit"))
+    }
+  }
+
+  /** The planned sync: one row per document with its complete delivery
+    * coordinates — `_id`, `routing` shard, `batch_id`, serialized `doc`.
+    *
+    * Batch assignment needs a per-shard rank. A naive
+    * `row_number() OVER (PARTITION BY routing ORDER BY ...)` funnels each
+    * shard's whole corpus-fraction through ONE task; instead the rank is
+    * decomposed (same trick as q_sink_batched): hash-buckets inside each
+    * shard, a running-count offset per (shard, bucket) — a window over the
+    * tiny bucket-count table, never over rows — and a parallel per-bucket
+    * row_number. Identical output, no row-scale ordered window.
+    */
+  def plan(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
+    val pieces = job.fields.zipWithIndex.flatMap { case (f, i) =>
+      val sep = if (i == 0) "{" else ","
+      if (f.quoted)
+        Seq(lit(s"""$sep"${f.name}":""""), expr(f.expr).cast("string"), lit("\""))
+      else
+        Seq(lit(s"""$sep"${f.name}":"""), expr(f.expr).cast("string"))
+    } :+ lit("}")
+    val base = source(spark, sfDir, job)
+      .select(col(job.idCol).cast("string").as("_id"), concat(pieces: _*).as("doc"))
+      // 60-bit md5 prefix: content-deterministic routing, identical in
+      // DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), never the
+      // engine-private hash()
+      .withColumn("h", expr("CAST(conv(substr(md5(_id), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("routing", pmod(col("h"), lit(job.shards.toLong)).cast("int"))
+      // 2048 uniform hash-range buckets per shard for the rank decomposition
+      .withColumn("bkt", expr(s"h DIV ${1L << 49}"))
+    val offs = base.groupBy("routing", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.partitionBy("routing").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("routing", "bkt", "off")
+    base.join(broadcast(offs), Seq("routing", "bkt"))
+      .withColumn("rn", col("off") +
+        row_number().over(Window.partitionBy("routing", "bkt").orderBy("h", "_id")))
+      .withColumn("batch_id", expr(s"CAST((rn - 1) DIV ${job.batchSize} AS BIGINT)"))
+      .select("_id", "h", "routing", "batch_id", "doc")
+  }
+
+  /** Checkable job summary: per (shard, batch) document count, byte
+    * volume, and id range — what a sync job reports after a run, and what
+    * the DuckDB oracle recomputes for the correctness gate.
+    */
+  def stats(planned: DataFrame): DataFrame =
+    planned.groupBy(col("routing").cast("bigint").as("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("doc"))).cast("bigint").as("doc_bytes"),
+        min("_id").as("first_id"), max("_id").as("last_id"))
+      .orderBy("shard", "batch_id")
+
+  /** Execute the job: deliver every planned batch through `client`.
+    * One shuffle on the routing shard, batches emitted in (shard,
+    * batch, h) order from each partition — a replay regenerates the
+    * identical (shard, batchIdx, docs) triples, so an idempotent client
+    * converges to the same store state no matter how often tasks retry.
+    */
+  def run(spark: SparkSession, sfDir: String, job: SyncJob, client: BulkClient): Unit = {
+    val batchSize = job.batchSize // avoid serializing the runner object
+    plan(spark, sfDir, job)
+      .repartition(job.shards, col("routing"))
+      .sortWithinPartitions("routing", "batch_id", "h", "_id")
+      .select("routing", "batch_id", "_id", "doc")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        // consecutive grouping: rows arrive sorted, so each (shard, batch)
+        // run is contiguous; buffer is bounded by batchSize
+        var curShard = -1
+        var curBatch = -1L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        def flush(): Unit = if (buf.nonEmpty) {
+          client.send(curShard, curBatch.toInt, buf.toSeq)
+          buf.clear()
+        }
+        rows.foreach { r =>
+          val sh = r.getInt(0); val b = r.getLong(1)
+          if (sh != curShard || b != curBatch) { flush(); curShard = sh; curBatch = b }
+          buf += ((r.getString(2), r.getString(3)))
+          require(buf.size <= batchSize, s"batch overflow in shard=$sh batch=$b")
+        }
+        flush()
+      }
+  }
+}
