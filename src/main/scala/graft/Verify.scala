@@ -8,6 +8,8 @@ object Verify {
     val (sfDir, outDir, filter) = args match {
       case Array(s, o)    => (s, o, Seq.empty[String])
       case Array(s, o, f) => (s, o, f.split(',').toSeq)
+      case _ => sys.error(
+        s"usage: graft.Verify <sfDir> <outDir> [nameFilter,...] — got ${args.length} args")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
@@ -16,6 +18,11 @@ object Verify {
     val selected =
       if (filter.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => filter.exists(n.contains) }
+    // a typo'd filter selecting zero queries must fail loudly — an empty
+    // dump is indistinguishable from a successful run to the caller
+    if (selected.isEmpty) sys.error(
+      s"[verify] filter ${filter.mkString(",")} matched 0 of ${SparkEntry.queries.size} queries")
+    println(s"[verify] running ${selected.size}/${SparkEntry.queries.size} queries")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -18,8 +18,11 @@ import Dets._
   * Scale design:
   *  - exact dedup = hash groupBy (shuffle on text hash; at 100 TB group by
   *    md5(text) instead of raw text to keep shuffle rows narrow);
-  *  - blocked Jaccard = equi-join on (lang, length-bucket) — never an
-  *    unblocked O(n^2) cross join;
+  *  - exact Jaccard pairs = adaptive candidate generation
+  *    (candidatePairs): prefix filtering (AllPairs/PPJoin — equi-join on
+  *    each doc's rarest-token prefix, positional prune, block predicate
+  *    riding the join) when the vocabulary is Zipfian, a size-ratio-
+  *    pruned block join when it is degenerate; both exact;
   *  - MinHash-LSH = band-signature equi-join producing candidates, exact
   *    verify after; candidate count is controlled by (rows/band, bands);
   *  - SimHash = 16-bit signature; candidates by pigeonhole-LSH on the
@@ -74,7 +77,7 @@ object Dedup extends QueryFamily {
   /** 4-bit sign-LSH bucket expression over a DOUBLE vector; `elem(j)`
     * renders the engine's 1-based element access.
     */
-  private def lshBucketExpr(elem: Int => String): String = {
+  private[graft] def lshBucketExpr(elem: Int => String): String = {
     val bits = lshSigns.zipWithIndex.map { case (signs, b) =>
       val proj = signs.zipWithIndex.map { case (sg, j) =>
         (if (sg > 0) " + " else " - ") + elem(j + 1)
@@ -82,6 +85,153 @@ object Dedup extends QueryFamily {
       s"(CASE WHEN (CAST(0.0 AS DOUBLE)$proj) > 0 THEN ${1 << b} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
+  }
+
+  /** Prefix-filtered candidate pairs (AllPairs/PPJoin) for Jaccard >=
+    * num/den — the exact, near-linear replacement for the blocked
+    * self-join whose within-block pair count grows quadratically with the
+    * corpus. Tokens get a global total order "rarest first" (document
+    * frequency asc, code asc — injective because codes are); a doc's
+    * PREFIX is its first p = sz - ceil(t*sz) + 1 tokens in that order.
+    * Prefix-filter lemma (Chaudhuri/Bayardo/Xiao): if J(a,b) >= t, the
+    * pair's smallest common token (in the global order) sits inside BOTH
+    * prefixes — were it outside a's prefix, a would have at most
+    * ceil(t*sz_a) - 1 < t*sz_a <= |a∩b| tokens at-or-after it, yet every
+    * common token is. So an equi-join on exploded prefix tokens finds
+    * every qualifying pair, and candidate volume tracks how often RARE
+    * tokens co-occur — near-linear in the corpus — instead of block^2.
+    * Two further exact prunes before the pair shuffle:
+    *  - positional: a copy matched at 0-based prefix positions (ia, ib)
+    *    can only be the minimal-common-token copy of a qualifying pair if
+    *    min(sz_a - ia, sz_b - ib) >= alpha, the overlap J >= t forces:
+    *    alpha = ceil(num*(sz_a+sz_b) / (num+den))  [t/(1+t)*(|a|+|b|)];
+    *  - block semantics: the query families define pairs WITHIN
+    *    (lang, length-bucket) blocks, so block equality rides the join.
+    * All thresholds are INTEGER arithmetic on the rational t = num/den —
+    * ceil(t*sz) as (num*sz + den - 1) DIV den — because double ceil(0.8*5)
+    * = ceil(4.000000000000001) = 5 silently shortens the prefix and drops
+    * true pairs. Duplicate copies (a pair can share several prefix
+    * tokens) collapse via groupBy over 16-byte id pairs — a narrow
+    * shuffle over the already-pruned candidate set; carrying each side's
+    * prefix array through the join to filter "first agreeing token"
+    * instead would multiply join payload by p for the same result. The
+    * joins are pinned shuffle_hash: df/meta/prefix tables are corpus-size
+    * at 100 TB (never broadcastable), and fixture-size AQE broadcasts
+    * would make PlanSpec's no-corpus-broadcast assertions lie.
+    */
+  private[graft] def prefixCandidates(enc: DataFrame, meta: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val tok = enc.select(col("doc_id"), explode(col("codes")).as("code"))
+    val dfreq = tok.groupBy("code").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq.hint("shuffle_hash"), "code")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("code")))).as("ord"),
+        count(lit(1)).as("sz"))
+    val prefix = ordered
+      .withColumn("p", col("sz") - expr(s"($num * sz + ${den - 1}) DIV $den") + 1)
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(ord, 1, CAST(p AS INT))")).as(Seq("pos", "pc")))
+      .select(col("doc_id"), col("sz"), col("pos"), col("pc.code").as("code"))
+      .join(meta.drop("sz").hint("shuffle_hash"), "doc_id")
+    val a = prefix.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+      col("bucket").as("ba"), col("sz").as("sza"), col("pos").as("ia"), col("code"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+      col("bucket").as("bb"), col("sz").as("szb"), col("pos").as("ib"), col("code"))
+    a.join(b.hint("shuffle_hash"), Seq("code"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("la") === col("lb") && col("ba") === col("bb") &&
+        least(col("sza") - col("ia"), col("szb") - col("ib")) >=
+          expr(s"($num * (sza + szb) + ${num + den - 1}) DIV ${num + den}"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .select("doc_a", "doc_b")
+  }
+
+  private val genChoice =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Exact in-block Jaccard candidate pairs, generator chosen by corpus
+    * shape. Neither generator dominates:
+    *  - PREFIX path (prefixCandidates): near-linear candidates on a
+    *    Zipfian vocabulary — the 100 TB text-corpus reality, where each
+    *    doc's rarest tokens are near-unique and the length-blocked join's
+    *    within-block population (linear in the corpus) makes block^2
+    *    pairs the scale-killer;
+    *  - BLOCKED path with an exact size-ratio prune riding the join:
+    *    J(a,b) >= num/den forces den*min(sz) >= num*max(sz), a scalar
+    *    conjunct that strictly subsets the block pairs with no extra
+    *    shuffle. On a DEGENERATE vocabulary (the synthetic fixture: 31
+    *    words, 377 trigrams, so "rare" tokens have df in the thousands
+    *    and every pair shares prefix tokens) the prefix join's raw
+    *    multiplicity (22x the blocked volume at sf0.1, measured) loses
+    *    to simply enumerating the block — and most blocked pairs are
+    *    TRUE matches there, so no exact generator can prune much anyway.
+    * The choice reads two O(1)-row statistics jobs, memoized per corpus
+    * (the shape doesn't change between calls): prefix wins when
+    * vocab > pbar^2 * nblocks — expected prefix-join pairs
+    * ~(ndocs*pbar)^2/(2*vocab) vs blocked pairs ~ndocs^2/(2*nblocks).
+    * HLL estimates suffice: a wrong choice costs time, never rows —
+    * both generators are exact supersets of the qualifying pairs.
+    */
+  private[graft] def candidatePairs(enc: DataFrame, meta: DataFrame,
+      num: Int, den: Int, key: String): DataFrame = {
+    val usePrefix: Boolean = genChoice.computeIfAbsent(key, _ => {
+      val m = meta.agg(
+        avg(expr(s"sz - (($num * CAST(sz AS BIGINT) + ${den - 1}) DIV $den) + 1")),
+        approx_count_distinct(concat_ws(":", col("lang"), col("bucket")))).head()
+      val pbar = m.getDouble(0)
+      val nblocks = m.getLong(1)
+      val vocab = enc.select(explode(col("codes")).as("code"))
+        .agg(approx_count_distinct(col("code"))).head().getLong(0)
+      vocab.toDouble > pbar * pbar * nblocks
+    })
+    if (usePrefix) prefixCandidates(enc, meta, num, den)
+    else {
+      val a = meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("bucket").as("ba"), col("sz").as("sza"))
+      val b = meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("bucket").as("bb"), col("sz").as("szb"))
+      // both sides are one-row-per-doc (corpus-size at 100 TB): pin the
+      // shuffle join AQE's fixture-size broadcast would otherwise replace
+      a.join(b.hint("shuffle_hash"),
+          col("la") === col("lb") && col("ba") === col("bb") &&
+          col("doc_a") < col("doc_b") &&
+          col("sza") * den >= col("szb") * num &&
+          col("szb") * den >= col("sza") * num)
+        .select("doc_a", "doc_b")
+    }
+  }
+
+  /** Checkpoint strategy for the CC loop. localCheckpoint (the default)
+    * pins each pass's blocks in EXECUTOR memory/disk — fast, but
+    * non-reliable: the truncated lineage is not recomputable, so at
+    * 100 TB one executor loss mid-loop kills the whole job. Setting
+    * spark.graft.cluster.reliableCheckpoint=true switches every pass to
+    * a reliable checkpoint() under the SparkContext checkpoint dir —
+    * on a real cluster point that at HDFS/S3; for single-JVM runs a tmp
+    * dir is provisioned (and swept at JVM exit) if none is set. Costs
+    * one round-trip write per pass, buys executor-loss survival.
+    */
+  private def passPinner(s: SparkSession): DataFrame => DataFrame = {
+    val reliable = s.conf.getOption("spark.graft.cluster.reliableCheckpoint")
+      .exists(_.toBoolean)
+    if (!reliable) df => df.localCheckpoint()
+    else {
+      if (s.sparkContext.getCheckpointDir.isEmpty) {
+        val p = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try walk.sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }))
+        s.sparkContext.setCheckpointDir(p.toString)
+      }
+      df => df.checkpoint()
+    }
   }
 
   /** Verify stage shared by the Jaccard dedup paths: attach each side's
@@ -115,17 +265,17 @@ object Dedup extends QueryFamily {
         .orderBy("canonical_id")),
 
     // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
-    // blocks. Id-only pairs through the skewed block join, then the shared
-    // shuffle-attach verify (one linear merge per pair over long codes).
+    // blocks. Candidates from the adaptive generator (candidatePairs:
+    // prefix filtering on Zipfian vocab, size-pruned block join on
+    // degenerate vocab — both exact), then the shared shuffle-attach
+    // verify (one linear merge per pair over long codes). Output is
+    // identical to the all-pairs-in-block form the oracle runs.
     "q_dedup_near" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
-      val ids = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
-      val pairs = ids.as("a").join(ids.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      jaccardVerify(pairs, tokenCodes(s, dir), 0.8)
+      val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
+        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+      val enc = tokenCodes(s, dir)
+      jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
 
     // MinHash(8) + LSH (2 bands x 4 rows) candidates, then exact-Jaccard
@@ -211,28 +361,31 @@ object Dedup extends QueryFamily {
       graft.functions.TrigramCodes.register(s)
       val grams = Tables(s, dir, "documents")
         .selectExpr("doc_id", "trigram_codes(text) AS codes")
-      // Pair generation stays id-only: putting a gram-count prefilter in
-      // this join re-inlines the whole gram computation into the join
-      // condition (CollapseProject) and evaluates it per candidate pair.
-      val ids = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang", "n_chars DIV 100 AS bucket")
-      val pairs = ids.as("a").join(ids.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      jaccardVerify(pairs, grams, 0.6)
+      val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
+        "n_chars DIV 100 AS bucket", "size(trigram_codes(text)) AS sz")
+      jaccardVerify(candidatePairs(grams, meta, 3, 5, s"ngram:$dir"), grams, 0.6)
     }),
 
-    // Embedding near-dup: cosine >= 0.3 inside the same coarse cluster
-    // (label).
+    // Embedding near-dup: cosine >= 0.3 inside the same TWO-LEVEL block
+    // (label, sign-LSH bucket). Label alone is a coarse cluster whose
+    // population grows linearly with the corpus — quadratic pairs within
+    // the hottest label; composing it with the 4-hyperplane sign-LSH
+    // bucket (the same fixed Rademacher planes as q_sim_lsh, inlined
+    // bit-identically into both engines) bounds within-block pairs.
+    // Approximate by design — a same-label pair split across buckets is
+    // absent — and the oracle runs the identical two-stage pipeline, so
+    // outputs hash-match.
     "q_dedup_cosine" -> ((s, dir) => {
       graft.functions.VecDot.register(s)
+      val bucket = lshBucketExpr(j => s"element_at(v, $j)")
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+        .withColumn("bucket", expr(bucket))
       val dot = "vec_dot(a.v, b.v)"
       e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", expr(dot) / (col("a.norm") * col("b.norm")))
         .where(col("cos") >= 0.3)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -262,7 +415,7 @@ object Dedup extends QueryFamily {
     }),
 
     // Dedup clustering: connected components over the near-dup pair graph
-    // (the same blocked Jaccard >= 0.8 edges as q_dedup_near), labeling
+    // (the same Jaccard >= 0.8 edges as q_dedup_near), labeling
     // every document with the min doc_id reachable from it — the "keep one
     // canonical doc per duplicate cluster" step of a training-data
     // pipeline. Iterative min-label propagation with pointer jumping: each
@@ -275,17 +428,17 @@ object Dedup extends QueryFamily {
     // the duplicate subgraph, not the corpus. The driver loop reads one
     // convergence bit per pass, computed from the SAME checkpointed pass
     // result (a cached-block scan, not an extra join job);
-    // localCheckpoint pins each pass so plans stay constant-size instead
-    // of growing exponentially with iterations.
+    // each pass is pinned (passPinner) so plans stay constant-size
+    // instead of growing exponentially with iterations; set
+    // spark.graft.cluster.reliableCheckpoint=true to survive executor
+    // loss at scale (reliable checkpoint per pass instead of
+    // executor-memory blocks).
     "q_dedup_cluster" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
-      val ids = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
-      val pairs = ids.as("a").join(ids.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
+        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
       val enc = tokenCodes(s, dir)
+      val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
       val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
       val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
       // the fused Jaccard runs once per pair here: it sits alone in a
@@ -295,9 +448,9 @@ object Dedup extends QueryFamily {
         .join(cb.hint("shuffle_hash"), "doc_b")
         .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
         .select(col("doc_a"), col("doc_b"))
-      val edges = dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
+      val pin = passPinner(s)
+      val edges = pin(dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
       // Pass 0, fused: with identity labels, "min label over neighbors"
       // IS "min neighbor id", so the first propagation is one groupBy
       // (both edge directions are present, so src alone covers every edge
@@ -307,9 +460,8 @@ object Dedup extends QueryFamily {
         .agg(least(col("src"), min(col("dst"))).as("lbl"))
         .select(col("src").as("doc_id"), col("lbl"))
       val ptr0 = nbr0.select(col("doc_id").as("p"), col("lbl").as("plbl"))
-      var lbl = nbr0.join(ptr0, nbr0("lbl") === ptr0("p"))
-        .select(nbr0("doc_id").as("doc_id"), col("plbl").as("lbl"))
-        .localCheckpoint()
+      var lbl = pin(nbr0.join(ptr0, nbr0("lbl") === ptr0("p"))
+        .select(nbr0("doc_id").as("doc_id"), col("plbl").as("lbl")))
       // pass 0 always changes labels (any node with a smaller neighbor
       // moves), so the convergence check starts at pass 1
       var done = false
@@ -326,10 +478,9 @@ object Dedup extends QueryFamily {
         // same-component neighbors), so following the label one hop stays
         // inside `stepped` — the inner join is total
         val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
-        val next = stepped.join(ptr, stepped("lbl") === ptr("p"))
+        val next = pin(stepped.join(ptr, stepped("lbl") === ptr("p"))
           .select(stepped("doc_id").as("doc_id"), col("plbl").as("lbl"),
-            (col("plbl") =!= col("prev")).as("changed"))
-          .localCheckpoint()
+            (col("plbl") =!= col("prev")).as("changed")))
         done = next.where(col("changed")).isEmpty
         lbl = next.select("doc_id", "lbl")
         iter += 1
@@ -476,11 +627,16 @@ object Dedup extends QueryFamily {
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.6 ORDER BY doc_a, doc_b"),
 
-    "q_dedup_cosine" -> ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim " +
-      "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3 " +
-      "ORDER BY vec_a, vec_b"),
+    "q_dedup_cosine" -> {
+      val bucket = lshBucketExpr(j => s"v[$j]")
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"s AS (SELECT vec_id, label, v, $bucket AS bucket FROM e) " +
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      "round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim " +
+      "FROM s a JOIN s b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+      "WHERE list_cosine_similarity(a.v, b.v) >= 0.3 " +
+      "ORDER BY vec_a, vec_b"
+    },
 
     "q_sim_topk" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +

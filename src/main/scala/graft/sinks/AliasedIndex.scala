@@ -1,0 +1,87 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Full-sync index-recreate with alias swap (SURVEY §3.1): the
+  * reference's full mode rebuilds the target index from scratch and then
+  * swaps a serving alias onto it, so readers never observe a
+  * half-written index. Filesystem analog of the index/alias pair:
+  *
+  * {{{
+  *   root/
+  *     v-00001/…       immutable, fully-written version dirs
+  *     v-00002/…
+  *     current         one-line pointer file, atomically replaced
+  * }}}
+  *
+  * A publish builds the ENTIRE next version under a hidden `.building-*`
+  * dir (a crashed writer leaves only hidden junk, never a visible
+  * version), renames it to `v-NNNNN`, then flips `current` by writing a
+  * tmp pointer file and ATOMIC_MOVE-ing it over the old one — readers
+  * resolving `current` see the old complete version or the new complete
+  * version, nothing in between (POSIX rename atomicity, the same
+  * guarantee an ES alias swap gives). Old versions are GC'd after the
+  * flip, keeping `keep` — at least 2, so a reader that resolved just
+  * before a publish still has its version on disk while it reads.
+  * At 100 TB `root` is an object-store prefix and `current` a manifest
+  * object replaced by a put — the pointer-flip shape is the same.
+  */
+object AliasedIndex {
+
+  private val VersionRe = "v-(\\d{5})".r
+
+  private def versions(root: Path): Seq[(Int, Path)] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else Files.list(root).iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) => Some((n.toInt, p))
+        case _            => None
+      }
+    }.toSeq.sortBy(_._1)
+
+  /** Directory the alias currently serves, if any. */
+  def resolve(root: String): Option[String] = {
+    val cur = Paths.get(root, "current")
+    if (!Files.exists(cur)) None
+    else Some(Paths.get(root, Files.readString(cur).trim).toString)
+  }
+
+  /** Build the next version via `write(dir)`, flip the alias, GC old
+    * versions; returns the published dir. `write` must fully materialize
+    * the index under the dir it is given — the flip happens only after
+    * it returns.
+    */
+  def publish(root: String, keep: Int = 2)(write: String => Unit): String = {
+    require(keep >= 2, s"keep=$keep: must retain >=2 versions or an " +
+      "in-flight reader of the previous version races the GC")
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val next = versions(rootP).lastOption.fold(1)(_._1 + 1)
+    val name = f"v-$next%05d"
+    // hidden staging dir: a writer crash leaves no visible version
+    val staging = Files.createTempDirectory(rootP, s".building-$name-")
+    write(staging.toString)
+    val versionDir = rootP.resolve(name)
+    Files.move(staging, versionDir, StandardCopyOption.ATOMIC_MOVE)
+    // alias flip: tmp pointer file + atomic rename over `current`
+    val tmp = Files.createTempFile(rootP, ".current-", ".tmp")
+    Files.writeString(tmp, name)
+    Files.move(tmp, rootP.resolve("current"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    gc(rootP, keep)
+    versionDir.toString
+  }
+
+  /** Remove all but the newest `keep` versions (the current target is
+    * always among them — it is the newest).
+    */
+  private def gc(root: Path, keep: Int): Unit =
+    versions(root).dropRight(keep).foreach { case (_, p) =>
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+}

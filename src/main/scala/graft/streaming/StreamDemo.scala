@@ -62,16 +62,35 @@ object StreamDemo {
 
   /** Watermarked tumbling aggregation; late data beyond 1h is dropped once
     * the watermark passes it.
+    *
+    * `rocksdb = true` runs the SAME query on the RocksDB state store
+    * provider — the 100 TB streaming-state story: the default
+    * HDFSBackedStateStoreProvider keeps every partition's state map in
+    * executor HEAP (state size is bounded by executor memory, GC churn
+    * scales with it), while RocksDB spills state to local SSD with
+    * changelog checkpointing — billions of keys per executor. The conf is
+    * read per-query at start, so it is set just for this one and restored
+    * after; same watermark, same output, different state backend.
     */
-  def windowedCounts(spark: SparkSession, workDir: String): DataFrame = {
-    val q = source(spark, workDir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .writeStream.outputMode("update").format("memory")
-      .queryName("stream_windowed").start()
-    q.processAllAvailable(); q.stop()
-    spark.table("stream_windowed")
+  def windowedCounts(spark: SparkSession, workDir: String,
+      rocksdb: Boolean = false): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    if (rocksdb) spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = if (rocksdb) "stream_windowed_rocksdb" else "stream_windowed"
+      val q = source(spark, workDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    } finally if (rocksdb) {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
   }
 
   /** Stateful streaming dedup: first event per (user, type, minute) with

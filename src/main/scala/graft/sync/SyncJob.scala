@@ -133,6 +133,19 @@ object SyncRunner {
         min("_id").as("first_id"), max("_id").as("last_id"))
       .orderBy("shard", "batch_id")
 
+  /** Full-sync with index recreate + alias swap (the reference's full
+    * mode): build the job's complete output as a NEW version under
+    * `indexRoot`, then atomically flip the `current` alias onto it —
+    * readers of [[graft.sinks.AliasedIndex.resolve]] never observe a
+    * half-written index, and the previous version stays on disk for
+    * in-flight readers until GC. Returns the published version dir.
+    */
+  def fullSync(spark: SparkSession, sfDir: String, job: SyncJob,
+      indexRoot: String, keep: Int = 2): String =
+    graft.sinks.AliasedIndex.publish(indexRoot, keep) { dir =>
+      run(spark, sfDir, job, graft.sinks.FileBulkClient(dir))
+    }
+
   /** Execute the job: deliver every planned batch through `client`.
     * One shuffle on the routing shard, batches emitted in (shard,
     * batch, h) order from each partition — a replay regenerates the

@@ -31,4 +31,21 @@ class ClusterSpec extends AnyFunSuite {
       s"doc $id: graphx=${cc(id)} ours=$comp" }
     assert(diffs.isEmpty, diffs.take(5).mkString("; "))
   }
+
+  test("reliable-checkpoint path yields identical components") {
+    // the scale path: spark.graft.cluster.reliableCheckpoint=true swaps
+    // executor-memory localCheckpoint for a reliable checkpoint() per
+    // pass, so an executor loss mid-loop is survivable at 100 TB. Same
+    // answer, different durability.
+    val default = SparkEntry.queries("q_dedup_cluster")(spark, sf0001)
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cluster.reliableCheckpoint", "true")
+    try {
+      val reliable = SparkEntry.queries("q_dedup_cluster")(spark, sf0001)
+        .select("doc_id", "component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == default)
+    } finally spark.conf.unset("spark.graft.cluster.reliableCheckpoint")
+  }
 }

@@ -20,6 +20,18 @@ class StreamDemoSpec extends AnyFunSuite {
     assert(streamed.select("window", "event_type").distinct().count() == batchGroups)
   }
 
+  test("RocksDB state store provider yields the identical windowed result") {
+    // the 100 TB state backend: same query, state in RocksDB (local-disk,
+    // changelog-checkpointed) instead of executor heap — results must be
+    // indistinguishable from the default provider's
+    val heap = StreamDemo.windowedCounts(spark, work)
+      .select("window", "event_type", "n", "sum_value").collect().toSet
+    val rocks = StreamDemo.windowedCounts(spark, work, rocksdb = true)
+      .select("window", "event_type", "n", "sum_value").collect().toSet
+    assert(rocks == heap)
+    assert(rocks.nonEmpty)
+  }
+
   test("streaming dedup matches the batch keyed-dedup row count") {
     val streamed = StreamDemo.dedup(spark, work).count()
     val batch = SparkEntry.queries("q_stream_dedup")(spark, sf0001).count()

@@ -98,6 +98,63 @@ class SyncSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(1500))
   }
 
+  test("alias-swap full sync: readers never observe a half-written index") {
+    import graft.sinks.AliasedIndex
+    val root = tmp("graft_alias").toString
+    assert(AliasedIndex.resolve(root).isEmpty)
+    // v1: publish a full sync; alias lands on it only after the write
+    val v1 = SyncRunner.fullSync(spark, sf0001, fullJob, root)
+    assert(AliasedIndex.resolve(root).contains(v1))
+    val v1Snap = snapshot(v1)
+    assert(idsOf(v1Snap).nonEmpty)
+    // v2: DURING the write, the alias must still serve the complete v1 —
+    // assert from inside the write callback, before the flip
+    var duringWrite: Option[String] = None
+    val v2 = AliasedIndex.publish(root) { dir =>
+      SyncRunner.run(spark, sf0001, fullJob, FileBulkClient(dir))
+      duringWrite = AliasedIndex.resolve(root)
+    }
+    assert(duringWrite.contains(v1),
+      s"alias moved before v2 was complete: $duringWrite")
+    assert(AliasedIndex.resolve(root).contains(v2))
+    assert(snapshot(v2) == v1Snap, "recreated index must be byte-identical")
+    // the previous version survives the flip for in-flight readers
+    assert(Files.isDirectory(java.nio.file.Paths.get(v1)))
+  }
+
+  test("alias swap is atomic under a concurrent reader, and GC keeps 2 versions") {
+    import graft.sinks.AliasedIndex
+    val root = tmp("graft_alias_gc").toString
+    // tiny writes (no Spark) to exercise many flips quickly
+    def writeVersion(tag: Int)(dir: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(dir, "data.txt"), s"version $tag")
+    AliasedIndex.publish(root)(writeVersion(0))
+    @volatile var failure: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        AliasedIndex.resolve(root).foreach { dir =>
+          // whatever the pointer says must be a COMPLETE version: dir
+          // exists and its data file is fully written
+          val f = java.nio.file.Paths.get(dir, "data.txt")
+          if (!Files.exists(f)) failure = Some(s"pointer to incomplete $dir")
+          else if (!Files.readString(f).startsWith("version "))
+            failure = Some(s"torn read in $dir")
+        }
+      }
+    })
+    reader.start()
+    (1 to 15).foreach(i => AliasedIndex.publish(root)(writeVersion(i)))
+    stop = true
+    reader.join(10000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // GC: only the newest `keep`=2 versions remain, alias on the newest
+    val left = Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v-")).toSeq.sorted
+    assert(left == Seq("v-00015", "v-00016"), left.mkString(","))
+    assert(AliasedIndex.resolve(root).get.endsWith("v-00016"))
+  }
+
   test("SQL-source job runs the query through the same pipeline") {
     val job = SyncJob("big_orders", SyncSource.Sql(
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000"),
