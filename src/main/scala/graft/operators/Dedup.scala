@@ -234,6 +234,27 @@ object Dedup extends QueryFamily {
     }
   }
 
+  /** The q_dedup_near pair set as bare (doc_a, doc_b) edges — shared by
+    * q_dedup_cluster (edge input) and q_dedup_retention (dominance
+    * input). Same candidates, same fused threshold check; here the
+    * Jaccard value is discarded, so the predicate sits alone in a filter
+    * (no projection for CollapseProject to re-inline it into) and runs
+    * once per pair.
+    */
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedJaccardGe.register(s)
+    val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
+      "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+    val enc = tokenCodes(s, dir)
+    val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
+    val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
+    val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
+    pairs.join(ca.hint("shuffle_hash"), "doc_a")
+      .join(cb.hint("shuffle_hash"), "doc_b")
+      .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Verify stage shared by the Jaccard dedup paths: attach each side's
     * sorted code set via a SHUFFLE join on the id-only candidate pairs —
     * never a corpus-size broadcast (the per-doc set table is terabytes at
@@ -434,20 +455,7 @@ object Dedup extends QueryFamily {
     // loss at scale (reliable checkpoint per pass instead of
     // executor-memory blocks).
     "q_dedup_cluster" -> ((s, dir) => {
-      graft.functions.SortedJaccardGe.register(s)
-      val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
-        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
-      val enc = tokenCodes(s, dir)
-      val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
-      val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
-      val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
-      // the fused Jaccard runs once per pair here: it sits alone in a
-      // filter (its value is discarded), so there is no projection for
-      // CollapseProject to re-inline it into
-      val dup = pairs.join(ca.hint("shuffle_hash"), "doc_a")
-        .join(cb.hint("shuffle_hash"), "doc_b")
-        .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
-        .select(col("doc_a"), col("doc_b"))
+      val dup = nearDupEdges(s, dir)
       val pin = passPinner(s)
       val edges = pin(dup.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(dup.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -494,6 +502,34 @@ object Dedup extends QueryFamily {
         .select(col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("component"))
         .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup retention: the "keep the best copy" step that follows pair
+    // detection in a training-data pipeline. A doc is DROPPED when some
+    // near-dup partner (the q_dedup_near >= 0.8 edges) dominates it:
+    // more distinct tokens, or equally many and a smaller doc_id (a
+    // total order, so every connected pair resolves deterministically
+    // and at least one doc of every cluster survives). Dominance is a
+    // scalar predicate per edge + a distinct over dropped ids — narrow
+    // shuffles over the (already bounded) edge set, no windows, no
+    // quality-score floats to disagree across engines.
+    "q_dedup_retention" -> ((s, dir) => {
+      val dup = nearDupEdges(s, dir)
+      val q = Tables(s, dir, "documents").selectExpr("doc_id",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_dist")
+      val edges = dup.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"))
+        .union(dup.select(col("doc_b").as("doc_id"), col("doc_a").as("partner")))
+      val dominated = edges
+        .join(q.select(col("doc_id"), col("n_dist").as("my_dist"))
+          .hint("shuffle_hash"), "doc_id")
+        .join(q.select(col("doc_id").as("partner"), col("n_dist").as("p_dist"))
+          .hint("shuffle_hash"), "partner")
+        .where(col("p_dist") > col("my_dist") ||
+          (col("p_dist") === col("my_dist") && col("partner") < col("doc_id")))
+        .select(col("doc_id"), lit(1).as("d")).distinct()
+      q.join(dominated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_dist"), col("d").isNull.as("is_kept"))
         .orderBy("doc_id")
     }),
 
@@ -655,6 +691,20 @@ object Dedup extends QueryFamily {
       "UNION SELECT e.src, r.lbl FROM r JOIN e ON e.dst = r.id) " +
       "SELECT id AS doc_id, min(lbl) AS component, (id = min(lbl)) AS is_canonical " +
       "FROM r GROUP BY id ORDER BY doc_id"),
+
+    "q_dedup_retention" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+      "list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b " +
+      "ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      s"WHERE $jaccDuck >= 0.8), " +
+      "q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_dist FROM d), " +
+      "e AS (SELECT doc_a AS doc_id, doc_b AS partner FROM p " +
+      "UNION ALL SELECT doc_b, doc_a FROM p), " +
+      "dom AS (SELECT DISTINCT e.doc_id FROM e " +
+      "JOIN q me ON me.doc_id = e.doc_id JOIN q pq ON pq.doc_id = e.partner " +
+      "WHERE pq.n_dist > me.n_dist OR (pq.n_dist = me.n_dist AND e.partner < e.doc_id)) " +
+      "SELECT q.doc_id, q.n_dist, dom.doc_id IS NULL AS is_kept " +
+      "FROM q LEFT JOIN dom ON q.doc_id = dom.doc_id ORDER BY q.doc_id"),
 
     "q_sim_lsh" -> {
       val bucket = lshBucketExpr(j => s"v[$j]")

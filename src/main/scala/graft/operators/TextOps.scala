@@ -203,6 +203,34 @@ object TextOps extends QueryFamily {
         "substr(md5(text), 1, 8) AS content_id")
         .orderBy("doc_id")),
 
+    // Repetition quality signal (the Gopher-rules "fraction of content in
+    // duplicated n-grams" family): per doc, word-bigram multiplicities →
+    // top bigram count vs total. Emitted as raw INTEGERS (top_count,
+    // n_bigrams, n_distinct) plus a `repetitive` flag (top*4 >= total,
+    // i.e. one bigram is >=25% of the doc) — no float ratio, so no
+    // cross-engine rounding hazard. The per-(doc, bigram) groupBy is
+    // narrow and hot-doc safe: a doc's bigrams partial-aggregate map-side
+    // before the shuffle.
+    "q_text_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bi = toks.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END")).as("bg"))
+      val agg = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"), max("cnt").as("top_count"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("top_count"), lit(0L)).as("top_count"))
+        .withColumn("repetitive",
+          col("n_bigrams") > 0 && col("top_count") * 4 >= col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal join: text features with vector features, outer where the
     // embedding is missing (genuinely partial at sf0.1).
     "q_multimodal_join" -> ((s, dir) => {
@@ -359,6 +387,17 @@ object TextOps extends QueryFamily {
       "for i in generate_series(1, len(string_split(text, ' ')))]) % 2147483647 AS BIGINT) AS fp, " +
       "substr(md5(text), 1, 8) AS content_id " +
       "FROM documents ORDER BY doc_id"),
+
+    "q_text_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "b AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] " +
+      "for i in generate_series(1, len(t) - 1)]) AS bg FROM t WHERE len(t) >= 2), " +
+      "c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+      "a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams, " +
+      "count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_count FROM c GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+      "coalesce(a.n_distinct, 0) AS n_distinct, coalesce(a.top_count, 0) AS top_count, " +
+      "(coalesce(a.n_bigrams, 0) > 0 AND coalesce(a.top_count, 0) * 4 >= coalesce(a.n_bigrams, 0)) AS repetitive " +
+      "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
 
     "q_multimodal_join" -> ("SELECT doc_id, n_chars, lang, label, " +
       "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm " +
