@@ -155,6 +155,48 @@ class SyncSpec extends AnyFunSuite {
     assert(AliasedIndex.resolve(root).get.endsWith("v-00016"))
   }
 
+  test("config JSON parses to jobs and the loop delivers each one") {
+    val json = """{"jobs": [
+      {"name": "orders_small", "table": "orders", "idCol": "o_orderkey",
+       "fields": [{"name": "order_id", "expr": "o_orderkey"},
+                  {"name": "status", "expr": "o_orderstatus", "quoted": true}],
+       "shards": 2, "batchSize": 100},
+      {"name": "orders_incr", "table": "orders", "idCol": "o_orderkey",
+       "fields": [{"name": "order_id", "expr": "o_orderkey"}],
+       "mode": {"watermarkCol": "o_orderdate", "from": "TIMESTAMP '1997-06-01'"}}
+    ]}"""
+    val jobs = SyncConfig.fromJson(json)
+    assert(jobs.map(_.name) == Seq("orders_small", "orders_incr"))
+    assert(jobs.head.shards == 2 && jobs.head.batchSize == 100)
+    assert(jobs.head.fields(1) == DocField("status", "o_orderstatus", quoted = true))
+    assert(jobs(1).mode ==
+      SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'"))
+    assert(jobs(1).shards == 8 && jobs(1).batchSize == 500) // defaults
+    val root = tmp("graft_cfgloop").toString
+    val outcomes = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$root/${j.name}"))
+    assert(outcomes.forall(_.ok), outcomes.mkString("; "))
+    val total = spark.read.parquet(s"$sf0001/orders.parquet").count()
+    assert(outcomes.head.docs == total)
+    assert(outcomes(1).docs > 0 && outcomes(1).docs < total)
+    // delivered files exist for both jobs
+    assert(idsOf(snapshot(s"$root/orders_small")).size == total)
+    assert(idsOf(snapshot(s"$root/orders_incr")).size == outcomes(1).docs)
+  }
+
+  test("a failing job is isolated: reported, loop continues") {
+    val good = fullJob.copy(name = "good")
+    val bad = SyncJob("bad", SyncSource.Sql("SELECT * FROM no_such_table"),
+      idCol = "o_orderkey", fields = fields)
+    val root = tmp("graft_cfgfail").toString
+    val outcomes = SyncConfig.runAll(spark, sf0001, Seq(bad, good),
+      j => FileBulkClient(s"$root/${j.name}"))
+    assert(!outcomes.head.ok && outcomes.head.error.nonEmpty)
+    assert(outcomes(1).ok && outcomes(1).docs > 0,
+      "the job after a failed one must still deliver")
+    assert(idsOf(snapshot(s"$root/good")).nonEmpty)
+  }
+
   test("SQL-source job runs the query through the same pipeline") {
     val job = SyncJob("big_orders", SyncSource.Sql(
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000"),
