@@ -27,6 +27,11 @@ import scala.jdk.CollectionConverters._
   * before a publish still has its version on disk while it reads.
   * At 100 TB `root` is an object-store prefix and `current` a manifest
   * object replaced by a put — the pointer-flip shape is the same.
+  *
+  * Single concurrent PUBLISHER assumed (the reference's sync loop is one
+  * process; readers are unlimited). Two racing publishers pick the same
+  * next version number and the second ATOMIC_MOVE onto `v-NNNNN` fails
+  * loudly — a visible error, never a corrupted or half-visible version.
   */
 object AliasedIndex {
 

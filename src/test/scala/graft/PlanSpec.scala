@@ -145,4 +145,17 @@ class PlanSpec extends AnyFunSuite {
     assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
       s"row_number window not bucket-partitioned: $rn")
   }
+
+  test("q_sync_full batch ranks are bucket-partitioned (no row-scale window)") {
+    // the sync plan's per-shard rank must use the same bucket-offset
+    // decomposition as q_sink_batched: a row_number over (routing, bkt),
+    // never a window that funnels a shard's whole corpus-fraction
+    // through one task
+    val df = SparkEntry.queries("q_sync_full")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
+      s"sync row_number window not bucket-partitioned: $rn")
+  }
 }
