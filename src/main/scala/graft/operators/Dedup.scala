@@ -149,6 +149,13 @@ object Dedup extends QueryFamily {
   private val genChoice =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Drop all memoized generator choices. The memo assumes a corpus's
+    * SHAPE is stable under its path; a long-lived session that rewrites
+    * data under the same path should clear (or set
+    * `spark.graft.dedup.candidateGen` to pin a generator explicitly).
+    */
+  def clearGenChoiceCache(): Unit = genChoice.clear()
+
   /** Exact in-block Jaccard candidate pairs, generator chosen by corpus
     * shape. Neither generator dominates:
     *  - PREFIX path (prefixCandidates): near-linear candidates on a
@@ -171,19 +178,43 @@ object Dedup extends QueryFamily {
     * ~(ndocs*pbar)^2/(2*vocab) vs blocked pairs ~ndocs^2/(2*nblocks).
     * HLL estimates suffice: a wrong choice costs time, never rows —
     * both generators are exact supersets of the qualifying pairs.
+    * `spark.graft.dedup.candidateGen=prefix|blocked|auto` (default auto)
+    * pins a generator and skips the statistics jobs entirely — the
+    * escape hatch when the memo is stale (see [[clearGenChoiceCache]])
+    * or the operator knows the corpus shape.
     */
   private[graft] def candidatePairs(enc: DataFrame, meta: DataFrame,
       num: Int, den: Int, key: String): DataFrame = {
-    val usePrefix: Boolean = genChoice.computeIfAbsent(key, _ => {
-      val m = meta.agg(
-        avg(expr(s"sz - (($num * CAST(sz AS BIGINT) + ${den - 1}) DIV $den) + 1")),
-        approx_count_distinct(concat_ws(":", col("lang"), col("bucket")))).head()
-      val pbar = m.getDouble(0)
-      val nblocks = m.getLong(1)
-      val vocab = enc.select(explode(col("codes")).as("code"))
-        .agg(approx_count_distinct(col("code"))).head().getLong(0)
-      vocab.toDouble > pbar * pbar * nblocks
-    })
+    val usePrefix: Boolean = enc.sparkSession.conf
+      .getOption("spark.graft.dedup.candidateGen").getOrElse("auto") match {
+      case "prefix"  => true
+      case "blocked" => false
+      case "auto" =>
+        val cached = genChoice.get(key)
+        if (cached != null) cached.booleanValue
+        else {
+          // the two statistics jobs run OUTSIDE the map update (a Spark
+          // job inside computeIfAbsent would block the bin for its whole
+          // duration); a concurrent duplicate computation is harmless —
+          // putIfAbsent keeps the first answer and both are identical
+          val m = meta.agg(
+            avg(expr(s"sz - (($num * CAST(sz AS BIGINT) + ${den - 1}) DIV $den) + 1")),
+            approx_count_distinct(concat_ws(":", col("lang"), col("bucket")))).head()
+          // empty corpus: avg over zero rows is null — either generator
+          // emits zero pairs; take the blocked path without the vocab job
+          val choice: Boolean = !m.isNullAt(0) && {
+            val pbar = m.getDouble(0)
+            val nblocks = m.getLong(1)
+            val vocab = enc.select(explode(col("codes")).as("code"))
+              .agg(approx_count_distinct(col("code"))).head().getLong(0)
+            vocab.toDouble > pbar * pbar * nblocks
+          }
+          val prev = genChoice.putIfAbsent(key, choice)
+          if (prev != null) prev.booleanValue else choice
+        }
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.candidateGen=$other: expected prefix|blocked|auto")
+    }
     if (usePrefix) prefixCandidates(enc, meta, num, den)
     else {
       val a = meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),

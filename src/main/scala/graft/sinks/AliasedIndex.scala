@@ -35,16 +35,22 @@ import scala.jdk.CollectionConverters._
   */
 object AliasedIndex {
 
-  private val VersionRe = "v-(\\d{5})".r
+  // \d{5,}: v-%05d rolls to 6 digits past v-99999; a fixed-width match
+  // would make versions() blind to them (numbering restarts, GC skips)
+  private val VersionRe = "v-(\\d{5,})".r
 
   private def versions(root: Path): Seq[(Int, Path)] =
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator.asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case VersionRe(n) => Some((n.toInt, p))
-        case _            => None
-      }
-    }.toSeq.sortBy(_._1)
+    else {
+      val listing = Files.list(root)
+      try listing.iterator.asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case VersionRe(n) => Some((n.toInt, p))
+          case _            => None
+        }
+      }.toSeq.sortBy(_._1)
+      finally listing.close()
+    }
 
   /** Directory the alias currently serves, if any. */
   def resolve(root: String): Option[String] = {

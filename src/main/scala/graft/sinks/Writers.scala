@@ -2,14 +2,44 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** One document of a bulk request: an index action (`doc = Some(body)`)
+  * or a delete action (`doc = None`) — the two verbs a keyed document
+  * store's bulk API takes from a sync pipeline.
+  */
+final case class BulkDoc(id: String, doc: Option[String])
+
+/** Per-document outcome of a bulk request, aligned 1:1 with the request.
+  * A real `_bulk` response is exactly this shape: each item succeeds or
+  * fails independently, and a failure is either RETRYABLE (429 queue
+  * pressure, transient node loss) or PERMANENT (mapping conflict,
+  * malformed doc) — the delivery loop must retry the former and surface
+  * the latter loudly, never conflate them.
+  */
+final case class DocOutcome(id: String, ok: Boolean,
+    retryable: Boolean = false, error: Option[String] = None)
+
+/** Thrown when a batch has documents the store PERMANENTLY rejected (or
+  * still rejected after bounded retries) — the job must fail loudly with
+  * the rejected ids, not silently drop documents.
+  */
+final class BulkRejectedException(val shard: Int, val batchIdx: Int,
+    val rejected: Seq[DocOutcome])
+  extends RuntimeException(
+    s"shard=$shard batch=$batchIdx: ${rejected.size} docs rejected " +
+      s"(first: ${rejected.headOption.fold("")(o => s"${o.id}: ${o.error.getOrElse("")}")})")
 
 /** One bulk-delivery target. Implementations MUST be idempotent in
   * (shard, batchIdx): redelivering the same batch (task retry, full job
   * replay) must leave the store with no duplicates — the same contract a
-  * real document store gives bulk writers that index by `_id`.
+  * real document store gives bulk writers that index by `_id`. `send`
+  * returns one [[DocOutcome]] PER INPUT DOC, in order; a thrown exception
+  * means the whole request failed transiently (network) and is treated as
+  * all-docs-retryable by [[Writers.deliver]].
   */
 trait BulkClient extends Serializable {
-  def send(shard: Int, batchIdx: Int, docs: Seq[(String, String)]): Unit
+  def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome]
 }
 
 /** Filesystem-backed [[BulkClient]]: each batch lands as one JSONL file
@@ -18,18 +48,30 @@ trait BulkClient extends Serializable {
   * files instead of appending — the offline analog of `_id`-keyed
   * upserts (no network/store in this environment; the ROUTING, BATCHING,
   * and IDEMPOTENCY are the production shape under test).
+  *
+  * `gen` scopes a delivery GENERATION: `Some(g)` prefixes paths with
+  * `gen=GGGG/`, so sequential sync runs against the same index (full
+  * load, then incremental upserts) land side by side and
+  * [[Writers.foldState]] can replay them in order — the file analog of a
+  * store applying bulk requests sequentially. `None` (default) keeps the
+  * flat single-run layout. Delete actions serialize as
+  * `{"_id":…,"delete":true}`.
   */
-case class FileBulkClient(dir: String) extends BulkClient {
-  override def send(shard: Int, batchIdx: Int, docs: Seq[(String, String)]): Unit = {
+case class FileBulkClient(dir: String, gen: Option[Int] = None) extends BulkClient {
+  override def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val d = Paths.get(dir, f"shard=$shard%05d")
+    val base = gen.fold(Paths.get(dir))(g => Paths.get(dir, f"gen=$g%04d"))
+    val d = base.resolve(f"shard=$shard%05d")
     Files.createDirectories(d)
     val tmp = Files.createTempFile(d, s".batch-$batchIdx-", ".tmp")
-    val body = docs.map { case (id, doc) => s"""{"_id":"$id","doc":$doc}""" }
-      .mkString("", "\n", "\n")
+    val body = docs.map {
+      case BulkDoc(id, Some(doc)) => s"""{"_id":"$id","doc":$doc}"""
+      case BulkDoc(id, None)      => s"""{"_id":"$id","delete":true}"""
+    }.mkString("", "\n", "\n")
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, d.resolve(f"batch-$batchIdx%06d.jsonl"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    docs.map(b => DocOutcome(b.id, ok = true))
   }
 }
 
@@ -47,6 +89,12 @@ case class FileBulkClient(dir: String) extends BulkClient {
   *     means batch membership is stable across replays, so an idempotent
   *     [[BulkClient]] yields exactly-once-equivalent results after any
   *     number of retries.
+  *  3. [[deliver]] — the retry loop every bulk call goes through:
+  *     retryable rejections are resent (only the rejected docs) with
+  *     exponential backoff up to `maxRetries`; permanent rejections or
+  *     exhausted retries throw [[BulkRejectedException]]. Because batch
+  *     membership is deterministic and the client idempotent, a partial
+  *     redelivery converges to the same store state as a clean run.
   */
 object Writers {
 
@@ -73,6 +121,82 @@ object Writers {
       .saveAsTable(table)
   }
 
+  /** Deliver one batch through `client` with bounded retry. A retryable
+    * rejection (or the request itself throwing — a network-level
+    * failure) resends the WHOLE batch after an exponential backoff, up
+    * to `maxRetries` resends: the client's required `_id`-idempotency
+    * makes redelivering already-accepted docs a no-op, and whole-batch
+    * resend keeps batch-shaped clients (one object per (shard, batch),
+    * like [[FileBulkClient]]) byte-stable — a per-doc resend would
+    * silently mutate batch membership. Permanent rejections — and
+    * batches still rejected when retries are exhausted — throw
+    * [[BulkRejectedException]]: a sync must never silently drop
+    * documents. Runs INSIDE executor tasks (called from
+    * foreachPartition), so the backoff sleeps a task thread, never the
+    * driver.
+    */
+  def deliver(client: BulkClient, shard: Int, batchIdx: Int, docs: Seq[BulkDoc],
+      maxRetries: Int = 3, backoffMs: Long = 10): Unit = {
+    var attempt = 0
+    while (true) {
+      val outcomes =
+        try {
+          val out = client.send(shard, batchIdx, docs)
+          require(out.size == docs.size,
+            s"client returned ${out.size} outcomes for ${docs.size} docs")
+          out
+        } catch {
+          case e: IllegalArgumentException => throw e // the require above
+          case NonFatal(e) => // whole-request transient failure
+            docs.map(b => DocOutcome(b.id, ok = false, retryable = true,
+              error = Some(e.toString)))
+        }
+      val rejected = outcomes.filter(o => !o.ok && !o.retryable)
+      if (rejected.nonEmpty)
+        throw new BulkRejectedException(shard, batchIdx, rejected)
+      val failed = outcomes.filter(o => !o.ok)
+      if (failed.isEmpty) return
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new BulkRejectedException(shard, batchIdx, failed)
+      Thread.sleep(backoffMs << (attempt - 1))
+    }
+  }
+
+  /** Fold a [[FileBulkClient]] index directory into its served state:
+    * generations applied in order (flat layout = generation 0), within a
+    * generation every `_id` appears at most once (the planner emits one
+    * action per id), later generations override earlier ones, deletes
+    * remove. This is the read side of the store analog — what a search
+    * over the index would see after the bulk requests applied.
+    */
+  def foldState(dir: String): Map[String, String] = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Map.empty
+    val IdRe = """\{"_id":"([^"]*)",""".r
+    def genOf(p: Path): Int = {
+      val rel = root.relativize(p).toString
+      if (rel.startsWith("gen=")) rel.substring(4, rel.indexOf('/')).toInt else 0
+    }
+    val walk = Files.walk(root)
+    val files =
+      try walk.iterator.asScala.filter(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".jsonl")).toSeq
+      finally walk.close()
+    val state = scala.collection.mutable.Map.empty[String, String]
+    files.sortBy(p => (genOf(p), p.toString)).foreach { p =>
+      Files.readString(p).linesIterator.filter(_.nonEmpty).foreach { line =>
+        val id = IdRe.findFirstMatchIn(line).getOrElse(
+          sys.error(s"unparseable line in $p: $line")).group(1)
+        if (line.endsWith("\"delete\":true}")) state.remove(id)
+        else state(id) = line.substring(line.indexOf("\"doc\":") + 6, line.length - 1)
+      }
+    }
+    state.toMap
+  }
+
   /** Bulk-index `df` through `client`. `idCol` is the document `_id`
     * (stringified), `docCol` the serialized document body.
     */
@@ -87,7 +211,8 @@ object Writers {
       .foreachPartition { (rows: Iterator[Row]) =>
         val shard = org.apache.spark.TaskContext.getPartitionId()
         rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
-          client.send(shard, bi, batch.map(r => (r.getString(0), r.getString(1))))
+          deliver(client, shard, bi,
+            batch.map(r => BulkDoc(r.getString(0), Some(r.getString(1)))))
         }
       }
   }

@@ -1,14 +1,15 @@
 package graft.sync
 
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import graft.sinks.BulkClient
 
 /** The reference's startup shape (SURVEY §3.1): a CONFIG enumerates sync
   * jobs — each naming its source query/table, id column, document
-  * fields, target sizing, and full|incremental mode — and an
-  * orchestration loop executes them one by one. [[fromJson]] parses that
-  * config (Jackson, already on Spark's classpath — no new dependency);
+  * fields, target sizing, and full|incremental|upsert mode — and an
+  * orchestration loop executes them. [[fromJson]] parses that config
+  * (Jackson, already on Spark's classpath — no new dependency);
   * [[runAll]] is the loop, with per-job failure ISOLATION: one job
   * failing (bad SQL, missing table) must not kill the batch run, it
   * lands as a failed [[JobOutcome]] in the report while the remaining
@@ -24,7 +25,7 @@ import graft.sinks.BulkClient
   *   "fields": [{"name": "order_id", "expr": "o_orderkey", "quoted": false}],
   *   "shards": 8, "batchSize": 500,      // optional, defaulted
   *   "mode": "full"                      // or {"watermarkCol": ..., "from": ...}
-  * }]}
+  * }]}                                   //   (+ "deleteWhere" => upsert)
   * }}}
   */
 object SyncConfig {
@@ -39,17 +40,21 @@ object SyncConfig {
     require(jobs != null && jobs.isArray && jobs.size > 0,
       "sync config needs a non-empty jobs array")
     jobs.elements.asScala.map { j =>
-      def str(f: String): String = {
-        val n = j.get(f)
-        require(n != null && n.isTextual, s"job field '$f' missing or not a string")
-        n.asText
+      // every nested lookup goes through a null-checked accessor so a
+      // malformed config fails with the FIELD'S name, never an NPE
+      def textOf(n: com.fasterxml.jackson.databind.JsonNode,
+          f: String, ctx: String): String = {
+        val v = n.get(f)
+        require(v != null && v.isTextual, s"$ctx field '$f' missing or not a string")
+        v.asText
       }
+      def str(f: String): String = textOf(j, f, "job")
       val source =
         if (j.has("table")) SyncSource.Table(str("table"))
         else SyncSource.Sql(str("sql"))
       val fields = j.get("fields") match {
         case a if a != null && a.isArray => a.elements.asScala.map { f =>
-          DocField(f.get("name").asText, f.get("expr").asText,
+          DocField(textOf(f, "name", "doc-field"), textOf(f, "expr", "doc-field"),
             f.has("quoted") && f.get("quoted").asBoolean)
         }.toSeq
         case _ => throw new IllegalArgumentException(
@@ -58,8 +63,11 @@ object SyncConfig {
       val mode = j.get("mode") match {
         case null => SyncMode.Full
         case m if m.isTextual && m.asText == "full" => SyncMode.Full
+        case m if m.isObject && m.has("deleteWhere") => SyncMode.Upsert(
+          textOf(m, "watermarkCol", "mode"), textOf(m, "from", "mode"),
+          textOf(m, "deleteWhere", "mode"))
         case m if m.isObject => SyncMode.Incremental(
-          m.get("watermarkCol").asText, m.get("from").asText)
+          textOf(m, "watermarkCol", "mode"), textOf(m, "from", "mode"))
         case m => throw new IllegalArgumentException(s"bad mode: $m")
       }
       SyncJob(str("name"), source, str("idCol"), fields,
@@ -69,33 +77,50 @@ object SyncConfig {
     }.toSeq
   }
 
-  /** The orchestration loop. Jobs run sequentially (the reference is a
-    * single-process loop; on a shared cluster, sequential jobs also keep
-    * peak resource use to one job's worth — parallelism belongs INSIDE a
-    * job, where Spark already provides it). Each job's outcome carries
-    * its delivered doc/batch counts from the same planned stats the
-    * oracle checks; a throwing job is caught, reported, and does not
-    * stop the loop.
+  /** The orchestration loop. Each job executes its plan ONCE —
+    * [[SyncRunner.run]] reports delivered doc/batch counts from
+    * accumulators inside the delivery tasks, so there is no separate
+    * stats pass re-scanning the source (which would double every job's
+    * scan + shuffle at 100 TB; the oracle-checked [[SyncRunner.stats]]
+    * remains the exact accounting query). A throwing job is caught
+    * ([[NonFatal]] only — an OOM or interrupt must propagate, not be
+    * logged as a per-job failure in a possibly-broken JVM), reported,
+    * and does not stop the loop.
+    *
+    * `parallelism` > 1 runs that many jobs CONCURRENTLY on a bounded
+    * pool — Spark's scheduler interleaves their stages (fair enough on a
+    * shared cluster; each job's internal parallelism is unchanged), the
+    * reference's multi-job concurrency knob [SURVEY §3.1, R-low].
+    * Outcomes keep the config's job order regardless of completion
+    * order, and failure isolation is per-job exactly as in the
+    * sequential loop — delivery order across jobs is NOT part of the
+    * contract (each job owns its target index), which is what makes the
+    * parallel run outcome-identical to the sequential one.
     */
   def runAll(spark: SparkSession, sfDir: String, jobs: Seq[SyncJob],
-      clientFor: SyncJob => BulkClient): Seq[JobOutcome] = {
+      clientFor: SyncJob => BulkClient, parallelism: Int = 1): Seq[JobOutcome] = {
+    require(parallelism >= 1, s"bad parallelism=$parallelism")
     val dupNames = jobs.groupBy(_.name).collect { case (n, js) if js.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate job names: ${dupNames.mkString(", ")}")
-    jobs.map { job =>
+    def one(job: SyncJob): JobOutcome =
       try {
-        val st = SyncRunner.stats(SyncRunner.plan(spark, sfDir, job))
-          .agg(org.apache.spark.sql.functions.sum("n_docs"),
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1))).head()
-        SyncRunner.run(spark, sfDir, job, clientFor(job))
-        JobOutcome(job.name, ok = true,
-          docs = if (st.isNullAt(0)) 0L else st.getLong(0),
-          batches = st.getLong(1), error = None)
+        val (docs, batches) = SyncRunner.run(spark, sfDir, job, clientFor(job))
+        JobOutcome(job.name, ok = true, docs = docs, batches = batches, error = None)
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           JobOutcome(job.name, ok = false, docs = 0L, batches = 0L,
             error = Some(e.toString.linesIterator.next()))
       }
+    if (parallelism == 1) jobs.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        val futures = jobs.map(job =>
+          pool.submit(new java.util.concurrent.Callable[JobOutcome] {
+            override def call(): JobOutcome = one(job)
+          }))
+        futures.map(_.get())
+      } finally pool.shutdown()
     }
   }
 }

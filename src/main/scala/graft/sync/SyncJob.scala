@@ -4,14 +4,14 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sinks.BulkClient
+import graft.sinks.{BulkClient, BulkDoc, Writers}
 
 /** Config-driven sync-job orchestration (SURVEY.md §3.1) — the reference's
   * defining product surface: a job spec names {source query/table, id
-  * column, document fields, shard count, batch size, full|incremental
-  * mode}, and a runner composes source → incremental predicate → document
-  * construction → deterministic routing/batching → idempotent bulk
-  * delivery from the engine's existing pieces.
+  * column, document fields, shard count, batch size, full|incremental|
+  * upsert mode}, and a runner composes source → incremental predicate →
+  * document construction → deterministic routing/batching → idempotent
+  * bulk delivery from the engine's existing pieces.
   *
   * Everything about a planned job is DETERMINISTIC — routing, batch
   * membership, in-batch order — so a replay (task retry, whole-job rerun)
@@ -38,8 +38,25 @@ object SyncMode {
   /** Sync only rows past a watermark: `watermarkCol > fromLit`, where
     * `fromLit` is a SQL literal (e.g. `TIMESTAMP '1997-06-01'`) — the
     * reference's incremental mode [SURVEY §2.B q_filter_incremental].
+    * Append-only: an upstream UPDATE re-indexes (same `_id` overwrites,
+    * so updates already converge), but an upstream DELETE never reaches
+    * the index — that is [[Upsert]]'s job.
     */
   final case class Incremental(watermarkCol: String, fromLit: String) extends SyncMode
+  /** Incremental with delete propagation: rows past the watermark whose
+    * `deleteWhere` predicate holds become DELETE actions (tombstones) for
+    * their `_id`; the rest are index actions, exactly like
+    * [[Incremental]]. Composed with a keyed store's `_id` semantics this
+    * is the MERGE shape (update ∪ insert ∪ delete — the batch analog of
+    * q_merge_upsert, Warehouse.scala): after the run, the served index
+    * equals base MERGE changes. The upstream contract is the standard
+    * one: deletes are soft (a flag/status column) and bump the watermark,
+    * so the incremental scan sees them — hard-deleted rows are invisible
+    * to ANY scan-based sync, which is why CDC-less stores use tombstone
+    * columns in the first place.
+    */
+  final case class Upsert(watermarkCol: String, fromLit: String,
+      deleteWhere: String) extends SyncMode
 }
 
 /** One field of the output document: rendered as `"name":<expr>` with
@@ -79,11 +96,14 @@ object SyncRunner {
     job.mode match {
       case SyncMode.Full                     => src
       case SyncMode.Incremental(wm, fromLit) => src.where(expr(s"$wm > $fromLit"))
+      case SyncMode.Upsert(wm, fromLit, _)   => src.where(expr(s"$wm > $fromLit"))
     }
   }
 
   /** The planned sync: one row per document with its complete delivery
-    * coordinates — `_id`, `routing` shard, `batch_id`, serialized `doc`.
+    * coordinates — `_id`, `routing` shard, `batch_id`, serialized `doc`,
+    * and `action` (`index`, or `delete` for [[SyncMode.Upsert]]
+    * tombstones, whose `doc` is null — a delete ships only its id).
     *
     * Batch assignment needs a per-shard rank. A naive
     * `row_number() OVER (PARTITION BY routing ORDER BY ...)` funnels each
@@ -101,8 +121,17 @@ object SyncRunner {
       else
         Seq(lit(s"""$sep"${f.name}":"""), expr(f.expr).cast("string"))
     } :+ lit("}")
+    val doc = concat(pieces: _*)
+    val (action, docCol) = job.mode match {
+      case SyncMode.Upsert(_, _, delWhere) =>
+        val del = expr(delWhere)
+        (when(del, lit("delete")).otherwise(lit("index")),
+          when(del, lit(null).cast("string")).otherwise(doc))
+      case _ => (lit("index"), doc)
+    }
     val base = source(spark, sfDir, job)
-      .select(col(job.idCol).cast("string").as("_id"), concat(pieces: _*).as("doc"))
+      .select(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
+        action.as("action"))
       // 60-bit md5 prefix: content-deterministic routing, identical in
       // DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), never the
       // engine-private hash()
@@ -119,12 +148,13 @@ object SyncRunner {
       .withColumn("rn", col("off") +
         row_number().over(Window.partitionBy("routing", "bkt").orderBy("h", "_id")))
       .withColumn("batch_id", expr(s"CAST((rn - 1) DIV ${job.batchSize} AS BIGINT)"))
-      .select("_id", "h", "routing", "batch_id", "doc")
+      .select("_id", "h", "routing", "batch_id", "doc", "action")
   }
 
   /** Checkable job summary: per (shard, batch) document count, byte
     * volume, and id range — what a sync job reports after a run, and what
-    * the DuckDB oracle recomputes for the correctness gate.
+    * the DuckDB oracle recomputes for the correctness gate. (`doc_bytes`
+    * sums only index actions — a delete ships no body.)
     */
   def stats(planned: DataFrame): DataFrame =
     planned.groupBy(col("routing").cast("bigint").as("shard"), col("batch_id"))
@@ -132,6 +162,23 @@ object SyncRunner {
         sum(length(col("doc"))).cast("bigint").as("doc_bytes"),
         min("_id").as("first_id"), max("_id").as("last_id"))
       .orderBy("shard", "batch_id")
+
+  /** The served index AFTER an upsert run applies on top of a base sync —
+    * the MERGE shape (q_merge_upsert, Warehouse.scala) composed into the
+    * sync path: changed ids override base ids, tombstoned ids are gone,
+    * unchanged base ids survive. Both sides are planned documents, so
+    * this is exactly what [[graft.sinks.Writers.foldState]] reads back
+    * from a [[graft.sinks.FileBulkClient]] generation stack — and what
+    * the DuckDB oracle recomputes for q_sync_upsert. The anti-join is an
+    * equi-join on `_id` (shuffle, narrow id-only build side at 100 TB);
+    * no window, no collect.
+    */
+  def mergedState(base: DataFrame, changes: DataFrame): DataFrame = {
+    val survivors = base.select("_id", "h", "routing", "doc")
+      .join(changes.select("_id").hint("shuffle_hash"), Seq("_id"), "left_anti")
+    changes.where(col("action") === "index").select("_id", "h", "routing", "doc")
+      .unionAll(survivors)
+  }
 
   /** Full-sync with index recreate + alias swap (the reference's full
     * mode): build the job's complete output as a NEW version under
@@ -146,14 +193,28 @@ object SyncRunner {
       run(spark, sfDir, job, graft.sinks.FileBulkClient(dir))
     }
 
-  /** Execute the job: deliver every planned batch through `client`.
-    * One shuffle on the routing shard, batches emitted in (shard,
-    * batch, h) order from each partition — a replay regenerates the
-    * identical (shard, batchIdx, docs) triples, so an idempotent client
-    * converges to the same store state no matter how often tasks retry.
+  /** Execute the job: deliver every planned batch through `client` (via
+    * [[graft.sinks.Writers.deliver]] — bounded retry on retryable
+    * rejections, loud failure on permanent ones). One shuffle on the
+    * routing shard, batches emitted in (shard, batch, h) order from each
+    * partition — a replay regenerates the identical (shard, batchIdx,
+    * docs) triples, so an idempotent client converges to the same store
+    * state no matter how often tasks retry.
+    *
+    * Returns (docs, batches) delivered, counted by accumulators INSIDE
+    * the delivery tasks — the job's single execution reports its own
+    * outcome; no second stats pass re-scanning the source (at 100 TB a
+    * separate counting job would double every sync's scan + shuffle).
+    * Accumulator counts are exact on a clean run; under task RETRIES they
+    * can overcount (Spark action accumulators are at-least-once), which
+    * is the right trade for a progress report — the oracle-checked
+    * [[stats]] query stays the exact accounting surface.
     */
-  def run(spark: SparkSession, sfDir: String, job: SyncJob, client: BulkClient): Unit = {
+  def run(spark: SparkSession, sfDir: String, job: SyncJob,
+      client: BulkClient): (Long, Long) = {
     val batchSize = job.batchSize // avoid serializing the runner object
+    val docsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.docs")
+    val batchesAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.batches")
     plan(spark, sfDir, job)
       .repartition(job.shards, col("routing"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
@@ -163,18 +224,21 @@ object SyncRunner {
         // run is contiguous; buffer is bounded by batchSize
         var curShard = -1
         var curBatch = -1L
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[BulkDoc]
         def flush(): Unit = if (buf.nonEmpty) {
-          client.send(curShard, curBatch.toInt, buf.toSeq)
+          Writers.deliver(client, curShard, curBatch.toInt, buf.toSeq)
+          docsAcc.add(buf.size.toLong)
+          batchesAcc.add(1L)
           buf.clear()
         }
         rows.foreach { r =>
           val sh = r.getInt(0); val b = r.getLong(1)
           if (sh != curShard || b != curBatch) { flush(); curShard = sh; curBatch = b }
-          buf += ((r.getString(2), r.getString(3)))
+          buf += BulkDoc(r.getString(2), Option(r.getString(3)))
           require(buf.size <= batchSize, s"batch overflow in shard=$sh batch=$b")
         }
         flush()
       }
+    (docsAcc.value, batchesAcc.value)
   }
 }

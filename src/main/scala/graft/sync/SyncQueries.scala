@@ -2,14 +2,15 @@ package graft.sync
 
 import graft.QueryFamily
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Oracle-checked surface of the sync-job layer (SURVEY §3.1): the same
   * job spec the runner delivers, reported as per-(shard, batch) stats the
-  * DuckDB oracle can recompute. Both queries run through
-  * [[SyncRunner.plan]]/[[SyncRunner.stats]] — the exact code path
-  * [[SyncRunner.run]] batches from — so a green row certifies the
-  * orchestration layer's routing + batching + incremental predicate, not a
-  * lookalike.
+  * DuckDB oracle can recompute. All queries run through
+  * [[SyncRunner.plan]]/[[SyncRunner.stats]]/[[SyncRunner.mergedState]] —
+  * the exact code paths [[SyncRunner.run]] batches from — so a green row
+  * certifies the orchestration layer's routing + batching + incremental
+  * predicate + merge semantics, not a lookalike.
   */
 object SyncQueries extends QueryFamily {
 
@@ -29,15 +30,55 @@ object SyncQueries extends QueryFamily {
       "',\"status\":\"', o_orderstatus, " +
       "'\",\"total\":', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '}')"
 
+  /** The upsert job's RESHAPED document (an extra field): overlapping ids
+    * must visibly carry the change-side doc in the merged state, so the
+    * hash gate distinguishes "change wins" from "base wins".
+    */
+  private val upsertFields = ordersFields :+
+    DocField("priority", "o_orderpriority", quoted = true)
+
+  private val duckDocV2 =
+    "concat('{\"order_id\":', CAST(o_orderkey AS VARCHAR), " +
+      "',\"status\":\"', o_orderstatus, " +
+      "'\",\"total\":', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), " +
+      "',\"priority\":\"', o_orderpriority, '\"}')"
+
   private def fullJob = SyncJob("orders_full", SyncSource.Table("orders"),
     idCol = "o_orderkey", fields = ordersFields, shards = 8, batchSize = 500)
 
   private def incrJob = fullJob.copy(name = "orders_incremental",
     mode = SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'"))
 
+  /** Base sync (everything up to the cutoff) + an OVERLAPPING upsert
+    * window with tombstones: ids in (1997-03-01, 1997-06-01] exist in
+    * both sides (genuine updates — the merged doc must be the v2 shape),
+    * ids past 1997-06-01 are inserts, and every seventh id is a
+    * tombstone (soft-delete convention: the predicate marks rows whose
+    * upstream state is "deleted"; the watermark bump makes the
+    * incremental scan see them).
+    */
+  private def baseJob = SyncJob("orders_base", SyncSource.Sql(
+    "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'"),
+    idCol = "o_orderkey", fields = ordersFields, shards = 8, batchSize = 500)
+
+  private def upsertJob = SyncJob("orders_upsert", SyncSource.Table("orders"),
+    idCol = "o_orderkey", fields = upsertFields, shards = 8, batchSize = 500,
+    mode = SyncMode.Upsert("o_orderdate", "TIMESTAMP '1997-03-01'",
+      "o_orderkey % 7 = 0"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sync_full" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, fullJob))),
     "q_sync_incremental" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, incrJob))),
+    // Post-merge served-index state after an upsert run applies on a base
+    // sync: per-shard doc count/bytes/id-range of base MERGE changes.
+    "q_sync_upsert" -> ((s, dir) =>
+      SyncRunner.mergedState(
+          SyncRunner.plan(s, dir, baseJob), SyncRunner.plan(s, dir, upsertJob))
+        .groupBy(col("routing").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("doc"))).cast("bigint").as("doc_bytes"),
+          min("_id").as("first_id"), max("_id").as("last_id"))
+        .orderBy("shard")),
   )
 
   /** DuckDB mirror of plan+stats. The oracle uses the simple per-shard
@@ -56,8 +97,28 @@ object SyncQueries extends QueryFamily {
       "min(_id) AS first_id, max(_id) AS last_id " +
       "FROM n GROUP BY 1, 2 ORDER BY shard, batch_id"
 
+  /** DuckDB mirror of the MERGE: change-side survivors (non-tombstones)
+    * plus base ids untouched by the change window, stat'd per shard.
+    */
+  private def duckUpsert: String =
+    "WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+      s"$duckDoc AS doc FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'), " +
+      "chg AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+      s"$duckDocV2 AS doc, (o_orderkey % 7 = 0) AS tomb " +
+      "FROM orders WHERE o_orderdate > TIMESTAMP '1997-03-01'), " +
+      "merged AS (SELECT _id, doc FROM chg WHERE NOT tomb " +
+      "UNION ALL SELECT b._id, b.doc FROM base b " +
+      "WHERE b._id NOT IN (SELECT _id FROM chg)), " +
+      "h AS (SELECT _id, doc, " +
+      "CAST(concat('0x', substr(md5(_id), 1, 15)) AS BIGINT) % 8 AS shard FROM merged) " +
+      "SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs, " +
+      "CAST(sum(length(doc)) AS BIGINT) AS doc_bytes, " +
+      "min(_id) AS first_id, max(_id) AS last_id " +
+      "FROM h GROUP BY 1 ORDER BY shard"
+
   def oracles: Map[String, String] = Map(
     "q_sync_full" -> duckSync(""),
     "q_sync_incremental" -> duckSync(" WHERE o_orderdate > TIMESTAMP '1997-06-01'"),
+    "q_sync_upsert" -> duckUpsert,
   )
 }

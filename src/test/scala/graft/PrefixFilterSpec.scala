@@ -86,6 +86,39 @@ class PrefixFilterSpec extends AnyFunSuite {
       s"expected prefix path on Zipfian vocab:\n${zipfPlan.take(1200)}")
   }
 
+  test("candidateGen conf pins either generator; rows identical; cache clears") {
+    val confKey = "spark.graft.dedup.candidateGen"
+    def rows(tag: String) = Dedup.candidatePairs(tokenEnc, meta, 4, 5, s"spec:conf$tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set(confKey, "prefix")
+      val viaPrefix = rows("P")
+      val prefixPlan = Dedup.candidatePairs(tokenEnc, meta, 4, 5, "spec:confP")
+        .queryExecution.optimizedPlan.toString
+      assert(prefixPlan.contains("Generate"), "conf=prefix must force the prefix path")
+      spark.conf.set(confKey, "blocked")
+      val viaBlocked = rows("B")
+      val blockedPlan = Dedup.candidatePairs(tokenEnc, meta, 4, 5, "spec:confB")
+        .queryExecution.optimizedPlan.toString
+      assert(!blockedPlan.contains("Generate"), "conf=blocked must force the block join")
+      // both generators are exact supersets of the qualifying pairs; on
+      // identical input their candidate SETS may differ, but the verified
+      // pairs must not — assert through the verify stage
+      val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(near.subsetOf(viaPrefix) && near.subsetOf(viaBlocked),
+        "a forced generator lost qualifying pairs")
+      spark.conf.set(confKey, "bogus")
+      intercept[IllegalArgumentException](rows("X"))
+    } finally spark.conf.unset(confKey)
+    // cache invalidation: a cleared memo recomputes (observable as a fresh
+    // choice under a key the chooser already decided)
+    Dedup.clearGenChoiceCache()
+    val fresh = Dedup.candidatePairs(tokenEnc, meta, 4, 5, "spec:near3")
+      .queryExecution.optimizedPlan.toString
+    assert(!fresh.contains("Generate"), "recomputed choice must match corpus shape")
+  }
+
   test("q_dedup_cosine two-level block bounds within-block pairs") {
     // label alone is a coarse cluster that grows linearly with the corpus;
     // composing it with the sign-LSH bucket must strictly shrink the

@@ -4,7 +4,41 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.{FileBulkClient, Writers}
+import graft.sinks.{BulkClient, BulkDoc, BulkRejectedException, DocOutcome, FileBulkClient, Writers}
+
+/** Attempt counter for [[FlakyClient]], JVM-global: foreachPartition
+  * serializes the client per task, so instance state would be a per-task
+  * copy — in local mode a static map is the shared failure script.
+  */
+object FlakyState {
+  private val attempts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def next(key: String): Int = attempts.computeIfAbsent(key,
+    _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+}
+
+/** Fails the first `failures` sends of every (shard, batch), then
+  * delegates — the transient-outage model for the retry loop:
+  * `throw` = network-level request failure, `reject` = per-doc 429-style
+  * retryable rejections, `permanent` = per-doc mapping-style rejection.
+  */
+case class FlakyClient(tag: String, inner: BulkClient, failures: Int,
+    mode: String) extends BulkClient {
+  override def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome] = {
+    val n = FlakyState.next(s"$tag:$shard:$batchIdx")
+    if (n > failures) inner.send(shard, batchIdx, docs)
+    else mode match {
+      case "throw" => throw new RuntimeException(s"transient network failure #$n")
+      case "reject" => docs.map(d => DocOutcome(d.id, ok = false,
+        retryable = true, error = Some("429 es_rejected_execution")))
+      case "permanent" => docs.zipWithIndex.map { case (d, i) =>
+        if (i == 0) DocOutcome(d.id, ok = false, retryable = false,
+          error = Some("mapper_parsing_exception"))
+        else DocOutcome(d.id, ok = true)
+      }
+    }
+  }
+}
 
 /** The production writer surface (SURVEY.md §2.A / §7.6): partitioned
   * warehouse layout with partition-pruned reads, and the ES-style bulk
@@ -99,5 +133,49 @@ class SinkSpec extends AnyFunSuite {
     // the exactly-once story: full replay (task-retry analog) changes nothing
     runOnce()
     assert(snapshot() == first, "replay must be byte-identical, not appended")
+  }
+
+  private def dirSnapshot(dir: String): Map[String, String] =
+    Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString.stripPrefix(dir) -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toMap
+
+  test("a transiently-failing client converges byte-identically under the retry loop") {
+    import graft.sync.{DocField, SyncJob, SyncRunner, SyncSource}
+    val job = SyncJob("flaky", SyncSource.Table("orders"), idCol = "o_orderkey",
+      fields = Seq(DocField("order_id", "o_orderkey", quoted = false)),
+      shards = 2, batchSize = 200)
+    val clean = tmp("graft_flaky_clean").toString
+    SyncRunner.run(spark, sf0001, job, FileBulkClient(clean))
+    // every (shard, batch)'s first TWO requests fail at the network level
+    val thrown = tmp("graft_flaky_throw").toString
+    SyncRunner.run(spark, sf0001, job,
+      FlakyClient("throw-run", FileBulkClient(thrown), failures = 2, mode = "throw"))
+    assert(dirSnapshot(thrown) == dirSnapshot(clean),
+      "retried delivery must converge to the clean run's bytes")
+    // ... and per-doc retryable rejections (429s) converge the same way
+    val rejected = tmp("graft_flaky_reject").toString
+    SyncRunner.run(spark, sf0001, job,
+      FlakyClient("reject-run", FileBulkClient(rejected), failures = 1, mode = "reject"))
+    assert(dirSnapshot(rejected) == dirSnapshot(clean))
+  }
+
+  test("permanent rejections and exhausted retries fail loudly with the rejected ids") {
+    val docs = Seq(BulkDoc("1", Some("{}")), BulkDoc("2", Some("{}")))
+    val sink = FileBulkClient(tmp("graft_flaky_perm").toString)
+    // a permanent (non-retryable) rejection throws immediately
+    val e = intercept[BulkRejectedException] {
+      Writers.deliver(FlakyClient("perm", sink, failures = 1, mode = "permanent"),
+        shard = 0, batchIdx = 0, docs)
+    }
+    assert(e.rejected.map(_.id) == Seq("1"))
+    assert(e.getMessage.contains("mapper_parsing_exception"))
+    // retryable failures beyond maxRetries also surface, with the ids
+    val e2 = intercept[BulkRejectedException] {
+      Writers.deliver(FlakyClient("exhaust", sink, failures = 10, mode = "reject"),
+        shard = 0, batchIdx = 1, docs, maxRetries = 2, backoffMs = 1)
+    }
+    assert(e2.rejected.map(_.id) == Seq("1", "2"))
   }
 }

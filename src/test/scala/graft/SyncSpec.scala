@@ -206,4 +206,116 @@ class SyncSpec extends AnyFunSuite {
       .where(col("o_totalprice") > 100000).count()
     assert(n == expected && n > 0)
   }
+
+  test("upsert sync: updates, inserts, and tombstone deletes converge the served index") {
+    import graft.sinks.Writers
+    import spark.implicits._
+    val dir = tmp("graft_upsert").toString
+    // v1 = the source at base-sync time; v2 = after an update (id 2), a
+    // soft delete (id 3, tombstone flag + watermark bump), an insert (id 4)
+    Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false))
+      .toDF("id", "value", "ver", "deleted").createOrReplaceTempView("upsert_v1")
+    Seq((1L, "a", 1L, false), (2L, "b2", 2L, false), (3L, "c", 2L, true),
+      (4L, "d", 2L, false))
+      .toDF("id", "value", "ver", "deleted").createOrReplaceTempView("upsert_v2")
+    val docFields = Seq(DocField("id", "id", quoted = false),
+      DocField("value", "value", quoted = true))
+    val base = SyncJob("up_base", SyncSource.Sql("SELECT * FROM upsert_v1"),
+      idCol = "id", fields = docFields, shards = 2, batchSize = 10)
+    val chg = SyncJob("up_chg", SyncSource.Sql("SELECT * FROM upsert_v2"),
+      idCol = "id", fields = docFields, shards = 2, batchSize = 10,
+      mode = SyncMode.Upsert("ver", "1", "deleted"))
+    SyncRunner.run(spark, sf0001, base, FileBulkClient(dir, gen = Some(0)))
+    SyncRunner.run(spark, sf0001, chg, FileBulkClient(dir, gen = Some(1)))
+    val state = Writers.foldState(dir)
+    assert(state.keySet == Set("1", "2", "4"), s"served ids: ${state.keySet}")
+    assert(state("1") == """{"id":1,"value":"a"}""")   // untouched base row
+    assert(state("2") == """{"id":2,"value":"b2"}""")  // change wins
+    assert(state("4") == """{"id":4,"value":"d"}""")   // insert
+    // replaying the change generation is idempotent
+    SyncRunner.run(spark, sf0001, chg, FileBulkClient(dir, gen = Some(1)))
+    assert(Writers.foldState(dir) == state)
+    // and the folded store state IS the oracle-checked mergedState
+    val merged = SyncRunner.mergedState(
+        SyncRunner.plan(spark, sf0001, base), SyncRunner.plan(spark, sf0001, chg))
+      .select("_id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(merged == state)
+  }
+
+  test("runAll executes each job's plan exactly once") {
+    // the job's source carries a unique literal marker, so the listener
+    // counts exactly this job's executions — concurrent suites sharing
+    // the session can't collide; the pre-r10 double-execution (separate
+    // stats job + delivery run) would count 2 here
+    val marker = "exec_once_marker_8347"
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.toString.contains(marker)) counter.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val job = SyncJob("once", SyncSource.Sql(
+        s"SELECT o_orderkey, o_orderstatus, '$marker' AS mk FROM orders"),
+        idCol = "o_orderkey", fields = fields.take(2), shards = 2, batchSize = 100)
+      val root = tmp("graft_once").toString
+      val outcomes = SyncConfig.runAll(spark, sf0001, Seq(job),
+        j => FileBulkClient(s"$root/${j.name}"))
+      assert(outcomes.head.ok)
+      assert(outcomes.head.docs ==
+        spark.read.parquet(s"$sf0001/orders.parquet").count())
+      assert(outcomes.head.batches ==
+        snapshot(s"$root/once").size, "batches must equal delivered files")
+      // the listener bus is async: wait for the execution event, then a
+      // grace period in which a second (double-execution) event would land
+      val deadline = System.currentTimeMillis + 30000
+      while (counter.get < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      Thread.sleep(1000)
+      assert(counter.get == 1, s"expected exactly one execution, saw ${counter.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("parallel runAll matches sequential outcomes, with per-job isolation") {
+    val jobs = Seq(
+      fullJob.copy(name = "par_a", shards = 2, batchSize = 200),
+      SyncJob("par_bad", SyncSource.Sql("SELECT * FROM no_such_table"),
+        idCol = "o_orderkey", fields = fields),
+      fullJob.copy(name = "par_b", shards = 3, batchSize = 100))
+    val r1 = tmp("graft_par_seq").toString
+    val r2 = tmp("graft_par_par").toString
+    val seq = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$r1/${j.name}"))
+    val par = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$r2/${j.name}"), parallelism = 2)
+    assert(par.map(o => (o.job, o.ok, o.docs, o.batches)) ==
+      seq.map(o => (o.job, o.ok, o.docs, o.batches)))
+    assert(!par(1).ok && par(1).error.nonEmpty)
+    assert(snapshot(s"$r2/par_a") == snapshot(s"$r1/par_a"))
+    assert(snapshot(s"$r2/par_b") == snapshot(s"$r1/par_b"))
+  }
+
+  test("config JSON parses upsert mode; malformed entries fail with the field's name") {
+    val json = """{"jobs": [
+      {"name": "orders_up", "table": "orders", "idCol": "o_orderkey",
+       "fields": [{"name": "order_id", "expr": "o_orderkey"}],
+       "mode": {"watermarkCol": "o_orderdate", "from": "TIMESTAMP '1997-06-01'",
+                "deleteWhere": "o_orderstatus = 'F'"}}
+    ]}"""
+    assert(SyncConfig.fromJson(json).head.mode == SyncMode.Upsert(
+      "o_orderdate", "TIMESTAMP '1997-06-01'", "o_orderstatus = 'F'"))
+    // a field entry missing "expr" names the field, never an NPE
+    val bad = """{"jobs": [{"name": "j", "table": "orders", "idCol": "k",
+      "fields": [{"name": "order_id"}]}]}"""
+    val e = intercept[IllegalArgumentException](SyncConfig.fromJson(bad))
+    assert(e.getMessage.contains("expr"), e.getMessage)
+    // a mode object missing "from" names the mode field
+    val badMode = """{"jobs": [{"name": "j", "table": "orders", "idCol": "k",
+      "fields": [{"name": "f", "expr": "k"}],
+      "mode": {"watermarkCol": "c"}}]}"""
+    val e2 = intercept[IllegalArgumentException](SyncConfig.fromJson(badMode))
+    assert(e2.getMessage.contains("from"), e2.getMessage)
+  }
 }
