@@ -58,33 +58,126 @@ object Dedup extends QueryFamily {
       s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
 
   /** Fixed Rademacher hyperplanes for sign-LSH: sign(b, j) for hyperplane
-    * b in [0,4), dimension j in [0,64), derived from md5 so there is no
-    * accidental structure. Computed once in Scala and inlined as +-
+    * b in [0, planes), dimension j in [0,64), derived from md5 so there
+    * is no accidental structure. Computed once in Scala and inlined as +-
     * literals into BOTH the Spark expression and the DuckDB oracle SQL —
     * the engines then evaluate the identical left-assoc float chain, so
-    * bucket assignment is bit-identical with no runtime hashing.
+    * bucket assignment is bit-identical with no runtime hashing. The
+    * plane COUNT is the LSH fan-out knob: 2^planes buckets, so a
+    * corpus-scaled choice is planes ≈ log2(N / target-bucket-size) —
+    * bucket population, and with it within-bucket pair volume, then
+    * stays constant as the corpus grows instead of linear (pairs
+    * quadratic). Plane b is identical at every fan-out (prefix
+    * property), so widening the knob refines existing buckets rather
+    * than reshuffling them.
     */
-  private lazy val lshSigns: IndexedSeq[IndexedSeq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 4).map { b =>
-      (0 until 64).map { j =>
-        val h = md.digest(s"lsh:$b:$j".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1 else -1
+  private val lshSignsCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, IndexedSeq[IndexedSeq[Int]]]()
+  private def lshSigns(planes: Int): IndexedSeq[IndexedSeq[Int]] =
+    lshSignsCache.computeIfAbsent(planes, _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until planes).map { b =>
+        (0 until 64).map { j =>
+          val h = md.digest(s"lsh:$b:$j".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1 else -1
+        }
       }
-    }
-  }
+    })
 
-  /** 4-bit sign-LSH bucket expression over a DOUBLE vector; `elem(j)`
-    * renders the engine's 1-based element access.
+  /** Sign-LSH bucket expression over a DOUBLE vector (one bit per
+    * hyperplane, 2^planes buckets); `elem(j)` renders the engine's
+    * 1-based element access.
     */
-  private[graft] def lshBucketExpr(elem: Int => String): String = {
-    val bits = lshSigns.zipWithIndex.map { case (signs, b) =>
+  private[graft] def lshBucketExpr(elem: Int => String, planes: Int = 4): String = {
+    require(planes >= 1 && planes <= 30, s"bad planes=$planes")
+    val bits = lshSigns(planes).zipWithIndex.map { case (signs, b) =>
       val proj = signs.zipWithIndex.map { case (sg, j) =>
         (if (sg > 0) " + " else " - ") + elem(j + 1)
       }.mkString
       s"(CASE WHEN (CAST(0.0 AS DOUBLE)$proj) > 0 THEN ${1 << b} ELSE 0 END)"
     }
     bits.mkString("(", " + ", ")")
+  }
+
+  /** SimHash signatures of width `bits` over `d(doc_id, lang, toks)`:
+    * bit b is the per-token majority vote of bit b of a 60-bit md5 hash
+    * of the token — each token hashed ONCE per 60 signature bits (never
+    * once per (token, bit)), wider signatures drawing extra bits from a
+    * salted second hash. Bit b is identical at every width (prefix
+    * property), so the fixture-width signature is the prefix of the
+    * corpus-scaled one. Width is the simhash fan-out knob: with disjoint
+    * bands of w = bits/bands bits, candidate buckets number 2^w per
+    * (lang, band) — corpus-scaled w keeps bucket population (and pair
+    * volume) constant as the corpus grows, where a compile-time 16-bit
+    * signature pins 16 bucket values forever and pairs grow ~N²/16.
+    */
+  private[graft] def simhashSignatures(d: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bad simhash bits=$bits")
+    val nh = (bits + 59) / 60 // 60-bit hashes needed to cover the width
+    val withHashes = (0 until nh).foldLeft(d) { (df, k) =>
+      val salt = if (k == 0) "#s" else s"#s$k"
+      df.withColumn(s"th$k",
+        expr(s"transform(toks, t -> ${hs(s"concat(t, '$salt')")})"))
+    }
+    // shiftleft at runtime: bit 63's 1L<<63 has no positive SQL literal
+    val bitsExpr = (0 until bits).map { b =>
+      val k = b / 60; val off = b % 60
+      s"(CASE WHEN 2 * size(filter(th$k, h -> (shiftright(h, $off) & 1) = 1)) > size(th$k) " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    withHashes.selectExpr("doc_id", "lang", s"CAST($bitsExpr AS BIGINT) AS simhash")
+  }
+
+  /** Exactly-once candidate pairs from pigeonhole-LSH over `bands`
+    * disjoint bands of the signature: a pair differing in fewer than
+    * `bands` bits must agree on at least one whole band, so an equi-join
+    * on (lang, band, band-value) finds every pair within hamming
+    * distance bands-1 — never a lang-only self-join (quadratic within
+    * each language). A pair meets in EVERY agreeing band (<= bands
+    * copies); only the first agreeing band's copy survives — exactly
+    * once by construction, no distinct() shuffle over the (dense)
+    * matches. Output: (doc_a, doc_b, sim_a, sim_b), hamming left to the
+    * caller (whose threshold decides how many bands exact recall needs:
+    * bands >= hamMax + 1).
+    */
+  private[graft] def simhashCandidates(sig: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands=$bands must divide bits=$bits into equal-width bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("bv", expr(s"shiftright(simhash, band * $w) & ${mask}L"))
+    val firstBand = (0 until bands - 1).map(i =>
+      s"WHEN ((sim_a ^ sim_b) & ${mask << (i * w)}L) = 0 THEN $i")
+      .mkString("CASE ", " ", s" ELSE ${bands - 1} END")
+    banded.as("x").join(banded.as("y"),
+        col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
+        col("x.band").as("band"))
+      .where(col("band") === expr(firstBand))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+  }
+
+  /** Two-level-blocked cosine pairs over `e(vec_id, label, v)`: self-join
+    * within (label, sign-LSH bucket of `planes` hyperplanes), cosine
+    * computed once per surviving pair. Requires VecDot registered.
+    * Within-block pair volume is N²/(labels · 2^planes) for a balanced
+    * corpus — `planes` is the knob that keeps it linear when scaled with
+    * log2(N).
+    */
+  private[graft] def cosinePairs(e: DataFrame, planes: Int): DataFrame = {
+    val bucket = lshBucketExpr(j => s"element_at(v, $j)", planes)
+    val b = e
+      .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("bucket", expr(bucket))
+    b.as("a").join(b.as("b"),
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (expr("vec_dot(a.v, b.v)") / (col("a.norm") * col("b.norm"))).as("cos"))
   }
 
   /** Prefix-filtered candidate pairs (AllPairs/PPJoin) for Jaccard >=
@@ -362,41 +455,28 @@ object Dedup extends QueryFamily {
       jaccardVerify(cand, tokenCodes(s, dir), 0.8)
     }),
 
-    // SimHash: 16-bit signature from per-bit token majority votes; pairs
-    // with hamming distance <= 3 inside the same language. Candidates by
-    // pigeonhole-LSH: 3 differing bits touch at most 3 of the 4 disjoint
-    // nibbles, so every qualifying pair shares at least one (band, nibble)
-    // — an equi-join on (lang, band, nib), never a lang-only self-join
-    // (quadratic within each language). Exact recall: output is identical
-    // to the all-pairs form, which is what the oracle runs.
+    // SimHash: signature from per-bit token majority votes; pairs with
+    // hamming distance <= 3 inside the same language. Candidates by
+    // pigeonhole-LSH over disjoint bands (simhashCandidates): 3
+    // differing bits touch at most 3 of the 4 bands, so every qualifying
+    // pair shares at least one (band, value) — exact recall while
+    // bands > hamMax. The declared query runs the FIXTURE parameters
+    // (16-bit signature, 4 bands — mirrored in the oracle); at corpus
+    // scale set spark.graft.dedup.simhashBits (e.g. 64 -> 16-bit bands,
+    // 65,536 bucket values per (lang, band)) so bucket population stays
+    // constant as the corpus grows instead of N/16 (pairs ~N²/512) — the
+    // signature's prefix property keeps narrow-width outputs unchanged.
     "q_dedup_simhash" -> ((s, dir) => {
+      val bits = s.conf.getOption("spark.graft.dedup.simhashBits")
+        .map(_.toInt).getOrElse(16)
+      val bands = s.conf.getOption("spark.graft.dedup.simhashBands")
+        .map(_.toInt).getOrElse(4)
+      require(bands > 3, s"hamming<=3 needs >=4 bands for exact recall, got $bands")
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
-        // hash each token once, then derive all 16 bits from the long —
-        // not one md5 per (token, bit)
-        .withColumn("th", expr(s"transform(toks, t -> ${hs("concat(t, '#s')")})"))
-      val bits = (0 until 16).map(b =>
-        s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
-      val sig = d.selectExpr("doc_id", "lang", s"CAST($bits AS BIGINT) AS simhash")
-      val bands = sig.select(col("doc_id"), col("lang"), col("simhash"),
-          explode(array((0 until 4).map(lit): _*)).as("band"))
-        .withColumn("nib", expr("shiftright(simhash, band * 4) & 15"))
-      bands.as("x").join(bands.as("y"),
-          col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
-          col("x.nib") === col("y.nib") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
-          col("x.band").as("band"))
+      simhashCandidates(simhashSignatures(d, bits), bits, bands)
         .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-        // a qualifying pair meets in every agreeing band (<= 4 copies);
-        // keep only the FIRST agreeing band's copy — exactly-once by
-        // construction, so no distinct() shuffle over the (dense) matches
-        .where(col("hamming") <= 3 && col("band") === expr(
-          """CASE WHEN ((sim_a ^ sim_b) & 15) = 0 THEN 0
-            |     WHEN ((sim_a ^ sim_b) & 240) = 0 THEN 1
-            |     WHEN ((sim_a ^ sim_b) & 3840) = 0 THEN 2
-            |     ELSE 3 END""".stripMargin))
+        .where(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("hamming"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -421,27 +501,25 @@ object Dedup extends QueryFamily {
     // Embedding near-dup: cosine >= 0.3 inside the same TWO-LEVEL block
     // (label, sign-LSH bucket). Label alone is a coarse cluster whose
     // population grows linearly with the corpus — quadratic pairs within
-    // the hottest label; composing it with the 4-hyperplane sign-LSH
-    // bucket (the same fixed Rademacher planes as q_sim_lsh, inlined
-    // bit-identically into both engines) bounds within-block pairs.
-    // Approximate by design — a same-label pair split across buckets is
-    // absent — and the oracle runs the identical two-stage pipeline, so
-    // outputs hash-match.
+    // the hottest label; composing it with the sign-LSH bucket (the same
+    // fixed Rademacher planes as q_sim_lsh, inlined bit-identically into
+    // both engines) bounds within-block pairs. The declared query runs
+    // the FIXTURE fan-out (4 planes, mirrored in the oracle); at corpus
+    // scale set spark.graft.dedup.cosinePlanes ≈ log2(N / target-bucket)
+    // so bucket population stays constant as the corpus grows — plane b
+    // is identical at every fan-out, so widening refines buckets without
+    // reshuffling them. Approximate by design — a same-label pair split
+    // across buckets is absent — and the oracle runs the identical
+    // two-stage pipeline, so outputs hash-match.
     "q_dedup_cosine" -> ((s, dir) => {
       graft.functions.VecDot.register(s)
-      val bucket = lshBucketExpr(j => s"element_at(v, $j)")
+      val planes = s.conf.getOption("spark.graft.dedup.cosinePlanes")
+        .map(_.toInt).getOrElse(4)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
-        .withColumn("bucket", expr(bucket))
-      val dot = "vec_dot(a.v, b.v)"
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", expr(dot) / (col("a.norm") * col("b.norm")))
+      cosinePairs(e, planes)
         .where(col("cos") >= 0.3)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(col("cos"), 4).as("cos_sim"))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
     }),
 

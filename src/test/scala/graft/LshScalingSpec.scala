@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two LSH pair-generators' fan-out knobs (simhash signature width,
+  * sign-LSH hyperplane count) exist so candidate volume stays LINEAR in
+  * the corpus when the knob scales with log2(N). A compile-time constant
+  * fan-out (16 buckets) pins bucket count, so bucket population grows
+  * linearly and within-bucket pairs quadratically — the round-9 verdict's
+  * last scale-weak plans. This spec measures candidate volume on
+  * synthetic corpora at N and 4N: fixed knob → ~16× pairs (quadratic),
+  * corpus-scaled knob (+2 bits per band / +2 planes) → ~4× (linear).
+  * Fixture-parameter outputs are also pinned: the signature/bucket bit b
+  * is identical at every width (prefix property), so widening the knob
+  * can never change a narrow-width query's rows.
+  */
+class LshScalingSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.Dedup
+
+  // --- synthetic corpora: content-hash pseudo-randomness, no rand() ---
+
+  /** n 64-dim vectors, components uniform-ish in [-0.5, 0.5), 4 labels. */
+  private def synthEmb(n: Int) = spark.range(n).selectExpr(
+    "id AS vec_id", "CAST(id % 4 AS BIGINT) AS label",
+    "transform(sequence(1, 64), j -> " +
+      "CAST(conv(substr(md5(concat(id, ':', j)), 1, 15), 16, 10) AS DOUBLE) " +
+      s"/ ${(1L << 60).toDouble}D - 0.5D) AS v")
+
+  /** n docs of 21 near-unique tokens (100k vocab) — signature bits are
+    * unbiased iid majority votes, the uniform-bucket regime.
+    */
+  private def synthDocs(n: Int) = spark.range(n).selectExpr(
+    "id AS doc_id", "'en' AS lang",
+    "transform(sequence(0, 20), j -> concat('t', CAST(pmod(" +
+      "CAST(conv(substr(md5(concat(id, '/', j)), 1, 15), 16, 10) AS BIGINT), " +
+      "100000) AS STRING))) AS toks")
+
+  /** Within-(label, bucket) pair count — the self-join volume the cosine
+    * generator pays, summed as C(n_b, 2) without materializing pairs.
+    */
+  private def cosineCandidateVolume(n: Int, planes: Int): Long = {
+    val bucket = Dedup.lshBucketExpr(j => s"element_at(v, $j)", planes)
+    synthEmb(n).selectExpr("label", s"$bucket AS bucket")
+      .groupBy("label", "bucket").count()
+      .agg(sum(expr("count * (count - 1) DIV 2"))).head().getLong(0)
+  }
+
+  private def simhashCandidateVolume(n: Int, bits: Int, bands: Int): Long =
+    Dedup.simhashCandidates(
+      Dedup.simhashSignatures(synthDocs(n), bits), bits, bands).count()
+
+  test("cosine pair volume: fixed planes quadratic, corpus-scaled planes ~linear") {
+    val (small, big) = (2000, 8000)
+    val fixedS = cosineCandidateVolume(small, 4)
+    val fixedB = cosineCandidateVolume(big, 4)
+    assert(fixedS > 0)
+    assert(fixedB.toDouble / fixedS > 10,
+      s"fixed fan-out should be ~quadratic (16x): $fixedB vs $fixedS")
+    // 4x corpus -> +2 planes (log2 scaling): bucket population constant
+    val scaledB = cosineCandidateVolume(big, 6)
+    assert(scaledB.toDouble / fixedS < 6,
+      s"scaled fan-out should be ~linear (4x): $scaledB vs $fixedS")
+  }
+
+  test("simhash candidate volume: fixed width quadratic, corpus-scaled width ~linear") {
+    val (small, big) = (1000, 4000)
+    val fixedS = simhashCandidateVolume(small, 16, 4)
+    val fixedB = simhashCandidateVolume(big, 16, 4)
+    assert(fixedS > 0)
+    assert(fixedB.toDouble / fixedS > 10,
+      s"fixed width should be ~quadratic (16x): $fixedB vs $fixedS")
+    // 4x corpus -> +2 bits per band (16 -> 24 over 4 bands)
+    val scaledB = simhashCandidateVolume(big, 24, 4)
+    assert(scaledB.toDouble / fixedS < 6,
+      s"scaled width should be ~linear (4x): $scaledB vs $fixedS")
+  }
+
+  test("widening the knobs never changes fixture-parameter outputs (prefix property)") {
+    // signature prefix: the low 16 bits of a 64-bit signature ARE the
+    // 16-bit signature, doc for doc
+    val docs = synthDocs(300)
+    val s16 = Dedup.simhashSignatures(docs, 16)
+      .selectExpr("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s64 = Dedup.simhashSignatures(docs, 64)
+      .selectExpr("doc_id", "simhash & 65535 AS low").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s16 == s64, "wider signature must extend, not reshuffle, the narrow one")
+    // bucket prefix: plane b is the same hyperplane at every fan-out
+    val e = synthEmb(300)
+    val b4 = e.selectExpr("vec_id",
+      s"${Dedup.lshBucketExpr(j => s"element_at(v, $j)", 4)} AS b").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b6 = e.selectExpr("vec_id",
+      s"(${Dedup.lshBucketExpr(j => s"element_at(v, $j)", 6)}) & 15 AS b").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b4 == b6, "wider bucket must refine, not reshuffle, the narrow one")
+  }
+
+  test("conf knobs reach the declared queries without disturbing default outputs") {
+    def rows() = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val defaults = rows()
+    try {
+      // a 64-bit signature with hamming<=3 on the same corpus is a SUBSET
+      // (more bits can only add differences); the plumbing must not throw
+      spark.conf.set("spark.graft.dedup.simhashBits", "64")
+      val wide = rows()
+      assert(wide.size <= defaults.size)
+      spark.conf.set("spark.graft.dedup.simhashBands", "2")
+      intercept[IllegalArgumentException](rows()) // 2 bands can't cover hamming 3
+    } finally {
+      spark.conf.unset("spark.graft.dedup.simhashBits")
+      spark.conf.unset("spark.graft.dedup.simhashBands")
+    }
+    assert(rows() == defaults, "unsetting the knobs must restore the oracle shape")
+    def cosRows() = SparkEntry.queries("q_dedup_cosine")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val cosDefaults = cosRows()
+    try {
+      spark.conf.set("spark.graft.dedup.cosinePlanes", "6")
+      assert(cosRows().size <= cosDefaults.size) // refined buckets: subset
+    } finally spark.conf.unset("spark.graft.dedup.cosinePlanes")
+    assert(cosRows() == cosDefaults)
+  }
+}
