@@ -67,12 +67,12 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
     df.collect() // finalize the adaptive plan
     val p = df.queryExecution.executedPlan.toString
-    // the self-join's equi-keys must include the (band, nib) columns — a
-    // lang-only key set is the quadratic-within-language shape
+    // the self-join's equi-keys must include the (band, band-value)
+    // columns — a lang-only key set is the quadratic-within-language shape
     val joinLine = p.linesIterator.find(l =>
       l.contains("Join") && l.contains("lang")).getOrElse("")
-    assert(joinLine.contains("band") && joinLine.contains("nib"),
-      s"simhash join keys missing band/nib: $joinLine")
+    assert(joinLine.contains("band") && joinLine.contains("bv"),
+      s"simhash join keys missing band/bv: $joinLine")
   }
 
   test("dedup verify stages shuffle-attach token sets (no corpus broadcast)") {
