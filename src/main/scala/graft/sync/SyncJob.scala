@@ -113,7 +113,12 @@ object SyncRunner {
     * tiny bucket-count table, never over rows — and a parallel per-bucket
     * row_number. Identical output, no row-scale ordered window.
     */
-  def plan(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
+  /** The job's documents with routing but WITHOUT batch assignment: one
+    * row per source row — `_id`, serialized `doc`, `action`, content
+    * hash `h`, `routing` shard. This is the half [[mergedState]] needs;
+    * [[plan]] layers the batch-rank decomposition on top for delivery.
+    */
+  def docs(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
     val pieces = job.fields.zipWithIndex.flatMap { case (f, i) =>
       val sep = if (i == 0) "{" else ","
       if (f.quoted)
@@ -129,7 +134,7 @@ object SyncRunner {
           when(del, lit(null).cast("string")).otherwise(doc))
       case _ => (lit("index"), doc)
     }
-    val base = source(spark, sfDir, job)
+    source(spark, sfDir, job)
       .select(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
         action.as("action"))
       // 60-bit md5 prefix: content-deterministic routing, identical in
@@ -137,6 +142,10 @@ object SyncRunner {
       // engine-private hash()
       .withColumn("h", expr("CAST(conv(substr(md5(_id), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("routing", pmod(col("h"), lit(job.shards.toLong)).cast("int"))
+  }
+
+  def plan(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
+    val base = docs(spark, sfDir, job)
       // 2048 uniform hash-range buckets per shard for the rank decomposition
       .withColumn("bkt", expr(s"h DIV ${1L << 49}"))
     val offs = base.groupBy("routing", "bkt").agg(count(lit(1)).as("cnt"))
@@ -166,10 +175,12 @@ object SyncRunner {
   /** The served index AFTER an upsert run applies on top of a base sync —
     * the MERGE shape (q_merge_upsert, Warehouse.scala) composed into the
     * sync path: changed ids override base ids, tombstoned ids are gone,
-    * unchanged base ids survive. Both sides are planned documents, so
-    * this is exactly what [[graft.sinks.Writers.foldState]] reads back
-    * from a [[graft.sinks.FileBulkClient]] generation stack — and what
-    * the DuckDB oracle recomputes for q_sync_upsert. The anti-join is an
+    * unchanged base ids survive. Feed it [[docs]], not [[plan]]: the
+    * merge is batch-agnostic, and the batch-rank machinery (bucket
+    * offsets + per-bucket windows) would be dead weight in the plan —
+    * which is exactly what [[graft.sinks.Writers.foldState]] reads back
+    * from a [[graft.sinks.FileBulkClient]] generation stack, since
+    * folding also ignores batch boundaries. The anti-join is an
     * equi-join on `_id` (shuffle, narrow id-only build side at 100 TB);
     * no window, no collect.
     */

@@ -73,7 +73,7 @@ object SyncQueries extends QueryFamily {
     // sync: per-shard doc count/bytes/id-range of base MERGE changes.
     "q_sync_upsert" -> ((s, dir) =>
       SyncRunner.mergedState(
-          SyncRunner.plan(s, dir, baseJob), SyncRunner.plan(s, dir, upsertJob))
+          SyncRunner.docs(s, dir, baseJob), SyncRunner.docs(s, dir, upsertJob))
         .groupBy(col("routing").cast("bigint").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("doc"))).cast("bigint").as("doc_bytes"),

@@ -158,4 +158,16 @@ class PlanSpec extends AnyFunSuite {
     assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
       s"sync row_number window not bucket-partitioned: $rn")
   }
+
+  test("q_sync_upsert merges document state with no batch-rank machinery") {
+    // the merge is batch-agnostic: built on SyncRunner.docs, its plan
+    // must carry NO window (batch ranks) — two scans, an anti-join, a
+    // union, one aggregation
+    val df = SparkEntry.queries("q_sync_upsert")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("row_number"),
+      s"merged state must not compute batch ranks:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), s"expected an _id anti-join:\n${p.take(1500)}")
+  }
 }

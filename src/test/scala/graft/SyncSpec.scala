@@ -237,7 +237,7 @@ class SyncSpec extends AnyFunSuite {
     assert(Writers.foldState(dir) == state)
     // and the folded store state IS the oracle-checked mergedState
     val merged = SyncRunner.mergedState(
-        SyncRunner.plan(spark, sf0001, base), SyncRunner.plan(spark, sf0001, chg))
+        SyncRunner.docs(spark, sf0001, base), SyncRunner.docs(spark, sf0001, chg))
       .select("_id", "doc").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(merged == state)
   }
