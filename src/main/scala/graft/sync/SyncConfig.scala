@@ -96,15 +96,27 @@ object SyncConfig {
     * sequential loop — delivery order across jobs is NOT part of the
     * contract (each job owns its target index), which is what makes the
     * parallel run outcome-identical to the sequential one.
+    *
+    * With `watermarks` set, watermarked jobs run TRACKED
+    * ([[SyncRunner.runTracked]]): the stored per-job watermark overrides
+    * the configured FROM bound and advances after each successful
+    * delivery — consecutive loop invocations ship only deltas, the
+    * nightly-sync steady state. A failed job's watermark stays put (its
+    * slice re-delivers next run, idempotently).
     */
   def runAll(spark: SparkSession, sfDir: String, jobs: Seq[SyncJob],
-      clientFor: SyncJob => BulkClient, parallelism: Int = 1): Seq[JobOutcome] = {
+      clientFor: SyncJob => BulkClient, parallelism: Int = 1,
+      watermarks: Option[WatermarkStore] = None): Seq[JobOutcome] = {
     require(parallelism >= 1, s"bad parallelism=$parallelism")
     val dupNames = jobs.groupBy(_.name).collect { case (n, js) if js.size > 1 => n }
     require(dupNames.isEmpty, s"duplicate job names: ${dupNames.mkString(", ")}")
     def one(job: SyncJob): JobOutcome =
       try {
-        val (docs, batches) = SyncRunner.run(spark, sfDir, job, clientFor(job))
+        val (docs, batches) = (watermarks, job.mode) match {
+          case (Some(st), _: SyncMode.Incremental | _: SyncMode.Upsert) =>
+            SyncRunner.runTracked(spark, sfDir, job, st, clientFor(job))
+          case _ => SyncRunner.run(spark, sfDir, job, clientFor(job))
+        }
         JobOutcome(job.name, ok = true, docs = docs, batches = batches, error = None)
       } catch {
         case NonFatal(e) =>

@@ -191,6 +191,64 @@ object SyncRunner {
       .unionAll(survivors)
   }
 
+  /** Render a watermark value read back from a query as the SQL literal
+    * the NEXT run's pushdown predicate will embed — engine-portable
+    * (`TIMESTAMP '...'` / `DATE '...'` forms parse in both Spark and the
+    * DuckDB oracle dialect).
+    */
+  private[sync] def wmLiteral(v: Any): String = v match {
+    case t: java.time.LocalDateTime =>
+      "TIMESTAMP '" + t.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
+    case t: java.time.Instant  => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+    case d: java.sql.Date      => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case s: String             => "'" + s.replace("'", "''") + "'"
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
+              _: java.math.BigDecimal) => n.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported watermark type: ${other.getClass.getName}")
+  }
+
+  /** Tracked incremental run: resolve the job's FROM bound from `store`
+    * (the configured `fromLit` seeds the very first run), deliver the
+    * delta, and — only after a fully successful delivery — advance the
+    * stored watermark to the delta's max. The advance reads
+    * `max(watermarkCol)` over the already-filtered incremental slice, so
+    * its cost is O(delta), never a corpus re-scan; an empty delta leaves
+    * the watermark untouched. A failed run also leaves it untouched, so
+    * the next run re-delivers the same slice and the idempotent `_id`
+    * client converges — at-least-once delivery, exactly-once state.
+    * The max is SNAPSHOTTED BEFORE delivery: a row arriving mid-run past
+    * the snapshot is delivered now AND re-delivered next run (harmless
+    * under idempotency); the reverse order would record a watermark
+    * covering rows the delivery scan never saw — silent loss.
+    * Caveat (standard for scan-based CDC): the `>` bound means a row
+    * arriving LATER with a watermark ≤ the recorded max is invisible to
+    * every future run — use a strictly-increasing watermark column
+    * (ingest time, sequence id), not a business date.
+    */
+  def runTracked(spark: SparkSession, sfDir: String, job: SyncJob,
+      store: WatermarkStore, client: BulkClient): (Long, Long) = {
+    val (wmCol, seed) = job.mode match {
+      case SyncMode.Incremental(c, f) => (c, f)
+      case SyncMode.Upsert(c, f, _)   => (c, f)
+      case SyncMode.Full => throw new IllegalArgumentException(
+        s"job '${job.name}': tracked runs need a watermarked mode")
+    }
+    val from = store.get(job.name).getOrElse(seed)
+    val resolved = job.mode match {
+      case m: SyncMode.Incremental => job.copy(mode = m.copy(fromLit = from))
+      case m: SyncMode.Upsert      => job.copy(mode = m.copy(fromLit = from))
+      case SyncMode.Full           => job // unreachable
+    }
+    val maxRow = source(spark, sfDir, resolved).agg(max(col(wmCol))).head()
+    val counts = run(spark, sfDir, resolved, client)
+    if (!maxRow.isNullAt(0)) store.set(job.name, wmLiteral(maxRow.get(0)))
+    counts
+  }
+
   /** Full-sync with index recreate + alias swap (the reference's full
     * mode): build the job's complete output as a NEW version under
     * `indexRoot`, then atomically flip the `current` alias onto it —

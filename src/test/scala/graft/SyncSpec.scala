@@ -297,6 +297,93 @@ class SyncSpec extends AnyFunSuite {
     assert(snapshot(s"$r2/par_b") == snapshot(s"$r1/par_b"))
   }
 
+  test("tracked incremental sync advances the watermark and ships only deltas") {
+    import graft.sinks.Writers
+    import spark.implicits._
+    def srcView(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "value", "ver").createOrReplaceTempView("wm_src")
+    srcView(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)))
+    val store = new WatermarkStore(tmp("graft_wm").toString)
+    val dir = tmp("graft_wm_out").toString
+    val job = SyncJob("wm_job", SyncSource.Sql("SELECT * FROM wm_src"),
+      idCol = "id", fields = Seq(DocField("id", "id", quoted = false),
+        DocField("value", "value", quoted = true)),
+      shards = 2, batchSize = 10, mode = SyncMode.Incremental("ver", "0"))
+    // run 1: everything past the seed bound ships; watermark = max ver
+    val (d1, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+      FileBulkClient(dir, gen = Some(0)))
+    assert(d1 == 3 && store.get("wm_job").contains("2"))
+    // run 2: a new row arrived (ver 3) — ONLY the delta ships
+    srcView(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 3L)))
+    val (d2, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+      FileBulkClient(dir, gen = Some(1)))
+    assert(d2 == 1 && store.get("wm_job").contains("3"))
+    assert(Writers.foldState(dir).keySet == Set("1", "2", "3", "4"))
+    // run 3: no new rows — empty delta, watermark untouched
+    val (d3, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+      FileBulkClient(dir, gen = Some(2)))
+    assert(d3 == 0 && store.get("wm_job").contains("3"))
+    // a FAILED run leaves the watermark untouched, so its slice
+    // re-delivers next run and the served state still converges
+    srcView(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 3L),
+      (5L, "e", 4L)))
+    intercept[Exception] {
+      SyncRunner.runTracked(spark, sf0001, job, store,
+        FlakyClient("wm-perm", FileBulkClient(dir, gen = Some(3)),
+          failures = 99, mode = "permanent"))
+    }
+    assert(store.get("wm_job").contains("3"), "failed run must not advance")
+    val (d4, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+      FileBulkClient(dir, gen = Some(3)))
+    assert(d4 == 1 && store.get("wm_job").contains("4"))
+    assert(Writers.foldState(dir).keySet == Set("1", "2", "3", "4", "5"))
+    // a Full-mode job refuses tracking loudly
+    intercept[IllegalArgumentException] {
+      SyncRunner.runTracked(spark, sf0001, job.copy(mode = SyncMode.Full),
+        store, FileBulkClient(dir))
+    }
+  }
+
+  test("timestamp watermarks round-trip as pushdown-safe literals") {
+    val store = new WatermarkStore(tmp("graft_wm_ts").toString)
+    val job = fullJob.copy(name = "wm_orders",
+      mode = SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'"))
+    val dir = tmp("graft_wm_ts_out").toString
+    val (d1, _) = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
+    val expected = spark.read.parquet(s"$sf0001/orders.parquet")
+      .where(col("o_orderdate") > lit("1997-06-01").cast("timestamp_ntz")).count()
+    assert(d1 == expected)
+    val wm = store.get("wm_orders").get
+    assert(wm.startsWith("TIMESTAMP '"), wm)
+    // the recorded literal is the source's true max, so the next run is empty
+    val (d2, _) = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
+    assert(d2 == 0, s"re-run after advance must ship nothing, shipped $d2 (wm=$wm)")
+    // ... and the predicate still reaches the parquet scan
+    val resolved = job.copy(mode = SyncMode.Incremental("o_orderdate", wm))
+    val p = SyncRunner.source(spark, sf0001, resolved)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(1200))
+  }
+
+  test("runAll with a watermark store runs watermarked jobs tracked") {
+    val store = new WatermarkStore(tmp("graft_wm_all").toString)
+    val root = tmp("graft_wm_all_out").toString
+    val jobs = Seq(
+      fullJob.copy(name = "all_full", shards = 2, batchSize = 200),
+      fullJob.copy(name = "all_incr", shards = 2, batchSize = 200,
+        mode = SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'")))
+    val first = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$root/${j.name}"), watermarks = Some(store))
+    assert(first.forall(_.ok))
+    assert(store.get("all_incr").nonEmpty && store.get("all_full").isEmpty)
+    // second loop invocation: the full job re-ships, the tracked
+    // incremental job's delta is empty
+    val second = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$root/${j.name}"), watermarks = Some(store))
+    assert(second.head.docs == first.head.docs)
+    assert(second(1).docs == 0, s"steady-state delta must be empty: ${second(1)}")
+  }
+
   test("config JSON parses upsert mode; malformed entries fail with the field's name") {
     val json = """{"jobs": [
       {"name": "orders_up", "table": "orders", "idCol": "o_orderkey",
