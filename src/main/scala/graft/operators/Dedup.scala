@@ -148,17 +148,21 @@ object Dedup extends QueryFamily {
     val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
         explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("bv", expr(s"shiftright(simhash, band * $w) & ${mask}L"))
-    val firstBand = (0 until bands - 1).map(i =>
-      s"WHEN ((sim_a ^ sim_b) & ${mask << (i * w)}L) = 0 THEN $i")
-      .mkString("CASE ", " ", s" ELSE ${bands - 1} END")
-    banded.as("x").join(banded.as("y"),
+    val joined = banded.as("x").join(banded.as("y"),
         col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
         col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
         col("x.band").as("band"))
-      .where(col("band") === expr(firstBand))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
+    // bands == 1: a pair meets at most once, no first-agreeing-band
+    // filter needed (and the CASE below would have zero WHEN arms)
+    val once = if (bands == 1) joined else {
+      val firstBand = (0 until bands - 1).map(i =>
+        s"WHEN ((sim_a ^ sim_b) & ${mask << (i * w)}L) = 0 THEN $i")
+        .mkString("CASE ", " ", s" ELSE ${bands - 1} END")
+      joined.where(col("band") === expr(firstBand))
+    }
+    once.select("doc_a", "doc_b", "sim_a", "sim_b")
   }
 
   /** Two-level-blocked cosine pairs over `e(vec_id, label, v)`: self-join

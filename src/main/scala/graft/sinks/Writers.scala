@@ -90,10 +90,11 @@ case class FileBulkClient(dir: String, gen: Option[Int] = None) extends BulkClie
   *     [[BulkClient]] yields exactly-once-equivalent results after any
   *     number of retries.
   *  3. [[deliver]] — the retry loop every bulk call goes through:
-  *     retryable rejections are resent (only the rejected docs) with
+  *     retryable rejections resend the WHOLE batch (idempotency makes
+  *     redelivery of accepted docs a no-op; see the method doc) with
   *     exponential backoff up to `maxRetries`; permanent rejections or
   *     exhausted retries throw [[BulkRejectedException]]. Because batch
-  *     membership is deterministic and the client idempotent, a partial
+  *     membership is deterministic and the client idempotent, a
   *     redelivery converges to the same store state as a clean run.
   */
 object Writers {
@@ -139,18 +140,21 @@ object Writers {
       maxRetries: Int = 3, backoffMs: Long = 10): Unit = {
     var attempt = 0
     while (true) {
-      val outcomes =
-        try {
-          val out = client.send(shard, batchIdx, docs)
+      // the send result is validated OUTSIDE the try: a client that
+      // itself throws IllegalArgumentException must still be classified
+      // as a transient whole-request failure, not escape the loop
+      val attemptResult =
+        try Right(client.send(shard, batchIdx, docs))
+        catch { case NonFatal(e) => Left(e) }
+      val outcomes = attemptResult match {
+        case Right(out) =>
           require(out.size == docs.size,
             s"client returned ${out.size} outcomes for ${docs.size} docs")
           out
-        } catch {
-          case e: IllegalArgumentException => throw e // the require above
-          case NonFatal(e) => // whole-request transient failure
-            docs.map(b => DocOutcome(b.id, ok = false, retryable = true,
-              error = Some(e.toString)))
-        }
+        case Left(e) => // whole-request transient failure
+          docs.map(b => DocOutcome(b.id, ok = false, retryable = true,
+            error = Some(e.toString)))
+      }
       val rejected = outcomes.filter(o => !o.ok && !o.retryable)
       if (rejected.nonEmpty)
         throw new BulkRejectedException(shard, batchIdx, rejected)

@@ -131,7 +131,19 @@ object SyncConfig {
           pool.submit(new java.util.concurrent.Callable[JobOutcome] {
             override def call(): JobOutcome = one(job)
           }))
-        futures.map(_.get())
+        futures.map { f =>
+          try f.get()
+          catch {
+            // a fatal error escaped one(); surface the CAUSE (get wraps
+            // it in ExecutionException, which is NonFatal and would let
+            // a caller misclassify an OOM as a per-job failure) and stop
+            // launching the still-queued jobs — a possibly-broken JVM
+            // must not keep delivering data in background threads
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
       } finally pool.shutdown()
     }
   }

@@ -113,12 +113,22 @@ object SyncRunner {
     * tiny bucket-count table, never over rows — and a parallel per-bucket
     * row_number. Identical output, no row-scale ordered window.
     */
+  /** Column names the planner owns; a passthrough column may not shadow
+    * them. */
+  private val PlanCols = Set("_id", "doc", "action", "h", "routing",
+    "bkt", "cnt", "off", "rn", "batch_id")
+
   /** The job's documents with routing but WITHOUT batch assignment: one
     * row per source row — `_id`, serialized `doc`, `action`, content
-    * hash `h`, `routing` shard. This is the half [[mergedState]] needs;
-    * [[plan]] layers the batch-rank decomposition on top for delivery.
+    * hash `h`, `routing` shard, plus any `keep` source columns passed
+    * through (e.g. the watermark column for tracked runs). This is the
+    * half [[mergedState]] needs; [[plan]] layers the batch-rank
+    * decomposition on top for delivery.
     */
-  def docs(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
+  def docs(spark: SparkSession, sfDir: String, job: SyncJob,
+      keep: Seq[String] = Nil): DataFrame = {
+    keep.foreach(k => require(!PlanCols(k),
+      s"passthrough column '$k' shadows a planner column"))
     val pieces = job.fields.zipWithIndex.flatMap { case (f, i) =>
       val sep = if (i == 0) "{" else ","
       if (f.quoted)
@@ -135,8 +145,8 @@ object SyncRunner {
       case _ => (lit("index"), doc)
     }
     source(spark, sfDir, job)
-      .select(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
-        action.as("action"))
+      .select(Seq(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
+        action.as("action")) ++ keep.map(col): _*)
       // 60-bit md5 prefix: content-deterministic routing, identical in
       // DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), never the
       // engine-private hash()
@@ -144,8 +154,9 @@ object SyncRunner {
       .withColumn("routing", pmod(col("h"), lit(job.shards.toLong)).cast("int"))
   }
 
-  def plan(spark: SparkSession, sfDir: String, job: SyncJob): DataFrame = {
-    val base = docs(spark, sfDir, job)
+  def plan(spark: SparkSession, sfDir: String, job: SyncJob,
+      keep: Seq[String] = Nil): DataFrame = {
+    val base = docs(spark, sfDir, job, keep)
       // 2048 uniform hash-range buckets per shard for the rank decomposition
       .withColumn("bkt", expr(s"h DIV ${1L << 49}"))
     val offs = base.groupBy("routing", "bkt").agg(count(lit(1)).as("cnt"))
@@ -157,7 +168,7 @@ object SyncRunner {
       .withColumn("rn", col("off") +
         row_number().over(Window.partitionBy("routing", "bkt").orderBy("h", "_id")))
       .withColumn("batch_id", expr(s"CAST((rn - 1) DIV ${job.batchSize} AS BIGINT)"))
-      .select("_id", "h", "routing", "batch_id", "doc", "action")
+      .select("_id", (Seq("h", "routing", "batch_id", "doc", "action") ++ keep): _*)
   }
 
   /** Checkable job summary: per (shard, batch) document count, byte
@@ -196,12 +207,17 @@ object SyncRunner {
     * (`TIMESTAMP '...'` / `DATE '...'` forms parse in both Spark and the
     * DuckDB oracle dialect).
     */
+  private val WmFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
   private[sync] def wmLiteral(v: Any): String = v match {
-    case t: java.time.LocalDateTime =>
-      "TIMESTAMP '" + t.format(java.time.format.DateTimeFormatter
-        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
-    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
-    case t: java.time.Instant  => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+    case t: java.time.LocalDateTime => s"TIMESTAMP '${WmFmt.format(t)}'"
+    // instant-typed values render in UTC explicitly — Timestamp.toString
+    // uses the JVM default zone, which need not be the session zone the
+    // literal is re-parsed in (this project pins the session to UTC)
+    case t: java.sql.Timestamp =>
+      s"TIMESTAMP '${WmFmt.withZone(java.time.ZoneOffset.UTC).format(t.toInstant)}'"
+    case t: java.time.Instant =>
+      s"TIMESTAMP '${WmFmt.withZone(java.time.ZoneOffset.UTC).format(t)}'"
     case d: java.sql.Date      => s"DATE '$d'"
     case d: java.time.LocalDate => s"DATE '$d'"
     case s: String             => "'" + s.replace("'", "''") + "'"
@@ -214,16 +230,16 @@ object SyncRunner {
   /** Tracked incremental run: resolve the job's FROM bound from `store`
     * (the configured `fromLit` seeds the very first run), deliver the
     * delta, and — only after a fully successful delivery — advance the
-    * stored watermark to the delta's max. The advance reads
-    * `max(watermarkCol)` over the already-filtered incremental slice, so
-    * its cost is O(delta), never a corpus re-scan; an empty delta leaves
-    * the watermark untouched. A failed run also leaves it untouched, so
-    * the next run re-delivers the same slice and the idempotent `_id`
-    * client converges — at-least-once delivery, exactly-once state.
-    * The max is SNAPSHOTTED BEFORE delivery: a row arriving mid-run past
-    * the snapshot is delivered now AND re-delivered next run (harmless
-    * under idempotency); the reverse order would record a watermark
-    * covering rows the delivery scan never saw — silent loss.
+    * stored watermark to the delta's max. The max rides the delivery
+    * pass itself as a [[MaxWatermarkAccumulator]] over the passthrough
+    * watermark column — no second source scan (the same
+    * single-execution discipline as the doc/batch counts), and it
+    * covers EXACTLY the rows the delivery shipped, so a row arriving
+    * mid-run past the scan simply ships next run; max is idempotent
+    * under task retries. An empty delta leaves the watermark untouched.
+    * A failed run also leaves it untouched, so the next run re-delivers
+    * the same slice and the idempotent `_id` client converges —
+    * at-least-once delivery, exactly-once state.
     * Caveat (standard for scan-based CDC): the `>` bound means a row
     * arriving LATER with a watermark ≤ the recorded max is invisible to
     * every future run — use a strictly-increasing watermark column
@@ -243,9 +259,10 @@ object SyncRunner {
       case m: SyncMode.Upsert      => job.copy(mode = m.copy(fromLit = from))
       case SyncMode.Full           => job // unreachable
     }
-    val maxRow = source(spark, sfDir, resolved).agg(max(col(wmCol))).head()
-    val counts = run(spark, sfDir, resolved, client)
-    if (!maxRow.isNullAt(0)) store.set(job.name, wmLiteral(maxRow.get(0)))
+    val acc = new MaxWatermarkAccumulator
+    spark.sparkContext.register(acc, s"graft.sync.${job.name}.wmMax")
+    val counts = run(spark, sfDir, resolved, client, wmTrack = Some((wmCol, acc)))
+    acc.value.foreach(v => store.set(job.name, wmLiteral(v)))
     counts
   }
 
@@ -279,15 +296,17 @@ object SyncRunner {
     * is the right trade for a progress report — the oracle-checked
     * [[stats]] query stays the exact accounting surface.
     */
-  def run(spark: SparkSession, sfDir: String, job: SyncJob,
-      client: BulkClient): (Long, Long) = {
+  def run(spark: SparkSession, sfDir: String, job: SyncJob, client: BulkClient,
+      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): (Long, Long) = {
     val batchSize = job.batchSize // avoid serializing the runner object
     val docsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.docs")
     val batchesAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.batches")
-    plan(spark, sfDir, job)
+    val wmAcc = wmTrack.map(_._2)
+    val keep = wmTrack.map(_._1).toSeq
+    plan(spark, sfDir, job, keep)
       .repartition(job.shards, col("routing"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
-      .select("routing", "batch_id", "_id", "doc")
+      .select("routing", (Seq("batch_id", "_id", "doc", "action") ++ keep): _*)
       .foreachPartition { (rows: Iterator[Row]) =>
         // consecutive grouping: rows arrive sorted, so each (shard, batch)
         // run is contiguous; buffer is bounded by batchSize
@@ -303,11 +322,45 @@ object SyncRunner {
         rows.foreach { r =>
           val sh = r.getInt(0); val b = r.getLong(1)
           if (sh != curShard || b != curBatch) { flush(); curShard = sh; curBatch = b }
-          buf += BulkDoc(r.getString(2), Option(r.getString(3)))
+          // the ACTION decides delete-vs-index — a null doc on an index
+          // action (a doc field expression evaluated to NULL and concat
+          // collapsed) must fail loudly, never masquerade as a delete
+          val bd =
+            if (r.getString(4) == "delete") BulkDoc(r.getString(2), None)
+            else {
+              require(r.getString(3) != null, s"null document for " +
+                s"_id=${r.getString(2)}: a doc field expression evaluated " +
+                "to NULL — make the field expression null-safe (coalesce)")
+              BulkDoc(r.getString(2), Some(r.getString(3)))
+            }
+          buf += bd
+          wmAcc.foreach(_.add(r.get(5)))
           require(buf.size <= batchSize, s"batch overflow in shard=$sh batch=$b")
         }
         flush()
       }
     (docsAcc.value, batchesAcc.value)
   }
+}
+
+/** Max over arbitrary Comparable watermark values (timestamps, dates,
+  * numbers, strings — every type [[SyncRunner.wmLiteral]] renders),
+  * accumulated inside the delivery tasks so a tracked run learns its
+  * delta's max watermark with NO second source scan. Max is idempotent,
+  * so task retries and speculative duplicates cannot corrupt it.
+  */
+final class MaxWatermarkAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Any, Option[Any]] {
+  private var cur: Any = null
+  override def isZero: Boolean = cur == null
+  override def copy(): MaxWatermarkAccumulator = {
+    val a = new MaxWatermarkAccumulator; a.cur = cur; a
+  }
+  override def reset(): Unit = cur = null
+  override def add(v: Any): Unit =
+    if (v != null && (cur == null ||
+      v.asInstanceOf[Comparable[Any]].compareTo(cur) > 0)) cur = v
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Any, Option[Any]]): Unit =
+    other.value.foreach(add)
+  override def value: Option[Any] = Option(cur)
 }

@@ -33,8 +33,12 @@ final class WatermarkStore(root: String) {
   def set(job: String, wmLit: String): Unit = {
     val f = fileFor(job)
     val tmp = Files.createTempFile(f.getParent, s".wm-$job-", ".tmp")
-    Files.writeString(tmp, wmLit)
-    Files.move(tmp, f,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, wmLit)
+      Files.move(tmp, f,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 }

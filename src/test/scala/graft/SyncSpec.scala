@@ -344,6 +344,59 @@ class SyncSpec extends AnyFunSuite {
     }
   }
 
+  test("a null doc on an index action fails loudly instead of masquerading as a delete") {
+    import spark.implicits._
+    // id 2's value is null -> concat collapses the doc to NULL; delivering
+    // it as a delete (doc==None) would silently drop the document
+    Seq((1L, Some("a")), (2L, None: Option[String]))
+      .toDF("id", "value").createOrReplaceTempView("nulldoc_src")
+    val job = SyncJob("nulldoc", SyncSource.Sql("SELECT * FROM nulldoc_src"),
+      idCol = "id", fields = Seq(DocField("value", "value", quoted = true)),
+      shards = 1, batchSize = 10)
+    val e = intercept[Exception] {
+      SyncRunner.run(spark, sf0001, job, FileBulkClient(tmp("graft_nulldoc").toString))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null document") ||
+      Option(e.getCause).exists(_.getMessage.contains("null document")),
+      s"expected a loud null-document failure, got: $e")
+    // a null-SAFE field expression delivers fine
+    val safe = job.copy(name = "nulldoc_safe",
+      fields = Seq(DocField("value", "coalesce(value, '')", quoted = true)))
+    val dir = tmp("graft_nulldoc_safe").toString
+    val (d, _) = SyncRunner.run(spark, sf0001, safe, FileBulkClient(dir))
+    assert(d == 2)
+  }
+
+  test("tracked runs execute the source once (max rides the delivery accumulator)") {
+    import spark.implicits._
+    val marker = "wm_exec_marker_9174"
+    Seq((1L, 1L), (2L, 2L)).toDF("id", "ver")
+      .withColumn("mk", lit(marker)).createOrReplaceTempView("wm_once_src")
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.toString.contains(marker)) counter.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val store = new WatermarkStore(tmp("graft_wm_once").toString)
+      val job = SyncJob("wm_once", SyncSource.Sql("SELECT * FROM wm_once_src"),
+        idCol = "id", fields = Seq(DocField("id", "id", quoted = false)),
+        shards = 1, batchSize = 10, mode = SyncMode.Incremental("ver", "0"))
+      val (d, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+        FileBulkClient(tmp("graft_wm_once_out").toString))
+      assert(d == 2 && store.get("wm_once").contains("2"))
+      val deadline = System.currentTimeMillis + 30000
+      while (counter.get < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
+      Thread.sleep(1000)
+      assert(counter.get == 1,
+        s"tracked run must scan the source exactly once, saw ${counter.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("timestamp watermarks round-trip as pushdown-safe literals") {
     val store = new WatermarkStore(tmp("graft_wm_ts").toString)
     val job = fullJob.copy(name = "wm_orders",
