@@ -656,7 +656,12 @@ object Dedup extends QueryFamily {
     // engines and fully codegen'd (no interpreted lambda per row).
     "q_sim_lsh" -> ((s, dir) => {
       graft.functions.VecDot.register(s)
-      val bucket = lshBucketExpr(j => s"element_at(v, $j)")
+      // scanned fraction per probe is ~1/2^planes — at corpus scale set
+      // spark.graft.sim.lshPlanes (prefix property: wider refines, so
+      // recall trades off smoothly); the declared fixture fan-out is 4
+      val planes = s.conf.getOption("spark.graft.sim.lshPlanes")
+        .map(_.toInt).getOrElse(4)
+      val bucket = lshBucketExpr(j => s"element_at(v, $j)", planes)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
