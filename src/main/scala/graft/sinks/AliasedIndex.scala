@@ -71,28 +71,37 @@ object AliasedIndex {
     Files.createDirectories(rootP)
     val next = versions(rootP).lastOption.fold(1)(_._1 + 1)
     val name = f"v-$next%05d"
-    // hidden staging dir: a writer crash leaves no visible version
+    // hidden staging dir: a writer CRASH leaves only hidden junk, never a
+    // visible version; a writer that fails with an exception cleans its
+    // staging up entirely
     val staging = Files.createTempDirectory(rootP, s".building-$name-")
-    write(staging.toString)
+    try write(staging.toString)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
     val versionDir = rootP.resolve(name)
     Files.move(staging, versionDir, StandardCopyOption.ATOMIC_MOVE)
     // alias flip: tmp pointer file + atomic rename over `current`
     val tmp = Files.createTempFile(rootP, ".current-", ".tmp")
-    Files.writeString(tmp, name)
-    Files.move(tmp, rootP.resolve("current"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.writeString(tmp, name)
+      Files.move(tmp, rootP.resolve("current"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
     gc(rootP, keep)
     versionDir.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   /** Remove all but the newest `keep` versions (the current target is
     * always among them — it is the newest).
     */
   private def gc(root: Path, keep: Int): Unit =
-    versions(root).dropRight(keep).foreach { case (_, p) =>
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    versions(root).dropRight(keep).foreach { case (_, p) => deleteRecursively(p) }
 }

@@ -64,13 +64,17 @@ case class FileBulkClient(dir: String, gen: Option[Int] = None) extends BulkClie
     val d = base.resolve(f"shard=$shard%05d")
     Files.createDirectories(d)
     val tmp = Files.createTempFile(d, s".batch-$batchIdx-", ".tmp")
-    val body = docs.map {
-      case BulkDoc(id, Some(doc)) => s"""{"_id":"$id","doc":$doc}"""
-      case BulkDoc(id, None)      => s"""{"_id":"$id","delete":true}"""
-    }.mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, d.resolve(f"batch-$batchIdx%06d.jsonl"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val body = docs.map {
+        case BulkDoc(id, Some(doc)) => s"""{"_id":"$id","doc":$doc}"""
+        case BulkDoc(id, None)      => s"""{"_id":"$id","delete":true}"""
+      }.mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, d.resolve(f"batch-$batchIdx%06d.jsonl"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
     docs.map(b => DocOutcome(b.id, ok = true))
   }
 }
