@@ -72,13 +72,17 @@ object AliasedIndex {
     val next = versions(rootP).lastOption.fold(1)(_._1 + 1)
     val name = f"v-$next%05d"
     // hidden staging dir: a writer CRASH leaves only hidden junk, never a
-    // visible version; a writer that fails with an exception cleans its
-    // staging up entirely
+    // visible version; a writer that FAILS (including the losing side of
+    // the racing-publishers move) cleans its staging up entirely
     val staging = Files.createTempDirectory(rootP, s".building-$name-")
-    try write(staging.toString)
-    catch { case e: Throwable => deleteRecursively(staging); throw e }
     val versionDir = rootP.resolve(name)
-    Files.move(staging, versionDir, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      write(staging.toString)
+      Files.move(staging, versionDir, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        cleanupQuietly(e, () => deleteRecursively(staging)); throw e
+    }
     // alias flip: tmp pointer file + atomic rename over `current`
     val tmp = Files.createTempFile(rootP, ".current-", ".tmp")
     try {
@@ -86,11 +90,21 @@ object AliasedIndex {
       Files.move(tmp, rootP.resolve("current"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } catch {
-      case e: Throwable => Files.deleteIfExists(tmp); throw e
+      case scala.util.control.NonFatal(e) =>
+        cleanupQuietly(e, () => Files.deleteIfExists(tmp)); throw e
     }
     gc(rootP, keep)
     versionDir.toString
   }
+
+  /** Run cleanup for a failed operation without losing the root cause:
+    * a cleanup failure (often the same disk condition) is SUPPRESSED
+    * onto the original exception, never thrown in its place. NonFatal
+    * callers only — no filesystem walks mid-OOM.
+    */
+  private def cleanupQuietly(cause: Throwable, cleanup: () => Unit): Unit =
+    try cleanup()
+    catch { case scala.util.control.NonFatal(c) => cause.addSuppressed(c) }
 
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)

@@ -73,7 +73,10 @@ case class FileBulkClient(dir: String, gen: Option[Int] = None) extends BulkClie
       Files.move(tmp, d.resolve(f"batch-$batchIdx%06d.jsonl"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } catch {
-      case e: Throwable => Files.deleteIfExists(tmp); throw e
+      case NonFatal(e) => // suppress a cleanup failure, keep the cause
+        try Files.deleteIfExists(tmp)
+        catch { case NonFatal(c) => e.addSuppressed(c) }
+        throw e
     }
     docs.map(b => DocOutcome(b.id, ok = true))
   }

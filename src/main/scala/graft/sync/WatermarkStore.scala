@@ -38,7 +38,10 @@ final class WatermarkStore(root: String) {
       Files.move(tmp, f,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } catch {
-      case e: Throwable => Files.deleteIfExists(tmp); throw e
+      case scala.util.control.NonFatal(e) =>
+        try Files.deleteIfExists(tmp)
+        catch { case scala.util.control.NonFatal(c) => e.addSuppressed(c) }
+        throw e
     }
   }
 }

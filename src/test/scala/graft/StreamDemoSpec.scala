@@ -42,13 +42,16 @@ class StreamDemoSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempDirectory("graft_stream_bulk").toString
     StreamDemo.bulkSink(spark, work, out)
-    def ids(): Seq[String] = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-      .iterator().asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".jsonl"))
-      .flatMap(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .split("\n").filter(_.nonEmpty)
-        .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')))
-      .toSeq
+    def ids(): Seq[String] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".jsonl"))
+        .flatMap(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+          .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')))
+        .toList
+      finally walk.close()
+    }
     val first = ids()
     val expected = spark.read.parquet(s"$work/in").count()
     assert(first.size == expected, s"${first.size} docs delivered, $expected events staged")
@@ -68,8 +71,12 @@ class StreamDemoSpec extends AnyFunSuite {
     val in2root = Files.createTempDirectory("graft_stream_resume_in").toString
     val in2 = Paths.get(in2root, "in")
     Files.createDirectories(in2)
-    val staged = Files.list(Paths.get(s"$work/in")).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val staged = {
+      val listing = Files.list(Paths.get(s"$work/in"))
+      try listing.iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toList.sortBy(_.toString)
+      finally listing.close()
+    }
     assert(staged.size >= 3, s"expected several staged chunks, got ${staged.size}")
     def arrive(p: java.nio.file.Path): Unit =
       Files.copy(p, in2.resolve(p.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
@@ -77,12 +84,16 @@ class StreamDemoSpec extends AnyFunSuite {
     firstHalf.foreach(arrive)
     val out = Files.createTempDirectory("graft_stream_resume_out").toString
     StreamDemo.bulkSink(spark, in2root, out) // run 1: sees only the first half
-    def ids(): Seq[String] = Files.walk(Paths.get(out)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".jsonl"))
-      .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
-        .split("\n").filter(_.nonEmpty)
-        .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')))
-      .toSeq
+    def ids(): Seq[String] = {
+      val walk = Files.walk(Paths.get(out))
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".jsonl"))
+        .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+          .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')))
+        .toList
+      finally walk.close()
+    }
     val partial = ids()
     val firstHalfCount = spark.read.parquet(firstHalf.map(_.toString): _*).count()
     assert(partial.size == firstHalfCount,

@@ -22,13 +22,17 @@ object SyncProps extends Properties("graft.sync") {
   // ---- deliver() vs a reference model of the retry contract ----------
 
   sealed trait Attempt
-  case object Throws extends Attempt          // network-level failure
-  case object Rejects extends Attempt         // per-doc retryable (429)
-  case object Permanent extends Attempt       // per-doc permanent
+  case object Throws extends Attempt // network-level failure
+  /** Per-doc MIXED outcomes: docs at `perm` positions are permanently
+    * rejected, docs at `retry` positions retryably, the rest accepted —
+    * the real `_bulk` response shape (positions beyond the batch size
+    * are ignored; both-sets positions count as permanent).
+    */
+  final case class Mixed(perm: Set[Int], retry: Set[Int]) extends Attempt
   case object Accepts extends Attempt
 
   /** Replays a script; every attempt consumes one entry ([[Accepts]]
-    * after exhaustion). Records the last accepted batch.
+    * after exhaustion). Records the last fully-accepted batch.
     */
   final class ScriptedClient(script: Seq[Attempt]) extends BulkClient {
     var calls = 0
@@ -36,32 +40,45 @@ object SyncProps extends Properties("graft.sync") {
     override def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome] = {
       val a = if (calls < script.length) script(calls) else Accepts
       calls += 1
-      a match {
-        case Throws    => throw new RuntimeException("scripted network failure")
-        case Rejects   => docs.map(d => DocOutcome(d.id, ok = false,
-          retryable = true, error = Some("429")))
-        case Permanent => docs.map(d => DocOutcome(d.id, ok = false,
-          retryable = false, error = Some("mapping")))
-        case Accepts   => lastAccepted = Some(docs); docs.map(d => DocOutcome(d.id, ok = true))
+      val outcomes = a match {
+        case Throws => throw new RuntimeException("scripted network failure")
+        case Mixed(perm, retry) => docs.zipWithIndex.map { case (d, i) =>
+          if (perm(i)) DocOutcome(d.id, ok = false, retryable = false, error = Some("mapping"))
+          else if (retry(i)) DocOutcome(d.id, ok = false, retryable = true, error = Some("429"))
+          else DocOutcome(d.id, ok = true)
+        }
+        case Accepts => docs.map(d => DocOutcome(d.id, ok = true))
       }
+      if (outcomes.forall(_.ok)) lastAccepted = Some(docs)
+      outcomes
     }
   }
 
   /** Independent restatement of the documented contract: attempts run in
-    * script order; a permanent rejection fails immediately; a retryable
-    * failure is retried while the resend budget lasts; otherwise the
-    * first accepting attempt wins.
+    * script order; any permanent rejection in an attempt fails the batch
+    * immediately; an attempt with only retryable failures (or a thrown
+    * request) is retried while the resend budget lasts; an attempt with
+    * no failures wins.
     */
-  private def referenceModel(script: Seq[Attempt], maxRetries: Int): Either[String, Int] = {
+  private def referenceModel(script: Seq[Attempt], nDocs: Int,
+      maxRetries: Int): Either[String, Int] = {
     var attempt = 0 // resends used
     var i = 0
     while (true) {
       val a = if (i < script.length) script(i) else Accepts
       i += 1
-      a match {
-        case Accepts   => return Right(i)
-        case Permanent => return Left("permanent")
-        case Throws | Rejects =>
+      val kind = a match {
+        case Accepts => "ok"
+        case Throws  => "retry"
+        case Mixed(perm, retry) =>
+          if (perm.exists(_ < nDocs)) "permanent"
+          else if (retry.exists(_ < nDocs)) "retry"
+          else "ok"
+      }
+      kind match {
+        case "ok"        => return Right(i)
+        case "permanent" => return Left("permanent")
+        case "retry" =>
           attempt += 1
           if (attempt > maxRetries) return Left("exhausted")
       }
@@ -74,19 +91,24 @@ object SyncProps extends Properties("graft.sync") {
     ids <- Gen.pick(n, 0 until 50)
   } yield ids.toSeq.sorted.map(i => BulkDoc(i.toString, Some(s"""{"v":$i}""")))
 
-  private val genScript: Gen[List[Attempt]] =
-    Gen.listOfN(6, Gen.frequency(
-      3 -> Gen.const(Throws), 3 -> Gen.const(Rejects),
-      1 -> Gen.const(Permanent), 3 -> Gen.const(Accepts))).map(_.take(6))
+  private val genAttempt: Gen[Attempt] = Gen.frequency(
+    3 -> Gen.const(Throws),
+    3 -> Gen.const(Accepts),
+    4 -> (for {
+      perm <- Gen.someOf(0 until 8).map(_.toSet)
+      retry <- Gen.someOf(0 until 8).map(_.toSet)
+    } yield Mixed(perm, retry)))
 
-  property("deliver matches the retry-contract reference model") =
+  private val genScript: Gen[List[Attempt]] = Gen.listOfN(6, genAttempt)
+
+  property("deliver matches the retry-contract reference model (mixed per-doc outcomes)") =
     forAll(genDocs, genScript, Gen.choose(0, 4)) { (docs, script, maxRetries) =>
       val client = new ScriptedClient(script)
       val actual =
         try { Writers.deliver(client, 0, 0, docs, maxRetries, backoffMs = 0); Right(client.calls) }
         catch { case e: BulkRejectedException =>
           Left(if (e.rejected.exists(!_.retryable)) "permanent" else "exhausted") }
-      val expected = referenceModel(script, maxRetries)
+      val expected = referenceModel(script, docs.size, maxRetries)
       val stateOk = expected match {
         case Right(_) => client.lastAccepted.contains(docs) // full batch, original order
         case Left(_)  => true
