@@ -437,6 +437,35 @@ class SyncSpec extends AnyFunSuite {
     assert(second(1).docs == 0, s"steady-state delta must be empty: ${second(1)}")
   }
 
+  test("parallel tracked runAll: per-job watermarks advance independently, a failed job's stays put") {
+    import spark.implicits._
+    Seq((1L, 1L), (2L, 2L)).toDF("id", "ver").createOrReplaceTempView("ptrk_a")
+    Seq((10L, 5L), (11L, 6L)).toDF("id", "ver").createOrReplaceTempView("ptrk_b")
+    val idField = Seq(DocField("id", "id", quoted = false))
+    def trackedJob(name: String, view: String) =
+      SyncJob(name, SyncSource.Sql(s"SELECT * FROM $view"), idCol = "id",
+        fields = idField, shards = 1, batchSize = 10,
+        mode = SyncMode.Incremental("ver", "0"))
+    val jobs = Seq(
+      trackedJob("ptrk_a", "ptrk_a"),
+      SyncJob("ptrk_bad", SyncSource.Sql("SELECT * FROM no_such_view"),
+        idCol = "id", fields = idField,
+        mode = SyncMode.Incremental("ver", "0")),
+      trackedJob("ptrk_b", "ptrk_b"))
+    val store = new WatermarkStore(tmp("graft_ptrk_wm").toString)
+    store.set("ptrk_bad", "99") // pre-existing mark of the failing job
+    val root = tmp("graft_ptrk_out").toString
+    val outcomes = SyncConfig.runAll(spark, sf0001, jobs,
+      j => FileBulkClient(s"$root/${j.name}"), parallelism = 2,
+      watermarks = Some(store))
+    assert(outcomes.map(_.ok) == Seq(true, false, true), outcomes.mkString("; "))
+    assert(outcomes.head.docs == 2 && outcomes(2).docs == 2)
+    assert(store.get("ptrk_a").contains("2"))
+    assert(store.get("ptrk_b").contains("6"))
+    assert(store.get("ptrk_bad").contains("99"),
+      "a failed job must not advance (or lose) its watermark")
+  }
+
   test("config JSON parses upsert mode; malformed entries fail with the field's name") {
     val json = """{"jobs": [
       {"name": "orders_up", "table": "orders", "idCol": "o_orderkey",
