@@ -100,19 +100,6 @@ object SyncRunner {
     }
   }
 
-  /** The planned sync: one row per document with its complete delivery
-    * coordinates — `_id`, `routing` shard, `batch_id`, serialized `doc`,
-    * and `action` (`index`, or `delete` for [[SyncMode.Upsert]]
-    * tombstones, whose `doc` is null — a delete ships only its id).
-    *
-    * Batch assignment needs a per-shard rank. A naive
-    * `row_number() OVER (PARTITION BY routing ORDER BY ...)` funnels each
-    * shard's whole corpus-fraction through ONE task; instead the rank is
-    * decomposed (same trick as q_sink_batched): hash-buckets inside each
-    * shard, a running-count offset per (shard, bucket) — a window over the
-    * tiny bucket-count table, never over rows — and a parallel per-bucket
-    * row_number. Identical output, no row-scale ordered window.
-    */
   /** Column names the planner owns; a passthrough column may not shadow
     * them. */
   private val PlanCols = Set("_id", "doc", "action", "h", "routing",
@@ -154,6 +141,19 @@ object SyncRunner {
       .withColumn("routing", pmod(col("h"), lit(job.shards.toLong)).cast("int"))
   }
 
+  /** The planned sync: one row per document with its complete delivery
+    * coordinates — `_id`, `routing` shard, `batch_id`, serialized `doc`,
+    * and `action` (`index`, or `delete` for [[SyncMode.Upsert]]
+    * tombstones, whose `doc` is null — a delete ships only its id).
+    *
+    * Batch assignment needs a per-shard rank. A naive
+    * `row_number() OVER (PARTITION BY routing ORDER BY ...)` funnels each
+    * shard's whole corpus-fraction through ONE task; instead the rank is
+    * decomposed (same trick as q_sink_batched): hash-buckets inside each
+    * shard, a running-count offset per (shard, bucket) — a window over the
+    * tiny bucket-count table, never over rows — and a parallel per-bucket
+    * row_number. Identical output, no row-scale ordered window.
+    */
   def plan(spark: SparkSession, sfDir: String, job: SyncJob,
       keep: Seq[String] = Nil): DataFrame = {
     val base = docs(spark, sfDir, job, keep)
