@@ -146,6 +146,43 @@ object Warehouse extends QueryFamily {
         .orderBy("o_orderstatus")
     }),
 
+    // Binary-file source: the multimodal INGESTION path — a directory of
+    // opaque blobs (what image/audio corpora look like before they are a
+    // table) read with Spark's binaryFile format into (path, length,
+    // content) rows, content an opaque binary column. The blobs here are
+    // each document's UTF-8 bytes written one file per doc
+    // (executor-side, partition-parallel — no driver collect);
+    // pathGlobFilter prunes a planted decoy at LISTING time, and the
+    // read-back must byte-agree with the source table: file count, byte
+    // volume, and the md5 range over content, all recomputed by the
+    // oracle from `documents` directly. At 100 TB this reader fans one
+    // task per file group over an object-store prefix — the first stage
+    // of every multimodal pipeline (MediaPipeline consumes exactly this
+    // shape).
+    "q_scan_binaryfile" -> ((s, dir) => {
+      val path = scratch("binfiles", dir)
+      once(s, dir, "binfiles") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        Tables(s, dir, "documents").select("doc_id", "text")
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, f"doc-${r.getLong(0)}%06d.txt"),
+                r.getString(1).getBytes("UTF-8"))
+            }
+          }
+        // a decoy the glob filter must exclude from the listing
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "manifest.json"), "{}".getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("total_bytes"),
+          big(count_distinct(md5(col("content")))).as("n_distinct"),
+          min(md5(col("content"))).as("first_md5"),
+          max(md5(col("content"))).as("last_md5"))
+    }),
+
     // ORC source: the other columnar warehouse format; same
     // read-back-must-equal-parquet contract.
     "q_scan_orc" -> ((s, dir) => {
@@ -288,6 +325,12 @@ object Warehouse extends QueryFamily {
     "q_scan_json" -> ("SELECT o_orderstatus, count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "q_scan_binaryfile" -> ("SELECT count(*) AS n_files, " +
+      "CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes, " +
+      "count(DISTINCT md5(text)) AS n_distinct, " +
+      "min(md5(text)) AS first_md5, max(md5(text)) AS last_md5 " +
+      "FROM documents"),
 
     "q_scan_orc" -> ("SELECT s_nationkey, count(*) AS n_sup, " +
       "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
