@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +23,7 @@ object Bench {
         .withColumn("r", row_number().over(
           Window.partitionBy("doc_id").orderBy("t")))
         .groupBy("t").agg(count(lit(1))).count()
-    } catch { case _: Throwable => () }
+    } catch { case NonFatal(_) => () }
     // `runs` timed passes per query (stable name order); the reported
     // number is the per-query MEDIAN, so one GC pause / compilation stall
     // no longer reads as a round-over-round regression. "noise" records
@@ -32,7 +33,7 @@ object Bench {
       name -> (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
     }
@@ -65,7 +66,7 @@ object Bench {
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"bench detail written: $detailPath")
     } catch {
-      case e: Throwable => println(s"bench detail write failed ($detailPath): $e")
+      case NonFatal(e) => println(s"bench detail write failed ($detailPath): $e")
     }
     val byCost = results.sortBy(-_._2)
     val keep = (results.size to 0 by -1)

@@ -158,7 +158,14 @@ object Warehouse extends QueryFamily {
     // oracle from `documents` directly. At 100 TB this reader fans one
     // task per file group over an object-store prefix — the first stage
     // of every multimodal pipeline (MediaPipeline consumes exactly this
-    // shape).
+    // shape). FIXTURE STAGING ASSUMPTION: the blob write below runs in
+    // executor tasks against a driver-created local path, which only
+    // lands in one place because local mode shares the driver's
+    // filesystem — on a real cluster each executor would write to its
+    // own disk and the read-back would see a partial directory. At
+    // scale, stage fixture blobs through a SHARED path (the warehouse
+    // dir / an object-store prefix); only the scratch-fixture setup is
+    // local-mode-bound, the binaryFile READ under test is cluster-safe.
     "q_scan_binaryfile" -> ((s, dir) => {
       val path = scratch("binfiles", dir)
       once(s, dir, "binfiles") {

@@ -209,7 +209,7 @@ object SyncRunner {
     */
   private val WmFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-  private[sync] def wmLiteral(v: Any): String = v match {
+  private[graft] def wmLiteral(v: Any): String = v match {
     case t: java.time.LocalDateTime => s"TIMESTAMP '${WmFmt.format(t)}'"
     // instant-typed values render in UTC explicitly — Timestamp.toString
     // uses the JVM default zone, which need not be the session zone the
@@ -220,7 +220,15 @@ object SyncRunner {
       s"TIMESTAMP '${WmFmt.withZone(java.time.ZoneOffset.UTC).format(t)}'"
     case d: java.sql.Date      => s"DATE '$d'"
     case d: java.time.LocalDate => s"DATE '$d'"
-    case s: String             => "'" + s.replace("'", "''") + "'"
+    // backslash is an escape character to Spark's default SQL parser
+    // (unlike DuckDB's), so it must be doubled alongside the quote
+    // doubling — a stored watermark like "a\" would otherwise re-parse
+    // as an unterminated (or different) literal next run: silent delta
+    // loss and an expr()-injection surface, since the value is
+    // data-derived. Prefer numeric/timestamp watermark columns; string
+    // watermarks are rendered for SPARK's dialect (the only consumer of
+    // stored literals — oracle SQL carries its own constants).
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float |
               _: java.math.BigDecimal) => n.toString
     case other => throw new IllegalArgumentException(
@@ -357,9 +365,27 @@ final class MaxWatermarkAccumulator
     val a = new MaxWatermarkAccumulator; a.cur = cur; a
   }
   override def reset(): Unit = cur = null
-  override def add(v: Any): Unit =
-    if (v != null && (cur == null ||
-      v.asInstanceOf[Comparable[Any]].compareTo(cur) > 0)) cur = v
+  override def add(v: Any): Unit = v match {
+    case null => ()
+    // validate up front: a non-Comparable watermark column (binary,
+    // array, struct) or mixed-type values must fail with an actionable
+    // config error, not an opaque executor-deep ClassCastException
+    case c: Comparable[_] =>
+      val greater = cur == null || {
+        try c.asInstanceOf[Comparable[Any]].compareTo(cur) > 0
+        catch {
+          case e: ClassCastException => throw new IllegalArgumentException(
+            s"watermark column mixes incomparable value types " +
+              s"(${v.getClass.getName} vs ${cur.getClass.getName}) — " +
+              "use a single-typed scalar watermark column", e)
+        }
+      }
+      if (greater) cur = v
+    case other => throw new IllegalArgumentException(
+      s"watermark column values must be Comparable scalars " +
+        s"(timestamp/date/number/string), got ${other.getClass.getName} — " +
+        "pick a scalar watermark column in the job config")
+  }
   override def merge(other: org.apache.spark.util.AccumulatorV2[Any, Option[Any]]): Unit =
     other.value.foreach(add)
   override def value: Option[Any] = Option(cur)

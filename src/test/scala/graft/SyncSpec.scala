@@ -418,6 +418,29 @@ class SyncSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(1200))
   }
 
+  test("string watermarks with escape-significant characters re-parse unchanged") {
+    // Spark's default parser treats backslash as an escape character
+    // (DuckDB does not) — an unescaped stored literal would re-parse to
+    // a DIFFERENT value next run: silent delta loss, plus an
+    // expr()-injection surface since the value is data-derived
+    val tricky = Seq("""a\b""", """trailing\""", """quote'and\'mix""",
+      """double\\back""", "plain")
+    tricky.foreach { v =>
+      val lit = SyncRunner.wmLiteral(v)
+      val back = spark.sql(s"SELECT $lit AS v").head().getString(0)
+      assert(back == v, s"literal $lit re-parsed to '$back', expected '$v'")
+    }
+  }
+
+  test("non-Comparable or mixed-type watermark values fail with an actionable error") {
+    val acc = new MaxWatermarkAccumulator
+    val bad = intercept[IllegalArgumentException](acc.add(Array[Byte](1, 2)))
+    assert(bad.getMessage.contains("Comparable"), bad.getMessage)
+    acc.add(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val mixed = intercept[IllegalArgumentException](acc.add(15L))
+    assert(mixed.getMessage.contains("mixes incomparable"), mixed.getMessage)
+  }
+
   test("runAll with a watermark store runs watermarked jobs tracked") {
     val store = new WatermarkStore(tmp("graft_wm_all").toString)
     val root = tmp("graft_wm_all_out").toString
