@@ -54,8 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => { val a = arity("sorted_jaccard_ge", 3, es)
         SortedJaccardGe(a(0), a(1), a(2)) }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(toks) - 8-hash MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(arity("minhash_sig", 1, es).head)))
+      info("minhash_sig",
+        "minhash_sig(toks[, perms]) - MinHash signature (default 8 hashes)"),
+      (es: Seq[Expression]) => MinHashSig.build(es)))
     ext.injectFunction((FunctionIdentifier("trigram_codes"),
       info("trigram_codes",
         "trigram_codes(s) - sorted distinct character trigrams as packed 63-bit codes"),

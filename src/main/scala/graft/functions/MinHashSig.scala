@@ -6,22 +6,27 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Custom Catalyst expression: the 8-value MinHash signature of a string
-  * array in one pass, one md5 per token.
+/** Custom Catalyst expression: the `perms`-value MinHash signature of a
+  * string array in one pass, one md5 per token.
   *
   * The naive formulation — `array_min(transform(toks, t -> H(t || '#i')))`
-  * per i — hashes every token once per signature row (8 md5s/token).
-  * Here the base hash H(t) (first 15 hex digits of md5 as a 60-bit int,
-  * same definition as everywhere else in this repo) is computed once and
-  * the 8 hash functions are derived affinely:
+  * per i — hashes every token once per signature row (`perms` md5s per
+  * token). Here the base hash H(t) (first 15 hex digits of md5 as a
+  * 60-bit int, same definition as everywhere else in this repo) is
+  * computed once and the hash functions are derived affinely:
   *
   *   h_i(t) = ((H(t) mod M) * A_i + i) mod M,  M = 2147483647 (prime),
-  *   A_i = {3,5,7,11,13,17,19,23}
+  *   A_i = i-th odd prime (3, 5, 7, 11, ...)
   *
-  * — a formula the DuckDB oracle reproduces verbatim, so LSH candidates
-  * (and therefore results) still hash-match.
+  * — a formula the DuckDB oracle reproduces verbatim at the fixture
+  * width (8), so LSH candidates (and therefore results) still
+  * hash-match. Hash i is the SAME function at every width (the
+  * multiplier table is a fixed sequence), so a wider signature extends
+  * the narrow one element-for-element — the prefix property the
+  * corpus-scaled banding knobs rely on.
   */
-case class MinHashSig(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression, perms: Int = 8) extends UnaryExpression {
+  require(perms >= 1 && perms <= 256, s"bad minhash perms=$perms")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -30,7 +35,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val s = MinHashSig.sig(input.asInstanceOf[ArrayData])
+    val s = MinHashSig.sig(input.asInstanceOf[ArrayData], perms)
     if (s == null) null else new GenericArrayData(s)
   }
 
@@ -38,7 +43,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val s = ctx.freshName("graftSig")
       s"""
-         |long[] $s = graft.functions.MinHashSig$$.MODULE$$.sig($a);
+         |long[] $s = graft.functions.MinHashSig$$.MODULE$$.sig($a, $perms);
          |if ($s == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($s); }
        """.stripMargin
@@ -50,7 +55,36 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
 object MinHashSig {
   val M: Long = 2147483647L
-  val A: Array[Long] = Array(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
+  /** Grow-only table of odd-prime multipliers; index i is fixed forever,
+    * so signatures of different widths share their common prefix.
+    */
+  @volatile private var primes: Array[Long] = Array(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
+  private def isPrime(n: Long): Boolean = {
+    var d = 3L
+    while (d * d <= n) { if (n % d == 0) return false; d += 2 }
+    true
+  }
+
+  private[graft] def multipliers(n: Int): Array[Long] = {
+    var cur = primes
+    if (cur.length < n) synchronized {
+      cur = primes
+      if (cur.length < n) {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        buf ++= cur
+        var c = cur.last + 2
+        while (buf.size < n) { if (isPrime(c)) buf += c; c += 2 }
+        cur = buf.toArray
+        primes = cur
+      }
+    }
+    cur
+  }
+
+  /** Fixture-width multipliers, mirrored verbatim in the DuckDB oracle. */
+  def A: Array[Long] = multipliers(8).take(8)
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -74,9 +108,12 @@ object MinHashSig {
   /** Null (not Long.MaxValue sentinels) when no hashable element exists —
     * the value DuckDB's list_min gives on an empty list. Null elements are
     * skipped, as every list_* aggregate-style reduction skips NULLs.
+    * `base * mult` cannot overflow: base < 2^31 and the 256th odd
+    * multiplier is < 2^12.
     */
-  def sig(toks: ArrayData): Array[Long] = {
-    val out = Array.fill(A.length)(Long.MaxValue)
+  def sig(toks: ArrayData, perms: Int): Array[Long] = {
+    val mult = multipliers(perms)
+    val out = Array.fill(perms)(Long.MaxValue)
     val n = toks.numElements()
     var seen = false
     var t = 0
@@ -86,8 +123,8 @@ object MinHashSig {
         seen = true
         val base = h(u.getBytes) % M
         var i = 0
-        while (i < A.length) {
-          val hi = (base * A(i) + i) % M
+        while (i < perms) {
+          val hi = (base * mult(i) + i) % M
           if (hi < out(i)) out(i) = hi
           i += 1
         }
@@ -97,7 +134,22 @@ object MinHashSig {
     if (seen) out else null
   }
 
+  def sig(toks: ArrayData): Array[Long] = sig(toks, 8)
+
+  /** Build from SQL arguments: `minhash_sig(toks[, perms])`, the width a
+    * foldable integer literal (it shapes the output schema, so it cannot
+    * be per-row data).
+    */
+  def build(es: Seq[Expression]): MinHashSig = es match {
+    case Seq(c) => MinHashSig(c)
+    case Seq(c, p) =>
+      require(p.foldable, "minhash_sig: perms must be a literal")
+      MinHashSig(c, p.eval().asInstanceOf[Number].intValue)
+    case _ => throw new IllegalArgumentException(
+      s"minhash_sig expects 1 or 2 arguments, got ${es.size}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+      "minhash_sig", build, "scala_udf")
 }

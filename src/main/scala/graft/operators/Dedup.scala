@@ -165,6 +165,36 @@ object Dedup extends QueryFamily {
     once.select("doc_a", "doc_b", "sim_a", "sim_b")
   }
 
+  /** Exactly-once MinHash-LSH candidate pairs over `d(doc_id, lang,
+    * toks)`: `perms`-hash signature (one md5 per token, MinHashSig),
+    * split into `bands` disjoint bands of perms/bands rows each, pairs
+    * from an equi-join on (band, band-key). Each row carries ALL band
+    * keys, so a pair meeting in several bands is emitted ONLY from its
+    * first agreeing band — exactly-once by construction, no distinct()
+    * shuffle over the candidate pairs.
+    */
+  private[graft] def minhashCandidates(d: DataFrame, perms: Int, bands: Int): DataFrame = {
+    graft.functions.MinHashSig.register(d.sparkSession)
+    val rows = perms / bands
+    // one md5 per token for the whole signature (custom expr)
+    val sig = d.withColumn("mh", expr(s"minhash_sig(toks, $perms)"))
+    val bandKey = (b: Int) => concat_ws(":", col("lang") +:
+      (1 to rows).map(j => element_at(col("mh"), b * rows + j)): _*)
+    val banded = sig
+      .withColumn("keys", array((0 until bands).map(bandKey): _*))
+      .select(col("doc_id"), col("keys"),
+        posexplode(col("keys")).as(Seq("b", "k")))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        // no EARLIER band agrees: slice(keys, 1, b) is the bands before
+        // b (empty for b = 0 — never sequence(0, b-1), whose step turns
+        // negative and yields [0, -1] when b = 0)
+        expr("NOT exists(zip_with(slice(x.keys, 1, x.b), slice(y.keys, 1, y.b), " +
+          "(ka, kb) -> ka = kb), v -> v)"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  }
+
   /** Two-level-blocked cosine pairs over `e(vec_id, label, v)`: self-join
     * within (label, sign-LSH bucket of `planes` hyperplanes), cosine
     * computed once per surviving pair. Requires VecDot registered.
@@ -245,13 +275,68 @@ object Dedup extends QueryFamily {
 
   private val genChoice =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Drop all memoized generator choices. The memo assumes a corpus's
-    * SHAPE is stable under its path; a long-lived session that rewrites
-    * data under the same path should clear (or set
-    * `spark.graft.dedup.candidateGen` to pin a generator explicitly).
+  /** Drop all memoized corpus statistics (generator choices, approximate
+    * corpus counts backing `auto` fan-out knobs). The memos assume a
+    * corpus's SHAPE is stable under its path; a long-lived session that
+    * rewrites data under the same path should clear (or pin the knobs —
+    * `spark.graft.dedup.candidateGen` / explicit integer fan-outs — to
+    * skip the statistics jobs entirely).
     */
-  def clearGenChoiceCache(): Unit = genChoice.clear()
+  def clearGenChoiceCache(): Unit = { genChoice.clear(); corpusCount.clear() }
+
+  /** Approximate corpus size (HLL `approx_count_distinct` over the id
+    * column), memoized per corpus key — the O(1)-row statistics job
+    * behind every `auto` fan-out knob, run at most once per corpus per
+    * JVM (the `candidateGen` pattern: a concurrent duplicate computation
+    * is harmless, putIfAbsent keeps the first answer).
+    */
+  private[graft] def approxCorpusCount(d: DataFrame, idCol: String, key: String): Long = {
+    val cached = corpusCount.get(key)
+    if (cached != null) cached.longValue
+    else {
+      val n = d.agg(approx_count_distinct(col(idCol))).head().getLong(0)
+      val prev = corpusCount.putIfAbsent(key, n)
+      if (prev != null) prev.longValue else n
+    }
+  }
+
+  /** Fan-out width for a corpus of ~n rows and a target LSH bucket
+    * population: ceil(log2(n / target)) clamped to [floor, cap] — 2^w
+    * buckets keep expected bucket population (and with it within-bucket
+    * pair volume) ~constant as the corpus grows. `floor` is the fixture
+    * width, so on small corpora `auto` resolves to exactly the declared
+    * oracle-pinned parameters; HLL error (~2%) moves the width by at
+    * most one step at a power-of-two boundary, which costs time, never
+    * rows (every fan-out is output-correct — the prefix property).
+    */
+  private[graft] def autoWidth(n: Long, target: Long, floor: Int, cap: Int): Int = {
+    require(target > 0 && floor >= 1 && cap >= floor, s"bad auto knob: $target/$floor/$cap")
+    val buckets = math.max(1L, n / target)
+    val w = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(cap, math.max(floor, w))
+  }
+
+  /** Resolve a fan-out conf knob: unset → the declared fixture value
+    * (oracle-pinned); an integer → pinned explicitly; `auto` → derived
+    * from the memoized approximate corpus count via [[autoWidth]] — the
+    * scale-safe default an operator can set fleet-wide without knowing
+    * each corpus's size. The target bucket population is
+    * `spark.graft.dedup.targetBucket` (default 64).
+    */
+  private def resolveFanout(s: SparkSession, confKey: String, fixture: Int,
+      cap: Int, key: String)(corpus: => (DataFrame, String)): Int =
+    s.conf.getOption(confKey) match {
+      case None => fixture
+      case Some("auto") =>
+        val target = s.conf.getOption("spark.graft.dedup.targetBucket")
+          .map(_.toLong).getOrElse(64L)
+        val (d, idCol) = corpus
+        autoWidth(approxCorpusCount(d, idCol, key), target, fixture, cap)
+      case Some(v) => v.toInt
+    }
 
   /** Exact in-block Jaccard candidate pairs, generator chosen by corpus
     * shape. Neither generator dominates:
@@ -427,36 +512,34 @@ object Dedup extends QueryFamily {
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
 
-    // MinHash(8) + LSH (2 bands x 4 rows) candidates, then exact-Jaccard
-    // verification at 0.8. Approximate by design: a >=0.8 pair missed by
-    // both bands is absent — the oracle runs the identical two-stage
-    // pipeline, so outputs still hash-match.
+    // MinHash + banded LSH candidates, then exact-Jaccard verification at
+    // 0.8. Approximate by design: a >=0.8 pair missed by every band is
+    // absent — the oracle runs the identical two-stage pipeline at the
+    // FIXTURE parameters (8 permutations, 2 bands x 4 rows), so outputs
+    // still hash-match. The knobs are spark.graft.dedup.minhashPerms /
+    // minhashBands (rows-per-band = perms/bands): background band
+    // collisions for a pair of Jaccard j happen with probability j^rows
+    // per band, so rows is the corpus fan-out knob — rows ∝ log N keeps
+    // candidate volume ~linear where the compile-time 4-row band pins
+    // collision odds forever (pairs ~N²·E[j⁴]). Hash i is identical at
+    // every width (prefix property), so widening perms extends each
+    // signature, never reshuffles it. BANDING RECALL is the price: a
+    // true pair at threshold t survives with 1-(1-t^rows)^bands (t=0.8,
+    // 4 rows, 2 bands → 65%) — deeper rows need MORE bands to hold
+    // recall, which is why both knobs are exposed rather than a single
+    // width.
     "q_dedup_minhash" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       graft.functions.MinHashSig.register(s)
+      val perms = s.conf.getOption("spark.graft.dedup.minhashPerms")
+        .map(_.toInt).getOrElse(8)
+      val nBands = s.conf.getOption("spark.graft.dedup.minhashBands")
+        .map(_.toInt).getOrElse(2)
+      require(nBands >= 1 && perms % nBands == 0,
+        s"minhashBands=$nBands must divide minhashPerms=$perms into equal bands")
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      // one md5 per token for the whole 8-hash signature (custom expr)
-      val sig = d.withColumn("mh", expr("minhash_sig(toks)"))
-      val b0 = concat_ws(":", col("lang"), element_at(col("mh"), 1),
-        element_at(col("mh"), 2), element_at(col("mh"), 3), element_at(col("mh"), 4))
-      val b1 = concat_ws(":", col("lang"), element_at(col("mh"), 5),
-        element_at(col("mh"), 6), element_at(col("mh"), 7), element_at(col("mh"), 8))
-      // each row carries its band key AND the other band's key, so a pair
-      // agreeing on both bands is emitted ONLY from band 0 (the band-1
-      // copy is dropped by x.other != y.other) — exactly-once by
-      // construction, no distinct() shuffle over the candidate pairs
-      val bands = sig.select(col("doc_id"), explode(array(
-          struct(lit(0).as("b"), b0.as("k"), b1.as("other")),
-          struct(lit(1).as("b"), b1.as("k"), b0.as("other")))).as("e"))
-        .select(col("doc_id"), col("e.b").as("b"), col("e.k").as("k"),
-          col("e.other").as("other"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          (col("x.b") === 0 || col("x.other") =!= col("y.other")))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      jaccardVerify(cand, tokenCodes(s, dir), 0.8)
+      jaccardVerify(minhashCandidates(d, perms, nBands), tokenCodes(s, dir), 0.8)
     }),
 
     // SimHash: signature from per-bit token majority votes; pairs with
@@ -470,12 +553,22 @@ object Dedup extends QueryFamily {
     // 65,536 bucket values per (lang, band)) so bucket population stays
     // constant as the corpus grows instead of N/16 (pairs ~N²/512) — the
     // signature's prefix property keeps narrow-width outputs unchanged.
+    // simhashBits=auto derives the per-band width from the memoized
+    // approximate corpus count (ceil(log2(N/targetBucket)) per band,
+    // floored at the fixture width) — scale-safety without knowing N.
     "q_dedup_simhash" -> ((s, dir) => {
-      val bits = s.conf.getOption("spark.graft.dedup.simhashBits")
-        .map(_.toInt).getOrElse(16)
       val bands = s.conf.getOption("spark.graft.dedup.simhashBands")
         .map(_.toInt).getOrElse(4)
       require(bands > 3, s"hamming<=3 needs >=4 bands for exact recall, got $bands")
+      val bits = s.conf.getOption("spark.graft.dedup.simhashBits") match {
+        case None => 16
+        case Some("auto") =>
+          val target = s.conf.getOption("spark.graft.dedup.targetBucket")
+            .map(_.toLong).getOrElse(64L)
+          val n = approxCorpusCount(Tables(s, dir, "documents"), "doc_id", s"docs:$dir")
+          bands * autoWidth(n, target, math.max(1, 16 / bands), 64 / bands)
+        case Some(v) => v.toInt
+      }
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
       simhashCandidates(simhashSignatures(d, bits), bits, bands)
@@ -515,10 +608,13 @@ object Dedup extends QueryFamily {
     // reshuffling them. Approximate by design — a same-label pair split
     // across buckets is absent — and the oracle runs the identical
     // two-stage pipeline, so outputs hash-match.
+    // cosinePlanes=auto derives planes from the memoized approximate
+    // corpus count (the candidateGen pattern) — same prefix property.
     "q_dedup_cosine" -> ((s, dir) => {
       graft.functions.VecDot.register(s)
-      val planes = s.conf.getOption("spark.graft.dedup.cosinePlanes")
-        .map(_.toInt).getOrElse(4)
+      val planes = resolveFanout(s, "spark.graft.dedup.cosinePlanes",
+        fixture = 4, cap = 24, key = s"emb:$dir")(
+        (Tables(s, dir, "embeddings"), "vec_id"))
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       cosinePairs(e, planes)
@@ -658,9 +754,11 @@ object Dedup extends QueryFamily {
       graft.functions.VecDot.register(s)
       // scanned fraction per probe is ~1/2^planes — at corpus scale set
       // spark.graft.sim.lshPlanes (prefix property: wider refines, so
-      // recall trades off smoothly); the declared fixture fan-out is 4
-      val planes = s.conf.getOption("spark.graft.sim.lshPlanes")
-        .map(_.toInt).getOrElse(4)
+      // recall trades off smoothly); the declared fixture fan-out is 4,
+      // and lshPlanes=auto derives it from the memoized corpus count
+      val planes = resolveFanout(s, "spark.graft.sim.lshPlanes",
+        fixture = 4, cap = 24, key = s"emb:$dir")(
+        (Tables(s, dir, "embeddings"), "vec_id"))
       val bucket = lshBucketExpr(j => s"element_at(v, $j)", planes)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -99,6 +99,82 @@ class LshScalingSpec extends AnyFunSuite {
     assert(b4 == b6, "wider bucket must refine, not reshuffle, the narrow one")
   }
 
+  /** n docs of 21 tokens from a SMALL (100-word) vocab — background
+    * pairwise Jaccard ~0.1, the regime where minhash band collisions
+    * actually occur (near-unique tokens would yield zero candidates at
+    * any knob setting, proving nothing).
+    */
+  private def synthSimilarDocs(n: Int) = spark.range(n).selectExpr(
+    "id AS doc_id", "'en' AS lang",
+    "array_sort(array_distinct(transform(sequence(0, 20), j -> concat('w', CAST(pmod(" +
+      "CAST(conv(substr(md5(concat(id, '~', j)), 1, 15), 16, 10) AS BIGINT), " +
+      "100) AS STRING))))) AS toks")
+
+  private def minhashCandidateVolume(n: Int, perms: Int, bands: Int): Long =
+    Dedup.minhashCandidates(synthSimilarDocs(n), perms, bands).count()
+
+  test("minhash candidate volume: fixed rows-per-band quadratic, deeper rows ~linear") {
+    val (small, big) = (1000, 4000)
+    val fixedS = minhashCandidateVolume(small, 8, 2)
+    val fixedB = minhashCandidateVolume(big, 8, 2)
+    assert(fixedS > 0)
+    assert(fixedB.toDouble / fixedS > 10,
+      s"fixed rows-per-band should be ~quadratic (16x): $fixedB vs $fixedS")
+    // 4x corpus -> +2 rows per band (background collision odds shrink by
+    // E[j²] ~ 1/100 here, overshooting the 4x the corpus added)
+    val scaledB = minhashCandidateVolume(big, 12, 2)
+    assert(scaledB.toDouble / fixedS < 6,
+      s"deeper bands should be ~linear (4x): $scaledB vs $fixedS")
+  }
+
+  test("minhash signature prefix property: wider perms extend, never reshuffle") {
+    graft.functions.MinHashSig.register(spark)
+    val mismatches = synthSimilarDocs(300)
+      .selectExpr("minhash_sig(toks) AS s8", "slice(minhash_sig(toks, 16), 1, 8) AS p8")
+      .where("s8 != p8").count()
+    assert(mismatches == 0, "minhash_sig(toks, 16)[1..8] must equal minhash_sig(toks)")
+  }
+
+  test("auto fan-out picks the fixture width on a small corpus, wider on a large one") {
+    val target = 64L
+    val nS = Dedup.approxCorpusCount(synthDocs(1000), "doc_id", "lshspec:auto:small")
+    val nB = Dedup.approxCorpusCount(synthDocs(64000), "doc_id", "lshspec:auto:big")
+    val wS = Dedup.autoWidth(nS, target, 4, 16)
+    val wB = Dedup.autoWidth(nB, target, 4, 16)
+    assert(wS == 4, s"~1000/64 buckets floor at the fixture width, got $wS")
+    assert(wB >= 9 && wB <= 11, s"~64000/64 buckets need ~10 bits, got $wB")
+    // memoized: the same key answers from cache (identical value)
+    assert(Dedup.approxCorpusCount(synthDocs(1000), "doc_id", "lshspec:auto:small") == nS)
+    // the cap wins over the derivation, the floor over a tiny corpus
+    assert(Dedup.autoWidth(1L << 40, target, 4, 16) == 16)
+    assert(Dedup.autoWidth(1, target, 4, 16) == 4)
+  }
+
+  test("knob=auto resolves to fixture parameters on the small fixture (outputs pinned)") {
+    def sims() = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    def cos() = SparkEntry.queries("q_dedup_cosine")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    def lsh() = SparkEntry.queries("q_sim_lsh")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val (s0, c0, l0) = (sims(), cos(), lsh())
+    try {
+      // 500 docs / 500 vectors: every auto derivation floors at the
+      // declared fixture width, so outputs must be byte-identical —
+      // scale-safety by default costs a small corpus nothing
+      spark.conf.set("spark.graft.dedup.simhashBits", "auto")
+      spark.conf.set("spark.graft.dedup.cosinePlanes", "auto")
+      spark.conf.set("spark.graft.sim.lshPlanes", "auto")
+      assert(sims() == s0, "simhashBits=auto must floor at the fixture width")
+      assert(cos() == c0, "cosinePlanes=auto must floor at the fixture fan-out")
+      assert(lsh() == l0, "lshPlanes=auto must floor at the fixture fan-out")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.simhashBits")
+      spark.conf.unset("spark.graft.dedup.cosinePlanes")
+      spark.conf.unset("spark.graft.sim.lshPlanes")
+    }
+  }
+
   test("conf knobs reach the declared queries without disturbing default outputs") {
     def rows() = SparkEntry.queries("q_dedup_simhash")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
