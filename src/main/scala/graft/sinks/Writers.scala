@@ -22,24 +22,74 @@ final case class DocOutcome(id: String, ok: Boolean,
 
 /** Thrown when a batch has documents the store PERMANENTLY rejected (or
   * still rejected after bounded retries) — the job must fail loudly with
-  * the rejected ids, not silently drop documents.
+  * the rejected ids, not silently drop documents. `cause` carries the
+  * last request-level exception (if the failures came from `send`
+  * throwing), so an AccessDenied-style infrastructure failure surfaces
+  * as itself instead of hiding behind a "docs rejected" label.
   */
 final class BulkRejectedException(val shard: Int, val batchIdx: Int,
-    val rejected: Seq[DocOutcome])
+    val rejected: Seq[DocOutcome], cause: Throwable = null)
   extends RuntimeException(
     s"shard=$shard batch=$batchIdx: ${rejected.size} docs rejected " +
-      s"(first: ${rejected.headOption.fold("")(o => s"${o.id}: ${o.error.getOrElse("")}")})")
+      s"(first: ${rejected.headOption.fold("")(o => s"${o.id}: ${o.error.getOrElse("")}")})",
+    cause)
+
+/** Thrown when a run quarantined more documents than its
+  * [[DeadLetterPolicy.budget]] tolerates: shedding a handful of poisoned
+  * docs keeps a pipeline alive, shedding a flood means the PIPELINE is
+  * broken and must stop loudly — the quarantined docs are still on disk
+  * for diagnosis.
+  */
+final class DeadLetterBudgetExceeded(val quarantined: Long, val budget: Long,
+    val dir: String)
+  extends RuntimeException(
+    s"$quarantined docs dead-lettered (budget $budget) under $dir — " +
+      "rejection volume indicates a systemic failure, not per-doc poison")
+
+/** Dead-letter configuration for a delivery run: permanently-rejected
+  * documents are quarantined (doc + error, parquet under `dir`) instead
+  * of failing the whole batch, as long as the TOTAL stays within
+  * `budget`. The trade-off is explicit: without a policy one poisoned
+  * doc fails the job (nothing ships until an operator intervenes); with
+  * one, the other N-K documents deliver and the K rejects land in the
+  * quarantine for replay after the mapping/doc bug is fixed.
+  */
+final case class DeadLetterPolicy(dir: String, budget: Long = 100L) {
+  require(budget >= 0, s"bad dead-letter budget=$budget")
+}
+
+/** One quarantined document (a parquet row of the dead-letter store):
+  * delivery coordinates, the store's error, and the doc body (None for
+  * a rejected delete action).
+  */
+final case class DeadLetterRow(shard: Int, batch_id: Long, _id: String,
+    error: String, doc: Option[String])
+
+/** Per-batch delivery report: how many whole-batch resends the retry
+  * loop needed, and which docs were quarantined (empty unless the
+  * caller enabled quarantining).
+  */
+final case class DeliveryReport(resends: Int, deadLettered: Seq[DocOutcome])
 
 /** One bulk-delivery target. Implementations MUST be idempotent in
   * (shard, batchIdx): redelivering the same batch (task retry, full job
   * replay) must leave the store with no duplicates — the same contract a
   * real document store gives bulk writers that index by `_id`. `send`
   * returns one [[DocOutcome]] PER INPUT DOC, in order; a thrown exception
-  * means the whole request failed transiently (network) and is treated as
-  * all-docs-retryable by [[Writers.deliver]].
+  * means the whole request failed (network) and is classified by
+  * [[BulkClient.isRetryable]] — transiently retryable by default.
   */
 trait BulkClient extends Serializable {
   def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome]
+
+  /** Classify an exception `send` threw: true = transient (connection
+    * reset, timeout — resend the batch), false = permanent
+    * (authorization, serialization bug — resending cannot help; the
+    * docs are treated as permanently rejected with this exception as
+    * the cause). Default: every NonFatal throw is transient, the
+    * conservative choice for network-style clients.
+    */
+  def isRetryable(e: Throwable): Boolean = true
 }
 
 /** Filesystem-backed [[BulkClient]]: each batch lands as one JSONL file
@@ -130,48 +180,72 @@ object Writers {
   }
 
   /** Deliver one batch through `client` with bounded retry. A retryable
-    * rejection (or the request itself throwing — a network-level
-    * failure) resends the WHOLE batch after an exponential backoff, up
-    * to `maxRetries` resends: the client's required `_id`-idempotency
-    * makes redelivering already-accepted docs a no-op, and whole-batch
-    * resend keeps batch-shaped clients (one object per (shard, batch),
-    * like [[FileBulkClient]]) byte-stable — a per-doc resend would
-    * silently mutate batch membership. Permanent rejections — and
-    * batches still rejected when retries are exhausted — throw
-    * [[BulkRejectedException]]: a sync must never silently drop
-    * documents. Runs INSIDE executor tasks (called from
-    * foreachPartition), so the backoff sleeps a task thread, never the
-    * driver.
+    * rejection (or the request itself throwing a [[BulkClient.isRetryable]]
+    * exception — a network-level failure) resends the WHOLE batch after
+    * an exponential backoff, up to `maxRetries` resends: the client's
+    * required `_id`-idempotency makes redelivering already-accepted docs
+    * a no-op, and whole-batch resend keeps batch-shaped clients (one
+    * object per (shard, batch), like [[FileBulkClient]]) byte-stable — a
+    * per-doc resend would silently mutate batch membership.
+    *
+    * Permanent rejections (including non-retryable request exceptions):
+    * with `quarantine = false` they throw [[BulkRejectedException]]
+    * immediately — a sync must never SILENTLY drop documents; with
+    * `quarantine = true` they are removed from the batch and returned in
+    * the report's `deadLettered` for the caller to persist (the
+    * dead-letter path — removal is deterministic in the doc content, so
+    * replays still converge byte-identically). Exhausted retries always
+    * throw, quarantine or not: retryable-forever is an outage, not
+    * per-doc poison. The thrown exception carries the last request-level
+    * exception as its CAUSE, so an AccessDenied surfaces as itself.
+    * Runs INSIDE executor tasks (called from the delivery partition
+    * loops), so the backoff sleeps a task thread, never the driver.
     */
   def deliver(client: BulkClient, shard: Int, batchIdx: Int, docs: Seq[BulkDoc],
-      maxRetries: Int = 3, backoffMs: Long = 10): Unit = {
+      maxRetries: Int = 3, backoffMs: Long = 10,
+      quarantine: Boolean = false): DeliveryReport = {
     var attempt = 0
-    while (true) {
+    var resends = 0
+    var remaining = docs
+    var lastErr: Throwable = null
+    val dead = scala.collection.mutable.ArrayBuffer.empty[DocOutcome]
+    while (remaining.nonEmpty) {
       // the send result is validated OUTSIDE the try: a client that
       // itself throws IllegalArgumentException must still be classified
-      // as a transient whole-request failure, not escape the loop
+      // as a whole-request failure, not escape the loop
       val attemptResult =
-        try Right(client.send(shard, batchIdx, docs))
+        try Right(client.send(shard, batchIdx, remaining))
         catch { case NonFatal(e) => Left(e) }
       val outcomes = attemptResult match {
         case Right(out) =>
-          require(out.size == docs.size,
-            s"client returned ${out.size} outcomes for ${docs.size} docs")
+          require(out.size == remaining.size,
+            s"client returned ${out.size} outcomes for ${remaining.size} docs")
           out
-        case Left(e) => // whole-request transient failure
-          docs.map(b => DocOutcome(b.id, ok = false, retryable = true,
+        case Left(e) => // whole-request failure, classified by the client
+          lastErr = e
+          val retry = client.isRetryable(e)
+          remaining.map(b => DocOutcome(b.id, ok = false, retryable = retry,
             error = Some(e.toString)))
       }
       val rejected = outcomes.filter(o => !o.ok && !o.retryable)
-      if (rejected.nonEmpty)
-        throw new BulkRejectedException(shard, batchIdx, rejected)
-      val failed = outcomes.filter(o => !o.ok)
-      if (failed.isEmpty) return
-      attempt += 1
-      if (attempt > maxRetries)
-        throw new BulkRejectedException(shard, batchIdx, failed)
-      Thread.sleep(backoffMs << (attempt - 1))
+      if (rejected.nonEmpty) {
+        if (!quarantine)
+          throw new BulkRejectedException(shard, batchIdx, rejected, lastErr)
+        dead ++= rejected
+        val rejIds = rejected.map(_.id).toSet
+        remaining = remaining.filterNot(b => rejIds(b.id))
+      }
+      val failed = outcomes.filter(o => !o.ok && o.retryable)
+      if (failed.isEmpty) remaining = Seq.empty // survivors all accepted
+      else {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new BulkRejectedException(shard, batchIdx, failed, lastErr)
+        resends += 1
+        Thread.sleep(backoffMs << (attempt - 1))
+      }
     }
+    DeliveryReport(resends, dead.toSeq)
   }
 
   /** Fold a [[FileBulkClient]] index directory into its served state:

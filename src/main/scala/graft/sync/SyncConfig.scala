@@ -30,8 +30,18 @@ import graft.sinks.BulkClient
   */
 object SyncConfig {
 
+  /** One job's report in the loop's summary. Volume (docs/batches) plus
+    * delivery HEALTH: `resends` (retry-loop whole-batch resends),
+    * `deadLettered` (quarantined permanent rejects), and `retriedTasks`
+    * — when nonzero the accumulator-sourced volume counts are
+    * at-least-once ([[countsExact]] false), so an inflated progress
+    * report is never mistaken for duplicate delivery.
+    */
   final case class JobOutcome(job: String, ok: Boolean, docs: Long,
-      batches: Long, error: Option[String])
+      batches: Long, error: Option[String], resends: Long = 0,
+      deadLettered: Long = 0, retriedTasks: Long = 0) {
+    def countsExact: Boolean = retriedTasks == 0
+  }
 
   def fromJson(json: String): Seq[SyncJob] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -70,10 +80,18 @@ object SyncConfig {
           textOf(m, "watermarkCol", "mode"), textOf(m, "from", "mode"))
         case m => throw new IllegalArgumentException(s"bad mode: $m")
       }
+      // optional dead-letter quarantine: a dir (required when present)
+      // and a bounded budget — the config's knob for "shed poisoned
+      // docs instead of failing the job, up to this many"
+      val deadLetter =
+        if (!j.has("deadLetterDir")) None
+        else Some(graft.sinks.DeadLetterPolicy(str("deadLetterDir"),
+          budget = if (j.has("deadLetterBudget")) j.get("deadLetterBudget").asLong
+                   else 100L))
       SyncJob(str("name"), source, str("idCol"), fields,
         shards = if (j.has("shards")) j.get("shards").asInt else 8,
         batchSize = if (j.has("batchSize")) j.get("batchSize").asInt else 500,
-        mode = mode)
+        mode = mode, deadLetter = deadLetter)
     }.toSeq
   }
 
@@ -112,12 +130,14 @@ object SyncConfig {
     require(dupNames.isEmpty, s"duplicate job names: ${dupNames.mkString(", ")}")
     def one(job: SyncJob): JobOutcome =
       try {
-        val (docs, batches) = (watermarks, job.mode) match {
+        val c = (watermarks, job.mode) match {
           case (Some(st), _: SyncMode.Incremental | _: SyncMode.Upsert) =>
             SyncRunner.runTracked(spark, sfDir, job, st, clientFor(job))
           case _ => SyncRunner.run(spark, sfDir, job, clientFor(job))
         }
-        JobOutcome(job.name, ok = true, docs = docs, batches = batches, error = None)
+        JobOutcome(job.name, ok = true, docs = c.docs, batches = c.batches,
+          error = None, resends = c.resends, deadLettered = c.deadLettered,
+          retriedTasks = c.retriedTasks)
       } catch {
         case NonFatal(e) =>
           JobOutcome(job.name, ok = false, docs = 0L, batches = 0L,

@@ -1,7 +1,7 @@
 package graft.sync
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sinks.{BulkClient, BulkDoc, Writers}
@@ -74,10 +74,30 @@ final case class SyncJob(
     fields: Seq[DocField],
     shards: Int = 8,
     batchSize: Int = 500,
-    mode: SyncMode = SyncMode.Full) {
+    mode: SyncMode = SyncMode.Full,
+    /** Dead-letter quarantine for permanently-rejected docs; None (the
+      * default) keeps fail-loud-on-first-rejection semantics. */
+    deadLetter: Option[graft.sinks.DeadLetterPolicy] = None) {
   require(name.nonEmpty, "sync job needs a name")
   require(shards > 0 && batchSize > 0, s"bad shards=$shards/batchSize=$batchSize")
   require(fields.nonEmpty, "sync job needs at least one document field")
+}
+
+/** What a delivery run reports about itself, counted by accumulators
+  * INSIDE the delivery tasks (single execution — no second stats pass).
+  * `docs`/`batches` are delivered volume; `resends` and `deadLettered`
+  * are delivery HEALTH (how hard the store pushed back); `retriedTasks`
+  * counts delivery tasks that ran as a retry attempt — when it is
+  * nonzero the volume counts are at-least-once (Spark applies action
+  * accumulators per attempt) and [[exact]] goes false, so an inflated
+  * progress report is never mistaken for duplicate delivery (the store
+  * state itself stays exactly-once via `_id` idempotency; the
+  * oracle-checked [[SyncRunner.stats]] query remains the exact
+  * accounting surface).
+  */
+final case class DeliveryCounts(docs: Long, batches: Long, resends: Long = 0,
+    deadLettered: Long = 0, retriedTasks: Long = 0) {
+  def exact: Boolean = retriedTasks == 0
 }
 
 object SyncRunner {
@@ -254,7 +274,7 @@ object SyncRunner {
     * (ingest time, sequence id), not a business date.
     */
   def runTracked(spark: SparkSession, sfDir: String, job: SyncJob,
-      store: WatermarkStore, client: BulkClient): (Long, Long) = {
+      store: WatermarkStore, client: BulkClient): DeliveryCounts = {
     val (wmCol, seed) = job.mode match {
       case SyncMode.Incremental(c, f) => (c, f)
       case SyncMode.Upsert(c, f, _)   => (c, f)
@@ -274,6 +294,7 @@ object SyncRunner {
     counts
   }
 
+
   /** Full-sync with index recreate + alias swap (the reference's full
     * mode): build the job's complete output as a NEW version under
     * `indexRoot`, then atomically flip the `current` alias onto it —
@@ -289,42 +310,70 @@ object SyncRunner {
 
   /** Execute the job: deliver every planned batch through `client` (via
     * [[graft.sinks.Writers.deliver]] — bounded retry on retryable
-    * rejections, loud failure on permanent ones). One shuffle on the
-    * routing shard, batches emitted in (shard, batch, h) order from each
-    * partition — a replay regenerates the identical (shard, batchIdx,
-    * docs) triples, so an idempotent client converges to the same store
-    * state no matter how often tasks retry.
+    * rejections, loud failure on permanent ones unless the job carries a
+    * [[graft.sinks.DeadLetterPolicy]], in which case permanent rejects
+    * are quarantined as parquet under the policy's dir and the rest of
+    * the batch still ships, within the policy's budget). One shuffle on
+    * the routing shard, batches emitted in (shard, batch, h) order from
+    * each partition — a replay regenerates the identical (shard,
+    * batchIdx, docs) triples, so an idempotent client converges to the
+    * same store state no matter how often tasks retry.
     *
-    * Returns (docs, batches) delivered, counted by accumulators INSIDE
-    * the delivery tasks — the job's single execution reports its own
+    * Returns [[DeliveryCounts]], counted by accumulators INSIDE the
+    * delivery tasks — the job's single execution reports its own
     * outcome; no second stats pass re-scanning the source (at 100 TB a
     * separate counting job would double every sync's scan + shuffle).
-    * Accumulator counts are exact on a clean run; under task RETRIES they
-    * can overcount (Spark action accumulators are at-least-once), which
-    * is the right trade for a progress report — the oracle-checked
+    * Accumulator counts are exact on a clean run; under task RETRIES
+    * they can overcount (Spark action accumulators are at-least-once) —
+    * `retriedTasks` records exactly that condition (a delivery task
+    * whose attempt number is nonzero), so a reader can tell an inflated
+    * progress report from duplicate delivery. The oracle-checked
     * [[stats]] query stays the exact accounting surface.
     */
   def run(spark: SparkSession, sfDir: String, job: SyncJob, client: BulkClient,
-      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): (Long, Long) = {
+      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts = {
     val batchSize = job.batchSize // avoid serializing the runner object
+    val quarantine = job.deadLetter.isDefined
+    val budget = job.deadLetter.fold(Long.MaxValue)(_.budget)
     val docsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.docs")
     val batchesAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.batches")
+    val resendsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.resends")
+    val dlqAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.deadLettered")
+    val retriedAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.retriedTasks")
     val wmAcc = wmTrack.map(_._2)
     val keep = wmTrack.map(_._1).toSeq
-    plan(spark, sfDir, job, keep)
+    val prepared = plan(spark, sfDir, job, keep)
       .repartition(job.shards, col("routing"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
       .select("routing", (Seq("batch_id", "_id", "doc", "action") ++ keep): _*)
-      .foreachPartition { (rows: Iterator[Row]) =>
-        // consecutive grouping: rows arrive sorted, so each (shard, batch)
-        // run is contiguous; buffer is bounded by batchSize
+    // the partition loop, shared by both actions below: consecutive
+    // grouping (rows arrive sorted, so each (shard, batch) run is
+    // contiguous; buffer bounded by batchSize), quarantined docs emitted
+    // as dead-letter rows
+    val deliverPartition: Iterator[Row] => Iterator[graft.sinks.DeadLetterRow] =
+      (rows: Iterator[Row]) => {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() > 0) retriedAcc.add(1L)
         var curShard = -1
         var curBatch = -1L
         val buf = scala.collection.mutable.ArrayBuffer.empty[BulkDoc]
+        val dead = scala.collection.mutable.ArrayBuffer.empty[graft.sinks.DeadLetterRow]
         def flush(): Unit = if (buf.nonEmpty) {
-          Writers.deliver(client, curShard, curBatch.toInt, buf.toSeq)
-          docsAcc.add(buf.size.toLong)
+          val report = Writers.deliver(client, curShard, curBatch.toInt, buf.toSeq,
+            quarantine = quarantine)
+          docsAcc.add((buf.size - report.deadLettered.size).toLong)
           batchesAcc.add(1L)
+          resendsAcc.add(report.resends.toLong)
+          if (report.deadLettered.nonEmpty) {
+            val byId = buf.iterator.map(b => b.id -> b.doc).toMap
+            dead ++= report.deadLettered.map(o => graft.sinks.DeadLetterRow(
+              curShard, curBatch, o.id, o.error.getOrElse(""), byId.getOrElse(o.id, None)))
+            dlqAcc.add(report.deadLettered.size.toLong)
+            // a task already past the whole-run budget on its own fails
+            // fast; the cross-task total is enforced after the action
+            if (dead.size > budget) throw new graft.sinks.DeadLetterBudgetExceeded(
+              dead.size.toLong, budget, job.deadLetter.get.dir)
+          }
           buf.clear()
         }
         rows.foreach { r =>
@@ -346,8 +395,26 @@ object SyncRunner {
           require(buf.size <= batchSize, s"batch overflow in shard=$sh batch=$b")
         }
         flush()
+        dead.iterator
       }
-    (docsAcc.value, batchesAcc.value)
+    job.deadLetter match {
+      case None =>
+        prepared.foreachPartition { (rows: Iterator[Row]) =>
+          deliverPartition(rows).foreach(_ => ())
+        }
+      case Some(pol) =>
+        // the quarantine lands as PARQUET: the delivery action is the
+        // dead-letter write itself (mapPartitions → parquet), so the
+        // plan still executes exactly once and rejects are queryable
+        // (spark.read.parquet(pol.dir)) for diagnosis and replay
+        prepared.mapPartitions(deliverPartition)(
+            org.apache.spark.sql.Encoders.product[graft.sinks.DeadLetterRow])
+          .write.mode(SaveMode.Overwrite).parquet(pol.dir)
+        if (dlqAcc.value > pol.budget)
+          throw new graft.sinks.DeadLetterBudgetExceeded(dlqAcc.value, pol.budget, pol.dir)
+    }
+    DeliveryCounts(docsAcc.value, batchesAcc.value, resendsAcc.value,
+      dlqAcc.value, retriedAcc.value)
   }
 }
 

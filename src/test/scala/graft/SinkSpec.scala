@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sinks.{BulkClient, BulkDoc, BulkRejectedException, DocOutcome, FileBulkClient, Writers}
+import graft.sinks.{BulkClient, BulkDoc, BulkRejectedException, DeadLetterBudgetExceeded, DeadLetterPolicy, DocOutcome, FileBulkClient, Writers}
 
 /** Attempt counter for [[FlakyClient]], JVM-global: foreachPartition
   * serializes the client per task, so instance state would be a per-task
@@ -38,6 +38,33 @@ case class FlakyClient(tag: String, inner: BulkClient, failures: Int,
       }
     }
   }
+}
+
+/** Permanently rejects a fixed id set (the poisoned-doc model: a
+  * mapping-conflict/malformed doc the store will never take); the inner
+  * client receives — and persists — only the accepted docs, like a real
+  * `_bulk` that indexes item-by-item.
+  */
+case class PoisonClient(inner: BulkClient, poisoned: Set[String]) extends BulkClient {
+  override def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome] = {
+    val good = docs.filterNot(d => poisoned(d.id))
+    if (good.nonEmpty || docs.isEmpty) inner.send(shard, batchIdx, good)
+    docs.map(d =>
+      if (poisoned(d.id)) DocOutcome(d.id, ok = false, retryable = false,
+        error = Some(s"mapper_parsing_exception: poisoned ${d.id}"))
+      else DocOutcome(d.id, ok = true))
+  }
+}
+
+/** Throws a permanent infrastructure failure (an access-denied style
+  * error retrying cannot fix) and classifies it non-retryable via the
+  * [[BulkClient.isRetryable]] hook.
+  */
+case class DeniedClient() extends BulkClient {
+  override def send(shard: Int, batchIdx: Int, docs: Seq[BulkDoc]): Seq[DocOutcome] =
+    throw new java.nio.file.AccessDeniedException("/index/forbidden")
+  override def isRetryable(e: Throwable): Boolean =
+    !e.isInstanceOf[java.nio.file.AccessDeniedException]
 }
 
 /** The production writer surface (SURVEY.md §2.A / §7.6): partitioned
@@ -177,5 +204,109 @@ class SinkSpec extends AnyFunSuite {
         shard = 0, batchIdx = 1, docs, maxRetries = 2, backoffMs = 1)
     }
     assert(e2.rejected.map(_.id) == Seq("1", "2"))
+  }
+
+  test("a non-retryable request exception surfaces as the failure's cause") {
+    val docs = Seq(BulkDoc("1", Some("{}")), BulkDoc("2", Some("{}")))
+    // the isRetryable hook classifies AccessDenied as permanent: no
+    // pointless resends, and the REAL exception is the cause — not a
+    // generic "docs rejected" label hiding an auth problem
+    val e = intercept[BulkRejectedException] {
+      Writers.deliver(DeniedClient(), shard = 0, batchIdx = 0, docs, backoffMs = 1)
+    }
+    assert(e.getCause.isInstanceOf[java.nio.file.AccessDeniedException],
+      s"cause was ${e.getCause}")
+    assert(e.rejected.map(_.id) == Seq("1", "2"))
+    // exhausted RETRYABLE throws also carry the last exception as cause
+    val e2 = intercept[BulkRejectedException] {
+      Writers.deliver(FlakyClient("cause-exhaust",
+          FileBulkClient(tmp("graft_cause").toString), failures = 10, mode = "throw"),
+        shard = 0, batchIdx = 0, docs, maxRetries = 1, backoffMs = 1)
+    }
+    assert(e2.getCause != null &&
+      e2.getCause.getMessage.contains("transient network failure"))
+  }
+
+  test("dead-letter policy quarantines poisoned docs, the rest deliver byte-identically") {
+    import graft.sync.{DocField, SyncJob, SyncRunner, SyncSource}
+    val fields = Seq(DocField("order_id", "o_orderkey", quoted = false),
+      DocField("status", "o_orderstatus", quoted = true))
+    val clean = tmp("graft_dlq_clean").toString
+    val cleanJob = SyncJob("dlq_clean", SyncSource.Table("orders"),
+      idCol = "o_orderkey", fields = fields, shards = 2, batchSize = 100)
+    SyncRunner.run(spark, sf0001, cleanJob, FileBulkClient(clean))
+    val all = Writers.foldState(clean)
+    // poison 3 ids spread across shards
+    val poisoned = all.keySet.toSeq.sorted.take(3).toSet
+    val dlqDir = tmp("graft_dlq_store").toString
+    val outDir = tmp("graft_dlq_out").toString
+    val job = cleanJob.copy(name = "dlq_poisoned",
+      deadLetter = Some(DeadLetterPolicy(dlqDir, budget = 10)))
+    val counts = SyncRunner.run(spark, sf0001, job,
+      PoisonClient(FileBulkClient(outDir), poisoned))
+    // the other N-K docs delivered, doc-for-doc identical to the clean run
+    assert(counts.deadLettered == 3 && counts.docs == all.size - 3)
+    assert(Writers.foldState(outDir) == all.removedAll(poisoned),
+      "survivors must deliver byte-identically to the clean run")
+    // the K rejects are queryable parquet: id, error, and the doc body
+    val dlq = spark.read.parquet(dlqDir)
+    assert(dlq.count() == 3)
+    val rows = dlq.collect().map(r => r.getAs[String]("_id") ->
+      (r.getAs[String]("error"), r.getAs[String]("doc"))).toMap
+    assert(rows.keySet == poisoned)
+    poisoned.foreach { id =>
+      assert(rows(id)._1.contains("mapper_parsing_exception"))
+      assert(rows(id)._2 == all(id), "the DLQ must carry the rejected doc body")
+    }
+    // replay: quarantine decisions are content-deterministic
+    val snapBefore = dirSnapshot(outDir)
+    SyncRunner.run(spark, sf0001, job, PoisonClient(FileBulkClient(outDir), poisoned))
+    assert(dirSnapshot(outDir) == snapBefore, "DLQ replay must stay byte-identical")
+    assert(spark.read.parquet(dlqDir).count() == 3)
+  }
+
+  test("dead-letter budget exceeded still fails loudly") {
+    import graft.sync.{DocField, SyncJob, SyncRunner, SyncSource}
+    val clean = tmp("graft_dlqb_clean").toString
+    val cleanJob = SyncJob("dlqb_clean", SyncSource.Table("orders"),
+      idCol = "o_orderkey",
+      fields = Seq(DocField("order_id", "o_orderkey", quoted = false)),
+      shards = 2, batchSize = 100)
+    SyncRunner.run(spark, sf0001, cleanJob, FileBulkClient(clean))
+    val poisoned = Writers.foldState(clean).keySet.toSeq.sorted.take(5).toSet
+    val job = cleanJob.copy(name = "dlqb_poisoned",
+      deadLetter = Some(DeadLetterPolicy(tmp("graft_dlqb_store").toString, budget = 2)))
+    // 5 quarantines > budget 2: the run must fail loudly — either the
+    // post-action total check or a task's local fast-fail (then wrapped
+    // by Spark), so scan the cause chain
+    val e = intercept[Exception] {
+      SyncRunner.run(spark, sf0001, job,
+        PoisonClient(FileBulkClient(tmp("graft_dlqb_out").toString), poisoned))
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    assert(chain.exists(_.isInstanceOf[DeadLetterBudgetExceeded]),
+      s"expected DeadLetterBudgetExceeded in: $chain")
+  }
+
+  test("delivery health surfaces in the run counts and job outcomes") {
+    import graft.sync.{DocField, SyncConfig, SyncJob, SyncRunner, SyncSource}
+    val job = SyncJob("health", SyncSource.Table("orders"), idCol = "o_orderkey",
+      fields = Seq(DocField("order_id", "o_orderkey", quoted = false)),
+      shards = 2, batchSize = 200)
+    // every (shard, batch)'s first send rejects retryably (429 pressure):
+    // delivery succeeds, and the resend pressure is visible in the counts
+    val counts = SyncRunner.run(spark, sf0001, job,
+      FlakyClient("health-run", FileBulkClient(tmp("graft_health").toString),
+        failures = 1, mode = "reject"))
+    assert(counts.resends >= counts.batches && counts.batches > 0,
+      s"one 429 round per batch must surface as resends: $counts")
+    assert(counts.deadLettered == 0 && counts.retriedTasks == 0 && counts.exact)
+    // ... and through the orchestration loop into the JobOutcome
+    val outcomes = SyncConfig.runAll(spark, sf0001, Seq(job.copy(name = "health2")),
+      j => FlakyClient("health-all", FileBulkClient(tmp("graft_health2").toString),
+        failures = 1, mode = "reject"))
+    assert(outcomes.head.ok && outcomes.head.resends >= outcomes.head.batches)
+    assert(outcomes.head.countsExact, "no task retried: counts are exact")
   }
 }

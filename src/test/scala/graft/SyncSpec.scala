@@ -310,19 +310,19 @@ class SyncSpec extends AnyFunSuite {
         DocField("value", "value", quoted = true)),
       shards = 2, batchSize = 10, mode = SyncMode.Incremental("ver", "0"))
     // run 1: everything past the seed bound ships; watermark = max ver
-    val (d1, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+    val d1 = SyncRunner.runTracked(spark, sf0001, job, store,
       FileBulkClient(dir, gen = Some(0)))
-    assert(d1 == 3 && store.get("wm_job").contains("2"))
+    assert(d1.docs == 3 && store.get("wm_job").contains("2"))
     // run 2: a new row arrived (ver 3) — ONLY the delta ships
     srcView(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 3L)))
-    val (d2, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+    val d2 = SyncRunner.runTracked(spark, sf0001, job, store,
       FileBulkClient(dir, gen = Some(1)))
-    assert(d2 == 1 && store.get("wm_job").contains("3"))
+    assert(d2.docs == 1 && store.get("wm_job").contains("3"))
     assert(Writers.foldState(dir).keySet == Set("1", "2", "3", "4"))
     // run 3: no new rows — empty delta, watermark untouched
-    val (d3, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+    val d3 = SyncRunner.runTracked(spark, sf0001, job, store,
       FileBulkClient(dir, gen = Some(2)))
-    assert(d3 == 0 && store.get("wm_job").contains("3"))
+    assert(d3.docs == 0 && store.get("wm_job").contains("3"))
     // a FAILED run leaves the watermark untouched, so its slice
     // re-delivers next run and the served state still converges
     srcView(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L), (4L, "d", 3L),
@@ -333,9 +333,9 @@ class SyncSpec extends AnyFunSuite {
           failures = 99, mode = "permanent"))
     }
     assert(store.get("wm_job").contains("3"), "failed run must not advance")
-    val (d4, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+    val d4 = SyncRunner.runTracked(spark, sf0001, job, store,
       FileBulkClient(dir, gen = Some(3)))
-    assert(d4 == 1 && store.get("wm_job").contains("4"))
+    assert(d4.docs == 1 && store.get("wm_job").contains("4"))
     assert(Writers.foldState(dir).keySet == Set("1", "2", "3", "4", "5"))
     // a Full-mode job refuses tracking loudly
     intercept[IllegalArgumentException] {
@@ -363,8 +363,8 @@ class SyncSpec extends AnyFunSuite {
     val safe = job.copy(name = "nulldoc_safe",
       fields = Seq(DocField("value", "coalesce(value, '')", quoted = true)))
     val dir = tmp("graft_nulldoc_safe").toString
-    val (d, _) = SyncRunner.run(spark, sf0001, safe, FileBulkClient(dir))
-    assert(d == 2)
+    val d = SyncRunner.run(spark, sf0001, safe, FileBulkClient(dir))
+    assert(d.docs == 2)
   }
 
   test("tracked runs execute the source once (max rides the delivery accumulator)") {
@@ -386,9 +386,9 @@ class SyncSpec extends AnyFunSuite {
       val job = SyncJob("wm_once", SyncSource.Sql("SELECT * FROM wm_once_src"),
         idCol = "id", fields = Seq(DocField("id", "id", quoted = false)),
         shards = 1, batchSize = 10, mode = SyncMode.Incremental("ver", "0"))
-      val (d, _) = SyncRunner.runTracked(spark, sf0001, job, store,
+      val d = SyncRunner.runTracked(spark, sf0001, job, store,
         FileBulkClient(tmp("graft_wm_once_out").toString))
-      assert(d == 2 && store.get("wm_once").contains("2"))
+      assert(d.docs == 2 && store.get("wm_once").contains("2"))
       val deadline = System.currentTimeMillis + 30000
       while (counter.get < 1 && System.currentTimeMillis < deadline) Thread.sleep(50)
       Thread.sleep(1000)
@@ -402,15 +402,15 @@ class SyncSpec extends AnyFunSuite {
     val job = fullJob.copy(name = "wm_orders",
       mode = SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'"))
     val dir = tmp("graft_wm_ts_out").toString
-    val (d1, _) = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
+    val d1 = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
     val expected = spark.read.parquet(s"$sf0001/orders.parquet")
       .where(col("o_orderdate") > lit("1997-06-01").cast("timestamp_ntz")).count()
-    assert(d1 == expected)
+    assert(d1.docs == expected)
     val wm = store.get("wm_orders").get
     assert(wm.startsWith("TIMESTAMP '"), wm)
     // the recorded literal is the source's true max, so the next run is empty
-    val (d2, _) = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
-    assert(d2 == 0, s"re-run after advance must ship nothing, shipped $d2 (wm=$wm)")
+    val d2 = SyncRunner.runTracked(spark, sf0001, job, store, FileBulkClient(dir))
+    assert(d2.docs == 0, s"re-run after advance must ship nothing, shipped $d2 (wm=$wm)")
     // ... and the predicate still reaches the parquet scan
     val resolved = job.copy(mode = SyncMode.Incremental("o_orderdate", wm))
     val p = SyncRunner.source(spark, sf0001, resolved)
