@@ -300,11 +300,16 @@ object SyncRunner {
     * `indexRoot`, then atomically flip the `current` alias onto it —
     * readers of [[graft.sinks.AliasedIndex.resolve]] never observe a
     * half-written index, and the previous version stays on disk for
-    * in-flight readers until GC. Returns the published version dir.
+    * in-flight readers until GC. Each version also carries the
+    * generated index mapping ([[EsMapping.forJob]] → `mapping.json`,
+    * written BEFORE the batches — the order a real publisher creates
+    * the index with its mapping, then bulk-loads). Returns the
+    * published version dir.
     */
   def fullSync(spark: SparkSession, sfDir: String, job: SyncJob,
       indexRoot: String, keep: Int = 2): String =
     graft.sinks.AliasedIndex.publish(indexRoot, keep) { dir =>
+      EsMapping.write(dir, EsMapping.forJob(spark, sfDir, job))
       run(spark, sfDir, job, graft.sinks.FileBulkClient(dir))
     }
 

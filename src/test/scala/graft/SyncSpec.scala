@@ -38,7 +38,7 @@ class SyncSpec extends AnyFunSuite {
       .toMap
 
   private def idsOf(snap: Map[String, String]): Seq[String] =
-    snap.values.flatMap(_.split("\n")).filter(_.nonEmpty)
+    snap.values.flatMap(_.split("\n")).filter(_.contains("\"_id\":\""))
       .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"')).toSeq
 
   test("full sync delivers every row exactly once and replay is byte-identical") {
@@ -111,6 +111,9 @@ class SyncSpec extends AnyFunSuite {
     // assert from inside the write callback, before the flip
     var duringWrite: Option[String] = None
     val v2 = AliasedIndex.publish(root) { dir =>
+      // mirror fullSync's layout (mapping first, then batches) so the
+      // recreated version is byte-comparable to v1
+      EsMapping.write(dir, EsMapping.forJob(spark, sf0001, fullJob))
       SyncRunner.run(spark, sf0001, fullJob, FileBulkClient(dir))
       duringWrite = AliasedIndex.resolve(root)
     }
