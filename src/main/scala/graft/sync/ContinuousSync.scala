@@ -1,0 +1,75 @@
+package graft.sync
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.sinks.FileBulkClient
+
+/** The reference's cron loop, made a stream (SURVEY §3.1 / §2.J): a
+  * Structured-Streaming delivery path where each micro-batch goes
+  * through the SAME plan → route → batch → idempotent-deliver engine as
+  * a scan-based sync ([[SyncRunner.runOn]]), keyed by the stream's
+  * batchId.
+  *
+  * Exactly-once-equivalent by construction, from three pieces:
+  *
+  *  1. `foreachBatch` is at-least-once: after a crash BETWEEN delivering
+  *     a batch and committing its offset, restart re-executes that batch
+  *     with the SAME batchId and the same rows (the checkpoint pins
+  *     offsets before execution).
+  *  2. The delivery generation is the batchId
+  *     (`FileBulkClient(gen = batchId)`), and batch membership/routing
+  *     is content-deterministic — so the replay overwrites the same
+  *     per-generation files byte-identically instead of appending.
+  *  3. [[graft.sinks.Writers.foldState]] folds generations in order, so
+  *     the served state after any crash/restart equals an uninterrupted
+  *     run's.
+  *
+  *  The job's [[WatermarkStore]] advances AFTER each delivered batch
+  *  (max of the watermark column, riding the delivery pass as an
+  *  accumulator — the [[SyncRunner.runTracked]] discipline). The store
+  *  is shared with the scan-based path, so an operator can stop the
+  *  stream and let the nightly incremental job take over from the last
+  *  streamed watermark — continuous and batch modes are the same
+  *  pipeline at different trigger rates.
+  */
+object ContinuousSync {
+
+  /** Start delivering `stream` (a STREAMING DataFrame of the job's
+    * source row shape — the mode's watermark predicate does not apply,
+    * the stream IS the delta; Upsert tombstone semantics do). Returns
+    * the running query; stop it with `.stop()`, resume it by calling
+    * `start` again with the same `checkpointDir`.
+    */
+  def start(stream: DataFrame, job: SyncJob, indexRoot: String,
+      store: WatermarkStore, checkpointDir: String): StreamingQuery = {
+    require(stream.isStreaming, s"job '${job.name}': ContinuousSync needs a streaming DataFrame")
+    val wmCol = job.mode match {
+      case SyncMode.Incremental(c, _) => Some(c)
+      case SyncMode.Upsert(c, _, _)   => Some(c)
+      case SyncMode.Full              => None
+    }
+    stream.writeStream
+      .queryName(s"graft-sync-${job.name}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        require(batchId <= Int.MaxValue, s"batchId $batchId overflows the generation key")
+        val client = FileBulkClient(indexRoot, gen = Some(batchId.toInt))
+        wmCol match {
+          case Some(c) =>
+            val spark = batch.sparkSession
+            val acc = new MaxWatermarkAccumulator
+            spark.sparkContext.register(acc,
+              s"graft.sync.${job.name}.stream.wmMax.b$batchId")
+            SyncRunner.runOn(batch, job, client, wmTrack = Some((c, acc)))
+            // advance only after the whole batch delivered — a failed
+            // batch leaves the watermark put, exactly like a failed
+            // tracked run (the replay converges idempotently)
+            acc.value.foreach(v => store.set(job.name, SyncRunner.wmLiteral(v)))
+          case None =>
+            SyncRunner.runOn(batch, job, client)
+        }
+        ()
+      }
+      .start()
+  }
+}

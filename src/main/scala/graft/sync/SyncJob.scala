@@ -133,7 +133,15 @@ object SyncRunner {
     * decomposition on top for delivery.
     */
   def docs(spark: SparkSession, sfDir: String, job: SyncJob,
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil): DataFrame =
+    docsFor(source(spark, sfDir, job), job, keep)
+
+  /** [[docs]] over a pre-resolved source `src` — the entry the
+    * continuous (micro-batch) path uses, where the incoming batch IS
+    * the delta and no watermark predicate applies. Upsert tombstone
+    * semantics still ride `job.mode`.
+    */
+  def docsFor(src: DataFrame, job: SyncJob, keep: Seq[String] = Nil): DataFrame = {
     keep.foreach(k => require(!PlanCols(k),
       s"passthrough column '$k' shadows a planner column"))
     val pieces = job.fields.zipWithIndex.flatMap { case (f, i) =>
@@ -151,7 +159,7 @@ object SyncRunner {
           when(del, lit(null).cast("string")).otherwise(doc))
       case _ => (lit("index"), doc)
     }
-    source(spark, sfDir, job)
+    src
       .select(Seq(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
         action.as("action")) ++ keep.map(col): _*)
       // 60-bit md5 prefix: content-deterministic routing, identical in
@@ -175,8 +183,12 @@ object SyncRunner {
     * row_number. Identical output, no row-scale ordered window.
     */
   def plan(spark: SparkSession, sfDir: String, job: SyncJob,
-      keep: Seq[String] = Nil): DataFrame = {
-    val base = docs(spark, sfDir, job, keep)
+      keep: Seq[String] = Nil): DataFrame =
+    planFor(source(spark, sfDir, job), job, keep)
+
+  /** [[plan]] over a pre-resolved source (see [[docsFor]]). */
+  def planFor(src: DataFrame, job: SyncJob, keep: Seq[String] = Nil): DataFrame = {
+    val base = docsFor(src, job, keep)
       // 2048 uniform hash-range buckets per shard for the rank decomposition
       .withColumn("bkt", expr(s"h DIV ${1L << 49}"))
     val offs = base.groupBy("routing", "bkt").agg(count(lit(1)).as("cnt"))
@@ -336,7 +348,15 @@ object SyncRunner {
     * [[stats]] query stays the exact accounting surface.
     */
   def run(spark: SparkSession, sfDir: String, job: SyncJob, client: BulkClient,
+      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts =
+    runOn(source(spark, sfDir, job), job, client, wmTrack)
+
+  /** [[run]] over a pre-resolved source (see [[docsFor]]) — the shared
+    * delivery engine for scan-based and micro-batch syncs.
+    */
+  def runOn(src: DataFrame, job: SyncJob, client: BulkClient,
       wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts = {
+    val spark = src.sparkSession
     val batchSize = job.batchSize // avoid serializing the runner object
     val quarantine = job.deadLetter.isDefined
     val budget = job.deadLetter.fold(Long.MaxValue)(_.budget)
@@ -347,7 +367,7 @@ object SyncRunner {
     val retriedAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.retriedTasks")
     val wmAcc = wmTrack.map(_._2)
     val keep = wmTrack.map(_._1).toSeq
-    val prepared = plan(spark, sfDir, job, keep)
+    val prepared = planFor(src, job, keep)
       .repartition(job.shards, col("routing"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
       .select("routing", (Seq("batch_id", "_id", "doc", "action") ++ keep): _*)
