@@ -542,6 +542,18 @@ object Dedup extends QueryFamily {
       jaccardVerify(minhashCandidates(d, perms, nBands), tokenCodes(s, dir), 0.8)
     }),
 
+    // The generalized banding, oracle-pinned at NON-fixture parameters
+    // (12 permutations x 3 bands of 4 rows): the DuckDB oracle mirrors
+    // the widened multiplier table and the three band keys, so the
+    // knob-widened code path — not just the 8/2 default — is
+    // hash-checked. Recall at t=0.8 rises to 1-(1-0.8^4)^3 ≈ 80%.
+    "q_dedup_minhash_banded" -> ((s, dir) => {
+      graft.functions.SortedJaccardGe.register(s)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      jaccardVerify(minhashCandidates(d, 12, 3), tokenCodes(s, dir), 0.8)
+    }),
+
     // SimHash: signature from per-bit token majority votes; pairs with
     // hamming distance <= 3 inside the same language. Candidates by
     // pigeonhole-LSH over disjoint bands (simhashCandidates): 3
@@ -572,6 +584,22 @@ object Dedup extends QueryFamily {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
       simhashCandidates(simhashSignatures(d, bits), bits, bands)
+        .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // The corpus-scaled signature width, oracle-pinned at a NON-fixture
+    // parameter (24-bit signature, 4 six-bit bands): the oracle computes
+    // the same 24 majority-vote bits, so the widened path — more bucket
+    // values per band, fewer false candidates — is hash-checked, and the
+    // prefix property is visible in the data (sim_a's low 16 bits equal
+    // q_dedup_simhash's signature doc for doc).
+    "q_dedup_simhash_wide" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      simhashCandidates(simhashSignatures(d, 24), 24, 4)
         .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
         .where(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("hamming"))
@@ -618,6 +646,21 @@ object Dedup extends QueryFamily {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       cosinePairs(e, planes)
+        .where(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // The corpus-scaled sign-LSH fan-out, oracle-pinned at a NON-fixture
+    // parameter (6 hyperplanes = 64 buckets): both engines inline the
+    // identical first-6-planes literals (prefix property — planes 0-3
+    // are exactly q_dedup_cosine's), so the widened blocking is
+    // hash-checked end to end.
+    "q_dedup_cosine_wide" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      cosinePairs(e, 6)
         .where(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("vec_a", "vec_b")
@@ -830,6 +873,65 @@ object Dedup extends QueryFamily {
   private val jaccDuck = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
     "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
 
+  /** DuckDB oracle for the banded-MinHash pipeline at (perms, bands) —
+    * the same affine hash family (shared multiplier table, so oracle
+    * widths beyond the fixture reuse hash i verbatim), band keys, and
+    * two-stage candidates→verify shape the Spark side runs.
+    */
+  private def minhashOracle(perms: Int, bands: Int): String = {
+    val as = graft.functions.MinHashSig.multipliers(perms)
+    val mh = (0 until perms).map { i =>
+      s"list_min(list_transform(toks, t -> ((${hd("t")} % 2147483647) * ${as(i)} + $i) % 2147483647)) AS mh$i"
+    }.mkString(", ")
+    val rows = perms / bands
+    val bandKeys = (0 until bands).map { b =>
+      val els = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
+      s"concat_ws(':', lang, $b, $els)"
+    }.mkString(", ")
+    val j = "CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) / " +
+      "(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)))"
+    "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+    s"s AS (SELECT doc_id, lang, toks, $mh FROM d), " +
+    s"b AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM s), " +
+    "c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
+    "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+    s"SELECT doc_a, doc_b, $j AS jacc FROM c " +
+    "JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b " +
+    s"WHERE $j >= 0.8 ORDER BY doc_a, doc_b"
+  }
+
+  /** DuckDB oracle for the SimHash pipeline at signature width `bits`
+    * (single-salt widths only, <= 60): the same per-bit majority votes,
+    * full pairwise within lang — equal to the Spark side's banded
+    * candidates because pigeonhole recall is exact at hamming <= 3.
+    */
+  private def simhashOracle(bits: Int): String = {
+    require(bits <= 60, s"oracle widths beyond 60 bits need the salted second hash")
+    val bitsExpr = (0 until bits).map(b =>
+      s"(CASE WHEN 2 * len(list_filter(toks, t -> ((${hd("t || '#s'")} >> $b) & 1) = 1)) > len(toks) THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+    s"s AS (SELECT doc_id, lang, CAST($bitsExpr AS BIGINT) AS simhash FROM d) " +
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, " +
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+    "FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"
+  }
+
+  /** DuckDB oracle for the two-level (label, sign-LSH) cosine pairs at
+    * `planes` hyperplanes — identical inlined plane literals.
+    */
+  private def cosineOracle(planes: Int): String = {
+    val bucket = lshBucketExpr(j => s"v[$j]", planes)
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    s"s AS (SELECT vec_id, label, v, $bucket AS bucket FROM e) " +
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+    "round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim " +
+    "FROM s a JOIN s b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+    "WHERE list_cosine_similarity(a.v, b.v) >= 0.3 " +
+    "ORDER BY vec_a, vec_b"
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS canonical_id, md5(text) AS fp, " +
       "count(*) AS n_copies FROM documents GROUP BY text ORDER BY canonical_id"),
@@ -841,35 +943,11 @@ object Dedup extends QueryFamily {
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.8 ORDER BY doc_a, doc_b"),
 
-    "q_dedup_minhash" -> {
-      val as = Seq(3, 5, 7, 11, 13, 17, 19, 23)
-      val mh = as.zipWithIndex.map { case (a, i) =>
-        s"list_min(list_transform(toks, t -> ((${hd("t")} % 2147483647) * $a + $i) % 2147483647)) AS mh$i"
-      }.mkString(", ")
-      val j = "CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) / " +
-        "(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)))"
-      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
-      s"s AS (SELECT doc_id, lang, toks, $mh FROM d), " +
-      "b AS (SELECT doc_id, unnest([concat_ws(':', lang, 0, mh0, mh1, mh2, mh3), " +
-      "concat_ws(':', lang, 1, mh4, mh5, mh6, mh7)]) AS band_key FROM s), " +
-      "c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
-      "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-      s"SELECT doc_a, doc_b, $j AS jacc FROM c " +
-      "JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b " +
-      s"WHERE $j >= 0.8 ORDER BY doc_a, doc_b"
-    },
+    "q_dedup_minhash" -> minhashOracle(8, 2),
+    "q_dedup_minhash_banded" -> minhashOracle(12, 3),
 
-    "q_dedup_simhash" -> {
-      val bits = (0 until 16).map(b =>
-        s"(CASE WHEN 2 * len(list_filter(toks, t -> ((${hd("t || '#s'")} >> $b) & 1) = 1)) > len(toks) THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
-      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
-      s"s AS (SELECT doc_id, lang, CAST($bits AS BIGINT) AS simhash FROM d) " +
-      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, " +
-      "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
-      "FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"
-    },
+    "q_dedup_simhash" -> simhashOracle(16),
+    "q_dedup_simhash_wide" -> simhashOracle(24),
 
     "q_dedup_ngram" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 100 AS bucket, " +
       "list_distinct([substr(text, i, 3) for i in generate_series(1, CAST(length(text) AS INT) - 2)]) AS toks " +
@@ -879,16 +957,8 @@ object Dedup extends QueryFamily {
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.6 ORDER BY doc_a, doc_b"),
 
-    "q_dedup_cosine" -> {
-      val bucket = lshBucketExpr(j => s"v[$j]")
-      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      s"s AS (SELECT vec_id, label, v, $bucket AS bucket FROM e) " +
-      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-      "round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim " +
-      "FROM s a JOIN s b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-      "WHERE list_cosine_similarity(a.v, b.v) >= 0.3 " +
-      "ORDER BY vec_a, vec_b"
-    },
+    "q_dedup_cosine" -> cosineOracle(4),
+    "q_dedup_cosine_wide" -> cosineOracle(6),
 
     "q_sim_topk" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
