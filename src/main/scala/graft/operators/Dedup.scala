@@ -184,14 +184,20 @@ object Dedup extends QueryFamily {
       .withColumn("keys", array((0 until bands).map(bandKey): _*))
       .select(col("doc_id"), col("keys"),
         posexplode(col("keys")).as(Seq("b", "k")))
+    // no EARLIER band agrees, as a static CASE over the band index with
+    // plain element_at string comparisons — evaluated once per banded
+    // MATCH, which on a self-similar corpus is the hot count, so it must
+    // stay inside whole-stage codegen (a zip_with/exists lambda here,
+    // interpreted per match, measured 2.3x slower end to end)
+    val noEarlierAgrees = (1 until bands).foldLeft(
+      when(col("x.b") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("x.b") === b,
+        (1 to b).map(i => element_at(col("x.keys"), i) =!= element_at(col("y.keys"), i))
+          .reduce(_ && _))
+    }.otherwise(lit(false))
     banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        // no EARLIER band agrees: slice(keys, 1, b) is the bands before
-        // b (empty for b = 0 — never sequence(0, b-1), whose step turns
-        // negative and yields [0, -1] when b = 0)
-        expr("NOT exists(zip_with(slice(x.keys, 1, x.b), slice(y.keys, 1, y.b), " +
-          "(ka, kb) -> ka = kb), v -> v)"))
+        col("x.doc_id") < col("y.doc_id") && noEarlierAgrees)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
