@@ -54,19 +54,25 @@ object ContinuousSync {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         require(batchId <= Int.MaxValue, s"batchId $batchId overflows the generation key")
         val client = FileBulkClient(indexRoot, gen = Some(batchId.toInt))
+        // the dead-letter quarantine is batch-scoped like the delivery
+        // generation: run() overwrites its DLQ dir (idempotent replay),
+        // so an unscoped dir would let batch N clobber batch N-1's
+        // quarantine; a replayed batch still overwrites only ITS dir
+        val job0 = job.copy(deadLetter = job.deadLetter.map(p =>
+          p.copy(dir = s"${p.dir}/batch=$batchId")))
         wmCol match {
           case Some(c) =>
             val spark = batch.sparkSession
             val acc = new MaxWatermarkAccumulator
             spark.sparkContext.register(acc,
               s"graft.sync.${job.name}.stream.wmMax.b$batchId")
-            SyncRunner.runOn(batch, job, client, wmTrack = Some((c, acc)))
+            SyncRunner.runOn(batch, job0, client, wmTrack = Some((c, acc)))
             // advance only after the whole batch delivered — a failed
             // batch leaves the watermark put, exactly like a failed
             // tracked run (the replay converges idempotently)
             acc.value.foreach(v => store.set(job.name, SyncRunner.wmLiteral(v)))
           case None =>
-            SyncRunner.runOn(batch, job, client)
+            SyncRunner.runOn(batch, job0, client)
         }
         ()
       }

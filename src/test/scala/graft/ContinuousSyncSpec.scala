@@ -62,6 +62,37 @@ class ContinuousSyncSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a dead-letter policy quarantines per batch instead of clobbering earlier batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val df = input.toDF().toDF("id", "value", "ver", "deleted")
+    val dlqRoot = tmp("graft_cs_dlq")
+    val job = SyncJob("cs_dlq", SyncSource.Table("unused"), idCol = "id",
+      fields = fields, shards = 2, batchSize = 10,
+      mode = SyncMode.Incremental("ver", "0"),
+      deadLetter = Some(graft.sinks.DeadLetterPolicy(dlqRoot, budget = 5)))
+    val idx = tmp("graft_cs_dlq_idx")
+    val q = ContinuousSync.start(df, job,
+      idx, new WatermarkStore(tmp("graft_cs_dlq_wm")), tmp("graft_cs_dlq_ckpt"))
+    // the quarantine MECHANICS (poisoned docs, budget) are covered in
+    // SinkSpec; the streaming-specific contract is the per-batch
+    // directory layout — run() overwrites its DLQ dir on replay, so
+    // without batch scoping, batch 1's (empty) quarantine would clobber
+    // batch 0's. Two clean batches must leave two batch dirs.
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      input.addData((3L, "c", 2L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val gens = Files.list(Paths.get(dlqRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(gens == Seq("batch=0", "batch=1"),
+      s"each micro-batch must own its quarantine dir, got $gens")
+    assert(Writers.foldState(idx).keySet == Set("1", "2", "3"))
+  }
+
   test("kill between delivery and commit, restart from checkpoint: byte-identical to uninterrupted") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

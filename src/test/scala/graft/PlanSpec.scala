@@ -75,10 +75,24 @@ class PlanSpec extends AnyFunSuite {
       s"simhash join keys missing band/bv: $joinLine")
   }
 
+  test("minhash banded join stays codegen-friendly: no interpreted lambdas in the condition") {
+    // the first-agreeing-band filter runs once per banded MATCH (the hot
+    // count on a self-similar corpus); a zip_with/exists lambda there is
+    // interpreted per match and measured 2.3x slower end to end — the
+    // condition must compile to plain element_at/CASE comparisons
+    for (q <- Seq("q_dedup_minhash", "q_dedup_minhash_banded")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("zip_with") && !p.contains("exists("),
+        s"$q: higher-order function leaked into the banded join:\n${p.take(2000)}")
+    }
+  }
+
   test("dedup verify stages shuffle-attach token sets (no corpus broadcast)") {
     // the set-attach joins on doc_a/doc_b must honor the shuffle_hash hint;
     // a BroadcastExchange feeding them would ship the corpus to every task
-    for (q <- Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_minhash")) {
+    for (q <- Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_minhash",
+        "q_dedup_minhash_banded")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
