@@ -332,15 +332,17 @@ object Dedup extends QueryFamily {
     * each corpus's size. The target bucket population is
     * `spark.graft.dedup.targetBucket` (default 64).
     */
+  /** The one source of truth for the `auto` target bucket population. */
+  private def targetBucket(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.dedup.targetBucket").map(_.toLong).getOrElse(64L)
+
   private def resolveFanout(s: SparkSession, confKey: String, fixture: Int,
       cap: Int, key: String)(corpus: => (DataFrame, String)): Int =
     s.conf.getOption(confKey) match {
       case None => fixture
       case Some("auto") =>
-        val target = s.conf.getOption("spark.graft.dedup.targetBucket")
-          .map(_.toLong).getOrElse(64L)
         val (d, idCol) = corpus
-        autoWidth(approxCorpusCount(d, idCol, key), target, fixture, cap)
+        autoWidth(approxCorpusCount(d, idCol, key), targetBucket(s), fixture, cap)
       case Some(v) => v.toInt
     }
 
@@ -581,10 +583,8 @@ object Dedup extends QueryFamily {
       val bits = s.conf.getOption("spark.graft.dedup.simhashBits") match {
         case None => 16
         case Some("auto") =>
-          val target = s.conf.getOption("spark.graft.dedup.targetBucket")
-            .map(_.toLong).getOrElse(64L)
           val n = approxCorpusCount(Tables(s, dir, "documents"), "doc_id", s"docs:$dir")
-          bands * autoWidth(n, target, math.max(1, 16 / bands), 64 / bands)
+          bands * autoWidth(n, targetBucket(s), math.max(1, 16 / bands), 64 / bands)
         case Some(v) => v.toInt
       }
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),

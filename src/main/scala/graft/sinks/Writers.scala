@@ -205,7 +205,6 @@ object Writers {
       maxRetries: Int = 3, backoffMs: Long = 10,
       quarantine: Boolean = false): DeliveryReport = {
     var attempt = 0
-    var resends = 0
     var remaining = docs
     var lastErr: Throwable = null
     val dead = scala.collection.mutable.ArrayBuffer.empty[DocOutcome]
@@ -216,20 +215,31 @@ object Writers {
       val attemptResult =
         try Right(client.send(shard, batchIdx, remaining))
         catch { case NonFatal(e) => Left(e) }
-      val outcomes = attemptResult match {
+      val (outcomes, requestLevel) = attemptResult match {
         case Right(out) =>
           require(out.size == remaining.size,
             s"client returned ${out.size} outcomes for ${remaining.size} docs")
-          out
+          // a stale request exception from an EARLIER attempt must not
+          // become the cause of a later outcome-level rejection — an
+          // operator would read a doc-level mapping bug as a network
+          // failure
+          lastErr = null
+          (out, false)
         case Left(e) => // whole-request failure, classified by the client
           lastErr = e
           val retry = client.isRetryable(e)
-          remaining.map(b => DocOutcome(b.id, ok = false, retryable = retry,
-            error = Some(e.toString)))
+          (remaining.map(b => DocOutcome(b.id, ok = false, retryable = retry,
+            error = Some(e.toString))), true)
       }
       val rejected = outcomes.filter(o => !o.ok && !o.retryable)
       if (rejected.nonEmpty) {
-        if (!quarantine)
+        // only OUTCOME-level rejections from a successful request are
+        // per-doc poison; a non-retryable REQUEST failure (auth, client
+        // bug) is a systemic outage and must fail loudly even under a
+        // quarantine policy — silently dead-lettering the whole corpus
+        // batch by batch is exactly the disguised outage the budget
+        // exists to prevent
+        if (!quarantine || requestLevel)
           throw new BulkRejectedException(shard, batchIdx, rejected, lastErr)
         dead ++= rejected
         val rejIds = rejected.map(_.id).toSet
@@ -241,11 +251,11 @@ object Writers {
         attempt += 1
         if (attempt > maxRetries)
           throw new BulkRejectedException(shard, batchIdx, failed, lastErr)
-        resends += 1
         Thread.sleep(backoffMs << (attempt - 1))
       }
     }
-    DeliveryReport(resends, dead.toSeq)
+    // attempt counts exactly the whole-batch resends the loop performed
+    DeliveryReport(attempt, dead.toSeq)
   }
 
   /** Fold a [[FileBulkClient]] index directory into its served state:

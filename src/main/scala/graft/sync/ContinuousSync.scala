@@ -69,8 +69,22 @@ object ContinuousSync {
             SyncRunner.runOn(batch, job0, client, wmTrack = Some((c, acc)))
             // advance only after the whole batch delivered — a failed
             // batch leaves the watermark put, exactly like a failed
-            // tracked run (the replay converges idempotently)
-            acc.value.foreach(v => store.set(job.name, SyncRunner.wmLiteral(v)))
+            // tracked run (the replay converges idempotently) — and only
+            // MONOTONICALLY: a micro-batch of late rows has a max below
+            // the stored mark (runTracked never sees this — its pushdown
+            // predicate guarantees the delta exceeds the bound), and
+            // regressing the store would make the batch-mode handoff
+            // re-ship the regressed window. The comparison evaluates
+            // both literals in Spark itself — same dialect that will
+            // re-parse them.
+            acc.value.foreach { v =>
+              val lit = SyncRunner.wmLiteral(v)
+              val advance = store.get(job.name).forall { cur =>
+                cur != lit &&
+                  spark.sql(s"SELECT ($lit) > ($cur)").head().getBoolean(0)
+              }
+              if (advance) store.set(job.name, lit)
+            }
           case None =>
             SyncRunner.runOn(batch, job0, client)
         }

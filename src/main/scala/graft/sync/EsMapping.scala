@@ -50,9 +50,14 @@ object EsMapping {
   private[sync] def esType(name: String, dt: DataType, quoted: Boolean): (String, Map[String, String]) =
     dt match {
       case _: TimestampType | _: TimestampNTZType =>
-        // Spark's cast-to-string renders "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+        // Spark's cast-to-string TRIMS trailing fraction zeros, so a
+        // sub-second value renders with 1-6 digits ("..00:00:00.5") —
+        // each 'S' count is an exact width to the date parser, so every
+        // width needs its own alternative or sub-second docs are
+        // rejected at index time (invisible on whole-second fixtures)
         ("date", Map("format" ->
-          "yyyy-MM-dd HH:mm:ss||yyyy-MM-dd HH:mm:ss.SSSSSS||yyyy-MM-dd"))
+          ((1 to 6).map(n => s"yyyy-MM-dd HH:mm:ss.${"S" * n}") ++
+            Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd")).mkString("||")))
       case _: DateType => ("date", Map("format" -> "yyyy-MM-dd"))
       case ArrayType(e, _) => esType(name, e, quoted)
       case _: StringType if quoted =>

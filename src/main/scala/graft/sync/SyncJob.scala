@@ -87,13 +87,15 @@ final case class SyncJob(
   * INSIDE the delivery tasks (single execution — no second stats pass).
   * `docs`/`batches` are delivered volume; `resends` and `deadLettered`
   * are delivery HEALTH (how hard the store pushed back); `retriedTasks`
-  * counts delivery tasks that ran as a retry attempt — when it is
-  * nonzero the volume counts are at-least-once (Spark applies action
-  * accumulators per attempt) and [[exact]] goes false, so an inflated
+  * counts delivery tasks that ran as a retry/reattempt — when it is
+  * nonzero the accumulator-sourced counts are at-least-once (Spark
+  * applies them per attempt) and [[exact]] goes false, so an inflated
   * progress report is never mistaken for duplicate delivery (the store
   * state itself stays exactly-once via `_id` idempotency; the
   * oracle-checked [[SyncRunner.stats]] query remains the exact
-  * accounting surface).
+  * accounting surface). `deadLettered` alone is exact at any retry
+  * count: it is read back from the committed quarantine parquet, not
+  * an accumulator.
   */
 final case class DeliveryCounts(docs: Long, batches: Long, resends: Long = 0,
     deadLettered: Long = 0, retriedTasks: Long = 0) {
@@ -358,12 +360,26 @@ object SyncRunner {
       wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts = {
     val spark = src.sparkSession
     val batchSize = job.batchSize // avoid serializing the runner object
-    val quarantine = job.deadLetter.isDefined
-    val budget = job.deadLetter.fold(Long.MaxValue)(_.budget)
+    // the quarantine is SLICE-scoped: successive runs of a watermarked
+    // job cover different deltas, and each run's parquet write overwrites
+    // its own dir (idempotent replay of the same slice) — an unscoped dir
+    // would let tonight's (possibly empty) quarantine destroy last
+    // night's unreplayed rejects, whose only record is that parquet. The
+    // key=value dir form keeps the whole quarantine readable as ONE
+    // partitioned dataset with slice provenance.
+    val deadLetter = job.deadLetter.map { pol =>
+      val slice = job.mode match {
+        case SyncMode.Full => "full"
+        case SyncMode.Incremental(_, f) => sliceKey(f)
+        case SyncMode.Upsert(_, f, _)   => sliceKey(f)
+      }
+      pol.copy(dir = s"${pol.dir}/slice=$slice")
+    }
+    val quarantine = deadLetter.isDefined
+    val budget = deadLetter.fold(Long.MaxValue)(_.budget)
     val docsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.docs")
     val batchesAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.batches")
     val resendsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.resends")
-    val dlqAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.deadLettered")
     val retriedAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.retriedTasks")
     val wmAcc = wmTrack.map(_._2)
     val keep = wmTrack.map(_._1).toSeq
@@ -378,7 +394,11 @@ object SyncRunner {
     val deliverPartition: Iterator[Row] => Iterator[graft.sinks.DeadLetterRow] =
       (rows: Iterator[Row]) => {
         val tc = org.apache.spark.TaskContext.get()
-        if (tc != null && tc.attemptNumber() > 0) retriedAcc.add(1L)
+        // attemptNumber restarts at 0 on a STAGE reattempt (fetch-failure
+        // re-execution), so check both — either means this partition may
+        // have delivered (and counted) before
+        if (tc != null && (tc.attemptNumber() > 0 || tc.stageAttemptNumber() > 0))
+          retriedAcc.add(1L)
         var curShard = -1
         var curBatch = -1L
         val buf = scala.collection.mutable.ArrayBuffer.empty[BulkDoc]
@@ -393,11 +413,10 @@ object SyncRunner {
             val byId = buf.iterator.map(b => b.id -> b.doc).toMap
             dead ++= report.deadLettered.map(o => graft.sinks.DeadLetterRow(
               curShard, curBatch, o.id, o.error.getOrElse(""), byId.getOrElse(o.id, None)))
-            dlqAcc.add(report.deadLettered.size.toLong)
             // a task already past the whole-run budget on its own fails
             // fast; the cross-task total is enforced after the action
             if (dead.size > budget) throw new graft.sinks.DeadLetterBudgetExceeded(
-              dead.size.toLong, budget, job.deadLetter.get.dir)
+              dead.size.toLong, budget, deadLetter.get.dir)
           }
           buf.clear()
         }
@@ -422,24 +441,43 @@ object SyncRunner {
         flush()
         dead.iterator
       }
-    job.deadLetter match {
+    val quarantined = deadLetter match {
       case None =>
         prepared.foreachPartition { (rows: Iterator[Row]) =>
           deliverPartition(rows).foreach(_ => ())
         }
+        0L
       case Some(pol) =>
         // the quarantine lands as PARQUET: the delivery action is the
         // dead-letter write itself (mapPartitions → parquet), so the
         // plan still executes exactly once and rejects are queryable
-        // (spark.read.parquet(pol.dir)) for diagnosis and replay
+        // (spark.read.parquet over the policy root, slice-partitioned)
+        // for diagnosis and replay
         prepared.mapPartitions(deliverPartition)(
             org.apache.spark.sql.Encoders.product[graft.sinks.DeadLetterRow])
           .write.mode(SaveMode.Overwrite).parquet(pol.dir)
-        if (dlqAcc.value > pol.budget)
-          throw new graft.sinks.DeadLetterBudgetExceeded(dlqAcc.value, pol.budget, pol.dir)
+        // budget enforcement reads the COMMITTED quarantine back — an
+        // accumulator total here is at-least-once under speculation/
+        // stage retries (this is a transformation, not an action) and
+        // would fail a healthy run spuriously; the written files are
+        // exactly-once by the commit protocol
+        val n = spark.read.parquet(pol.dir).count()
+        if (n > pol.budget)
+          throw new graft.sinks.DeadLetterBudgetExceeded(n, pol.budget, pol.dir)
+        n
     }
     DeliveryCounts(docsAcc.value, batchesAcc.value, resendsAcc.value,
-      dlqAcc.value, retriedAcc.value)
+      quarantined, retriedAcc.value)
+  }
+
+  /** Filesystem-safe quarantine partition key for a watermark slice —
+    * the FROM literal identifies the delta a run covers, so replays of
+    * the same slice overwrite the same quarantine dir while successive
+    * slices keep theirs.
+    */
+  private def sliceKey(fromLit: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(fromLit.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
 }
 

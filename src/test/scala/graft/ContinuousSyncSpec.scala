@@ -59,6 +59,15 @@ class ContinuousSyncSpec extends AnyFunSuite {
       assert(Writers.foldState(idx) == Map(
         "2" -> """{"id":2,"value":"b2"}""", "3" -> """{"id":3,"value":"c"}"""))
       assert(store.get("cs_upsert").contains("2"))
+      // batch 3 carries only LATE rows (ver below the stored mark): the
+      // row still delivers, but the watermark must not regress — a
+      // regressed store would make the batch-mode handoff re-ship the
+      // whole regressed window
+      input.addData((4L, "late", 1L, false))
+      q.processAllAvailable()
+      assert(Writers.foldState(idx).keySet == Set("2", "3", "4"))
+      assert(store.get("cs_upsert").contains("2"),
+        s"late batch regressed the watermark: ${store.get("cs_upsert")}")
     } finally q.stop()
   }
 

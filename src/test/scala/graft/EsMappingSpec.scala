@@ -52,6 +52,17 @@ class EsMappingSpec extends AnyFunSuite {
     assert(typeOf("price") == "double")
     assert(typeOf("ordered_at") == "date")
     assert(props.at("/ordered_at/format").asText.contains("yyyy-MM-dd HH:mm:ss"))
+    // Spark trims trailing fraction zeros, so sub-second values render
+    // with 1-6 digits — every width must match one declared alternative
+    // (the fixture's whole-second timestamps would hide a miss)
+    val fmts = props.at("/ordered_at/format").asText.split("\\|\\|")
+    for (probe <- Seq("2024-01-01 00:00:00.5", "2024-01-01 00:00:00.123",
+        "2024-01-01 00:00:00.123456", "2024-01-01 00:00:00")) {
+      assert(fmts.exists { f =>
+        try { java.time.format.DateTimeFormatter.ofPattern(f).parse(probe); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      }, s"no declared date format parses '$probe'")
+    }
     assert(typeOf("is_open") == "boolean")
     // exactly the doc fields, nothing extra
     assert(props.fieldNames.asScala.toSet == job.fields.map(_.name).toSet)

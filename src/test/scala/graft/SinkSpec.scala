@@ -265,6 +265,45 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dlqDir).count() == 3)
   }
 
+  test("a request-level outage fails loudly even under a quarantine policy") {
+    // quarantine is for per-doc poison (outcome-level rejections from a
+    // successful request); an auth/infra failure rejecting the WHOLE
+    // request must still throw, or a systemic outage silently
+    // dead-letters the corpus batch by batch
+    val docs = Seq(BulkDoc("1", Some("{}")), BulkDoc("2", Some("{}")))
+    val e = intercept[BulkRejectedException] {
+      Writers.deliver(DeniedClient(), shard = 0, batchIdx = 0, docs,
+        backoffMs = 1, quarantine = true)
+    }
+    assert(e.getCause.isInstanceOf[java.nio.file.AccessDeniedException])
+  }
+
+  test("successive watermark slices keep their quarantines") {
+    import graft.sync.{DocField, SyncJob, SyncMode, SyncRunner, SyncSource}
+    val dlqDir = tmp("graft_dlq_slices").toString
+    def job(from: String) = SyncJob("dlq_slices", SyncSource.Table("orders"),
+      idCol = "o_orderkey",
+      fields = Seq(DocField("order_id", "o_orderkey", quoted = false)),
+      shards = 2, batchSize = 100,
+      mode = SyncMode.Incremental("o_orderdate", from),
+      deadLetter = Some(DeadLetterPolicy(dlqDir, budget = 10)))
+    // night 1: everything past mid-1997, with 2 poisoned docs
+    val clean = tmp("graft_dlq_slices_ref").toString
+    SyncRunner.run(spark, sf0001, job("TIMESTAMP '1997-06-01'").copy(deadLetter = None),
+      FileBulkClient(clean))
+    val poisoned = Writers.foldState(clean).keySet.toSeq.sorted.take(2).toSet
+    SyncRunner.run(spark, sf0001, job("TIMESTAMP '1997-06-01'"),
+      PoisonClient(FileBulkClient(tmp("graft_dlq_slices_o1").toString), poisoned))
+    assert(spark.read.parquet(dlqDir).count() == 2)
+    // night 2: a later, clean slice — its (empty) quarantine must NOT
+    // destroy night 1's, whose parquet is the rejects' only record
+    SyncRunner.run(spark, sf0001, job("TIMESTAMP '1998-06-01'"),
+      FileBulkClient(tmp("graft_dlq_slices_o2").toString))
+    val dlq = spark.read.parquet(dlqDir)
+    assert(dlq.count() == 2, "a later slice's run clobbered the earlier quarantine")
+    assert(dlq.select("slice").distinct().count() == 1)
+  }
+
   test("dead-letter budget exceeded still fails loudly") {
     import graft.sync.{DocField, SyncJob, SyncRunner, SyncSource}
     val clean = tmp("graft_dlqb_clean").toString
