@@ -479,6 +479,68 @@ object SyncRunner {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(fromLit.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
+
+  /** Re-deliver a dead-letter quarantine once the rejection cause is
+    * fixed (mapping updated, doc bug patched) — the replay half of the
+    * quarantine contract: nothing a sync sheds is ever lost, it waits
+    * under `dlqRoot` until this ships it. Same deterministic md5
+    * routing as [[docs]]; the per-shard rank is a PLAIN window here —
+    * justified because a quarantine is budget-bounded (hundreds, not a
+    * corpus), so the bucket-offset decomposition run() needs would be
+    * dead weight. Rejections during a replay fail LOUDLY (no
+    * re-quarantine — if the fix didn't take, the operator must know).
+    *
+    * The same `_id` can sit in several slices with DIFFERENT bodies
+    * (the doc changed between the runs that shed it); picking a winner
+    * here would be arbitrary, so conflicting bodies fail loudly and the
+    * operator filters to the slice they mean (`where`, e.g.
+    * `"slice = 'abc123'"`). Point `client` at a FRESH delivery
+    * generation (e.g. `FileBulkClient(dir, gen = Some(g))`) — replay
+    * batch indices restart at 0 and would otherwise collide with the
+    * original run's batch files.
+    */
+  def replayQuarantine(spark: SparkSession, dlqRoot: String, job: SyncJob,
+      client: BulkClient, where: String = "true"): DeliveryCounts = {
+    val q = spark.read.parquet(dlqRoot).where(expr(where))
+    val conflicts = q.groupBy("_id")
+      .agg(countDistinct(coalesce(col("doc"), lit(" del"))).as("n"))
+      .where(col("n") > 1).select("_id")
+    val bad = conflicts.take(5).map(_.getString(0))
+    require(bad.isEmpty, s"quarantine holds conflicting bodies for _ids " +
+      s"${bad.mkString(", ")} — filter to one slice (the `where` parameter)")
+    val batchSize = job.batchSize
+    val docsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.replay.docs")
+    val batchesAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.replay.batches")
+    val resendsAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.replay.resends")
+    q.select("_id", "doc").distinct()
+      .withColumn("h", expr("CAST(conv(substr(md5(_id), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("routing", pmod(col("h"), lit(job.shards.toLong)).cast("int"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("routing").orderBy("h", "_id")))
+      .withColumn("batch_id", expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)"))
+      .repartition(job.shards, col("routing"))
+      .sortWithinPartitions("routing", "batch_id", "h", "_id")
+      .select("routing", "batch_id", "_id", "doc")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        var curShard = -1
+        var curBatch = -1L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[BulkDoc]
+        def flush(): Unit = if (buf.nonEmpty) {
+          val report = Writers.deliver(client, curShard, curBatch.toInt, buf.toSeq)
+          docsAcc.add(buf.size.toLong)
+          batchesAcc.add(1L)
+          resendsAcc.add(report.resends.toLong)
+          buf.clear()
+        }
+        rows.foreach { r =>
+          val sh = r.getInt(0); val b = r.getLong(1)
+          if (sh != curShard || b != curBatch) { flush(); curShard = sh; curBatch = b }
+          buf += BulkDoc(r.getString(2), Option(r.getString(3)))
+        }
+        flush()
+      }
+    DeliveryCounts(docsAcc.value, batchesAcc.value, resendsAcc.value, 0L, 0L)
+  }
 }
 
 /** Max over arbitrary Comparable watermark values (timestamps, dates,

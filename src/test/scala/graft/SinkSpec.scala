@@ -328,6 +328,59 @@ class SinkSpec extends AnyFunSuite {
       s"expected DeadLetterBudgetExceeded in: $chain")
   }
 
+  test("replaying the quarantine after the fix converges the index to the clean state") {
+    import graft.sync.{DocField, SyncJob, SyncRunner, SyncSource}
+    val fields = Seq(DocField("order_id", "o_orderkey", quoted = false),
+      DocField("status", "o_orderstatus", quoted = true))
+    val job = SyncJob("dlq_replay", SyncSource.Table("orders"),
+      idCol = "o_orderkey", fields = fields, shards = 2, batchSize = 100)
+    val clean = tmp("graft_replay_clean").toString
+    SyncRunner.run(spark, sf0001, job, FileBulkClient(clean))
+    val all = Writers.foldState(clean)
+    val poisoned = all.keySet.toSeq.sorted.take(3).toSet
+    // night run: 3 docs shed into the quarantine, the rest deliver
+    val dlqDir = tmp("graft_replay_dlq").toString
+    val outDir = tmp("graft_replay_out").toString
+    SyncRunner.run(spark, sf0001,
+      job.copy(deadLetter = Some(DeadLetterPolicy(dlqDir, budget = 10))),
+      PoisonClient(FileBulkClient(outDir, gen = Some(0)), poisoned))
+    assert(Writers.foldState(outDir) == all.removedAll(poisoned))
+    // the mapping bug is fixed (plain client now): replay the quarantine
+    // into the NEXT delivery generation — nothing the sync shed is lost
+    val counts = SyncRunner.replayQuarantine(spark, dlqDir, job,
+      FileBulkClient(outDir, gen = Some(1)))
+    assert(counts.docs == 3 && counts.batches > 0)
+    assert(Writers.foldState(outDir) == all,
+      "replayed quarantine must converge the served state to the clean run")
+    // a replay that STILL rejects fails loudly — no silent re-quarantine
+    // (thrown in an executor task, so Spark wraps it: scan the chain)
+    val still = intercept[Exception] {
+      SyncRunner.replayQuarantine(spark, dlqDir, job,
+        PoisonClient(FileBulkClient(tmp("graft_replay_again").toString), poisoned))
+    }
+    assert(Iterator.iterate[Throwable](still)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.isInstanceOf[BulkRejectedException]), still.toString)
+    // conflicting bodies for one _id across slices demand an explicit
+    // slice filter instead of an arbitrary winner
+    val conflictRoot = tmp("graft_replay_conflict").toString
+    import spark.implicits._
+    Seq((0, 0L, "k1", "err", "{\"v\":1}"))
+      .toDF("shard", "batch_id", "_id", "error", "doc")
+      .write.parquet(s"$conflictRoot/slice=aaa")
+    Seq((0, 0L, "k1", "err", "{\"v\":2}"))
+      .toDF("shard", "batch_id", "_id", "error", "doc")
+      .write.parquet(s"$conflictRoot/slice=bbb")
+    val e = intercept[IllegalArgumentException] {
+      SyncRunner.replayQuarantine(spark, conflictRoot, job,
+        FileBulkClient(tmp("graft_replay_c_out").toString))
+    }
+    assert(e.getMessage.contains("conflicting bodies"), e.getMessage)
+    // ... and the slice filter resolves it
+    val c2 = SyncRunner.replayQuarantine(spark, conflictRoot, job,
+      FileBulkClient(tmp("graft_replay_c_out2").toString), where = "slice = 'aaa'")
+    assert(c2.docs == 1)
+  }
+
   test("delivery health surfaces in the run counts and job outcomes") {
     import graft.sync.{DocField, SyncConfig, SyncJob, SyncRunner, SyncSource}
     val job = SyncJob("health", SyncSource.Table("orders"), idCol = "o_orderkey",
