@@ -116,6 +116,55 @@ object SyncProps extends Properties("graft.sync") {
       Prop(actual == expected && stateOk) :| s"actual=$actual expected=$expected"
     }
 
+  /** Reference model of the QUARANTINE contract: outcome-level permanent
+    * rejections are removed from the batch and collected (in outcome
+    * order), retryable failures resend the surviving batch against the
+    * bounded budget, a clean attempt (or an empty surviving batch) ends
+    * the delivery. Thrown requests stay retryable (the default
+    * isRetryable; non-retryable request classification is covered by
+    * example tests — it throws regardless of quarantine).
+    */
+  private def quarantineModel(script: Seq[Attempt], docs: Seq[BulkDoc],
+      maxRetries: Int): Either[String, Seq[String]] = {
+    var remaining = docs
+    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+    var attempt = 0
+    var i = 0
+    while (remaining.nonEmpty) {
+      val a = if (i < script.length) script(i) else Accepts
+      i += 1
+      val retryNeeded = a match {
+        case Accepts => return Right(dead.toSeq)
+        case Throws  => true
+        case Mixed(perm, retry) =>
+          val n = remaining.size
+          val permIdx = perm.filter(_ < n)
+          val retryIdx = (retry -- perm).filter(_ < n)
+          dead ++= permIdx.toSeq.sorted.map(remaining(_).id)
+          remaining = remaining.zipWithIndex
+            .collect { case (d, j) if !permIdx(j) => d }
+          if (retryIdx.isEmpty) return Right(dead.toSeq)
+          true
+      }
+      if (retryNeeded) {
+        attempt += 1
+        if (attempt > maxRetries) return Left("exhausted")
+      }
+    }
+    Right(dead.toSeq) // the whole batch ended up quarantined
+  }
+
+  property("deliver with quarantine sheds exactly the permanently-rejected docs") =
+    forAll(genDocs, genScript, Gen.choose(0, 4)) { (docs, script, maxRetries) =>
+      val client = new ScriptedClient(script)
+      val actual =
+        try Right(Writers.deliver(client, 0, 0, docs, maxRetries, backoffMs = 0,
+          quarantine = true).deadLettered.map(_.id))
+        catch { case _: BulkRejectedException => Left("exhausted") }
+      val expected = quarantineModel(script, docs, maxRetries)
+      Prop(actual == expected) :| s"actual=$actual expected=$expected"
+    }
+
   // ---- foldState over a random generation stack ----------------------
 
   private val genGenerationStack: Gen[List[List[(Int, Boolean)]]] = {
