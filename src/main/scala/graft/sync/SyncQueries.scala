@@ -66,8 +66,47 @@ object SyncQueries extends QueryFamily {
     mode = SyncMode.Upsert("o_orderdate", "TIMESTAMP '1997-03-01'",
       "o_orderkey % 7 = 0"))
 
+  /** Deterministic per-doc poison for the dead-letter query: the store
+    * permanently rejects every id divisible by `mod` (a mapping-conflict
+    * model the oracle can mirror arithmetically) and accepts — and
+    * persists — the rest, like a real `_bulk` indexing item by item.
+    */
+  private final case class ModPoisonClient(inner: graft.sinks.BulkClient, mod: Long)
+      extends graft.sinks.BulkClient {
+    override def send(shard: Int, batchIdx: Int,
+        docs: Seq[graft.sinks.BulkDoc]): Seq[graft.sinks.DocOutcome] = {
+      val good = docs.filterNot(_.id.toLong % mod == 0)
+      if (good.nonEmpty || docs.isEmpty) inner.send(shard, batchIdx, good)
+      docs.map(d =>
+        if (d.id.toLong % mod == 0) graft.sinks.DocOutcome(d.id, ok = false,
+          retryable = false, error = Some("mapper_parsing_exception"))
+        else graft.sinks.DocOutcome(d.id, ok = true))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sync_full" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, fullJob))),
+
+    // The dead-letter surface, oracle-checked end to end: a REAL
+    // quarantining delivery runs (poisoned ids shed, survivors persisted
+    // idempotently — rerunning overwrites byte-identically), and the
+    // query returns the quarantine parquet itself. The oracle recomputes
+    // every column from `orders` arithmetically: which ids the poison
+    // rule rejects, the shard/batch coordinates they held in the plan,
+    // and the doc bodies they carried — so a green row certifies the
+    // shed docs keep their full delivery context for replay.
+    "q_sync_dlq" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_sync_dlq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val job = fullJob.copy(name = "orders_dlq",
+        deadLetter = Some(graft.sinks.DeadLetterPolicy(s"$base/dlq", budget = 5000)))
+      SyncRunner.run(s, dir, job,
+        ModPoisonClient(graft.sinks.FileBulkClient(s"$base/idx"), 97L))
+      s.read.parquet(s"$base/dlq")
+        .select(col("shard").cast("bigint").as("shard"), col("batch_id"),
+          col("_id"), col("error"), col("doc"))
+        .orderBy("_id")
+    }),
     "q_sync_incremental" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, incrJob))),
     // Post-merge served-index state after an upsert run applies on a base
     // sync: per-shard doc count/bytes/id-range of base MERGE changes.
@@ -120,5 +159,15 @@ object SyncQueries extends QueryFamily {
     "q_sync_full" -> duckSync(""),
     "q_sync_incremental" -> duckSync(" WHERE o_orderdate > TIMESTAMP '1997-06-01'"),
     "q_sync_upsert" -> duckUpsert,
+    // the quarantine rows, recomputed arithmetically: poisoned ids with
+    // the shard/batch coordinates the full plan gave them + doc bodies
+    "q_sync_dlq" -> ("WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+      s"$duckDoc AS doc FROM orders), " +
+      "h AS (SELECT _id, doc, CAST(concat('0x', substr(md5(_id), 1, 15)) AS BIGINT) AS h FROM src), " +
+      "r AS (SELECT _id, doc, h, h % 8 AS shard FROM h), " +
+      "n AS (SELECT shard, _id, doc, row_number() OVER (PARTITION BY shard ORDER BY h, _id) AS rn FROM r) " +
+      "SELECT CAST(shard AS BIGINT) AS shard, CAST((rn - 1) // 500 AS BIGINT) AS batch_id, " +
+      "_id, 'mapper_parsing_exception' AS error, doc " +
+      "FROM n WHERE CAST(_id AS BIGINT) % 97 = 0 ORDER BY _id"),
   )
 }
