@@ -39,10 +39,19 @@ object ContinuousSync {
     * the stream IS the delta; Upsert tombstone semantics do). Returns
     * the running query; stop it with `.stop()`, resume it by calling
     * `start` again with the same `checkpointDir`.
+    *
+    * `clientFor` builds the per-batch delivery client (default: a
+    * [[FileBulkClient]] generation per batchId). Override it to wrap
+    * the client — credentials, failure injection, a different store —
+    * while keeping the batchId-keyed idempotency contract: the client
+    * for batch N must overwrite, not append, on replay.
     */
   def start(stream: DataFrame, job: SyncJob, indexRoot: String,
-      store: WatermarkStore, checkpointDir: String): StreamingQuery = {
+      store: WatermarkStore, checkpointDir: String,
+      clientFor: Option[Long => graft.sinks.BulkClient] = None): StreamingQuery = {
     require(stream.isStreaming, s"job '${job.name}': ContinuousSync needs a streaming DataFrame")
+    val clients: Long => graft.sinks.BulkClient = clientFor.getOrElse(
+      batchId => FileBulkClient(indexRoot, gen = Some(batchId.toInt)))
     val wmCol = job.mode match {
       case SyncMode.Incremental(c, _) => Some(c)
       case SyncMode.Upsert(c, _, _)   => Some(c)
@@ -53,7 +62,7 @@ object ContinuousSync {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         require(batchId <= Int.MaxValue, s"batchId $batchId overflows the generation key")
-        val client = FileBulkClient(indexRoot, gen = Some(batchId.toInt))
+        val client = clients(batchId)
         // the dead-letter quarantine is batch-scoped like the delivery
         // generation: run() overwrites its DLQ dir (idempotent replay),
         // so an unscoped dir would let batch N clobber batch N-1's

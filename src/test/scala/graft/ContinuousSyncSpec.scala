@@ -71,7 +71,7 @@ class ContinuousSyncSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("a dead-letter policy quarantines per batch instead of clobbering earlier batches") {
+  test("streamed poison lands in per-batch quarantines and replays after the fix") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String, Long, Boolean)]
@@ -82,24 +82,36 @@ class ContinuousSyncSpec extends AnyFunSuite {
       mode = SyncMode.Incremental("ver", "0"),
       deadLetter = Some(graft.sinks.DeadLetterPolicy(dlqRoot, budget = 5)))
     val idx = tmp("graft_cs_dlq_idx")
+    // the store permanently rejects id 2, whichever batch carries it
     val q = ContinuousSync.start(df, job,
-      idx, new WatermarkStore(tmp("graft_cs_dlq_wm")), tmp("graft_cs_dlq_ckpt"))
-    // the quarantine MECHANICS (poisoned docs, budget) are covered in
-    // SinkSpec; the streaming-specific contract is the per-batch
-    // directory layout — run() overwrites its DLQ dir on replay, so
-    // without batch scoping, batch 1's (empty) quarantine would clobber
-    // batch 0's. Two clean batches must leave two batch dirs.
+      idx, new WatermarkStore(tmp("graft_cs_dlq_wm")), tmp("graft_cs_dlq_ckpt"),
+      clientFor = Some(b =>
+        PoisonClient(graft.sinks.FileBulkClient(idx, gen = Some(b.toInt)), Set("2"))))
     try {
       input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
       q.processAllAvailable()
       input.addData((3L, "c", 2L, false))
       q.processAllAvailable()
     } finally q.stop()
+    // the shed doc is out of the served state but fully recorded, in the
+    // batch-scoped dir (run() overwrites its DLQ dir on replay — without
+    // batch scoping, batch 1's empty quarantine would clobber batch 0's)
+    assert(Writers.foldState(idx).keySet == Set("1", "3"))
     val gens = Files.list(Paths.get(dlqRoot)).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
     assert(gens == Seq("batch=0", "batch=1"),
       s"each micro-batch must own its quarantine dir, got $gens")
-    assert(Writers.foldState(idx).keySet == Set("1", "2", "3"))
+    val shed = spark.read.parquet(dlqRoot)
+    assert(shed.count() == 1 &&
+      shed.head().getAs[String]("_id") == "2" &&
+      shed.head().getAs[String]("doc") == """{"id":2,"value":"b"}""")
+    // the mapping bug is fixed: replay the quarantine into the next
+    // generation — the streamed shed doc is never lost
+    SyncRunner.replayQuarantine(spark, dlqRoot, job,
+      graft.sinks.FileBulkClient(idx, gen = Some(99)))
+    assert(Writers.foldState(idx) == Map(
+      "1" -> """{"id":1,"value":"a"}""", "2" -> """{"id":2,"value":"b"}""",
+      "3" -> """{"id":3,"value":"c"}"""))
   }
 
   test("kill between delivery and commit, restart from checkpoint: byte-identical to uninterrupted") {
