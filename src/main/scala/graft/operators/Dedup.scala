@@ -422,6 +422,41 @@ object Dedup extends QueryFamily {
     }
   }
 
+  /** Candidate pairs for INCREMENTAL dedup: a new batch (`delta`) arriving
+    * against the full corpus (`all`, which includes the delta). Joins the
+    * delta against the corpus inside (lang, bucket) blocks with the exact
+    * size-ratio prune riding the join — the corpus never self-joins, so
+    * candidate volume is |delta| x blockmates instead of the full
+    * generator's |corpus| x blockmates. That is the nightly-ingest shape
+    * at 100 TB: the lake is deduped once, and each day only the delta is
+    * signatured and probed (shuffle moves one row per doc on both sides;
+    * the corpus side is read, never paired with itself).
+    *
+    * REQUIRES delta ids to be an id-suffix (every new id > every old id —
+    * the natural append-only assignment). Then `doc_a < doc_b` alone
+    * emits each qualifying pair exactly once: old-new pairs order
+    * old<new by assumption, new-new pairs order by id, old-old pairs
+    * cannot satisfy it (the right side is delta-only) — no distinct()
+    * shuffle over the match stream. An arbitrary (non-suffix) delta
+    * would need least/greatest canonicalization plus a distinct over
+    * the delta-delta matches.
+    */
+  private[graft] def incrementalCandidates(delta: DataFrame, all: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val c = all.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+      col("bucket").as("ba"), col("sz").as("sza"))
+    val n = delta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+      col("bucket").as("bb"), col("sz").as("szb"))
+    // both sides are one-row-per-doc (the left is corpus-size at 100 TB):
+    // pin the shuffle join AQE's fixture-size broadcast would replace
+    c.join(n.hint("shuffle_hash"),
+        col("la") === col("lb") && col("ba") === col("bb") &&
+        col("doc_a") < col("doc_b") &&
+        col("sza") * den >= col("szb") * num &&
+        col("szb") * den >= col("sza") * num)
+      .select("doc_a", "doc_b")
+  }
+
   /** Checkpoint strategy for the CC loop. localCheckpoint (the default)
     * pins each pass's blocks in EXECUTOR memory/disk — fast, but
     * non-reliable: the truncated lineage is not recomputable, so at
@@ -518,6 +553,25 @@ object Dedup extends QueryFamily {
         "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
       val enc = tokenCodes(s, dir)
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
+    }),
+
+    // Incremental near-dup: the q_dedup_near pair set restricted to pairs
+    // touching a NEW batch — here the top fifth of the id space, standing
+    // in for a day's append-only ingest. Candidates come from
+    // incrementalCandidates (delta x corpus block join, corpus never
+    // self-joined), then the same shuffle-attach verify; at 100 TB the
+    // nightly cost is proportional to the delta, not the lake. The cut is
+    // an O(1)-row statistics job (the auto-knob pattern); a real delta is
+    // a known input (yesterday's files), not derived from max(id).
+    "q_dedup_incremental" -> ((s, dir) => {
+      graft.functions.SortedJaccardGe.register(s)
+      val docs = Tables(s, dir, "documents")
+      val cut = docs.selectExpr("(4 * max(doc_id)) DIV 5 AS c").head().getLong(0)
+      val meta = docs.selectExpr("doc_id", "lang",
+        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+      val enc = tokenCodes(s, dir)
+      val pairs = incrementalCandidates(meta.where(col("doc_id") > cut), meta, 4, 5)
+      jaccardVerify(pairs, enc, 0.8)
     }),
 
     // MinHash + banded LSH candidates, then exact-Jaccard verification at
@@ -948,6 +1002,18 @@ object Dedup extends QueryFamily {
       s"$jaccDuck AS jacc " +
       "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.8 ORDER BY doc_a, doc_b"),
+
+    // the full recompute filtered to delta-touching pairs: with an
+    // id-suffix delta, a pair touches the delta iff its max id (doc_b)
+    // is past the cut — same integer cut math as the Spark side
+    "q_dedup_incremental" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+      "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      s"$jaccDuck AS jacc " +
+      "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      s"WHERE $jaccDuck >= 0.8 " +
+      "AND b.doc_id > (SELECT (4 * max(doc_id)) // 5 FROM documents) " +
+      "ORDER BY doc_a, doc_b"),
 
     "q_dedup_minhash" -> minhashOracle(8, 2),
     "q_dedup_minhash_banded" -> minhashOracle(12, 3),

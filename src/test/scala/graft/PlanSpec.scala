@@ -92,7 +92,7 @@ class PlanSpec extends AnyFunSuite {
     // the set-attach joins on doc_a/doc_b must honor the shuffle_hash hint;
     // a BroadcastExchange feeding them would ship the corpus to every task
     for (q <- Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_minhash",
-        "q_dedup_minhash_banded")) {
+        "q_dedup_minhash_banded", "q_dedup_incremental")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -103,6 +103,21 @@ class PlanSpec extends AnyFunSuite {
       assert(attachBroadcasts.isEmpty,
         s"$q: corpus-size broadcast in verify stage: $attachBroadcasts")
     }
+  }
+
+  test("q_dedup_incremental pairs the delta against the corpus, never the corpus with itself") {
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the delta-side scan must push the id cut down to parquet (the
+    // fixture cut at sf0.001 is 399) — without it both join inputs scan
+    // the whole corpus and the candidate join degenerates to the full
+    // self-join volume
+    assert(p.contains("GreaterThan(doc_id,399)"),
+      s"delta cut not pushed into a scan:\n${p.take(2000)}")
+    // the candidate join honors its shuffle_hash hint (the corpus side is
+    // 100 TB — an AQE fixture-size broadcast here would make this lie)
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
   test("q_scan_partitioned prunes partitions on the lang predicate") {
