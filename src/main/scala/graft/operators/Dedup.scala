@@ -457,6 +457,47 @@ object Dedup extends QueryFamily {
       .select("doc_a", "doc_b")
   }
 
+  /** Dedup-on-ingest: feed the corpus through `k` sequential id-suffix
+    * batches (batch i = the i-th slice of the id range, standing in for
+    * night i's append-only ingest) and apply first-copy-wins against a
+    * GROW-ONLY signature store: a document is dropped iff some document
+    * seen in an earlier batch — or earlier in its own batch — is a
+    * near-dup (Jaccard >= thresh) of it. Dropped documents STAY in the
+    * signature store (their (lang, bucket, sz) row keeps probing future
+    * batches), which is what makes the policy batching-invariant: the
+    * union of per-batch delta edges telescopes to exactly the full
+    * corpus edge set, so the survivor set equals the one-shot batch
+    * answer for every k — including k=1 (IngestFoldSpec pins this; the
+    * oracle pins k=4 against the one-shot SQL). At 100 TB each fold
+    * iteration is one nightly run: signature the delta, probe it against
+    * the store with [[incrementalCandidates]] (the store never
+    * self-joins), append the delta's signatures.
+    */
+  private[graft] def ingestSurvivors(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    graft.functions.SortedJaccardGe.register(s)
+    val docs = Tables(s, dir, "documents")
+    // O(1)-row statistics job for the fixture batch boundaries; a real
+    // ingest knows its batch membership (yesterday's files)
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    def cut(i: Int): Long = lo - 1 + span * i / k
+    val meta = docs.selectExpr("doc_id", "lang",
+      "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+    val enc = tokenCodes(s, dir)
+    val dropped = (1 to k).map { i =>
+      val delta = meta.where(col("doc_id") > cut(i - 1) && col("doc_id") <= cut(i))
+      val store = meta.where(col("doc_id") <= cut(i))
+      jaccardVerifyUnordered(incrementalCandidates(delta, store, 4, 5), enc, 0.8)
+        .select(col("doc_b").as("doc_id"))
+    }.reduce(_ unionAll _).distinct()
+    // anti-join survivors; the dropped side is corpus-scale at 100 TB
+    // (every shed duplicate), so pin the shuffle join here too
+    docs.select("doc_id").join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Checkpoint strategy for the CC loop. localCheckpoint (the default)
     * pins each pass's blocks in EXECUTOR memory/disk — fast, but
     * non-reliable: the truncated lineage is not recomputable, so at
@@ -520,7 +561,16 @@ object Dedup extends QueryFamily {
     * Generate — a bare filter on a projected column gets re-inlined by
     * CollapseProject/PushDownPredicate and evaluates the merge twice.
     */
-  private def jaccardVerify(pairs: DataFrame, enc: DataFrame, thresh: Double): DataFrame = {
+  private def jaccardVerify(pairs: DataFrame, enc: DataFrame, thresh: Double): DataFrame =
+    jaccardVerifyUnordered(pairs, enc, thresh).orderBy("doc_a", "doc_b")
+
+  /** The verify stage without the presentation sort — for callers that
+    * keep composing (the ingest fold unions several verify passes and
+    * then anti-joins; a sort under a union/join is dead work the
+    * optimizer is not guaranteed to remove).
+    */
+  private def jaccardVerifyUnordered(pairs: DataFrame, enc: DataFrame,
+      thresh: Double): DataFrame = {
     val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
     val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
     pairs.join(ca.hint("shuffle_hash"), "doc_a")
@@ -528,7 +578,6 @@ object Dedup extends QueryFamily {
       .select(col("doc_a"), col("doc_b"),
         explode(array(expr(s"sorted_jaccard_ge(ca, cb, ${thresh}D)"))).as("jacc"))
       .where(col("jacc").isNotNull)
-      .orderBy("doc_a", "doc_b")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -573,6 +622,14 @@ object Dedup extends QueryFamily {
       val pairs = incrementalCandidates(meta.where(col("doc_id") > cut), meta, 4, 5)
       jaccardVerify(pairs, enc, 0.8)
     }),
+
+    // Dedup-on-ingest: the corpus fed through 4 sequential id-suffix
+    // batches with first-copy-wins against a grow-only signature store
+    // (ingestSurvivors). Returns the surviving doc ids; the oracle is
+    // the ONE-SHOT batch answer (drop every doc that near-dups a
+    // smaller-id doc), so the green row proves the incremental fold
+    // converges to the batch recompute regardless of batching.
+    "q_dedup_ingest" -> ((s, dir) => ingestSurvivors(s, dir, 4)),
 
     // MinHash + banded LSH candidates, then exact-Jaccard verification at
     // 0.8. Approximate by design: a >=0.8 pair missed by every band is
@@ -1014,6 +1071,16 @@ object Dedup extends QueryFamily {
       s"WHERE $jaccDuck >= 0.8 " +
       "AND b.doc_id > (SELECT (4 * max(doc_id)) // 5 FROM documents) " +
       "ORDER BY doc_a, doc_b"),
+
+    // the one-shot batch answer for first-copy-wins: survive iff no
+    // smaller-id near-dup anywhere in the corpus (dropped docs still
+    // drop others — the signature store is grow-only on the Spark side)
+    "q_dedup_ingest" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+      "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
+      "SELECT b.doc_id FROM d a JOIN d b " +
+      "ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      s"WHERE $jaccDuck >= 0.8) ORDER BY doc_id"),
 
     "q_dedup_minhash" -> minhashOracle(8, 2),
     "q_dedup_minhash_banded" -> minhashOracle(12, 3),

@@ -45,6 +45,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "pair with both sides in the old corpus leaked into the delta set")
   }
 
+  test("ingest fold is batching-invariant: k=1, k=4, k=7 all equal the one-shot answer") {
+    // k=1 IS the one-shot batch recompute (one batch = the whole corpus);
+    // k=7 deliberately misaligns the cuts with k=4's so equality across
+    // all three rules out any cut-boundary luck. The grow-only signature
+    // store is what makes this hold: a dropped doc keeps dropping its
+    // later near-dups.
+    val k1 = Dedup.ingestSurvivors(spark, sf0001, 1)
+    val k4 = Dedup.ingestSurvivors(spark, sf0001, 4)
+    val k7 = Dedup.ingestSurvivors(spark, sf0001, 7)
+    assert(k1.count() > 0, "empty survivor set — fixture broken")
+    assert(k1.exceptAll(k4).isEmpty && k4.exceptAll(k1).isEmpty,
+      "k=4 fold diverges from the one-shot answer")
+    assert(k1.exceptAll(k7).isEmpty && k7.exceptAll(k1).isEmpty,
+      "k=7 fold diverges from the one-shot answer")
+  }
+
+  test("ingest survivors are exactly the docs no near-dup edge points at") {
+    val dropped = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val expected = docs.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val got = SparkEntry.queries("q_dedup_ingest")(spark, sf0001)
+    assert(got.count() < docs.count(),
+      "nothing dropped — the fixture's near-dup corpus should shed docs")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "ingest survivors diverge from the near-dup edge anti-join")
+  }
+
   test("candidate volume is the delta-touching subset of the blocked join") {
     val m = meta
     val incrCand = Dedup.incrementalCandidates(

@@ -92,7 +92,7 @@ class PlanSpec extends AnyFunSuite {
     // the set-attach joins on doc_a/doc_b must honor the shuffle_hash hint;
     // a BroadcastExchange feeding them would ship the corpus to every task
     for (q <- Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_minhash",
-        "q_dedup_minhash_banded", "q_dedup_incremental")) {
+        "q_dedup_minhash_banded", "q_dedup_incremental", "q_dedup_ingest")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
