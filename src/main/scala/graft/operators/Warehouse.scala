@@ -74,6 +74,12 @@ object Warehouse extends QueryFamily {
     java.nio.file.Paths.get(scratchRoot,
       s"graft_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
 
+  /** The q_sink_compacted before/after layout roots, for the spec that
+    * pins the premise (the fragmented layout really is fragmented).
+    */
+  private[graft] def compactionPaths(dir: String): (String, String) =
+    (scratch("frag", dir), scratch("compacted", dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Real metastore round-trip: register orders in the (Derby-backed)
     // Hive catalog, read it back via the catalog, aggregate. The write is
@@ -188,6 +194,46 @@ object Warehouse extends QueryFamily {
           big(count_distinct(md5(col("content")))).as("n_distinct"),
           min(md5(col("content"))).as("first_md5"),
           max(md5(col("content"))).as("last_md5"))
+    }),
+
+    // Compaction sink: the small-files problem. A streaming or per-batch
+    // sync sink leaves each partition fragmented into many tiny files
+    // (here: a round-robin repartition(24) write plants up to 24 files
+    // per lang); at 100 TB that tax is paid on every later scan — task
+    // scheduling, open/seek overhead, undersized row groups with
+    // useless min/max bounds. The compaction pass re-clusters each
+    // partition VALUE into a single writer task (repartition by the
+    // partition column — whole-partition shuffle, no driver listing)
+    // and rolls files at maxRecordsPerFile, so the output layout is
+    // ARITHMETIC: exactly ceil(rows_lang / target) files per lang.
+    // The read-back groups by lang counting distinct
+    // input_file_name() — the ORACLE recomputes the file count from
+    // `documents` with integer ceil math, so a wrong physical layout
+    // (fragmentation surviving, a lang split across writer tasks,
+    // maxRecordsPerFile ignored) fails the hash gate, not just a spec.
+    // sum_chars guards content: compaction must move every row, once.
+    "q_sink_compacted" -> ((s, dir) => {
+      val frag = scratch("frag", dir)
+      val compacted = scratch("compacted", dir)
+      once(s, dir, "compacted") {
+        Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(24)
+          .write.mode("overwrite").partitionBy("lang").parquet(frag)
+        s.read.parquet(frag)
+          .repartition(col("lang"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 1000)
+          .partitionBy("lang").parquet(compacted)
+      }
+      s.read.parquet(compacted)
+        // projected before the aggregate: input_file_name() is
+        // non-deterministic and may not sit inside an agg function
+        .withColumn("fname", input_file_name())
+        .groupBy("lang")
+        .agg(big(count_distinct(col("fname"))).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          big(sum("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // ORC source: the other columnar warehouse format; same
@@ -332,6 +378,13 @@ object Warehouse extends QueryFamily {
     "q_scan_json" -> ("SELECT o_orderstatus, count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // the physical layout as arithmetic: one writer task per lang
+    // rolling at 1000 records => ceil(rows/1000) files, integer math
+    // (the +999 DIV form — float ceil diverges at exact boundaries)
+    "q_sink_compacted" -> ("SELECT lang, (count(*) + 999) // 1000 AS n_files, " +
+      "count(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM documents GROUP BY lang ORDER BY lang"),
 
     "q_scan_binaryfile" -> ("SELECT count(*) AS n_files, " +
       "CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes, " +

@@ -52,6 +52,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == li.where(col("l_quantity") > 40).count())
   }
 
+  test("compaction collapses the fragmented layout and respects the file cap") {
+    // run the query (plants + compacts the scratch layouts), then check
+    // the PREMISE the oracle can't see: the before-layout really was
+    // fragmented, and compaction strictly reduced the file count while
+    // keeping every file under the 1000-record roll threshold
+    SparkEntry.queries("q_sink_compacted")(spark, sf0001).collect()
+    val (frag, compacted) = graft.operators.Warehouse.compactionPaths(sf0001)
+    def parquets(root: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      } finally s.close()
+    }
+    val (nFrag, nComp) = (parquets(frag).size, parquets(compacted).size)
+    assert(nFrag > nComp,
+      s"fragmented layout ($nFrag files) not reduced by compaction ($nComp)")
+    val perFile = spark.read.parquet(compacted)
+      .groupBy(input_file_name()).count()
+    assert(perFile.where(col("count") > 1000).isEmpty,
+      "a compacted file exceeds the 1000-record roll threshold")
+  }
+
   test("es-doc sink output is parseable JSON with unique ids") {
     val docs = SparkEntry.queries("q_sink_esdocs")(spark, sf0001)
     val parsed = docs.select(col("es_id"),
