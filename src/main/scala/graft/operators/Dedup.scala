@@ -57,6 +57,20 @@ object Dedup extends QueryFamily {
     Tables(s, dir, "documents").selectExpr("doc_id",
       s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
 
+  /** One signature row per document — the near-dup identity of a doc
+    * reduced to what candidate generation + verification need: block
+    * keys (lang, length bucket), the distinct-token count for the
+    * size-ratio prune, and the sorted 60-bit token codes for the exact
+    * Jaccard check. This is the row a durable signature store persists
+    * per ingested doc ([[graft.sync.DedupGate]]): a few hundred bytes
+    * instead of the text, which is what makes probing a 100 TB lake's
+    * history affordable.
+    */
+  private[graft] def signatures(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket",
+      "size(array_distinct(split(text, ' '))) AS sz",
+      s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
+
   /** Fixed Rademacher hyperplanes for sign-LSH: sign(b, j) for hyperplane
     * b in [0, planes), dimension j in [0,64), derived from md5 so there
     * is no accidental structure. Computed once in Scala and inlined as +-
@@ -569,7 +583,7 @@ object Dedup extends QueryFamily {
     * then anti-joins; a sort under a union/join is dead work the
     * optimizer is not guaranteed to remove).
     */
-  private def jaccardVerifyUnordered(pairs: DataFrame, enc: DataFrame,
+  private[graft] def jaccardVerifyUnordered(pairs: DataFrame, enc: DataFrame,
       thresh: Double): DataFrame = {
     val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
     val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))

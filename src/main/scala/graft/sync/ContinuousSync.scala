@@ -45,10 +45,18 @@ object ContinuousSync {
     * the client — credentials, failure injection, a different store —
     * while keeping the batchId-keyed idempotency contract: the client
     * for batch N must overwrite, not append, on replay.
+    *
+    * `gate` optionally filters each micro-batch before it enters the
+    * delivery engine (e.g. [[DedupGate.filterBatch]] shedding near-dups
+    * of ever-seen docs). The gate must be deterministic per
+    * (rows, batchId) and idempotent on replay — any state it keeps must
+    * be batchId-scoped like the delivery generation, or a replayed
+    * batch would deliver different survivors than the crashed attempt.
     */
   def start(stream: DataFrame, job: SyncJob, indexRoot: String,
       store: WatermarkStore, checkpointDir: String,
-      clientFor: Option[Long => graft.sinks.BulkClient] = None): StreamingQuery = {
+      clientFor: Option[Long => graft.sinks.BulkClient] = None,
+      gate: Option[(DataFrame, Long) => DataFrame] = None): StreamingQuery = {
     require(stream.isStreaming, s"job '${job.name}': ContinuousSync needs a streaming DataFrame")
     val clients: Long => graft.sinks.BulkClient = clientFor.getOrElse(
       batchId => FileBulkClient(indexRoot, gen = Some(batchId.toInt)))
@@ -60,8 +68,9 @@ object ContinuousSync {
     stream.writeStream
       .queryName(s"graft-sync-${job.name}")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         require(batchId <= Int.MaxValue, s"batchId $batchId overflows the generation key")
+        val batch = gate.fold(batch0)(g => g(batch0, batchId))
         val client = clients(batchId)
         // the dead-letter quarantine is batch-scoped like the delivery
         // generation: run() overwrites its DLQ dir (idempotent replay),

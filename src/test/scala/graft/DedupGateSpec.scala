@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Dedup
+import graft.sinks.Writers
+import graft.sync._
+
+/** The streaming form of q_dedup_ingest: a [[DedupGate]] plugged into
+  * [[ContinuousSync]] sheds near-dups of ever-seen docs before
+  * delivery, keeping a durable batch-scoped signature store. Contracts:
+  *  - CONVERGENCE: streaming the corpus through any micro-batch
+  *    schedule delivers exactly the one-shot `ingestSurvivors` answer
+  *    (the fold theorem, now across foreachBatch boundaries);
+  *  - IDEMPOTENT REPLAY: kill between a gated batch's delivery and its
+  *    commit — the replay re-sheds the same docs (the crashed attempt's
+  *    own store partition is invisible to its replay) and restores the
+  *    served state byte-identically.
+  */
+class DedupGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def dirSnapshot(dir: String): Map[String, String] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString.stripPrefix(dir) -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toMap
+
+  private val fields = Seq(
+    DocField("doc_id", "doc_id", quoted = false),
+    DocField("lang", "lang", quoted = true))
+
+  /** The sf0.001 documents as (doc_id, lang, text, n_chars) rows in id
+    * order — the id-suffix contract the gate requires — split into k
+    * slices to feed as separate micro-batches.
+    */
+  private def fixtureSlices(k: Int): Seq[Seq[(Long, String, String, Long)]] = {
+    val rows = Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "lang", "text", "n_chars")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val per = (rows.size + k - 1) / k
+    rows.grouped(per).toSeq
+  }
+
+  test("streamed corpus delivers exactly the one-shot ingest survivors") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_conv", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val gate = new DedupGate(tmp("graft_gate_sig"))
+    val idx = tmp("graft_gate_idx")
+    val q = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gate_wm")), tmp("graft_gate_ckpt"),
+      gate = Some(gate.filterBatch))
+    try {
+      for (slice <- fixtureSlices(3)) {
+        input.addData(slice: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val delivered = Writers.foldState(idx).keySet.map(_.toLong)
+    val oneShot = Dedup.ingestSurvivors(spark, sf0001, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(delivered == oneShot,
+      s"streamed survivors diverge from the one-shot answer: " +
+        s"extra=${(delivered -- oneShot).take(5)} missing=${(oneShot -- delivered).take(5)}")
+    // the premise: the gate actually shed something on this corpus
+    assert(oneShot.size < fixtureSlices(3).map(_.size).sum)
+    // and the signature store is grow-only: every doc ever seen is
+    // recorded, shed docs included
+    val stored = spark.read.parquet(gate.storeRoot).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored.size == fixtureSlices(3).map(_.size).sum,
+      "signature store must record every seen doc, not just survivors")
+  }
+
+  test("kill a gated batch between delivery and commit: replay converges byte-identically") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_resume", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val sig = tmp("graft_gr_sig")
+    val idx = tmp("graft_gr_idx")
+    val ckpt = tmp("graft_gr_ckpt")
+    val q1 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gr_wm")), ckpt,
+      gate = Some(new DedupGate(sig).filterBatch))
+    try {
+      for (slice <- fixtureSlices(2)) {
+        input.addData(slice: _*)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val uninterrupted = dirSnapshot(idx)
+    assert(uninterrupted.keys.exists(_.contains("gen=0001")),
+      s"expected a batch-1 generation in ${uninterrupted.keys.take(5)}")
+    // the at-least-once crash window: batch 1 delivered (and its
+    // signatures recorded — the store's batch=1 partition deliberately
+    // SURVIVES the crash) but its offset never committed, and the
+    // delivery was torn mid-write. The replay must not be confused by
+    // its own crashed attempt's signatures: probing reads only
+    // partitions strictly below batchId, so the shed set is recomputed
+    // identically and the partition is overwritten.
+    Files.delete(Paths.get(ckpt, "commits", "1"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".1.crc"))
+    Files.walk(Paths.get(idx)).iterator().asScala.toSeq.reverse
+      .filter(_.toString.contains("gen=0001")).foreach(Files.delete(_))
+    assert(dirSnapshot(idx) != uninterrupted, "the crash must have torn the index")
+    val q2 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gr_wm2")), ckpt,
+      gate = Some(new DedupGate(sig).filterBatch))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dirSnapshot(idx) == uninterrupted,
+      "replayed gated batch must restore the uninterrupted run's bytes exactly")
+    // the store still holds exactly one partition per batch
+    val parts = Files.list(Paths.get(sig)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(parts == Seq("batch=0", "batch=1"), s"store partitions: $parts")
+  }
+}
