@@ -35,6 +35,7 @@ import graft.operators.Dedup
   */
 class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     num: Int = 4, den: Int = 5) {
+  import DedupGate.{TmpName, MarkerName}
 
   private val sigCols = Seq("doc_id", "lang", "bucket", "sz", "codes")
 
@@ -66,6 +67,7 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     * [[ContinuousSync.start]]'s `gate` parameter.
     */
   def filterBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    recover()
     val s = batch.sparkSession
     graft.functions.SortedJaccardGe.register(s)
     val sig = Dedup.signatures(batch)
@@ -82,4 +84,88 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     sig.write.mode("overwrite").parquet(s"$storeRoot/batch=$batchId")
     batch.join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
   }
+
+  /** Compact the store's per-micro-batch partitions — its own
+    * small-files problem: a long-running stream leaves one parquet dir
+    * per batch, and every probe pays the listing/open tax on all of
+    * them. Merges every partition with id <= `upTo` into the single
+    * partition `batch=<upTo>`; probe visibility is unchanged because
+    * every future (or replayable) batchId is > `upTo`, and the strict
+    * `batch < batchId` filter still admits the merged rows.
+    *
+    * MUST run while the stream is stopped, with `upTo` strictly below
+    * any batch that could still replay (the stream stopped after batch
+    * N, possibly uncommitted => N may replay => pass `upTo = N - 1`).
+    * Compacting N itself would hide its rows from its own replay's
+    * probe and the replay would shed a different set.
+    *
+    * Crash-safe via a write-ahead marker: (1) write the merged rows to
+    * a dot-dir Spark's listing ignores, (2) commit a marker file naming
+    * `upTo`, (3) delete the source partitions, (4) rename the merged
+    * dir into place, (5) drop the marker. A crash before (2) leaves the
+    * store untouched; after (2) the merged dir is authoritative and
+    * [[recover]] — called on every compact() and filterBatch() —
+    * finishes steps (3)-(5). No window loses rows.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, upTo: Long): Unit = {
+    recover()
+    val src = batchIds().filter(_ <= upTo)
+    if (src.size <= 1) return
+    val tmp = java.nio.file.Paths.get(storeRoot, TmpName)
+    spark.read.option("basePath", storeRoot).parquet(storeRoot)
+      .where(col("batch") <= upTo).select(sigCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get(storeRoot, MarkerName),
+      upTo.toString.getBytes("UTF-8"))
+    finishCompaction(upTo)
+  }
+
+  /** Finish an interrupted compaction if a committed marker is present.
+    * Idempotent; called from compact() and filterBatch().
+    */
+  def recover(): Unit = {
+    val marker = java.nio.file.Paths.get(storeRoot, MarkerName)
+    if (java.nio.file.Files.exists(marker))
+      finishCompaction(new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong)
+  }
+
+  private def finishCompaction(upTo: Long): Unit = {
+    batchIds().filter(_ <= upTo).foreach { id =>
+      deleteTree(java.nio.file.Paths.get(storeRoot, s"batch=$id"))
+    }
+    val tmp = java.nio.file.Paths.get(storeRoot, TmpName)
+    if (java.nio.file.Files.isDirectory(tmp))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(storeRoot, s"batch=$upTo"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(storeRoot, MarkerName))
+  }
+
+  private def batchIds(): Seq[Long] = {
+    val root = java.nio.file.Paths.get(storeRoot)
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.flatMap(p =>
+        p.getFileName.toString.stripPrefix("batch=").toLongOption
+          .filter(_ => p.getFileName.toString.startsWith("batch="))).toList
+      finally s.close()
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+}
+
+object DedupGate {
+  /** Spark's file listing ignores dot-prefixed entries, so the staged
+    * merge and the commit marker are invisible to probes.
+    */
+  private val TmpName = ".compact_tmp"
+  private val MarkerName = ".compact_commit"
 }

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.operators.Dedup
 import graft.sinks.Writers
 import graft.sync._
@@ -83,6 +84,79 @@ class DedupGateSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(stored.size == fixtureSlices(3).map(_.size).sum,
       "signature store must record every seen doc, not just survivors")
+  }
+
+  test("store compaction preserves probe semantics across a restart") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_compact", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val gate = new DedupGate(tmp("graft_gc_sig"))
+    val idx = tmp("graft_gc_idx")
+    val ckpt = tmp("graft_gc_ckpt")
+    val slices = fixtureSlices(4)
+    val q1 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gc_wm")), ckpt, gate = Some(gate.filterBatch))
+    try {
+      for (slice <- slices.take(3)) { input.addData(slice: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    // maintenance window: merge batches 0..2 into one partition (2 is
+    // the last ran batch; it committed, so nothing <= 2 can replay)
+    gate.compact(spark, 2)
+    val parts0 = Files.list(Paths.get(gate.storeRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(parts0 == Seq("batch=2"), s"store partitions after compact: $parts0")
+    // restart and feed the remaining slice: batch 3's probe must see the
+    // merged history exactly as before
+    val q2 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gc_wm2")), ckpt, gate = Some(gate.filterBatch))
+    try {
+      input.addData(slices(3): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val delivered = Writers.foldState(idx).keySet.map(_.toLong)
+    val oneShot = Dedup.ingestSurvivors(spark, sf0001, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(delivered == oneShot,
+      s"post-compaction survivors diverge: extra=${(delivered -- oneShot).take(5)} " +
+        s"missing=${(oneShot -- delivered).take(5)}")
+    assert(spark.read.parquet(gate.storeRoot).count() == slices.map(_.size).sum,
+      "compaction or the post-compaction append lost signature rows")
+  }
+
+  test("a compaction crash after the commit marker is recovered without losing rows") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_crashc", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val gate = new DedupGate(tmp("graft_cc_sig"))
+    val q1 = ContinuousSync.start(df, job, tmp("graft_cc_idx"),
+      new WatermarkStore(tmp("graft_cc_wm")), tmp("graft_cc_ckpt"),
+      gate = Some(gate.filterBatch))
+    try {
+      for (slice <- fixtureSlices(3)) { input.addData(slice: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    val total = spark.read.parquet(gate.storeRoot).count()
+    // hand-build the crash window: merged rows staged and the marker
+    // committed for upTo=1, but the crash hit mid-delete (batch=0 gone,
+    // batch=1 still present) before the staged dir moved into place
+    val staged = spark.read.option("basePath", gate.storeRoot)
+      .parquet(gate.storeRoot).where(col("batch") <= 1)
+      .select("doc_id", "lang", "bucket", "sz", "codes")
+    staged.write.parquet(s"${gate.storeRoot}/.compact_tmp")
+    Files.write(Paths.get(gate.storeRoot, ".compact_commit"), "1".getBytes("UTF-8"))
+    Files.walk(Paths.get(gate.storeRoot, "batch=0")).iterator().asScala
+      .toSeq.reverse.foreach(Files.delete(_))
+    new DedupGate(gate.storeRoot).recover()
+    val parts = Files.list(Paths.get(gate.storeRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(!_.startsWith(".")).toSeq.sorted
+    assert(parts == Seq("batch=1", "batch=2"), s"recovered partitions: $parts")
+    assert(spark.read.parquet(gate.storeRoot).count() == total,
+      "recovery lost signature rows")
   }
 
   test("kill a gated batch between delivery and commit: replay converges byte-identically") {
