@@ -71,6 +71,15 @@ object Dedup extends QueryFamily {
       "size(array_distinct(split(text, ' '))) AS sz",
       s"array_sort(transform(array_distinct(split(text, ' ')), t -> ${hs("t")})) AS codes")
 
+  /** The candidate-generation projection of `signatures` (block keys +
+    * distinct-token count, no codes) — ONE definition, because the
+    * incremental, ingest, and one-shot paths must block identically or
+    * they silently diverge from each other and the oracle.
+    */
+  private def docMeta(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket",
+      "size(array_distinct(split(text, ' '))) AS sz")
+
   /** Fixed Rademacher hyperplanes for sign-LSH: sign(b, j) for hyperplane
     * b in [0, planes), dimension j in [0,64), derived from md5 so there
     * is no accidental structure. Computed once in Scala and inlined as +-
@@ -497,8 +506,7 @@ object Dedup extends QueryFamily {
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = hi - lo + 1
     def cut(i: Int): Long = lo - 1 + span * i / k
-    val meta = docs.selectExpr("doc_id", "lang",
-      "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+    val meta = docMeta(docs)
     val enc = tokenCodes(s, dir)
     val dropped = (1 to k).map { i =>
       val delta = meta.where(col("doc_id") > cut(i - 1) && col("doc_id") <= cut(i))
@@ -554,8 +562,7 @@ object Dedup extends QueryFamily {
     */
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedJaccardGe.register(s)
-    val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
-      "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+    val meta = docMeta(Tables(s, dir, "documents"))
     val enc = tokenCodes(s, dir)
     val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
     val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
@@ -612,8 +619,7 @@ object Dedup extends QueryFamily {
     // identical to the all-pairs-in-block form the oracle runs.
     "q_dedup_near" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
-      val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
-        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+      val meta = docMeta(Tables(s, dir, "documents"))
       val enc = tokenCodes(s, dir)
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
@@ -630,8 +636,7 @@ object Dedup extends QueryFamily {
       graft.functions.SortedJaccardGe.register(s)
       val docs = Tables(s, dir, "documents")
       val cut = docs.selectExpr("(4 * max(doc_id)) DIV 5 AS c").head().getLong(0)
-      val meta = docs.selectExpr("doc_id", "lang",
-        "n_chars DIV 50 AS bucket", "size(array_distinct(split(text, ' '))) AS sz")
+      val meta = docMeta(docs)
       val enc = tokenCodes(s, dir)
       val pairs = incrementalCandidates(meta.where(col("doc_id") > cut), meta, 4, 5)
       jaccardVerify(pairs, enc, 0.8)

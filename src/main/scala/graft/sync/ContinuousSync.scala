@@ -84,6 +84,17 @@ object ContinuousSync {
             val acc = new MaxWatermarkAccumulator
             spark.sparkContext.register(acc,
               s"graft.sync.${job.name}.stream.wmMax.b$batchId")
+            // a gate sheds rows BEFORE delivery, but the stream consumed
+            // the whole batch: the watermark must cover shed docs too, or
+            // the documented batch-mode handoff re-scans their window
+            // through the ungated path and re-ships them. One max-agg
+            // over the pre-gate batch (max is idempotent, so riding
+            // alongside the delivery pass's per-row tracking is safe).
+            if (gate.isDefined) {
+              val m = batch0.agg(org.apache.spark.sql.functions
+                .max(org.apache.spark.sql.functions.col(c))).head().get(0)
+              if (m != null) acc.add(m)
+            }
             SyncRunner.runOn(batch, job0, client, wmTrack = Some((c, acc)))
             // advance only after the whole batch delivered — a failed
             // batch leaves the watermark put, exactly like a failed

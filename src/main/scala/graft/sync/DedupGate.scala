@@ -37,6 +37,13 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     num: Int = 4, den: Int = 5) {
   import DedupGate.{TmpName, MarkerName}
 
+  // the size-ratio prune is only lossless when num/den <= thresh
+  // (|A|/|B| >= J for any pair); a tighter prune would silently shed
+  // fewer docs than the threshold promises
+  require(num <= thresh * den,
+    s"size-ratio prune $num/$den is tighter than thresh=$thresh: " +
+      "true near-dups would be silently missed")
+
   private val sigCols = Seq("doc_id", "lang", "bucket", "sz", "codes")
 
   /** Signatures from every batch strictly below `batchId`, or None if
@@ -44,23 +51,11 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     * check is explicit because reading a nonexistent/empty parquet root
     * throws rather than yielding an empty frame.
     */
-  private def prior(batch: DataFrame, batchId: Long): Option[DataFrame] = {
-    val root = java.nio.file.Paths.get(storeRoot)
-    val hasPrior = java.nio.file.Files.isDirectory(root) && {
-      val s = java.nio.file.Files.list(root)
-      try {
-        s.iterator().asScala.exists { p =>
-          val n = p.getFileName.toString
-          n.startsWith("batch=") &&
-            n.stripPrefix("batch=").toLongOption.exists(_ < batchId)
-        }
-      } finally s.close()
-    }
-    if (!hasPrior) None
+  private def prior(batch: DataFrame, batchId: Long): Option[DataFrame] =
+    if (!batchIds().exists(_ < batchId)) None
     else Some(batch.sparkSession.read.option("basePath", storeRoot)
       .parquet(storeRoot).where(col("batch") < batchId)
       .select(sigCols.map(col): _*))
-  }
 
   /** Shed earlier-seen near-dups from `batch`, record the whole batch's
     * signatures, return the survivors. Shaped for
@@ -111,12 +106,24 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     recover()
     val src = batchIds().filter(_ <= upTo)
     if (src.size <= 1) return
+    // merging into a partition id above every existing batch would hide
+    // the whole history from any probe whose batchId <= upTo — an
+    // operator error that must fail loudly, not deliver duplicates
+    require(upTo <= batchIds().max,
+      s"compact upTo=$upTo exceeds the newest store partition " +
+        s"${batchIds().max}: the merged rows would be invisible to probes")
     val tmp = java.nio.file.Paths.get(storeRoot, TmpName)
     spark.read.option("basePath", storeRoot).parquet(storeRoot)
       .where(col("batch") <= upTo).select(sigCols.map(col): _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    java.nio.file.Files.write(java.nio.file.Paths.get(storeRoot, MarkerName),
-      upTo.toString.getBytes("UTF-8"))
+    // the marker is the commit point, so it must APPEAR atomically: a
+    // torn plain write would wedge (or worse, misdirect) every future
+    // recover(); stage-and-rename is atomic on a POSIX dir
+    val stage = java.nio.file.Paths.get(storeRoot, MarkerName + ".stage")
+    java.nio.file.Files.write(stage, upTo.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(stage,
+      java.nio.file.Paths.get(storeRoot, MarkerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     finishCompaction(upTo)
   }
 
@@ -125,19 +132,27 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     */
   def recover(): Unit = {
     val marker = java.nio.file.Paths.get(storeRoot, MarkerName)
-    if (java.nio.file.Files.exists(marker))
-      finishCompaction(new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong)
+    if (java.nio.file.Files.exists(marker)) {
+      val raw = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+      finishCompaction(raw.toLongOption.getOrElse(throw new IllegalStateException(
+        s"unreadable compaction marker $marker: '$raw' — the marker is " +
+          "written by atomic rename, so this is external corruption")))
+    }
   }
 
   private def finishCompaction(upTo: Long): Unit = {
-    batchIds().filter(_ <= upTo).foreach { id =>
-      deleteTree(java.nio.file.Paths.get(storeRoot, s"batch=$id"))
-    }
     val tmp = java.nio.file.Paths.get(storeRoot, TmpName)
-    if (java.nio.file.Files.isDirectory(tmp))
+    // if the staged dir is gone, the move to batch=<upTo> already
+    // happened — the sources are deleted and batch=<upTo> IS the merged
+    // data; deleting "sources <= upTo" again would destroy it. Only the
+    // marker remains to clean up.
+    if (java.nio.file.Files.isDirectory(tmp)) {
+      batchIds().filter(_ <= upTo).foreach { id =>
+        deleteTree(java.nio.file.Paths.get(storeRoot, s"batch=$id"))
+      }
       java.nio.file.Files.move(tmp,
         java.nio.file.Paths.get(storeRoot, s"batch=$upTo"))
+    }
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(storeRoot, MarkerName))
   }
@@ -147,9 +162,10 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     if (!java.nio.file.Files.isDirectory(root)) Nil
     else {
       val s = java.nio.file.Files.list(root)
-      try s.iterator().asScala.flatMap(p =>
-        p.getFileName.toString.stripPrefix("batch=").toLongOption
-          .filter(_ => p.getFileName.toString.startsWith("batch="))).toList
+      try s.iterator().asScala.toList.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption else None
+      }
       finally s.close()
     }
   }

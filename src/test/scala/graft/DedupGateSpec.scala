@@ -86,6 +86,33 @@ class DedupGateSpec extends AnyFunSuite {
       "signature store must record every seen doc, not just survivors")
   }
 
+  test("watermark covers gate-shed docs, so the batch-mode handoff cannot re-ship them") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_wm", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200,
+      mode = SyncMode.Incremental("doc_id", "0"))
+    val store = new WatermarkStore(tmp("graft_gw_wm"))
+    val idx = tmp("graft_gw_idx")
+    val q = ContinuousSync.start(df, job, idx, store, tmp("graft_gw_ckpt"),
+      gate = Some(new DedupGate(tmp("graft_gw_sig")).filterBatch))
+    try {
+      // doc 2 is a same-block near-dup of doc 1 (9 of 11 union tokens,
+      // J=0.818) and carries the batch's max watermark — the gate sheds
+      // it, but the stream still consumed it
+      input.addData(
+        (1L, "en", "a b c d e f g h i j", 10L),
+        (2L, "en", "a b c d e f g h i k", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Writers.foldState(idx).keySet == Set("1"), "the near-dup must be shed")
+    assert(store.get("gate_wm").contains("2"),
+      s"watermark must cover the shed doc or the ungated nightly job " +
+        s"re-ships it: ${store.get("gate_wm")}")
+  }
+
   test("store compaction preserves probe semantics across a restart") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -157,6 +184,36 @@ class DedupGateSpec extends AnyFunSuite {
     assert(parts == Seq("batch=1", "batch=2"), s"recovered partitions: $parts")
     assert(spark.read.parquet(gate.storeRoot).count() == total,
       "recovery lost signature rows")
+  }
+
+  test("a compaction crash after the merged-dir move keeps the merged partition intact") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_crashm", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val gate = new DedupGate(tmp("graft_cm_sig"))
+    val q1 = ContinuousSync.start(df, job, tmp("graft_cm_idx"),
+      new WatermarkStore(tmp("graft_cm_wm")), tmp("graft_cm_ckpt"),
+      gate = Some(gate.filterBatch))
+    try {
+      for (slice <- fixtureSlices(3)) { input.addData(slice: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    val total = spark.read.parquet(gate.storeRoot).count()
+    gate.compact(spark, 1)
+    // the LAST crash window: sources deleted, staged dir already moved
+    // to batch=1, only the marker delete outstanding. Re-plant the
+    // marker: recover() must recognize the move happened (no staged
+    // dir) and NOT delete the merged partition it points at.
+    Files.write(Paths.get(gate.storeRoot, ".compact_commit"), "1".getBytes("UTF-8"))
+    new DedupGate(gate.storeRoot).recover()
+    assert(!Files.exists(Paths.get(gate.storeRoot, ".compact_commit")))
+    val parts = Files.list(Paths.get(gate.storeRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(!_.startsWith(".")).toSeq.sorted
+    assert(parts == Seq("batch=1", "batch=2"), s"partitions after recovery: $parts")
+    assert(spark.read.parquet(gate.storeRoot).count() == total,
+      "post-move recovery destroyed the merged partition")
   }
 
   test("kill a gated batch between delivery and commit: replay converges byte-identically") {
