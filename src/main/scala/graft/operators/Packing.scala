@@ -104,6 +104,41 @@ object Packing extends QueryFamily {
             .as("n_repeated"))
         .orderBy("doc_id")
     }),
+
+    // Cross-document boilerplate detection (CCNet-style paragraph dedup,
+    // restated over this fixture's unpunctuated token streams): a doc's
+    // aligned non-overlapping 8-token passages are boilerplate iff the
+    // same passage occurs in >= 2 distinct documents; emit per-doc
+    // passage/boilerplate/kept-token counts (integers only). The shuffle
+    // key is the 60-bit md5 prefix of the passage — constant-width, so a
+    // 100 TB corpus shuffles fixed-size keys instead of 8-word strings
+    // (a 2^-60 collision merges two passages' doc-frequencies: harmless
+    // for a >= 2 threshold, and both engines compute the same key so the
+    // oracle agrees regardless). Doc-frequency is the (pk, doc_id)-deduped
+    // two-phase groupBy joined back — the q_text_novelty window-free form,
+    // so a passage shared by millions of docs still combines map-side.
+    "q_text_boilerplate" -> ((s, dir) => {
+      // split("", " ") = [""], so size(t) >= 1 always and the sequence
+      // bound (size(t)+7) DIV 8 >= 1 — the sequence(0, -1) descent trap
+      // (SURVEY §7.5) can't fire.
+      val p = Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, (size(t)+7) DIV 8 - 1), " +
+            "i -> slice(t, i*8+1, 8))")).as("pt"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(concat_ws(' ', pt)), 1, 15), 16, 10) AS BIGINT)")
+            .as("pk"),
+          big(size(col("pt"))).as("n_tok"))
+      val freq = p.groupBy("pk", "doc_id").agg(count(lit(1)).as("dup"))
+        .groupBy("pk").agg(count(lit(1)).as("nd"))
+      p.join(freq, "pk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          big(sum(when(col("nd") >= 2, 1).otherwise(0))).as("n_boiler"),
+          big(sum(when(col("nd") >= 2, 0L).otherwise(col("n_tok")))).as("n_kept_tok"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -135,5 +170,18 @@ object Packing extends QueryFamily {
       "CAST(SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
       "AS n_repeated FROM gr JOIN f USING (g) " +
       "GROUP BY gr.doc_id ORDER BY gr.doc_id"),
+
+    "q_text_boilerplate" -> ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t " +
+      "FROM documents), " +
+      "p AS (SELECT doc_id, CAST(concat('0x', substr(md5(" +
+      "array_to_string(t[(i*8+1):(i*8+8)], ' ')), 1, 15)) AS BIGINT) AS pk, " +
+      "CAST(len(t[(i*8+1):(i*8+8)]) AS BIGINT) AS n_tok " +
+      "FROM d, UNNEST(range((len(t)+7) // 8)) AS u(i)), " +
+      "f AS (SELECT pk, count(*) AS nd FROM (SELECT DISTINCT doc_id, pk FROM p) " +
+      "GROUP BY pk) " +
+      "SELECT p.doc_id, count(*) AS n_passages, " +
+      "CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, " +
+      "CAST(SUM(CASE WHEN f.nd >= 2 THEN 0 ELSE p.n_tok END) AS BIGINT) AS n_kept_tok " +
+      "FROM p JOIN f USING (pk) GROUP BY p.doc_id ORDER BY p.doc_id"),
   )
 }

@@ -43,6 +43,32 @@ object Sampling extends QueryFamily {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "source")),
 
+    // Target-mixture sampling: downsample over-represented languages so
+    // the kept corpus approaches a UNIFORM lang mixture — the "hit the
+    // training mixture" step (cf. The Pile / DoReMi-style domain
+    // reweighting), with rates DERIVED from corpus counts rather than
+    // hardcoded. All arithmetic is integer (ppm rates from BIGINT DIV) so
+    // both engines compute bit-identical accept sets. Scale story: the
+    // per-lang count table is O(#langs) rows — aggregated once, broadcast
+    // back — and acceptance is a pure map-side predicate on the content
+    // hash; no row-scale shuffle beyond the final stats groupBy.
+    "q_sample_mixture" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val t = c.agg(sum("cnt").as("total"), count(lit(1)).as("n_langs"))
+      val rates = c.crossJoin(broadcast(t))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("(total DIV n_langs) * 1000000 DIV cnt")))
+        .select("lang", "cnt", "rate_ppm")
+      docs.withColumn("h", expr(hSpark))
+        .join(broadcast(rates), "lang")
+        .where(pmod(col("h"), lit(1000000L)) < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(max("cnt").as("n_orig"), max("rate_ppm").as("rate_ppm"),
+          count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Train/val/test assignment 80/10/10 by content-hash percentile;
     // emits per-(split, lang) counts — the reviewer's sanity table.
     "q_split_assign" -> ((s, dir) =>
@@ -105,6 +131,16 @@ object Sampling extends QueryFamily {
       s"FROM documents WHERE $hDuck % 100 < " +
       "(CASE WHEN lang = 'en' THEN 50 ELSE 10 END) " +
       "GROUP BY lang, source ORDER BY lang, source"),
+
+    "q_sample_mixture" -> ("WITH c AS (SELECT lang, count(*) AS cnt " +
+      "FROM documents GROUP BY lang), " +
+      "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_langs FROM c), " +
+      "r AS (SELECT lang, cnt, CAST(LEAST(1000000, (total // n_langs) * 1000000 // cnt) " +
+      "AS BIGINT) AS rate_ppm FROM c, t) " +
+      "SELECT d.lang, max(r.cnt) AS n_orig, max(r.rate_ppm) AS rate_ppm, " +
+      "count(*) AS n_kept FROM documents d JOIN r ON d.lang = r.lang " +
+      s"WHERE $hDuck % 1000000 < r.rate_ppm " +
+      "GROUP BY d.lang ORDER BY d.lang"),
 
     "q_split_assign" -> ("SELECT split, lang, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars FROM " +

@@ -98,4 +98,43 @@ class AllQueriesSpec extends AnyFunSuite {
     val expected = docs.select("text").distinct().count()
     assert(SparkEntry.queries("q_dedup_exact")(spark, sf0001).count() == expected)
   }
+
+  test("q_sample_mixture caps only over-represented strata; rate 1M keeps all") {
+    val rows = SparkEntry.queries("q_sample_mixture")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (orig, rate, kept) = (r.getAs[Long]("n_orig"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept"))
+      assert(kept <= orig)
+      if (rate == 1000000L) assert(kept == orig, s"rate=1M must keep all: $r")
+      else assert(kept < orig, s"rate<1M must drop something here: $r")
+    }
+    // The fixture's majority language must actually be downsampled.
+    assert(rows.exists(_.getAs[Long]("rate_ppm") < 1000000L))
+  }
+
+  test("q_text_boilerplate agrees with a direct string-keyed recompute") {
+    import org.apache.spark.sql.functions._
+    // Same semantics, passage STRINGS as the key (no md5 compression):
+    // catches any slicing/hash-key plumbing bug in the declared query.
+    val p = Tables(spark, sf0001, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(t)+7) DIV 8 - 1), " +
+          "i -> concat_ws(' ', slice(t, i*8+1, 8)))")).as("ps"))
+      .withColumn("n_tok", size(split(col("ps"), " ")).cast("bigint"))
+    val freq = p.select("doc_id", "ps").distinct()
+      .groupBy("ps").agg(count(lit(1)).as("nd"))
+    val direct = p.join(freq, "ps").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).cast("bigint").as("n_boiler"),
+        sum(when(col("nd") >= 2, 0L).otherwise(col("n_tok"))).cast("bigint")
+          .as("n_kept_tok"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val declared = SparkEntry.queries("q_text_boilerplate")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(declared == direct)
+    // And the signal is non-trivial on the self-similar fixture.
+    assert(declared.nonEmpty)
+  }
 }

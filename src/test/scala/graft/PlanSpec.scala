@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("q_sample_mixture broadcasts the rate table (corpus side stays map-only)") {
+    val p = plan("q_sample_mixture")
+    // the docs-rates join must be broadcast: a sort-merge here would
+    // shuffle the whole corpus to join a #strata-row table
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q_multimodal_cluster broadcasts the centroid arrays (members never reshuffled)") {
     val df = SparkEntry.queries("q_multimodal_cluster")(spark, sf0001)
     df.collect() // finalize the adaptive plan
