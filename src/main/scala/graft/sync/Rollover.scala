@@ -1,0 +1,185 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.{AliasedIndex, FileBulkClient}
+
+/** Time-partitioned index families — the "index-per-period + alias"
+  * operational pattern (SURVEY §3.1) for time-growing corpora: one index
+  * per calendar period (`jobName-1997-06`), an alias spanning all of
+  * them, and a sync that touches ONLY the periods its delta covers.
+  *
+  * Why a family instead of one big index: at 100 TB the working set is
+  * the newest period or two — old periods are immutable, never rewritten
+  * by an incremental run, cheap to snapshot/expire wholesale (drop the
+  * index, not delete-by-query), and a full REBUILD of one period (late
+  * data, mapping change) republishes that period alone. This is the
+  * standard ES/OpenSearch time-series layout; the reference's single
+  * target index forces "re-run full mode" for any of those.
+  *
+  * Mechanics per period, reusing the engine's existing guarantees:
+  *  - a period with NO published index → CREATE: mapping + full batch
+  *    set built as a hidden version dir, atomically published
+  *    ([[AliasedIndex.publish]] — readers never see a half-built index);
+  *  - an EXISTING period → APPEND: the delta delivers as the next
+  *    `gen=NNNN` generation inside the period's CURRENT version (the
+  *    file analog of bulk-indexing into a live index;
+  *    [[graft.sinks.Writers.foldState]] replays generations in order).
+  *    The append first re-derives the job's mapping and requires it
+  *    byte-identical to the period's published `mapping.json` — schema
+  *    drift against a live strict-mapped index is a loud config error
+  *    (ES would reject the bulk with a mapping conflict), never silent
+  *    index pollution.
+  *  - after all periods deliver, the family ALIAS manifest
+  *    (`alias.json`, members = every period index with a resolvable
+  *    current version) is rewritten atomically — a reader holding the
+  *    old manifest sees complete old indices, one holding the new sees
+  *    complete new ones.
+  *
+  * The period loop is driver-side over `collect()`ed period NAMES — an
+  * O(#periods) row set (months of retention, not corpus rows), the same
+  * documented O(1)-row statistics-job pattern as Dedup's corpus stats.
+  * Each period re-filters the source by its period expression; on a
+  * date-partitioned lake that predicate is partition pruning, so an
+  * incremental run reads only the delta's partitions (and at any rate
+  * [[SyncRunner.source]] has already applied the watermark pushdown).
+  *
+  * Replay safety: re-running a failed/crashed incremental appends a NEW
+  * generation with the SAME deterministic docs — `_id` idempotency folds
+  * it to the identical served state (at-least-once delivery,
+  * exactly-once state, as everywhere in the sync layer).
+  */
+object Rollover {
+
+  /** One period's delivery outcome: the index it landed in, whether the
+    * index was created by this run (vs appended to), the generation the
+    * docs landed under (None = the create-path flat layout), and the
+    * delivery counts.
+    */
+  final case class PeriodOutcome(index: String, created: Boolean,
+      gen: Option[Int], counts: DeliveryCounts)
+
+  /** The job's period→index expression (what [[SyncRunner.docsFor]]
+    * emits as `_index`). */
+  private def indexExpr(job: SyncJob) = {
+    val p = job.period.getOrElse(throw new IllegalArgumentException(
+      s"job '${job.name}' has no IndexPeriod — use fullSync/run for single-index jobs"))
+    concat(lit(job.name + "-"), date_format(col(p.col), p.format))
+  }
+
+  /** Deliver `job` into its period family under `familyRoot`: create
+    * missing period indices, append deltas to existing ones, refresh the
+    * alias manifest. Periods deliver in chronological order (period
+    * names sort — [[IndexPeriod]] requires a calendar-prefix format), so
+    * a mid-run crash leaves a prefix of periods delivered and a re-run
+    * converges the rest. Returns per-period outcomes.
+    */
+  def rolloverSync(spark: SparkSession, sfDir: String, job: SyncJob,
+      familyRoot: String): Seq[PeriodOutcome] = {
+    val idx = indexExpr(job)
+    val src = SyncRunner.source(spark, sfDir, job)
+    val periods = src.select(idx.as("_index")).distinct().orderBy("_index")
+      .collect().map(_.getString(0)).toSeq
+    val outcomes = periods.map { name =>
+      val slice = src.where(idx === name)
+      val root = s"$familyRoot/$name"
+      AliasedIndex.resolve(root) match {
+        case None =>
+          var counts = DeliveryCounts(0, 0)
+          AliasedIndex.publish(root) { dir =>
+            EsMapping.write(dir, EsMapping.forJob(spark, sfDir, job))
+            counts = SyncRunner.runOn(slice, job, FileBulkClient(dir))
+          }
+          PeriodOutcome(name, created = true, gen = None, counts)
+        case Some(cur) =>
+          val stored = Paths.get(cur, "mapping.json")
+          val expected = EsMapping.forJob(spark, sfDir, job)
+          if (!Files.exists(stored) || Files.readString(stored) != expected)
+            throw new IllegalStateException(
+              s"mapping drift: job '${job.name}' no longer matches index '$name' " +
+                s"($stored) — republish the period instead of appending")
+          val g = nextGen(Paths.get(cur))
+          val counts = SyncRunner.runOn(slice, job, FileBulkClient(cur, gen = Some(g)))
+          PeriodOutcome(name, created = false, gen = Some(g), counts)
+      }
+    }
+    writeAlias(familyRoot, job.name)
+    outcomes
+  }
+
+  /** Next free generation number inside a published version dir: the
+    * create-path batches are generation 0 (flat layout), appends count
+    * up from `gen=0001`. A crashed append leaves a partial generation
+    * whose number is NOT reused (monotone max+1), so its replay lands
+    * complete in a later generation and folds over the torn one.
+    */
+  private[sync] def nextGen(cur: Path): Int = {
+    val GenRe = "gen=(\\d+)".r
+    val listing = Files.list(cur)
+    val gens =
+      try listing.iterator.asScala.flatMap(p => p.getFileName.toString match {
+        case GenRe(n) => Some(n.toInt)
+        case _        => None
+      }).toSeq
+      finally listing.close()
+    if (gens.isEmpty) 1 else gens.max + 1
+  }
+
+  /** Period indices of `familyRoot` with a resolvable current version —
+    * membership is derived from the FILESYSTEM truth (a publish that
+    * crashed before its pointer flip is invisible), not from a mutable
+    * side file. */
+  def members(familyRoot: String, alias: String): Seq[String] = {
+    val root = Paths.get(familyRoot)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val listing = Files.list(root)
+    val dirs =
+      try listing.iterator.asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(alias + "-"))
+        .map(_.getFileName.toString).toSeq
+      finally listing.close()
+    dirs.filter(d => AliasedIndex.resolve(s"$familyRoot/$d").isDefined).sorted
+  }
+
+  /** Rewrite `alias.json` atomically: the alias object a search client
+    * resolves to the family's member indices (name order =
+    * chronological). */
+  private def writeAlias(familyRoot: String, alias: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("alias", alias)
+    val arr = node.putArray("indices")
+    members(familyRoot, alias).foreach(arr.add)
+    val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    val root = Paths.get(familyRoot)
+    Files.createDirectories(root)
+    val tmp = Files.createTempFile(root, ".alias-", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, root.resolve("alias.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The manifest's member list (what a reader resolves the alias to). */
+  def readAlias(familyRoot: String): Seq[String] = {
+    val f = Paths.get(familyRoot, "alias.json")
+    if (!Files.exists(f)) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(f))
+    node.get("indices").elements().asScala.map(_.asText()).toSeq
+  }
+
+  /** Served state across the whole family — what a search over the alias
+    * sees: every member folded ([[graft.sinks.Writers.foldState]]),
+    * keyed (index, _id). Ids are scoped per index (the ES reality: the
+    * same `_id` in two indices is two documents), which is why the key
+    * is the pair. Spec/read-side helper — O(served docs), driver-side.
+    */
+  def familyState(familyRoot: String, alias: String): Map[(String, String), String] =
+    members(familyRoot, alias).flatMap { m =>
+      AliasedIndex.resolve(s"$familyRoot/$m").toSeq.flatMap { cur =>
+        graft.sinks.Writers.foldState(cur).map { case (id, doc) => ((m, id), doc) }
+      }
+    }.toMap
+}

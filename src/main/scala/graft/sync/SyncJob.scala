@@ -59,6 +59,19 @@ object SyncMode {
       deleteWhere: String) extends SyncMode
 }
 
+/** Time-partitioned index assignment ("index-per-period"): docs route to
+  * `jobName-<date_format(col, format)>` — the ES operational pattern for
+  * corpora that grow by time (one index per month/day, an alias spanning
+  * them, old periods immutable). `format` is a Spark `date_format`
+  * pattern; keep it to calendar prefixes (`yyyy`, `yyyy-MM`,
+  * `yyyy-MM-dd`) so period names sort chronologically as strings.
+  */
+final case class IndexPeriod(col: String, format: String = "yyyy-MM") {
+  require(col.nonEmpty, "period column required")
+  require(Set("yyyy", "yyyy-MM", "yyyy-MM-dd")(format),
+    s"period format '$format' is not a chronological calendar prefix")
+}
+
 /** One field of the output document: rendered as `"name":<expr>` with
   * `expr` a Spark SQL expression; `quoted` wraps the value in JSON quotes.
   * Documents are built with explicit concat, NOT to_json — float
@@ -77,7 +90,10 @@ final case class SyncJob(
     mode: SyncMode = SyncMode.Full,
     /** Dead-letter quarantine for permanently-rejected docs; None (the
       * default) keeps fail-loud-on-first-rejection semantics. */
-    deadLetter: Option[graft.sinks.DeadLetterPolicy] = None) {
+    deadLetter: Option[graft.sinks.DeadLetterPolicy] = None,
+    /** Route docs to time-partitioned indices (`name-<period>`); None
+      * (the default) keeps the single-index layout. See [[Rollover]]. */
+    period: Option[IndexPeriod] = None) {
   require(name.nonEmpty, "sync job needs a name")
   require(shards > 0 && batchSize > 0, s"bad shards=$shards/batchSize=$batchSize")
   require(fields.nonEmpty, "sync job needs at least one document field")
@@ -125,7 +141,7 @@ object SyncRunner {
   /** Column names the planner owns; a passthrough column may not shadow
     * them. */
   private val PlanCols = Set("_id", "doc", "action", "h", "routing",
-    "bkt", "cnt", "off", "rn", "batch_id")
+    "bkt", "cnt", "off", "rn", "batch_id", "_index")
 
   /** The job's documents with routing but WITHOUT batch assignment: one
     * row per source row — `_id`, serialized `doc`, `action`, content
@@ -161,9 +177,13 @@ object SyncRunner {
           when(del, lit(null).cast("string")).otherwise(doc))
       case _ => (lit("index"), doc)
     }
+    // period jobs carry their target index per doc (the per-action index
+    // of an ES _bulk request); single-index jobs are unchanged
+    val idxCol = job.period.map(p =>
+      concat(lit(job.name + "-"), date_format(col(p.col), p.format)).as("_index"))
     src
       .select(Seq(col(job.idCol).cast("string").as("_id"), docCol.as("doc"),
-        action.as("action")) ++ keep.map(col): _*)
+        action.as("action")) ++ idxCol.toSeq ++ keep.map(col): _*)
       // 60-bit md5 prefix: content-deterministic routing, identical in
       // DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), never the
       // engine-private hash()

@@ -49,6 +49,9 @@ object SyncQueries extends QueryFamily {
   private def incrJob = fullJob.copy(name = "orders_incremental",
     mode = SyncMode.Incremental("o_orderdate", "TIMESTAMP '1997-06-01'"))
 
+  private def monthlyJob = fullJob.copy(name = "orders_monthly",
+    period = Some(IndexPeriod("o_orderdate", "yyyy-MM")))
+
   /** Base sync (everything up to the cutoff) + an OVERLAPPING upsert
     * window with tombstones: ids in (1997-03-01, 1997-06-01] exist in
     * both sides (genuine updates — the merged doc must be the v2 shape),
@@ -108,6 +111,18 @@ object SyncQueries extends QueryFamily {
         .orderBy("_id")
     }),
     "q_sync_incremental" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, incrJob))),
+    // Time-partitioned index routing (Rollover): per-(period index,
+    // shard) doc volume of the monthly job — the planner's view of which
+    // index every doc lands in. Window-free: one groupBy over the doc
+    // set; the period expression rides the same docsFor path
+    // rolloverSync delivers from.
+    "q_sync_rollover" -> ((s, dir) =>
+      SyncRunner.docs(s, dir, monthlyJob)
+        .groupBy(col("_index").as("idx"), col("routing").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("doc"))).cast("bigint").as("doc_bytes"),
+          min("_id").as("first_id"), max("_id").as("last_id"))
+        .orderBy("idx", "shard")),
     // Post-merge served-index state after an upsert run applies on a base
     // sync: per-shard doc count/bytes/id-range of base MERGE changes.
     "q_sync_upsert" -> ((s, dir) =>
@@ -158,6 +173,15 @@ object SyncQueries extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_sync_full" -> duckSync(""),
     "q_sync_incremental" -> duckSync(" WHERE o_orderdate > TIMESTAMP '1997-06-01'"),
+    "q_sync_rollover" -> ("WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+      s"$duckDoc AS doc, " +
+      "concat('orders_monthly-', strftime(o_orderdate, '%Y-%m')) AS idx FROM orders), " +
+      "h AS (SELECT idx, _id, doc, " +
+      "CAST(concat('0x', substr(md5(_id), 1, 15)) AS BIGINT) % 8 AS shard FROM src) " +
+      "SELECT idx, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs, " +
+      "CAST(sum(length(doc)) AS BIGINT) AS doc_bytes, " +
+      "min(_id) AS first_id, max(_id) AS last_id " +
+      "FROM h GROUP BY 1, 2 ORDER BY idx, shard"),
     "q_sync_upsert" -> duckUpsert,
     // the quarantine rows, recomputed arithmetically: poisoned ids with
     // the shard/batch coordinates the full plan gave them + doc bodies

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync._
+
+/** Time-partitioned index families (Rollover): a full run fans the corpus
+  * out into one index per period behind an alias manifest; an incremental
+  * run touches ONLY the periods its delta covers — appending a generation
+  * to live periods, creating brand-new ones, and leaving every other
+  * period's bytes untouched. Replays converge; mapping drift against a
+  * live period fails loudly.
+  */
+class RolloverSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String) = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  // upstream rows: (id, day, status, ver, deleted) across three months;
+  // soft deletes bump the watermark (scan-based-CDC contract)
+  private type Row5 = (Long, String, String, Long, Boolean)
+  private def setSource(rows: Seq[Row5]): Unit = {
+    import spark.implicits._
+    rows.map { case (id, d, st, v, del) => (id, java.sql.Date.valueOf(d), st, v, del) }
+      .toDF("id", "d", "status", "ver", "deleted")
+      .createOrReplaceTempView("rollover_src")
+  }
+
+  private val night1: Seq[Row5] = Seq(
+    (1L, "1997-01-10", "O", 1L, false), (2L, "1997-01-20", "O", 1L, false),
+    (3L, "1997-02-05", "O", 1L, false), (4L, "1997-02-25", "F", 1L, false),
+    (5L, "1997-03-15", "O", 1L, false))
+
+  // delta: late data + an update + a tombstone in 1997-02, a brand-new
+  // month 1997-04; 1997-01 and 1997-03 see nothing
+  private val night2: Seq[Row5] = night1.map {
+    case (3L, d, _, _, _) => (3L, d, "P", 2L, false) // updated
+    case (4L, d, st, _, _) => (4L, d, st, 2L, true)  // tombstoned
+    case r => r
+  } ++ Seq(
+    (6L, "1997-02-27", "O", 2L, false),              // late arrival
+    (7L, "1997-04-02", "O", 2L, false))              // new month
+
+  private val fields = Seq(
+    DocField("id", "id", quoted = false),
+    DocField("status", "status", quoted = true))
+
+  private def job(mode: SyncMode) = SyncJob("rollover_demo",
+    SyncSource.Sql("SELECT * FROM rollover_src"),
+    idCol = "id", fields = fields, shards = 2, batchSize = 10,
+    mode = mode, period = Some(IndexPeriod("d", "yyyy-MM")))
+
+  private def doc(id: Long, st: String) = s"""{"id":$id,"status":"$st"}"""
+
+  /** (relative path, size) of every regular file under `root` — the
+    * "these bytes did not move" fingerprint. */
+  private def fingerprint(root: String): Set[(String, Long)] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return Set.empty
+    val walk = Files.walk(r)
+    try walk.iterator.asScala.filter(Files.isRegularFile(_))
+      .map(p => (r.relativize(p).toString, Files.size(p))).toSet
+    finally walk.close()
+  }
+
+  test("full → incremental: delta periods append/create, others byte-untouched, alias tracks") {
+    val family = tmp("graft-rollover-")
+    setSource(night1)
+
+    val out1 = Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    assert(out1.map(_.index) ==
+      Seq("rollover_demo-1997-01", "rollover_demo-1997-02", "rollover_demo-1997-03"))
+    assert(out1.forall(o => o.created && o.gen.isEmpty))
+    assert(Rollover.readAlias(family) == out1.map(_.index))
+    // every member carries its mapping
+    out1.foreach { o =>
+      val cur = graft.sinks.AliasedIndex.resolve(s"$family/${o.index}").get
+      assert(Files.exists(Paths.get(cur, "mapping.json")))
+    }
+    assert(Rollover.familyState(family, "rollover_demo") == Map(
+      ("rollover_demo-1997-01", "1") -> doc(1, "O"),
+      ("rollover_demo-1997-01", "2") -> doc(2, "O"),
+      ("rollover_demo-1997-02", "3") -> doc(3, "O"),
+      ("rollover_demo-1997-02", "4") -> doc(4, "F"),
+      ("rollover_demo-1997-03", "5") -> doc(5, "O")))
+
+    val untouched1 = fingerprint(s"$family/rollover_demo-1997-01")
+    val untouched3 = fingerprint(s"$family/rollover_demo-1997-03")
+
+    setSource(night2)
+    val incr = job(SyncMode.Upsert("ver", "1", "deleted"))
+    val out2 = Rollover.rolloverSync(spark, sf0001, incr, family)
+    // only the delta's periods were visited: 02 appended, 04 created
+    assert(out2.map(o => (o.index, o.created, o.gen)) == Seq(
+      ("rollover_demo-1997-02", false, Some(1)),
+      ("rollover_demo-1997-04", true, None)))
+    assert(fingerprint(s"$family/rollover_demo-1997-01") == untouched1)
+    assert(fingerprint(s"$family/rollover_demo-1997-03") == untouched3)
+    assert(Rollover.readAlias(family) == Seq(
+      "rollover_demo-1997-01", "rollover_demo-1997-02",
+      "rollover_demo-1997-03", "rollover_demo-1997-04"))
+
+    val expected = Map(
+      ("rollover_demo-1997-01", "1") -> doc(1, "O"),
+      ("rollover_demo-1997-01", "2") -> doc(2, "O"),
+      ("rollover_demo-1997-02", "3") -> doc(3, "P"), // update won
+      // 4 tombstoned away
+      ("rollover_demo-1997-02", "6") -> doc(6, "O"), // late arrival landed
+      ("rollover_demo-1997-03", "5") -> doc(5, "O"),
+      ("rollover_demo-1997-04", "7") -> doc(7, "O"))
+    assert(Rollover.familyState(family, "rollover_demo") == expected)
+
+    // replaying the same delta appends the next generation but the served
+    // state is unchanged (idempotent _id fold)
+    val out3 = Rollover.rolloverSync(spark, sf0001, incr, family)
+    assert(out3.map(o => (o.index, o.created, o.gen)) == Seq(
+      ("rollover_demo-1997-02", false, Some(2)),
+      ("rollover_demo-1997-04", false, Some(1))))
+    assert(Rollover.familyState(family, "rollover_demo") == expected)
+  }
+
+  test("mapping drift against a live period fails loudly, before any delivery") {
+    val family = tmp("graft-rollover-drift-")
+    setSource(night1)
+    Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    val before = fingerprint(family)
+    val drifted = job(SyncMode.Full).copy(fields =
+      fields :+ DocField("version", "ver", quoted = false))
+    val e = intercept[IllegalStateException] {
+      Rollover.rolloverSync(spark, sf0001, drifted, family)
+    }
+    assert(e.getMessage.contains("mapping drift"))
+    assert(fingerprint(family) == before, "a refused append must not write")
+  }
+
+  test("a job without a period refuses rolloverSync") {
+    setSource(night1)
+    val single = job(SyncMode.Full).copy(period = None)
+    intercept[IllegalArgumentException] {
+      Rollover.rolloverSync(spark, sf0001, single, tmp("graft-rollover-none-"))
+    }
+  }
+}
