@@ -106,7 +106,7 @@ object AliasedIndex {
     try cleanup()
     catch { case scala.util.control.NonFatal(c) => cause.addSuppressed(c) }
 
-  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+  private[graft] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(Comparator.reverseOrder[Path]())
       .forEach(f => Files.deleteIfExists(f))

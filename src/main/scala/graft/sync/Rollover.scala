@@ -146,12 +146,16 @@ object Rollover {
   /** Rewrite `alias.json` atomically: the alias object a search client
     * resolves to the family's member indices (name order =
     * chronological). */
-  private def writeAlias(familyRoot: String, alias: String): Unit = {
+  private def writeAlias(familyRoot: String, alias: String): Unit =
+    writeAliasMembers(familyRoot, alias, members(familyRoot, alias))
+
+  private def writeAliasMembers(familyRoot: String, alias: String,
+      indices: Seq[String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("alias", alias)
     val arr = node.putArray("indices")
-    members(familyRoot, alias).foreach(arr.add)
+    indices.foreach(arr.add)
     val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     val root = Paths.get(familyRoot)
     Files.createDirectories(root)
@@ -159,6 +163,54 @@ object Rollover {
     Files.writeString(tmp, body)
     Files.move(tmp, root.resolve("alias.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Retention: drop every period index whose period suffix sorts
+    * STRICTLY BEFORE `keepFrom` (chronological — [[IndexPeriod]] pins
+    * calendar-prefix formats, so string order IS time order). This is
+    * the whole point of the per-period layout: expiry is "drop the
+    * index", not a delete-by-query over 100 TB. The alias manifest is
+    * rewritten WITHOUT the dropped members FIRST, so a reader resolving
+    * the new manifest never references a dying index; a reader still
+    * holding the old manifest races the deletion exactly as an
+    * in-flight ES search races a delete-index (the accepted semantics
+    * of expiry). Returns the dropped index names.
+    */
+  def expire(familyRoot: String, alias: String, keepFrom: String): Seq[String] = {
+    val (dropped, kept) = members(familyRoot, alias)
+      .partition(_.stripPrefix(alias + "-") < keepFrom)
+    writeAliasMembers(familyRoot, alias, kept)
+    dropped.foreach(d =>
+      graft.sinks.AliasedIndex.deleteRecursively(Paths.get(familyRoot, d)))
+    dropped
+  }
+
+  /** Re-derive ONE period from scratch and publish it as a fresh version
+    * behind that period's alias pointer — the repair path for late-data
+    * backfills and for mapping drift (the append path refuses a changed
+    * mapping; the rebuild REPLACES the period, new mapping included,
+    * while readers keep the old version until the atomic flip). The job
+    * must be Full mode: a rebuild is by definition a complete
+    * re-derivation of the period, not a delta. Other periods are never
+    * touched. Refuses a period the source has no rows for — a typo'd
+    * period name must not publish an empty index over a live one.
+    */
+  def rebuildPeriod(spark: SparkSession, sfDir: String, job: SyncJob,
+      familyRoot: String, period: String): PeriodOutcome = {
+    require(job.mode == SyncMode.Full,
+      s"rebuild of '$period' needs the FULL source, not a watermarked delta")
+    val name = s"${job.name}-$period"
+    val slice = SyncRunner.source(spark, sfDir, job)
+      .where(indexExpr(job) === lit(name))
+    require(!slice.isEmpty, s"source has no rows for period '$period' — " +
+      "refusing to publish an empty index over a live one")
+    var counts = DeliveryCounts(0, 0)
+    AliasedIndex.publish(s"$familyRoot/$name") { dir =>
+      EsMapping.write(dir, EsMapping.forJob(spark, sfDir, job))
+      counts = SyncRunner.runOn(slice, job, FileBulkClient(dir))
+    }
+    writeAlias(familyRoot, job.name)
+    PeriodOutcome(name, created = true, gen = None, counts)
   }
 
   /** The manifest's member list (what a reader resolves the alias to). */

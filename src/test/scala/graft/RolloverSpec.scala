@@ -137,6 +137,67 @@ class RolloverSpec extends AnyFunSuite {
     assert(fingerprint(family) == before, "a refused append must not write")
   }
 
+  test("expire drops only pre-cutoff periods; manifest shrinks before bytes do") {
+    val family = tmp("graft-rollover-exp-")
+    setSource(night1)
+    Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    val dropped = Rollover.expire(family, "rollover_demo", keepFrom = "1997-02")
+    assert(dropped == Seq("rollover_demo-1997-01"))
+    assert(Rollover.readAlias(family) ==
+      Seq("rollover_demo-1997-02", "rollover_demo-1997-03"))
+    assert(!Files.isDirectory(Paths.get(family, "rollover_demo-1997-01")))
+    assert(Rollover.familyState(family, "rollover_demo").keySet.forall {
+      case (idx, _) => idx != "rollover_demo-1997-01"
+    })
+    // expiry is idempotent: nothing left before the cutoff
+    assert(Rollover.expire(family, "rollover_demo", keepFrom = "1997-02").isEmpty)
+  }
+
+  test("rebuildPeriod repairs mapping drift for ONE period; appends follow") {
+    val family = tmp("graft-rollover-rebuild-")
+    setSource(night1)
+    Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    val drifted = job(SyncMode.Full).copy(fields =
+      fields :+ DocField("version", "ver", quoted = false))
+    val fp1 = fingerprint(s"$family/rollover_demo-1997-01")
+    val fp3 = fingerprint(s"$family/rollover_demo-1997-03")
+
+    val out = Rollover.rebuildPeriod(spark, sf0001, drifted, family, "1997-02")
+    assert(out.index == "rollover_demo-1997-02" && out.created)
+    // the rebuilt period serves the NEW doc shape; the others are untouched
+    val state = Rollover.familyState(family, "rollover_demo")
+    assert(state(("rollover_demo-1997-02", "3")) == """{"id":3,"status":"O","version":1}""")
+    assert(state(("rollover_demo-1997-01", "1")) == doc(1, "O"))
+    assert(fingerprint(s"$family/rollover_demo-1997-01") == fp1)
+    assert(fingerprint(s"$family/rollover_demo-1997-03") == fp3)
+
+    // the drifted job can now APPEND to the rebuilt period...
+    setSource(Seq((6L, "1997-02-27", "O", 2L, false)))
+    val out2 = Rollover.rolloverSync(spark, sf0001,
+      drifted.copy(mode = SyncMode.Incremental("ver", "1")), family)
+    assert(out2.map(o => (o.index, o.created)) == Seq(("rollover_demo-1997-02", false)))
+    // ...but a NOT-rebuilt period still refuses it
+    setSource(Seq((8L, "1997-01-30", "O", 2L, false)))
+    intercept[IllegalStateException] {
+      Rollover.rolloverSync(spark, sf0001,
+        drifted.copy(mode = SyncMode.Incremental("ver", "1")), family)
+    }
+  }
+
+  test("rebuildPeriod refuses empty periods and watermarked modes") {
+    val family = tmp("graft-rollover-guard-")
+    setSource(night1)
+    Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    val eEmpty = intercept[IllegalArgumentException] {
+      Rollover.rebuildPeriod(spark, sf0001, job(SyncMode.Full), family, "1999-12")
+    }
+    assert(eEmpty.getMessage.contains("no rows"))
+    intercept[IllegalArgumentException] {
+      Rollover.rebuildPeriod(spark, sf0001,
+        job(SyncMode.Incremental("ver", "0")), family, "1997-02")
+    }
+  }
+
   test("a job without a period refuses rolloverSync") {
     setSource(night1)
     val single = job(SyncMode.Full).copy(period = None)
