@@ -106,14 +106,7 @@ object ContinuousSync {
             // re-ship the regressed window. The comparison evaluates
             // both literals in Spark itself — same dialect that will
             // re-parse them.
-            acc.value.foreach { v =>
-              val lit = SyncRunner.wmLiteral(v)
-              val advance = store.get(job.name).forall { cur =>
-                cur != lit &&
-                  spark.sql(s"SELECT ($lit) > ($cur)").head().getBoolean(0)
-              }
-              if (advance) store.set(job.name, lit)
-            }
+            advanceMonotone(spark, store, job.name, acc)
           case None =>
             SyncRunner.runOn(batch, job0, client)
         }
@@ -121,4 +114,20 @@ object ContinuousSync {
       }
       .start()
   }
+
+  /** Advance `store`'s watermark to the accumulator's max, only FORWARD:
+    * a micro-batch of late rows has a max below the stored mark, and
+    * regressing the store would make the batch-mode handoff re-ship the
+    * regressed window. The comparison evaluates both literals in Spark
+    * itself — the same dialect that will re-parse them.
+    */
+  private[sync] def advanceMonotone(spark: org.apache.spark.sql.SparkSession,
+      store: WatermarkStore, name: String, acc: MaxWatermarkAccumulator): Unit =
+    acc.value.foreach { v =>
+      val lit = SyncRunner.wmLiteral(v)
+      val advance = store.get(name).forall { cur =>
+        cur != lit && spark.sql(s"SELECT ($lit) > ($cur)").head().getBoolean(0)
+      }
+      if (advance) store.set(name, lit)
+    }
 }

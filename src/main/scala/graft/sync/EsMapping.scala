@@ -80,19 +80,28 @@ object EsMapping {
     }
 
   /** The analyzed Spark type of every doc field — one `selectExpr` over
-    * the job's source, ANALYZED only (no execution, no scan).
+    * the source row shape, ANALYZED only (no execution, no scan).
     */
-  private def fieldTypes(spark: SparkSession, sfDir: String, job: SyncJob): Seq[(DocField, DataType)] = {
-    val src = SyncRunner.source(spark, sfDir, job)
+  private def fieldTypes(src: org.apache.spark.sql.DataFrame,
+      job: SyncJob): Seq[(DocField, DataType)] = {
     val schema = src.selectExpr(job.fields.map(f => s"${f.expr} AS `${f.name}`"): _*).schema
     job.fields.zip(schema.fields.map(_.dataType))
   }
+
+  /** [[forJob]] over an explicit source-shaped DataFrame — the entry for
+    * streaming jobs, whose source is the micro-batch itself, not a scan.
+    */
+  def forSource(src: org.apache.spark.sql.DataFrame, job: SyncJob): String =
+    render(fieldTypes(src, job), job)
 
   /** The index-creation JSON (settings + mappings) for `job`, the body a
     * `PUT /index` takes. Jackson renders it (proper escaping), keys in
     * field order.
     */
-  def forJob(spark: SparkSession, sfDir: String, job: SyncJob): String = {
+  def forJob(spark: SparkSession, sfDir: String, job: SyncJob): String =
+    render(fieldTypes(SyncRunner.source(spark, sfDir, job), job), job)
+
+  private def render(types: Seq[(DocField, DataType)], job: SyncJob): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.putObject("settings").putObject("index")
@@ -107,7 +116,7 @@ object EsMapping {
     // whole point of generating the mapping instead of inferring it
     mappings.put("dynamic", "strict")
     val props = mappings.putObject("properties")
-    fieldTypes(spark, sfDir, job).foreach { case (f, dt) =>
+    types.foreach { case (f, dt) =>
       val (t, extra) = esType(f.name, dt, f.quoted)
       val p = props.putObject(f.name)
       p.put("type", t)

@@ -114,6 +114,11 @@ object Rollover {
     * up from `gen=0001`. A crashed append leaves a partial generation
     * whose number is NOT reused (monotone max+1), so its replay lands
     * complete in a later generation and folds over the torn one.
+    * Generations RESERVED by the streaming ledger (see [[streamGen]])
+    * count as taken even before their first file lands — otherwise a
+    * nightly append could claim the number a crashed-but-unreplayed
+    * stream batch holds, and the replay would overwrite the nightly's
+    * files.
     */
   private[sync] def nextGen(cur: Path): Int = {
     val GenRe = "gen=(\\d+)".r
@@ -124,8 +129,48 @@ object Rollover {
         case _        => None
       }).toSeq
       finally listing.close()
-    if (gens.isEmpty) 1 else gens.max + 1
+    ((0 +: gens) ++ readLedger(cur).values).max + 1
   }
+
+  // ---- streaming generation ledger -------------------------------------
+  //
+  // The continuous path keys delivery generations by the stream's batchId
+  // so a replayed micro-batch OVERWRITES its own files (the ContinuousSync
+  // idempotency contract). In a period family the batchId cannot BE the
+  // generation number — nightly appends to the same period allocate
+  // generations too, and the two counters would collide. The ledger
+  // (`stream-gens.json` inside the period's current version dir) pins
+  // batchId → generation: first delivery of a batch reserves the next
+  // free generation and records it ATOMICALLY BEFORE any doc file is
+  // written, so a replay — even of a crash that wrote nothing — reads the
+  // same generation back and overwrites in place.
+
+  private val LedgerFile = "stream-gens.json"
+
+  private[sync] def readLedger(cur: Path): Map[Long, Int] = {
+    val f = cur.resolve(LedgerFile)
+    if (!Files.exists(f)) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readString(f))
+    node.fieldNames().asScala.map(k => k.toLong -> node.get(k).asInt()).toMap
+  }
+
+  /** The generation batch `batchId` delivers under in `cur` — reserved
+    * and persisted on first sight, stable on replay. */
+  private[sync] def streamGen(cur: Path, batchId: Long): Int =
+    readLedger(cur).getOrElse(batchId, {
+      val g = nextGen(cur)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      (readLedger(cur) + (batchId -> g)).toSeq.sortBy(_._1).foreach {
+        case (b, gen) => node.put(b.toString, gen)
+      }
+      val tmp = Files.createTempFile(cur, ".ledger-", ".tmp")
+      Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+      Files.move(tmp, cur.resolve(LedgerFile),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      g
+    })
 
   /** Period indices of `familyRoot` with a resolvable current version —
     * membership is derived from the FILESYSTEM truth (a publish that
@@ -211,6 +256,72 @@ object Rollover {
     }
     writeAlias(familyRoot, job.name)
     PeriodOutcome(name, created = true, gen = None, counts)
+  }
+
+  /** The continuous path over a period family — [[ContinuousSync]]'s
+    * contract (at-least-once micro-batches folded to exactly-once state)
+    * composed with index-per-period routing: each micro-batch's rows
+    * fan out to their periods, creating missing period indices
+    * (mapping-first atomic publish, like the batch path) and delivering
+    * each period slice under a LEDGER-pinned generation ([[streamGen]]),
+    * so a replayed batch overwrites its own files per period even when
+    * nightly appends interleave. Watermark advance and alias refresh
+    * ride each batch exactly as in the single-index stream.
+    *
+    * The per-batch period fan-out is a driver loop over the batch's
+    * DISTINCT periods — for a time-ordered stream that is 1 (occasionally
+    * 2, at a period boundary or under late data) delivery job(s) per
+    * micro-batch, not a per-row cost.
+    */
+  def startContinuous(stream: DataFrame, job: SyncJob, familyRoot: String,
+      store: WatermarkStore, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming,
+      s"job '${job.name}': startContinuous needs a streaming DataFrame")
+    val idx = indexExpr(job) // also validates the job carries a period
+    val wmCol = job.mode match {
+      case SyncMode.Incremental(c, _) => Some(c)
+      case SyncMode.Upsert(c, _, _)   => Some(c)
+      case SyncMode.Full              => None
+    }
+    stream.writeStream
+      .queryName(s"graft-rollover-${job.name}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val acc = wmCol.map { _ =>
+          val a = new MaxWatermarkAccumulator
+          spark.sparkContext.register(a,
+            s"graft.rollover.${job.name}.stream.wmMax.b$batchId")
+          a
+        }
+        val periods = batch.select(idx.as("_index")).distinct().orderBy("_index")
+          .collect().map(_.getString(0)).toSeq
+        periods.foreach { name =>
+          val slice = batch.where(idx === name)
+          val root = s"$familyRoot/$name"
+          val cur = AliasedIndex.resolve(root).getOrElse {
+            // first sight of this period: publish the index EMPTY (mapping
+            // only) and append below — create and append are then one code
+            // path, and a replayed creating batch appends idempotently
+            // instead of re-publishing
+            AliasedIndex.publish(root) { dir =>
+              EsMapping.write(dir, EsMapping.forSource(slice, job))
+            }
+          }
+          val g = streamGen(Paths.get(cur), batchId)
+          SyncRunner.runOn(slice, job, FileBulkClient(cur, gen = Some(g)),
+            wmTrack = wmCol.map(c => (c, acc.get)))
+        }
+        writeAlias(familyRoot, job.name)
+        (wmCol, acc) match {
+          case (Some(_), Some(a)) =>
+            ContinuousSync.advanceMonotone(spark, store, job.name, a)
+          case _ => ()
+        }
+        ()
+      }
+      .start()
   }
 
   /** The manifest's member list (what a reader resolves the alias to). */

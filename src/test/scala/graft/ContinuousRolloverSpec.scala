@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.to_date
+import graft.sync._
+
+/** The continuous path over a period family: micro-batches fan out to
+  * their periods (create-on-first-sight, ledger-pinned generations),
+  * nightly batch appends interleave without generation collisions, and
+  * the crash/replay contract holds per period.
+  */
+class ContinuousRolloverSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def dirSnapshot(dir: String): Map[String, String] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString.stripPrefix(dir) -> new String(Files.readAllBytes(p), "UTF-8"))
+      .toMap
+
+  private val fields = Seq(
+    DocField("id", "id", quoted = false),
+    DocField("value", "value", quoted = true))
+
+  private def job(name: String) = SyncJob(name, SyncSource.Table("unused"),
+    idCol = "id", fields = fields, shards = 2, batchSize = 10,
+    mode = SyncMode.Upsert("ver", "0", "deleted"),
+    period = Some(IndexPeriod("d", "yyyy-MM")))
+
+  private def genDirs(family: String, index: String): Seq[String] = {
+    val cur = graft.sinks.AliasedIndex.resolve(s"$family/$index").get
+    val l = Files.list(Paths.get(cur))
+    try l.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("gen=")).toSeq.sorted
+    finally l.close()
+  }
+
+  test("micro-batches fan out per period; nightly appends interleave without gen collisions") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long, Boolean)]
+    val df = input.toDF().toDF("id", "d", "value", "ver", "deleted")
+      .withColumn("d", to_date($"d"))
+    val j = job("cr_mix")
+    val family = tmp("graft_cr_family")
+    val store = new WatermarkStore(tmp("graft_cr_wm"))
+    val q = Rollover.startContinuous(df, j, family, store, tmp("graft_cr_ckpt"))
+    try {
+      input.addData((1L, "1997-01-10", "a", 1L, false), (2L, "1997-01-20", "b", 1L, false))
+      q.processAllAvailable()
+      assert(Rollover.readAlias(family) == Seq("cr_mix-1997-01"))
+      // a period boundary + late data in one batch: 01 appended, 02 created
+      input.addData((1L, "1997-01-10", "a2", 2L, false), (3L, "1997-02-05", "c", 2L, false))
+      q.processAllAvailable()
+      assert(Rollover.readAlias(family) == Seq("cr_mix-1997-01", "cr_mix-1997-02"))
+      assert(Rollover.familyState(family, "cr_mix") == Map(
+        ("cr_mix-1997-01", "1") -> """{"id":1,"value":"a2"}""",
+        ("cr_mix-1997-01", "2") -> """{"id":2,"value":"b"}""",
+        ("cr_mix-1997-02", "3") -> """{"id":3,"value":"c"}"""))
+      assert(store.get("cr_mix").contains("2"))
+      assert(genDirs(family, "cr_mix-1997-01") == Seq("gen=0001", "gen=0002"))
+      assert(genDirs(family, "cr_mix-1997-02") == Seq("gen=0001"))
+
+      // a NIGHTLY batch append lands between stream batches: its
+      // generation must come after every ledger-reserved one
+      Seq((4L, java.sql.Date.valueOf("1997-02-10"), "d", 3L, false))
+        .toDF("id", "d", "value", "ver", "deleted")
+        .createOrReplaceTempView("cr_nightly_src")
+      val nightly = j.copy(source = SyncSource.Sql("SELECT * FROM cr_nightly_src"),
+        mode = SyncMode.Incremental("ver", "2"))
+      val out = Rollover.rolloverSync(spark, sf0001, nightly, family)
+      assert(out.map(o => (o.index, o.gen)) == Seq(("cr_mix-1997-02", Some(2))))
+
+      // and the NEXT stream batch allocates past the nightly's generation
+      input.addData((3L, "1997-02-05", "c2", 4L, false))
+      q.processAllAvailable()
+      assert(genDirs(family, "cr_mix-1997-02") == Seq("gen=0001", "gen=0002", "gen=0003"))
+      assert(Rollover.familyState(family, "cr_mix") == Map(
+        ("cr_mix-1997-01", "1") -> """{"id":1,"value":"a2"}""",
+        ("cr_mix-1997-01", "2") -> """{"id":2,"value":"b"}""",
+        ("cr_mix-1997-02", "3") -> """{"id":3,"value":"c2"}""",
+        ("cr_mix-1997-02", "4") -> """{"id":4,"value":"d"}"""))
+    } finally q.stop()
+  }
+
+  test("kill between delivery and commit: replay restores per-period bytes exactly") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long, Boolean)]
+    val df = input.toDF().toDF("id", "d", "value", "ver", "deleted")
+      .withColumn("d", to_date($"d"))
+    val j = job("cr_resume")
+    val family = tmp("graft_crr_family")
+    val store = new WatermarkStore(tmp("graft_crr_wm"))
+    val ckpt = tmp("graft_crr_ckpt")
+    val q1 = Rollover.startContinuous(df, j, family, store, ckpt)
+    try {
+      input.addData((1L, "1997-01-10", "a", 1L, false))
+      q1.processAllAvailable()
+      input.addData((2L, "1997-01-20", "b", 2L, false), (3L, "1997-02-05", "c", 2L, false))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val uninterrupted = dirSnapshot(family)
+    // crash window: batch 1 delivered but uncommitted, its doc files torn
+    // in BOTH periods it touched (the ledger survives — it is what makes
+    // the replay land on the same generations)
+    Files.delete(Paths.get(ckpt, "commits", "1"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".1.crc"))
+    Files.walk(Paths.get(family)).iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".jsonl") &&
+        ((p.toString.contains("cr_resume-1997-01/") && p.toString.contains("gen=0002")) ||
+         (p.toString.contains("cr_resume-1997-02/") && p.toString.contains("gen=0001"))))
+      .foreach(Files.delete(_))
+    assert(dirSnapshot(family) != uninterrupted, "the crash must have torn the family")
+    val q2 = Rollover.startContinuous(df, j, family, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(dirSnapshot(family) == uninterrupted,
+      "replayed batch must restore the family's bytes exactly")
+    assert(Rollover.familyState(family, "cr_resume") == Map(
+      ("cr_resume-1997-01", "1") -> """{"id":1,"value":"a"}""",
+      ("cr_resume-1997-01", "2") -> """{"id":2,"value":"b"}""",
+      ("cr_resume-1997-02", "3") -> """{"id":3,"value":"c"}"""))
+  }
+}
