@@ -77,36 +77,71 @@ object Rollover {
     * converges the rest. Returns per-period outcomes.
     */
   def rolloverSync(spark: SparkSession, sfDir: String, job: SyncJob,
-      familyRoot: String): Seq[PeriodOutcome] = {
+      familyRoot: String,
+      wrap: graft.sinks.BulkClient => graft.sinks.BulkClient = identity):
+      Seq[PeriodOutcome] = {
     val idx = indexExpr(job)
     val src = SyncRunner.source(spark, sfDir, job)
-    val periods = src.select(idx.as("_index")).distinct().orderBy("_index")
-      .collect().map(_.getString(0)).toSeq
+    val periods = collectPeriods(src, idx, job)
+    // the mapping is period-independent: one schema analysis per run, not
+    // one per period
+    val mapping = EsMapping.forJob(spark, sfDir, job)
     val outcomes = periods.map { name =>
       val slice = src.where(idx === name)
+      val sliceJob = periodScoped(job, name)
       val root = s"$familyRoot/$name"
       AliasedIndex.resolve(root) match {
         case None =>
           var counts = DeliveryCounts(0, 0)
           AliasedIndex.publish(root) { dir =>
-            EsMapping.write(dir, EsMapping.forJob(spark, sfDir, job))
-            counts = SyncRunner.runOn(slice, job, FileBulkClient(dir))
+            EsMapping.write(dir, mapping)
+            counts = SyncRunner.runOn(slice, sliceJob, wrap(FileBulkClient(dir)))
           }
           PeriodOutcome(name, created = true, gen = None, counts)
         case Some(cur) =>
-          val stored = Paths.get(cur, "mapping.json")
-          val expected = EsMapping.forJob(spark, sfDir, job)
-          if (!Files.exists(stored) || Files.readString(stored) != expected)
-            throw new IllegalStateException(
-              s"mapping drift: job '${job.name}' no longer matches index '$name' " +
-                s"($stored) — republish the period instead of appending")
-          val g = nextGen(Paths.get(cur))
-          val counts = SyncRunner.runOn(slice, job, FileBulkClient(cur, gen = Some(g)))
+          requireMappingUnchanged(cur, mapping, job, name)
+          val g = reserveGen(Paths.get(cur))
+          val counts = SyncRunner.runOn(slice, sliceJob, wrap(FileBulkClient(cur, gen = Some(g))))
           PeriodOutcome(name, created = false, gen = Some(g), counts)
       }
     }
     writeAlias(familyRoot, job.name)
     outcomes
+  }
+
+  /** The batch's period names, fail-loud on NULLs: a NULL period column
+    * would make `where(idx === name)` match NOTHING (SQL null equality),
+    * silently delivering those rows to no period at all — the engine's
+    * fail-loud convention (a sync must never silently drop documents)
+    * applies to routing exactly as it does to doc bodies.
+    */
+  private def collectPeriods(src: DataFrame,
+      idx: org.apache.spark.sql.Column, job: SyncJob): Seq[String] = {
+    val names = src.select(idx.as("_index")).distinct().orderBy("_index")
+      .collect().map(_.getString(0)).toSeq
+    if (names.contains(null)) throw new IllegalArgumentException(
+      s"job '${job.name}': period column '${job.period.get.col}' is NULL for " +
+        "some rows — a null period routes nowhere; filter or default it upstream")
+    names
+  }
+
+  /** Scope the job's dead-letter dir per period index: each period's
+    * delivery is its own `runOn` whose quarantine write OVERWRITES its
+    * dir — unscoped, the last period's (possibly empty) quarantine would
+    * destroy every earlier period's shed docs, whose only record is that
+    * parquet. The budget stays per delivery (period), the finer scope.
+    */
+  private def periodScoped(job: SyncJob, index: String): SyncJob =
+    job.copy(deadLetter = job.deadLetter.map(p =>
+      p.copy(dir = s"${p.dir}/index=$index")))
+
+  private def requireMappingUnchanged(cur: String, expected: String,
+      job: SyncJob, name: String): Unit = {
+    val stored = Paths.get(cur, "mapping.json")
+    if (!Files.exists(stored) || Files.readString(stored) != expected)
+      throw new IllegalStateException(
+        s"mapping drift: job '${job.name}' no longer matches index '$name' " +
+          s"($stored) — republish the period instead of appending")
   }
 
   /** Next free generation number inside a published version dir: the
@@ -120,7 +155,9 @@ object Rollover {
     * stream batch holds, and the replay would overwrite the nightly's
     * files.
     */
-  private[sync] def nextGen(cur: Path): Int = {
+  private[sync] def nextGen(cur: Path): Int = nextGenFrom(cur, readLedger(cur))
+
+  private def nextGenFrom(cur: Path, ledger: Map[Long, Int]): Int = {
     val GenRe = "gen=(\\d+)".r
     val listing = Files.list(cur)
     val gens =
@@ -129,7 +166,7 @@ object Rollover {
         case _        => None
       }).toSeq
       finally listing.close()
-    ((0 +: gens) ++ readLedger(cur).values).max + 1
+    ((0 +: gens) ++ ledger.values).max + 1
   }
 
   // ---- streaming generation ledger -------------------------------------
@@ -157,12 +194,28 @@ object Rollover {
 
   /** The generation batch `batchId` delivers under in `cur` — reserved
     * and persisted on first sight, stable on replay. */
-  private[sync] def streamGen(cur: Path, batchId: Long): Int =
-    readLedger(cur).getOrElse(batchId, {
-      val g = nextGen(cur)
+  private[sync] def streamGen(cur: Path, batchId: Long): Int = reserve(cur, batchId)
+
+  /** Reserve the next free generation for the nightly (batch-append)
+    * path, under a unique NEGATIVE ledger key so it can never collide
+    * with a stream batchId: recording the nightly's number before its
+    * first file lands closes the window where a stream micro-batch
+    * computes the same `nextGen` from the dir listing alone. (Ledger
+    * updates are read-modify-write on one file — like
+    * [[graft.sinks.AliasedIndex]], a single concurrent WRITER per period
+    * index is assumed: stream batches and nightly appends INTERLEAVE,
+    * they do not run simultaneously against one period.)
+    */
+  private[sync] def reserveGen(cur: Path): Int =
+    reserve(cur, readLedger(cur).keys.filter(_ < 0).minOption.getOrElse(0L) - 1)
+
+  private def reserve(cur: Path, key: Long): Int = {
+    val ledger = readLedger(cur)
+    ledger.getOrElse(key, {
+      val g = nextGenFrom(cur, ledger)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.createObjectNode()
-      (readLedger(cur) + (batchId -> g)).toSeq.sortBy(_._1).foreach {
+      (ledger + (key -> g)).toSeq.sortBy(_._1).foreach {
         case (b, gen) => node.put(b.toString, gen)
       }
       val tmp = Files.createTempFile(cur, ".ledger-", ".tmp")
@@ -171,6 +224,7 @@ object Rollover {
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       g
     })
+  }
 
   /** Period indices of `familyRoot` with a resolvable current version —
     * membership is derived from the FILESYSTEM truth (a publish that
@@ -225,8 +279,14 @@ object Rollover {
     val (dropped, kept) = members(familyRoot, alias)
       .partition(_.stripPrefix(alias + "-") < keepFrom)
     writeAliasMembers(familyRoot, alias, kept)
-    dropped.foreach(d =>
-      graft.sinks.AliasedIndex.deleteRecursively(Paths.get(familyRoot, d)))
+    dropped.foreach { d =>
+      // the `current` pointer dies FIRST: a crash mid-delete must leave a
+      // period that no longer RESOLVES (members() skips it, the next
+      // writeAlias cannot resurrect it into the manifest serving partial
+      // state) — only then are its bytes walked
+      Files.deleteIfExists(Paths.get(familyRoot, d, "current"))
+      graft.sinks.AliasedIndex.deleteRecursively(Paths.get(familyRoot, d))
+    }
     dropped
   }
 
@@ -274,7 +334,8 @@ object Rollover {
     * micro-batch, not a per-row cost.
     */
   def startContinuous(stream: DataFrame, job: SyncJob, familyRoot: String,
-      store: WatermarkStore, checkpointDir: String):
+      store: WatermarkStore, checkpointDir: String,
+      wrap: graft.sinks.BulkClient => graft.sinks.BulkClient = identity):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming,
       s"job '${job.name}': startContinuous needs a streaming DataFrame")
@@ -295,8 +356,10 @@ object Rollover {
             s"graft.rollover.${job.name}.stream.wmMax.b$batchId")
           a
         }
-        val periods = batch.select(idx.as("_index")).distinct().orderBy("_index")
-          .collect().map(_.getString(0)).toSeq
+        val periods = collectPeriods(batch, idx, job)
+        // period-independent: one schema analysis per batch, shared by
+        // the create path and the drift check
+        val mapping = EsMapping.forSource(batch, job)
         periods.foreach { name =>
           val slice = batch.where(idx === name)
           val root = s"$familyRoot/$name"
@@ -305,12 +368,19 @@ object Rollover {
             // only) and append below — create and append are then one code
             // path, and a replayed creating batch appends idempotently
             // instead of re-publishing
-            AliasedIndex.publish(root) { dir =>
-              EsMapping.write(dir, EsMapping.forSource(slice, job))
-            }
+            AliasedIndex.publish(root) { dir => EsMapping.write(dir, mapping) }
           }
+          // same refusal as the batch append path: new-shape docs must
+          // never land under an old strict mapping (ES would reject the
+          // bulk with a mapping conflict)
+          requireMappingUnchanged(cur, mapping, job, name)
           val g = streamGen(Paths.get(cur), batchId)
-          SyncRunner.runOn(slice, job, FileBulkClient(cur, gen = Some(g)),
+          // quarantine scoped per (batch, period): each runOn overwrites
+          // its own dir on replay, and neither a later batch nor a
+          // sibling period may clobber another's unreplayed rejects
+          val sliceJob = job.copy(deadLetter = job.deadLetter.map(p =>
+            p.copy(dir = s"${p.dir}/batch=$batchId/index=$name")))
+          SyncRunner.runOn(slice, sliceJob, wrap(FileBulkClient(cur, gen = Some(g))),
             wmTrack = wmCol.map(c => (c, acc.get)))
         }
         writeAlias(familyRoot, job.name)

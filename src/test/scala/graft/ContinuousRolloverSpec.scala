@@ -91,6 +91,42 @@ class ContinuousRolloverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming append refuses mapping drift like the batch path") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long, Boolean)]
+    val df = input.toDF().toDF("id", "d", "value", "ver", "deleted")
+      .withColumn("d", to_date($"d"))
+    val j = job("cr_drift")
+    val family = tmp("graft_crd_family")
+    val q1 = Rollover.startContinuous(df, j, family,
+      new WatermarkStore(tmp("graft_crd_wm")), tmp("graft_crd_ckpt"))
+    try {
+      input.addData((1L, "1997-01-10", "a", 1L, false))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val drifted = j.copy(fields = fields :+ DocField("version", "ver", quoted = false))
+    val input2 = MemoryStream[(Long, String, String, Long, Boolean)]
+    val df2 = input2.toDF().toDF("id", "d", "value", "ver", "deleted")
+      .withColumn("d", to_date($"d"))
+    val q2 = Rollover.startContinuous(df2, drifted, family,
+      new WatermarkStore(tmp("graft_crd_wm2")), tmp("graft_crd_ckpt2"))
+    try {
+      input2.addData((2L, "1997-01-20", "b", 2L, false))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => c.getMessage != null && c.getMessage.contains("mapping drift")),
+        s"expected a mapping-drift refusal, got: $e")
+    } finally q2.stop()
+    // the refused batch delivered nothing: the period still serves batch 0
+    assert(Rollover.familyState(family, "cr_drift") == Map(
+      ("cr_drift-1997-01", "1") -> """{"id":1,"value":"a"}"""))
+  }
+
   test("kill between delivery and commit: replay restores per-period bytes exactly") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -198,6 +198,48 @@ class RolloverSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL period column refuses the whole run — rows must not route nowhere") {
+    import spark.implicits._
+    Seq((1L, Some(java.sql.Date.valueOf("1997-01-10")), "O", 1L, false),
+        (2L, None: Option[java.sql.Date], "O", 1L, false))
+      .toDF("id", "d", "status", "ver", "deleted")
+      .createOrReplaceTempView("rollover_src")
+    val family = tmp("graft-rollover-null-")
+    val e = intercept[IllegalArgumentException] {
+      Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    }
+    assert(e.getMessage.contains("NULL"))
+    assert(Rollover.readAlias(family).isEmpty, "nothing may publish on refusal")
+  }
+
+  test("poison quarantines per period: no period's rejects clobber another's") {
+    val family = tmp("graft-rollover-dlq-")
+    val dlq = tmp("graft-rollover-dlq-root-")
+    setSource(night1)
+    // one poisoned id per month: 1 (1997-01), 3 (1997-02)
+    val j = job(SyncMode.Full).copy(
+      deadLetter = Some(graft.sinks.DeadLetterPolicy(dlq, budget = 10)))
+    Rollover.rolloverSync(spark, sf0001, j, family,
+      wrap = c => PoisonClient(c, Set("1", "3")))
+    // both months' quarantines exist side by side, with their docs
+    val shed = spark.read.parquet(dlq)
+    assert(shed.select("_id").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+    val state = Rollover.familyState(family, "rollover_demo")
+    assert(state.keySet.map(_._2) == Set("2", "4", "5"), s"survivors delivered: $state")
+  }
+
+  test("expired-but-unresolvable members are never resurrected into the alias") {
+    val family = tmp("graft-rollover-res-")
+    setSource(night1)
+    Rollover.rolloverSync(spark, sf0001, job(SyncMode.Full), family)
+    // simulate a crash mid-expire: the pointer died, the bytes did not
+    Files.delete(Paths.get(family, "rollover_demo-1997-01", "current"))
+    // the next alias refresh (here: an idempotent expire) must exclude it
+    Rollover.expire(family, "rollover_demo", keepFrom = "0000")
+    assert(Rollover.readAlias(family) ==
+      Seq("rollover_demo-1997-02", "rollover_demo-1997-03"))
+  }
+
   test("a job without a period refuses rolloverSync") {
     setSource(night1)
     val single = job(SyncMode.Full).copy(period = None)
