@@ -62,6 +62,36 @@ object Packing extends QueryFamily {
         .orderBy("seq_id")
     }),
 
+    // Token-budget shard assignment: split the corpus (doc_id order) into
+    // 16 output shards of ≈equal TOKEN volume — the "write balanced
+    // training shards" op (a doc belongs wholly to one shard; shard =
+    // tokens-before × K ÷ total, the proportional partitioner). Same
+    // bucket-offset decomposition as q_pack_sequences for the running
+    // token count — the only global state is one row per bucket plus the
+    // single-row total, both broadcast; integer arithmetic throughout.
+    "q_pack_shards" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tok"),
+          expr("doc_id DIV 64 AS bkt"))
+      val offs = d.groupBy("bkt").agg(sum("n_tok").as("toks"))
+        .withColumn("off", coalesce(sum("toks").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val tot = offs.agg(sum("toks").as("total"))
+      d.join(broadcast(offs.select("bkt", "off")), "bkt")
+        .crossJoin(broadcast(tot))
+        .withColumn("before", col("off") +
+          coalesce(sum("n_tok").over(
+            Window.partitionBy("bkt").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("shard", expr("before * 16 DIV total"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
     // Vocabulary construction: top-100 tokens by corpus frequency with a
     // deterministic tie-break (count desc, token asc) and the cumulative
     // token-coverage count — the "how big must the vocab be" table. The
@@ -151,6 +181,17 @@ object Packing extends QueryFamily {
       "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
       "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
       "FROM c GROUP BY seq_id ORDER BY seq_id"),
+
+    "q_pack_shards" -> ("WITH d AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, n_tok, " +
+      "CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND CURRENT ROW) AS BIGINT) - n_tok AS before FROM d), " +
+      "t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM d) " +
+      "SELECT CAST(before * 16 // total AS BIGINT) AS shard, " +
+      "count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+      "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+      "FROM c, t GROUP BY 1 ORDER BY shard"),
 
     "q_text_vocab" -> ("WITH freq AS (SELECT tok, count(*) AS cnt FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +

@@ -99,6 +99,27 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.queries("q_dedup_exact")(spark, sf0001).count() == expected)
   }
 
+  test("q_pack_shards: every shard within total/16 + one max doc of budget") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_pack_shards")(spark, sf0001).collect()
+    assert(rows.length == 16, s"proportional split must fill all 16 shards at sf0.001")
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    val total = toks.sum
+    val maxDoc = Tables(spark, sf0001, "documents")
+      .select(max(size(split(col("text"), " ")))).head().getInt(0).toLong
+    // proportional assignment: a shard overshoots its budget by at most
+    // the one doc that straddles its boundary
+    assert(toks.forall(_ <= total / 16 + maxDoc),
+      s"unbalanced shards: ${toks.mkString(",")} (budget ${total / 16}, maxDoc $maxDoc)")
+    // shards cover the corpus in doc_id order, no gaps or overlaps
+    val ranges = rows.sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    ranges.sliding(2).foreach { case Array((_, aLast), (bFirst, _)) =>
+      assert(aLast < bFirst, s"shard ranges must be disjoint ascending: $ranges")
+    case _ => ()
+    }
+  }
+
   test("q_sample_mixture caps only over-represented strata; rate 1M keeps all") {
     val rows = SparkEntry.queries("q_sample_mixture")(spark, sf0001).collect()
     assert(rows.nonEmpty)
