@@ -335,7 +335,8 @@ object Rollover {
     */
   def startContinuous(stream: DataFrame, job: SyncJob, familyRoot: String,
       store: WatermarkStore, checkpointDir: String,
-      wrap: graft.sinks.BulkClient => graft.sinks.BulkClient = identity):
+      wrap: graft.sinks.BulkClient => graft.sinks.BulkClient = identity,
+      gate: Option[(DataFrame, Long) => DataFrame] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(stream.isStreaming,
       s"job '${job.name}': startContinuous needs a streaming DataFrame")
@@ -348,13 +349,26 @@ object Rollover {
     stream.writeStream
       .queryName(s"graft-rollover-${job.name}")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // same gate contract as ContinuousSync.start: deterministic per
+        // (rows, batchId), batchId-scoped state — e.g. DedupGate shedding
+        // near-dups before the period fan-out
+        val batch = gate.fold(batch0)(g => g(batch0, batchId))
         val spark = batch.sparkSession
         val acc = wmCol.map { _ =>
           val a = new MaxWatermarkAccumulator
           spark.sparkContext.register(a,
             s"graft.rollover.${job.name}.stream.wmMax.b$batchId")
           a
+        }
+        // the watermark must cover GATE-SHED rows too (the stream consumed
+        // the whole batch) — the ContinuousSync pre-gate max discipline
+        (gate, wmCol, acc) match {
+          case (Some(_), Some(c), Some(a)) =>
+            val m = batch0.agg(org.apache.spark.sql.functions
+              .max(org.apache.spark.sql.functions.col(c))).head().get(0)
+            if (m != null) a.add(m)
+          case _ => ()
         }
         val periods = collectPeriods(batch, idx, job)
         // period-independent: one schema analysis per batch, shared by

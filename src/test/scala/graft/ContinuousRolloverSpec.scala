@@ -91,6 +91,43 @@ class ContinuousRolloverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a dedup gate composes with the period fan-out: shed docs never create their period") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long, String)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars", "d")
+      .withColumn("d", to_date($"d"))
+    val j = SyncJob("cr_gated", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = Seq(DocField("doc_id", "doc_id", quoted = false),
+        DocField("lang", "lang", quoted = true)),
+      shards = 2, batchSize = 10,
+      mode = SyncMode.Incremental("doc_id", "0"),
+      period = Some(IndexPeriod("d", "yyyy-MM")))
+    val family = tmp("graft_crg_family")
+    val store = new WatermarkStore(tmp("graft_crg_wm"))
+    val q = Rollover.startContinuous(df, j, family, store, tmp("graft_crg_ckpt"),
+      gate = Some(new DedupGate(tmp("graft_crg_sig")).filterBatch))
+    try {
+      // doc 2 (1997-02) is a same-block near-dup of doc 1 (1997-01): the
+      // gate sheds it BEFORE the period fan-out, so its period index is
+      // never even created — but the watermark still covers it
+      input.addData(
+        (1L, "en", "a b c d e f g h i j", 10L, "1997-01-10"),
+        (2L, "en", "a b c d e f g h i k", 10L, "1997-02-05"))
+      q.processAllAvailable()
+      assert(Rollover.readAlias(family) == Seq("cr_gated-1997-01"),
+        "a fully-shed period must not be created")
+      assert(store.get("cr_gated").contains("2"),
+        s"watermark must cover shed docs: ${store.get("cr_gated")}")
+      // a genuinely novel doc in that period creates it as usual
+      input.addData((3L, "en", "x y z w v u t s r q", 10L, "1997-02-20"))
+      q.processAllAvailable()
+      assert(Rollover.readAlias(family) == Seq("cr_gated-1997-01", "cr_gated-1997-02"))
+      assert(Rollover.familyState(family, "cr_gated").keySet ==
+        Set(("cr_gated-1997-01", "1"), ("cr_gated-1997-02", "3")))
+    } finally q.stop()
+  }
+
   test("streaming append refuses mapping drift like the batch path") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
