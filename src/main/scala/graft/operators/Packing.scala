@@ -30,29 +30,40 @@ object Packing extends QueryFamily {
   private val gram4Duck = "[t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] " +
     "for i in generate_series(1, len(t) - 3)]"
 
+  /** (doc_id, n_tok, before): each document's token count and the number
+    * of corpus tokens strictly before it in doc_id order. The global
+    * running count is NOT a single-partition window: doc_id ranges form
+    * buckets, per-bucket token totals (a tiny table) are prefix-summed
+    * and broadcast back, and each bucket computes only its LOCAL prefix
+    * sums — the q_sink_batched decomposition, which scales to any corpus
+    * because the only global state is one row per bucket. Both packing
+    * queries read their running-token-count definition from this one
+    * frame, so they cannot diverge on it.
+    */
+  private def tokensBefore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tok"),
+        expr("doc_id DIV 64 AS bkt"))
+    val offs = d.groupBy("bkt").agg(sum("n_tok").as("toks"))
+      .withColumn("off", coalesce(sum("toks").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "off")
+    d.join(broadcast(offs), "bkt")
+      .withColumn("before", col("off") +
+        coalesce(sum("n_tok").over(
+          Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "n_tok", "before")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Sequence packing, concatenate-then-chunk: documents in doc_id order
     // are laid head-to-tail and cut every 2048 tokens; a document belongs
-    // to the chunk its first token lands in. The global running token
-    // count is NOT a single-partition window: doc_id ranges form buckets,
-    // per-bucket token totals (a tiny table) are prefix-summed and
-    // broadcast back, and each bucket computes only its LOCAL prefix sums
-    // — the q_sink_batched decomposition, which scales to any corpus
-    // because the only global state is one row per bucket.
+    // to the chunk its first token lands in ([[tokensBefore]] supplies
+    // the scale-safe running count).
     "q_pack_sequences" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tok"),
-          expr("doc_id DIV 64 AS bkt"))
-      val offs = d.groupBy("bkt").agg(sum("n_tok").as("toks"))
-        .withColumn("off", coalesce(sum("toks").over(
-          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select("bkt", "off")
-      d.join(broadcast(offs), "bkt")
-        .withColumn("before", col("off") +
-          coalesce(sum("n_tok").over(
-            Window.partitionBy("bkt").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      tokensBefore(s, dir)
         .withColumn("seq_id", expr("before DIV 2048"))
         .groupBy("seq_id")
         .agg(count(lit(1)).as("n_docs"),
@@ -65,25 +76,14 @@ object Packing extends QueryFamily {
     // Token-budget shard assignment: split the corpus (doc_id order) into
     // 16 output shards of ≈equal TOKEN volume — the "write balanced
     // training shards" op (a doc belongs wholly to one shard; shard =
-    // tokens-before × K ÷ total, the proportional partitioner). Same
-    // bucket-offset decomposition as q_pack_sequences for the running
-    // token count — the only global state is one row per bucket plus the
-    // single-row total, both broadcast; integer arithmetic throughout.
+    // tokens-before × K ÷ total, the proportional partitioner). Running
+    // count from [[tokensBefore]]; the single-row corpus total rides a
+    // broadcast cross join; integer arithmetic throughout.
     "q_pack_shards" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), big(size(split(col("text"), " "))).as("n_tok"),
-          expr("doc_id DIV 64 AS bkt"))
-      val offs = d.groupBy("bkt").agg(sum("n_tok").as("toks"))
-        .withColumn("off", coalesce(sum("toks").over(
-          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      val tot = offs.agg(sum("toks").as("total"))
-      d.join(broadcast(offs.select("bkt", "off")), "bkt")
+      val tot = Tables(s, dir, "documents")
+        .agg(big(sum(size(split(col("text"), " ")))).as("total"))
+      tokensBefore(s, dir)
         .crossJoin(broadcast(tot))
-        .withColumn("before", col("off") +
-          coalesce(sum("n_tok").over(
-            Window.partitionBy("bkt").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("shard", expr("before * 16 DIV total"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),

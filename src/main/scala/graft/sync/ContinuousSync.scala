@@ -1,6 +1,7 @@
 package graft.sync
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.sinks.FileBulkClient
 
@@ -84,17 +85,7 @@ object ContinuousSync {
             val acc = new MaxWatermarkAccumulator
             spark.sparkContext.register(acc,
               s"graft.sync.${job.name}.stream.wmMax.b$batchId")
-            // a gate sheds rows BEFORE delivery, but the stream consumed
-            // the whole batch: the watermark must cover shed docs too, or
-            // the documented batch-mode handoff re-scans their window
-            // through the ungated path and re-ships them. One max-agg
-            // over the pre-gate batch (max is idempotent, so riding
-            // alongside the delivery pass's per-row tracking is safe).
-            if (gate.isDefined) {
-              val m = batch0.agg(org.apache.spark.sql.functions
-                .max(org.apache.spark.sql.functions.col(c))).head().get(0)
-              if (m != null) acc.add(m)
-            }
+            if (gate.isDefined) preGateMax(batch0, c, acc)
             SyncRunner.runOn(batch, job0, client, wmTrack = Some((c, acc)))
             // advance only after the whole batch delivered — a failed
             // batch leaves the watermark put, exactly like a failed
@@ -113,6 +104,21 @@ object ContinuousSync {
         ()
       }
       .start()
+  }
+
+  /** One max-agg over the PRE-GATE batch into the watermark accumulator:
+    * a gate sheds rows before delivery, but the stream consumed the whole
+    * batch — the watermark must cover shed docs too, or the documented
+    * batch-mode handoff re-scans their window through the ungated path
+    * and re-ships them. Max is idempotent, so riding alongside the
+    * delivery pass's per-row tracking is safe. Shared by the single-index
+    * and period-family ([[Rollover.startContinuous]]) streams so the
+    * coverage discipline can't drift between them.
+    */
+  private[sync] def preGateMax(batch0: DataFrame, c: String,
+      acc: MaxWatermarkAccumulator): Unit = {
+    val m = batch0.agg(max(col(c))).head().get(0)
+    if (m != null) acc.add(m)
   }
 
   /** Advance `store`'s watermark to the accumulator's max, only FORWARD:

@@ -355,54 +355,60 @@ object Rollover {
         // near-dups before the period fan-out
         val batch = gate.fold(batch0)(g => g(batch0, batchId))
         val spark = batch.sparkSession
-        val acc = wmCol.map { _ =>
-          val a = new MaxWatermarkAccumulator
-          spark.sparkContext.register(a,
-            s"graft.rollover.${job.name}.stream.wmMax.b$batchId")
-          a
-        }
-        // the watermark must cover GATE-SHED rows too (the stream consumed
-        // the whole batch) — the ContinuousSync pre-gate max discipline
-        (gate, wmCol, acc) match {
-          case (Some(_), Some(c), Some(a)) =>
-            val m = batch0.agg(org.apache.spark.sql.functions
-              .max(org.apache.spark.sql.functions.col(c))).head().get(0)
-            if (m != null) a.add(m)
-          case _ => ()
-        }
-        val periods = collectPeriods(batch, idx, job)
-        // period-independent: one schema analysis per batch, shared by
-        // the create path and the drift check
-        val mapping = EsMapping.forSource(batch, job)
-        periods.foreach { name =>
-          val slice = batch.where(idx === name)
-          val root = s"$familyRoot/$name"
-          val cur = AliasedIndex.resolve(root).getOrElse {
-            // first sight of this period: publish the index EMPTY (mapping
-            // only) and append below — create and append are then one code
-            // path, and a replayed creating batch appends idempotently
-            // instead of re-publishing
-            AliasedIndex.publish(root) { dir => EsMapping.write(dir, mapping) }
+        // the period fan-out executes `batch` once for collectPeriods and
+        // once per period slice — behind a gate, each execution would
+        // re-run the gate's whole signature-store probe (and the store is
+        // grow-only, so a long-running stream's per-batch cost would grow
+        // ×(periods+1)). Pin the batch once; slices then read the cache.
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val acc = wmCol.map { _ =>
+            val a = new MaxWatermarkAccumulator
+            spark.sparkContext.register(a,
+              s"graft.rollover.${job.name}.stream.wmMax.b$batchId")
+            a
           }
-          // same refusal as the batch append path: new-shape docs must
-          // never land under an old strict mapping (ES would reject the
-          // bulk with a mapping conflict)
-          requireMappingUnchanged(cur, mapping, job, name)
-          val g = streamGen(Paths.get(cur), batchId)
-          // quarantine scoped per (batch, period): each runOn overwrites
-          // its own dir on replay, and neither a later batch nor a
-          // sibling period may clobber another's unreplayed rejects
-          val sliceJob = job.copy(deadLetter = job.deadLetter.map(p =>
-            p.copy(dir = s"${p.dir}/batch=$batchId/index=$name")))
-          SyncRunner.runOn(slice, sliceJob, wrap(FileBulkClient(cur, gen = Some(g))),
-            wmTrack = wmCol.map(c => (c, acc.get)))
-        }
-        writeAlias(familyRoot, job.name)
-        (wmCol, acc) match {
-          case (Some(_), Some(a)) =>
-            ContinuousSync.advanceMonotone(spark, store, job.name, a)
-          case _ => ()
-        }
+          // the watermark must cover GATE-SHED rows too (the stream
+          // consumed the whole batch) — the shared pre-gate max discipline
+          (gate, wmCol, acc) match {
+            case (Some(_), Some(c), Some(a)) =>
+              ContinuousSync.preGateMax(batch0, c, a)
+            case _ => ()
+          }
+          val periods = collectPeriods(batch, idx, job)
+          // period-independent: one schema analysis per batch, shared by
+          // the create path and the drift check
+          val mapping = EsMapping.forSource(batch, job)
+          periods.foreach { name =>
+            val slice = batch.where(idx === name)
+            val root = s"$familyRoot/$name"
+            val cur = AliasedIndex.resolve(root).getOrElse {
+              // first sight of this period: publish the index EMPTY (mapping
+              // only) and append below — create and append are then one code
+              // path, and a replayed creating batch appends idempotently
+              // instead of re-publishing
+              AliasedIndex.publish(root) { dir => EsMapping.write(dir, mapping) }
+            }
+            // same refusal as the batch append path: new-shape docs must
+            // never land under an old strict mapping (ES would reject the
+            // bulk with a mapping conflict)
+            requireMappingUnchanged(cur, mapping, job, name)
+            val g = streamGen(Paths.get(cur), batchId)
+            // quarantine scoped per (batch, period): each runOn overwrites
+            // its own dir on replay, and neither a later batch nor a
+            // sibling period may clobber another's unreplayed rejects
+            val sliceJob = job.copy(deadLetter = job.deadLetter.map(p =>
+              p.copy(dir = s"${p.dir}/batch=$batchId/index=$name")))
+            SyncRunner.runOn(slice, sliceJob, wrap(FileBulkClient(cur, gen = Some(g))),
+              wmTrack = wmCol.map(c => (c, acc.get)))
+          }
+          writeAlias(familyRoot, job.name)
+          (wmCol, acc) match {
+            case (Some(_), Some(a)) =>
+              ContinuousSync.advanceMonotone(spark, store, job.name, a)
+            case _ => ()
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()

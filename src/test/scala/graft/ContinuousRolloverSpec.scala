@@ -128,6 +128,37 @@ class ContinuousRolloverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the gate plan evaluates each batch row once despite the period fan-out") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long, Boolean)]
+    val df = input.toDF().toDF("id", "d", "value", "ver", "deleted")
+      .withColumn("d", to_date($"d"))
+    val j = job("cr_once")
+    val family = tmp("graft_cro_family")
+    val store = new WatermarkStore(tmp("graft_cro_wm"))
+    // a counting stand-in for an expensive gate probe (DedupGate re-reads
+    // its whole grow-only signature store per execution): without the
+    // fan-out pinning the gated batch, collectPeriods + each period slice
+    // would re-run this plan, tripling the count on a 2-period batch
+    val evals = spark.sparkContext.longAccumulator("cr_once_gate_evals")
+    val counted = org.apache.spark.sql.functions.udf { (_: Long) =>
+      evals.add(1); true
+    }.asNondeterministic() // a fold-proof call per row per execution
+    val gate: (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame =
+      (b, _) => b.filter(counted($"id"))
+    val q = Rollover.startContinuous(df, j, family, store,
+      tmp("graft_cro_ckpt"), gate = Some(gate))
+    try {
+      input.addData((1L, "1997-01-10", "a", 1L, false),
+        (2L, "1997-02-05", "b", 1L, false))
+      q.processAllAvailable()
+      assert(Rollover.readAlias(family) == Seq("cr_once-1997-01", "cr_once-1997-02"))
+      assert(evals.value == 2,
+        s"gate must evaluate each row once per batch, got ${evals.value}")
+    } finally q.stop()
+  }
+
   test("streaming append refuses mapping drift like the batch path") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
