@@ -26,6 +26,7 @@ object SparkEntry {
     operators.StreamOps,     // §2.J streaming analogs
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
     sync.SyncQueries,        // §3.1 config-driven sync-job orchestration
+    sync.ViewQueries,        // incrementally-maintained aggregate views
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,195 @@
+package graft.sync
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DecimalType, DecimalType => DT}
+import graft.sinks.AliasedIndex
+
+/** Incrementally-maintained aggregate views: refresh a grouped aggregate
+  * from DELTAS at O(delta + state) cost instead of rescanning the corpus
+  * — the materialized-view counterpart of the sync layer's watermark
+  * machinery. At 100 TB this is the difference between "refresh the
+  * dashboard aggregate by re-reading 100 TB" and "fold tonight's
+  * partitions into a state table the size of the key space".
+  *
+  * Mechanics, Spark-first:
+  *
+  *  - State = a parquet table of per-key PARTIAL aggregation states
+  *    (`mv_n`, `mv_s`, `mv_s2`, and for append-only views
+  *    `mv_min`/`mv_max`), the classic algebraic-aggregate decomposition:
+  *    count/sum/sum-of-squares merge by addition, min/max by min/max.
+  *    Sums are EXACT decimals pinned to a fixed precision
+  *    ([[pinnedSum]]), so merge order never changes a result and the
+  *    state schema is identical across refreshes (Spark widens decimal
+  *    sums per aggregation; unpinned, every refresh would widen the
+  *    schema until the 38-digit cap).
+  *  - A refresh partial-aggregates the delta by key (map-side combine,
+  *    one shuffle of the delta's distinct keys), unions it with the
+  *    state table, and re-merges — a shuffle of O(state + delta keys)
+  *    rows, never a corpus scan. On a real cluster the state table is
+  *    key-partitioned parquet; the union-merge reuses that partitioning.
+  *  - The merged state is published through [[AliasedIndex.publish]]:
+  *    readers resolve `current` and see the old complete state or the
+  *    new complete state, never a half-merged one, and a crashed refresh
+  *    leaves only hidden staging junk.
+  *
+  * Retraction (deletes/updates upstream): count and sum are INVERTIBLE —
+  * fold the retracted rows with sign −1. min/max are NOT (retracting the
+  * minimum requires knowing the runner-up, which the state no longer
+  * has), so a `retractable` view simply does not carry them: the
+  * distinction is structural (no `mv_min`/`mv_max` columns), not a
+  * runtime flag that could silently serve a stale minimum. Over-
+  * retraction (a key's count driven below zero — retracting rows that
+  * were never added) fails the refresh loudly from inside the merge
+  * plan; the old state stays published.
+  *
+  * Tracked refreshes ([[refreshTracked]]) pull their own delta with the
+  * sync layer's watermark-pushdown discipline, with one difference from
+  * [[SyncRunner.runTracked]]: doc delivery is idempotent (re-shipping a
+  * window folds to the same served state), a MERGE IS NOT — re-folding a
+  * delta double-counts it. So the watermark is not kept in a separate
+  * [[WatermarkStore]] whose advance could be lost between publish and
+  * set; it is written INSIDE the version dir the publish flips, making
+  * (state, watermark) one atomic commit: a crash at any point either
+  * serves the old state with the old mark (the delta re-pulls and
+  * re-merges onto the OLD state) or the new state with the new mark.
+  */
+object IncrementalView {
+
+  /** A maintained view: group keys plus one measure column (pre-cast by
+    * the caller to an EXACT type — decimal or integral; see
+    * [[graft.Dets.money]] — so sums are order-independent).
+    * `retractable` views support signed refreshes and carry no min/max.
+    */
+  final case class ViewDef(keys: Seq[String], measure: String,
+      retractable: Boolean = false)
+
+  /** Fold `delta` (all rows additions) into the view at `root`. */
+  def refresh(spark: SparkSession, root: String, delta: DataFrame,
+      v: ViewDef): Unit =
+    doRefresh(spark, root, delta, v, lit(1L), wmCol = None)
+
+  /** Fold a SIGNED delta: `sign` is +1 (add) or −1 (retract) per row.
+    * Only retractable views — an append-only view's min/max cannot
+    * un-see a retracted row.
+    */
+  def refreshSigned(spark: SparkSession, root: String, delta: DataFrame,
+      v: ViewDef, sign: Column): Unit = {
+    require(v.retractable,
+      "refreshSigned needs a retractable ViewDef: min/max are not " +
+        "invertible, so append-only views refuse signed deltas")
+    doRefresh(spark, root, delta, v, sign, wmCol = None)
+  }
+
+  /** Watermark-tracked refresh: pull the delta (`wmCol` strictly past
+    * the mark committed with the CURRENT state version), fold it, and
+    * commit the delta's max watermark atomically with the new state.
+    * `src` is the full source as of now — the pushdown predicate makes
+    * the scan read only the un-folded tail (partition pruning on a
+    * date-partitioned lake).
+    */
+  def refreshTracked(spark: SparkSession, root: String, src: DataFrame,
+      v: ViewDef, wmCol: String): Unit = {
+    val delta = currentWatermark(root).fold(src)(w =>
+      src.where(expr(s"$wmCol > ($w)")))
+    doRefresh(spark, root, delta, v, lit(1L), wmCol = Some(wmCol))
+  }
+
+  /** The watermark committed with the currently-published state, as a
+    * Spark SQL literal (rendered by [[SyncRunner.wmLiteral]]). */
+  def currentWatermark(root: String): Option[String] =
+    AliasedIndex.resolve(root).map(cur => Paths.get(cur, "watermark"))
+      .filter(Files.exists(_)).map(p => Files.readString(p).trim)
+
+  /** The published state table: keys + partial columns, one row per key
+    * ever seen. Spec/diagnostic surface; user queries go through
+    * [[read]]. */
+  def state(spark: SparkSession, root: String): Option[DataFrame] =
+    AliasedIndex.resolve(root).map(cur =>
+      spark.read.parquet(Paths.get(cur, "state").toString))
+
+  /** The served view: one row per key with a LIVE count. A fully
+    * retracted key (mv_n = 0) disappears, exactly as its rows
+    * disappearing upstream would make it vanish from the direct
+    * aggregate. Finalization (avg = s/n, variance from moments) is the
+    * caller's — the state exposes the exact partials.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    state(spark, root).getOrElse(throw new IllegalStateException(
+      s"no published view at $root — refresh it first"))
+      .where(col("mv_n") > 0)
+
+  // ---- internals -------------------------------------------------------
+
+  /** Fixed state types for a measure type: Spark widens every decimal
+    * SUM by 10 digits, so without pinning, refresh N would carry a wider
+    * schema than refresh N−1 (schema drift in the state table, and a
+    * 38-cap collision three refreshes in). Integral measures sum through
+    * DECIMAL too — a BIGINT sum-of-squares overflows 64 bits on real
+    * data, and ANSI mode makes that a mid-refresh error.
+    */
+  private def pinnedSum(dt: DataType): (DecimalType, DecimalType) = dt match {
+    case d: DecimalType => (DT(38, d.scale), DT(38, math.min(d.scale * 2, 12)))
+    case _              => (DT(38, 0), DT(38, 0))
+  }
+
+  private def doRefresh(spark: SparkSession, root: String, delta: DataFrame,
+      v: ViewDef, sign: Column, wmCol: Option[String]): Unit = {
+    val keyCols = v.keys.map(col)
+    val m = col(v.measure)
+    val (sumT, sqT) = pinnedSum(delta.schema(v.measure).dataType)
+    val minmax =
+      if (v.retractable) Seq.empty
+      else Seq(min(m).as("mv_min"), max(m).as("mv_max"))
+    val wm = wmCol.map(c => max(col(c)).as("mv_wm")).toSeq
+    val deltaAggs = Seq(
+      sum(sign).as("mv_n"),
+      sum(m.cast(sumT) * sign).cast(sumT).as("mv_s"),
+      sum((m.cast(sqT) * m.cast(sqT)) * sign).cast(sqT).as("mv_s2")) ++
+      minmax ++ wm
+    val partials =
+      delta.groupBy(keyCols: _*).agg(deltaAggs.head, deltaAggs.tail: _*)
+    // the partials table is O(delta's distinct keys): pin it once —
+    // it feeds the empty-probe, (tracked) the watermark max, and the
+    // merge, which must not re-aggregate the delta three times
+    partials.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // an empty delta must NOT rewrite O(state) bytes for nothing (nor
+      // advance the watermark: there is nothing to advance past)
+      if (partials.isEmpty) return
+      val wmMax = wm.headOption.map { _ =>
+        val raw = partials.agg(max(col("mv_wm"))).head().get(0)
+        SyncRunner.wmLiteral(raw)
+      }
+      val deltaState = partials.drop("mv_wm")
+      val merged = state(spark, root) match {
+        case None => deltaState
+        case Some(st) =>
+          val mergeMinmax =
+            if (v.retractable) Seq.empty
+            else Seq(min("mv_min").as("mv_min"), max("mv_max").as("mv_max"))
+          val mergeAggs = Seq(
+            sum("mv_n").as("mv_n"),
+            sum("mv_s").cast(sumT).as("mv_s"),
+            sum("mv_s2").cast(sqT).as("mv_s2")) ++ mergeMinmax
+          st.unionByName(deltaState).groupBy(keyCols: _*)
+            .agg(mergeAggs.head, mergeAggs.tail: _*)
+      }
+      // over-retraction fails from INSIDE the merge plan (the check rides
+      // the kept mv_n column, so pruning can't elide it) and the publish
+      // cleans its staging — the old state stays served
+      val checked =
+        if (!v.retractable) merged
+        else merged.withColumn("mv_n", expr(
+          "CASE WHEN mv_n >= 0 THEN mv_n ELSE CAST(raise_error(concat(" +
+            "'IncrementalView: over-retraction drove a key''s count to ', " +
+            "CAST(mv_n AS STRING), ' — retracted rows that were never " +
+            "added')) AS BIGINT) END"))
+      AliasedIndex.publish(root) { dir =>
+        checked.write.parquet(Paths.get(dir, "state").toString)
+        wmMax.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
+      }
+    } finally partials.unpersist()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sync
+
+import java.nio.file.Paths
+import graft.QueryFamily
+import graft.sinks.AliasedIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-checked surface of [[IncrementalView]] (SURVEY §3.1's
+  * materialized-refresh counterpart): each query BUILDS a view through the
+  * real refresh machinery — multiple deltas, signed retractions, or
+  * watermark-tracked pulls — then returns the served state, and the DuckDB
+  * oracle recomputes the same aggregate DIRECTLY over the corpus. A green
+  * row therefore certifies the central claim of incremental maintenance:
+  * folding the data in pieces equals scanning it whole.
+  */
+object ViewQueries extends QueryFamily {
+
+  /** Fresh per-(query, sfDir) view root. Wiped on every invocation: the
+    * verify and bench harnesses call a query repeatedly, and re-folding a
+    * delta onto surviving state would double-count (the one way an
+    * incremental view can silently rot). Rebuild-from-empty keeps each run
+    * self-contained and byte-deterministic.
+    */
+  private def freshRoot(tag: String, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    AliasedIndex.deleteRecursively(Paths.get(root))
+    root
+  }
+
+  /** orders reshaped to view inputs: exact-decimal measure (double sums
+    * are order-dependent; DECIMAL(12,2) folds identically in any order
+    * and matches q_sink_esdocs' money convention), plus the event-time
+    * column the tracked query watermarks on.
+    */
+  private def ordersSrc(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+      col("o_orderdate"))
+
+  private val cutoff = "TIMESTAMP '1997-06-01'"
+
+  /** Served state → the oracle-checked shape. mv_s2 stays internal: its
+    * decimal-product precision rules differ across engines (Spark caps
+    * and rescales at 38 digits, DuckDB refuses), so the moment column is
+    * certified Spark-vs-Spark in IncrementalViewSpec instead.
+    */
+  private def served(s: SparkSession, root: String, keys: Seq[String],
+      withMinMax: Boolean): DataFrame = {
+    val base = IncrementalView.read(s, root).select(
+      (keys.map(col) ++ Seq(col("mv_n").as("n_rows"),
+        col("mv_s").as("total_sum")) ++
+        (if (withMinMax) Seq(col("mv_min").as("total_min"),
+          col("mv_max").as("total_max")) else Seq.empty)): _*)
+    base.orderBy(keys.map(col): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-delta fold == one-shot aggregate: refresh with the pre-cutoff
+    // rows, then the post-cutoff rows; serve. The oracle never sees the
+    // split — it aggregates the whole table in one pass.
+    "q_view_incremental" -> ((s, dir) => {
+      val root = freshRoot("q_view_incremental", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("status", "priority"), "total")
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate > $cutoff"), v)
+      served(s, root, Seq("status", "priority"), withMinMax = true)
+    }),
+
+    // Signed maintenance: fold everything, then RETRACT the tombstone
+    // subset (sign −1). The served state must equal a direct aggregate
+    // that never saw the tombstoned rows — count and sum are invertible,
+    // and the retractable view structurally carries nothing that isn't.
+    "q_view_retract" -> ((s, dir) => {
+      val root = freshRoot("q_view_retract", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("priority"), "total",
+        retractable = true)
+      IncrementalView.refresh(s, root, o, v)
+      IncrementalView.refreshSigned(s, root,
+        o.where("o_orderkey % 7 = 0"), v, lit(-1L))
+      served(s, root, Seq("priority"), withMinMax = false)
+    }),
+
+    // Watermark-tracked refresh against two source snapshots: the first
+    // pull sees the pre-cutoff world and commits its max event time
+    // atomically with the state; the second sees the full table but folds
+    // only rows strictly past the stored mark; a third pull with an
+    // unchanged source is a no-op (empty delta — no rewrite, no advance).
+    // Every row folds exactly once, so serving equals the direct scan.
+    "q_view_tracked" -> ((s, dir) => {
+      val root = freshRoot("q_view_tracked", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("status"), "total")
+      IncrementalView.refreshTracked(s, root,
+        o.where(s"o_orderdate <= $cutoff"), v, "o_orderdate")
+      IncrementalView.refreshTracked(s, root, o, v, "o_orderdate")
+      IncrementalView.refreshTracked(s, root, o, v, "o_orderdate")
+      served(s, root, Seq("status"), withMinMax = true)
+    }),
+  )
+
+  private val duckTotal = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+  def oracles: Map[String, String] = Map(
+    "q_view_incremental" ->
+      ("SELECT o_orderstatus AS status, o_orderpriority AS priority, " +
+        "count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum, MIN($duckTotal) AS total_min, " +
+        s"MAX($duckTotal) AS total_max " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_view_retract" ->
+      ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
+    "q_view_tracked" ->
+      ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum, MIN($duckTotal) AS total_min, " +
+        s"MAX($duckTotal) AS total_max " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
+  )
+}

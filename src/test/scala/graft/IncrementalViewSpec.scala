@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sync.IncrementalView
+import graft.sync.IncrementalView.ViewDef
+
+/** Contract of the incrementally-maintained aggregate view: folding
+  * deltas equals scanning whole, the state schema never drifts, empty
+  * deltas rewrite nothing, retraction is exact and over-retraction is
+  * loud, and (state, watermark) commit atomically. The moment column
+  * (mv_s2) is certified here Spark-vs-Spark — the DuckDB gate skips it
+  * because decimal-product precision rules differ across engines.
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_ivspec_$tag").toString
+    graft.sinks.AliasedIndex.deleteRecursively(Paths.get(root))
+    root
+  }
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+      col("o_orderdate"))
+
+  private def versionDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val l = Files.list(p)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v-")).toSeq.sorted
+      finally l.close()
+    }
+  }
+
+  test("two-delta fold equals the one-shot aggregate, moments included") {
+    val root = freshRoot("fold")
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refresh(spark, root,
+      orders.where("o_orderdate <= TIMESTAMP '1997-06-01'"), v)
+    IncrementalView.refresh(spark, root,
+      orders.where("o_orderdate > TIMESTAMP '1997-06-01'"), v)
+    val got = IncrementalView.read(spark, root)
+      .select("status", "mv_n", "mv_s", "mv_s2", "mv_min", "mv_max")
+      .orderBy("status").collect()
+
+    // the direct aggregate, state-typed: same pinned decimals, same casts
+    val t38 = col("total").cast(DecimalType(38, 2))
+    val q38 = col("total").cast(DecimalType(38, 4))
+    val want = orders.groupBy("status").agg(
+        count(lit(1)).as("mv_n"),
+        sum(t38).cast(DecimalType(38, 2)).as("mv_s"),
+        sum(q38 * q38).cast(DecimalType(38, 4)).as("mv_s2"),
+        min(col("total")).as("mv_min"), max(col("total")).as("mv_max"))
+      .orderBy("status").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("state schema is refresh-stable (pinned decimal sums, no widening)") {
+    val root = freshRoot("schema")
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refresh(spark, root, orders.limit(100), v)
+    val s1 = IncrementalView.state(spark, root).get.schema
+    IncrementalView.refresh(spark, root, orders.limit(500), v)
+    IncrementalView.refresh(spark, root, orders, v)
+    val s3 = IncrementalView.state(spark, root).get.schema
+    assert(s1 == s3, "refresh widened the state schema — decimal pinning broke")
+  }
+
+  test("empty delta is a no-op: no version churn, no watermark advance") {
+    val root = freshRoot("empty")
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refreshTracked(spark, root, orders, v, "o_orderdate")
+    val vs = versionDirs(root)
+    val wm = IncrementalView.currentWatermark(root)
+    assert(wm.nonEmpty, "tracked refresh must commit a watermark")
+    IncrementalView.refreshTracked(spark, root, orders, v, "o_orderdate")
+    assert(versionDirs(root) == vs, "empty delta rewrote the state")
+    assert(IncrementalView.currentWatermark(root) == wm)
+  }
+
+  test("tracked watermark commits atomically with the state version") {
+    val root = freshRoot("atomic")
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refreshTracked(spark, root,
+      orders.where("o_orderdate <= TIMESTAMP '1997-06-01'"), v, "o_orderdate")
+    // the mark lives INSIDE the served version dir, not beside it
+    val cur = graft.sinks.AliasedIndex.resolve(root).get
+    assert(Files.exists(Paths.get(cur, "watermark")))
+    val wm1 = IncrementalView.currentWatermark(root).get
+    assert(wm1.startsWith("TIMESTAMP '1997-0"), wm1)
+    // the second snapshot folds exactly the strict tail: totals match a
+    // one-shot scan, i.e. no row folded twice or dropped at the boundary
+    IncrementalView.refreshTracked(spark, root, orders, v, "o_orderdate")
+    val got = IncrementalView.read(spark, root)
+      .select("status", "mv_n").orderBy("status")
+      .as[(String, Long)].collect().toSeq
+    val want = orders.groupBy("status").count().orderBy("status")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want)
+    assert(IncrementalView.currentWatermark(root).get > wm1)
+  }
+
+  test("retraction is exact and a fully-retracted key disappears") {
+    val root = freshRoot("retract")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    val tagged = orders.withColumn("status",
+      when(col("o_orderkey") % 1000 === 0, lit("ZZ_DOOMED"))
+        .otherwise(col("status")))
+    IncrementalView.refresh(spark, root, tagged, v)
+    assert(IncrementalView.read(spark, root)
+      .where("status = 'ZZ_DOOMED'").count() == 1)
+    IncrementalView.refreshSigned(spark, root,
+      tagged.where("status = 'ZZ_DOOMED'"), v, lit(-1L))
+    val serving = IncrementalView.read(spark, root)
+    assert(serving.where("status = 'ZZ_DOOMED'").count() == 0,
+      "fully retracted key still served")
+    val got = serving.select("status", "mv_n", "mv_s").orderBy("status").collect()
+    val want = tagged.where("status <> 'ZZ_DOOMED'").groupBy("status")
+      .agg(count(lit(1)).as("mv_n"),
+        sum(col("total").cast(DecimalType(38, 2))).cast(DecimalType(38, 2))
+          .as("mv_s"))
+      .orderBy("status").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("over-retraction fails loudly and the old state stays published") {
+    val root = freshRoot("overretract")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    IncrementalView.refresh(spark, root, orders.where("o_orderkey <= 100"), v)
+    val before = IncrementalView.read(spark, root)
+      .orderBy("status").collect().toSeq
+    val cur = graft.sinks.AliasedIndex.resolve(root)
+    val e = intercept[Exception] {
+      IncrementalView.refreshSigned(spark, root, orders, v, lit(-1L))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("over-retraction"), msgs.take(500))
+    assert(graft.sinks.AliasedIndex.resolve(root) == cur,
+      "failed refresh moved the alias")
+    assert(IncrementalView.read(spark, root).orderBy("status")
+      .collect().toSeq == before, "failed refresh changed served state")
+  }
+
+  test("append-only views refuse signed deltas (min/max not invertible)") {
+    val root = freshRoot("refuse")
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refresh(spark, root, orders.limit(10), v)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refreshSigned(spark, root, orders.limit(5), v, lit(-1L))
+    }
+    assert(e.getMessage.contains("retractable"))
+  }
+
+  test("reading an unpublished view fails with a refresh hint") {
+    val e = intercept[IllegalStateException] {
+      IncrementalView.read(spark, freshRoot("nopub"))
+    }
+    assert(e.getMessage.contains("refresh"))
+  }
+}
