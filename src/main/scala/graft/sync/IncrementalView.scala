@@ -113,7 +113,9 @@ object IncrementalView {
     * retracted key (mv_n = 0) disappears, exactly as its rows
     * disappearing upstream would make it vanish from the direct
     * aggregate. Finalization (avg = s/n, variance from moments) is the
-    * caller's — the state exposes the exact partials.
+    * caller's — counts, sums, and min/max are exact; the moment column
+    * is exact for measures up to 3 dp and scale-6-rounded per row
+    * beyond that (see [[pinnedSum]]).
     */
   def read(spark: SparkSession, root: String): DataFrame =
     state(spark, root).getOrElse(throw new IllegalStateException(
@@ -128,16 +130,35 @@ object IncrementalView {
     * 38-cap collision three refreshes in). Integral measures sum through
     * DECIMAL too — a BIGINT sum-of-squares overflows 64 bits on real
     * data, and ANSI mode makes that a mid-refresh error.
+    *
+    * The square's scale caps at 6, matching reality rather than
+    * aspiration: a 38-digit decimal×decimal product overflows Spark's
+    * precision cap, and the allowPrecisionLoss adjustment floors the
+    * result scale at 6 — per-row squares of measures beyond 3 dp are
+    * rounded there no matter what scale the state declares. Measures up
+    * to 3 dp (money is 2) square exactly; wider measures carry a
+    * documented ~1e-6-per-row moment rounding, not a pretend-exact
+    * wider column of trailing zeros.
     */
   private def pinnedSum(dt: DataType): (DecimalType, DecimalType) = dt match {
-    case d: DecimalType => (DT(38, d.scale), DT(38, math.min(d.scale * 2, 12)))
+    case d: DecimalType => (DT(38, d.scale), DT(38, math.min(d.scale * 2, 6)))
     case _              => (DT(38, 0), DT(38, 0))
   }
 
-  private def doRefresh(spark: SparkSession, root: String, delta: DataFrame,
+  private def doRefresh(spark: SparkSession, root: String, rawDelta: DataFrame,
       v: ViewDef, sign: Column, wmCol: Option[String]): Unit = {
     val keyCols = v.keys.map(col)
     val m = col(v.measure)
+    // a NULL event time is untrackable: it would fold on the refresh that
+    // happens to see it but every later pull's `wm > mark` pushdown drops
+    // NULLs, so whether the row is ever counted would depend on snapshot
+    // timing. Refuse loudly from inside the fold instead — and before the
+    // max-watermark read, which would otherwise NPE rendering a null mark.
+    val delta = wmCol.fold(rawDelta)(c => rawDelta.withColumn(c,
+      when(col(c).isNotNull, col(c)).otherwise(raise_error(lit(
+        s"IncrementalView: NULL $c in a tracked delta — null event times " +
+          "cannot be watermarked; filter or backfill them upstream"))
+        .cast(rawDelta.schema(c).dataType))))
     val (sumT, sqT) = pinnedSum(delta.schema(v.measure).dataType)
     val minmax =
       if (v.retractable) Seq.empty
@@ -186,9 +207,15 @@ object IncrementalView {
             "'IncrementalView: over-retraction drove a key''s count to ', " +
             "CAST(mv_n AS STRING), ' — retracted rows that were never " +
             "added')) AS BIGINT) END"))
+      // an UNTRACKED refresh (plain or signed — e.g. retracting deletes
+      // from a view otherwise maintained by refreshTracked) must carry the
+      // committed mark forward: publishing a version without it would make
+      // the next tracked pull see "no watermark" and re-fold the entire
+      // source onto folded state — silent double-counting
+      val carried = wmMax.orElse(currentWatermark(root))
       AliasedIndex.publish(root) { dir =>
         checked.write.parquet(Paths.get(dir, "state").toString)
-        wmMax.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
+        carried.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
       }
     } finally partials.unpersist()
   }

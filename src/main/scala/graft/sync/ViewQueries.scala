@@ -1,11 +1,10 @@
 package graft.sync
 
 import java.nio.file.Paths
-import graft.QueryFamily
+import graft.{Dets, QueryFamily}
 import graft.sinks.AliasedIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Oracle-checked surface of [[IncrementalView]] (SURVEY §3.1's
   * materialized-refresh counterpart): each query BUILDS a view through the
@@ -40,7 +39,7 @@ object ViewQueries extends QueryFamily {
       col("o_orderkey"),
       col("o_orderstatus").as("status"),
       col("o_orderpriority").as("priority"),
-      col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+      Dets.money(col("o_totalprice")).as("total"),
       col("o_orderdate"))
 
   private val cutoff = "TIMESTAMP '1997-06-01'"

@@ -30,7 +30,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").select(
       col("o_orderkey"),
       col("o_orderstatus").as("status"),
-      col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+      Dets.money(col("o_totalprice")).as("total"),
       col("o_orderdate"))
 
   private def versionDirs(root: String): Seq[String] = {
@@ -110,6 +110,46 @@ class IncrementalViewSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == want)
     assert(IncrementalView.currentWatermark(root).get > wm1)
+  }
+
+  test("untracked refresh on a tracked view carries the watermark forward") {
+    val root = freshRoot("mixed")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    IncrementalView.refreshTracked(spark, root,
+      orders.where("o_orderdate <= TIMESTAMP '1997-06-01'"), v, "o_orderdate")
+    val wm = IncrementalView.currentWatermark(root)
+    assert(wm.nonEmpty)
+    // a signed delete-propagation pass between tracked pulls must not
+    // drop the mark — that would make the next pull re-fold everything
+    IncrementalView.refreshSigned(spark, root,
+      orders.where("o_orderdate <= TIMESTAMP '1997-06-01' AND o_orderkey % 7 = 0"),
+      v, lit(-1L))
+    assert(IncrementalView.currentWatermark(root) == wm,
+      "untracked refresh lost the committed watermark")
+    IncrementalView.refreshTracked(spark, root, orders, v, "o_orderdate")
+    val got = IncrementalView.read(spark, root)
+      .select("status", "mv_n").orderBy("status")
+      .as[(String, Long)].collect().toSeq
+    val want = orders
+      .where("NOT (o_orderdate <= TIMESTAMP '1997-06-01' AND o_orderkey % 7 = 0)")
+      .groupBy("status").count().orderBy("status")
+      .as[(String, Long)].collect().toSeq
+    assert(got == want, "tail pull double-folded or dropped rows")
+  }
+
+  test("NULL event times are refused loudly in tracked mode") {
+    val root = freshRoot("nullwm")
+    val v = ViewDef(Seq("status"), "total")
+    val withNulls = orders.withColumn("o_orderdate",
+      when(col("o_orderkey") % 100 === 0, lit(null)).otherwise(col("o_orderdate")))
+    val e = intercept[Exception] {
+      IncrementalView.refreshTracked(spark, root, withNulls, v, "o_orderdate")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL o_orderdate"), msgs.take(500))
+    assert(IncrementalView.state(spark, root).isEmpty,
+      "refused refresh still published state")
   }
 
   test("retraction is exact and a fully-retracted key disappears") {
