@@ -102,6 +102,56 @@ object IncrementalView {
     AliasedIndex.resolve(root).map(cur => Paths.get(cur, "watermark"))
       .filter(Files.exists(_)).map(p => Files.readString(p).trim)
 
+  /** The highest stream batchId folded into the published state (the
+    * ledger [[refreshBatch]] consults), committed atomically with it. */
+  def lastBatch(root: String): Option[Long] =
+    AliasedIndex.resolve(root).map(cur => Paths.get(cur, "batch"))
+      .filter(Files.exists(_)).map(p => Files.readString(p).trim.toLong)
+
+  /** Fold a stream micro-batch EXACTLY ONCE: the batchId ledger is
+    * committed inside the same version dir as the state, so a replayed
+    * batch (foreachBatch is at-least-once — a crash between the fold and
+    * the checkpoint commit re-runs the same batchId with the same rows)
+    * is skipped when its fold already published, and re-folds onto the
+    * OLD state when it didn't. Either way the delta lands once. Returns
+    * whether the batch was folded (false = replay skip).
+    *
+    * One maintenance mode per view: a stream-maintained view's source of
+    * truth for progress is the checkpoint + ledger, not a watermark —
+    * mixing [[refreshTracked]] pulls into the same root would fold rows
+    * both paths see twice. Signed repair ([[refreshSigned]]) between
+    * stream segments is fine: it carries the ledger forward.
+    */
+  def refreshBatch(spark: SparkSession, root: String, delta: DataFrame,
+      v: ViewDef, batchId: Long): Boolean = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    if (lastBatch(root).exists(_ >= batchId)) false
+    else {
+      doRefresh(spark, root, delta, v, lit(1L), wmCol = None,
+        batch = Some(batchId))
+      true
+    }
+  }
+
+  /** Continuous maintenance: fold each micro-batch of `stream` into the
+    * view through [[refreshBatch]]'s exactly-once ledger. The streaming
+    * counterpart of a nightly [[refreshTracked]] loop — same state table,
+    * same publish discipline, progress pinned by the checkpoint instead
+    * of a watermark column.
+    */
+  def maintainContinuous(stream: DataFrame, root: String, v: ViewDef,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "maintainContinuous needs a streaming DataFrame")
+    stream.writeStream
+      .queryName(s"graft-view-${Paths.get(root).getFileName}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refreshBatch(batch.sparkSession, root, batch, v, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** The published state table: keys + partial columns, one row per key
     * ever seen. Spec/diagnostic surface; user queries go through
     * [[read]]. */
@@ -146,7 +196,8 @@ object IncrementalView {
   }
 
   private def doRefresh(spark: SparkSession, root: String, rawDelta: DataFrame,
-      v: ViewDef, sign: Column, wmCol: Option[String]): Unit = {
+      v: ViewDef, sign: Column, wmCol: Option[String],
+      batch: Option[Long] = None): Unit = {
     val keyCols = v.keys.map(col)
     val m = col(v.measure)
     // a NULL event time is untrackable: it would fold on the refresh that
@@ -211,11 +262,16 @@ object IncrementalView {
       // from a view otherwise maintained by refreshTracked) must carry the
       // committed mark forward: publishing a version without it would make
       // the next tracked pull see "no watermark" and re-fold the entire
-      // source onto folded state — silent double-counting
-      val carried = wmMax.orElse(currentWatermark(root))
+      // source onto folded state — silent double-counting. The stream
+      // batch ledger carries identically, or a signed repair between
+      // stream segments would reset it and invite a replayed batch back.
+      val carriedWm = wmMax.orElse(currentWatermark(root))
+      val carriedBatch = batch.orElse(lastBatch(root))
       AliasedIndex.publish(root) { dir =>
         checked.write.parquet(Paths.get(dir, "state").toString)
-        carried.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
+        carriedWm.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
+        carriedBatch.foreach(b =>
+          Files.writeString(Paths.get(dir, "batch"), b.toString))
       }
     } finally partials.unpersist()
   }
