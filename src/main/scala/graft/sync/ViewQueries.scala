@@ -87,6 +87,29 @@ object ViewQueries extends QueryFamily {
       served(s, root, Seq("priority"), withMinMax = false)
     }),
 
+    // Finalization over the served partials: avg, population variance and
+    // stddev derived from (n, s, s2) WITHOUT touching the corpus — the
+    // dashboard read path of a maintained view. Exact decimals convert to
+    // identical doubles in both engines, and the IEEE ops are the same,
+    // so the derived floats hash-match unrounded (the Dets.avgMoney
+    // argument extended to second moments).
+    "q_view_finalize" -> ((s, dir) => {
+      val root = freshRoot("q_view_finalize", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("status"), "total")
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate > $cutoff"), v)
+      val n = col("mv_n").cast("double")
+      val sm = col("mv_s").cast("double")
+      val s2 = col("mv_s2").cast("double")
+      IncrementalView.read(s, root).select(
+          col("status"), col("mv_n").as("n_rows"),
+          (sm / n).as("total_avg"),
+          ((s2 - sm * sm / n) / n).as("total_var_pop"),
+          sqrt((s2 - sm * sm / n) / n).as("total_std_pop"))
+        .orderBy("status")
+    }),
+
     // Watermark-tracked refresh against two source snapshots: the first
     // pull sees the pre-cutoff world and commits its max event time
     // atomically with the state; the second sees the full table but folds
@@ -114,6 +137,20 @@ object ViewQueries extends QueryFamily {
         s"SUM($duckTotal) AS total_sum, MIN($duckTotal) AS total_min, " +
         s"MAX($duckTotal) AS total_max " +
         "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+    // recompute the identical exact partials (DuckDB's 38-digit multiply
+    // cap forces the narrower DECIMAL(19,2) square inputs — same exact
+    // rationals), then the identical IEEE finalization ops
+    "q_view_finalize" ->
+      ("WITH m AS (SELECT o_orderstatus AS status, " +
+        s"$duckTotal AS t FROM orders), " +
+        "p AS (SELECT status, count(*) AS n, SUM(t) AS s, " +
+        "SUM(CAST(t AS DECIMAL(19,2)) * CAST(t AS DECIMAL(19,2))) AS s2 " +
+        "FROM m GROUP BY 1) " +
+        "SELECT status, n AS n_rows, " +
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS total_avg, " +
+        "(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS total_var_pop, " +
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS total_std_pop " +
+        "FROM p ORDER BY status"),
     "q_view_retract" ->
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum " +
