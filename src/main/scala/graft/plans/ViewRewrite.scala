@@ -1,0 +1,158 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+
+import graft.sync.IncrementalView
+import graft.sync.IncrementalView.ViewDef
+
+/** Transparent materialized-view routing: an `Aggregate` whose child is a
+  * REGISTERED view source and whose semantics the view's partials can
+  * answer is rewritten — at analysis time — to read the O(keyspace) state
+  * table instead of the corpus. The user's query does not change; the
+  * 100 TB scan does.
+  *
+  * What qualifies (anything else is left untouched — the rule only ever
+  * declines, it never approximates):
+  *
+  *  - the aggregate's child must be the registered source plan
+  *    ([[LogicalPlan.sameResult]] — the same test CacheManager uses to
+  *    recognize a cached scan),
+  *  - every grouping expression is a view key column (a SUBSET of the
+  *    keys re-aggregates the state: partials merge by addition/min/max,
+  *    which is what makes them partials),
+  *  - every output is a key column or one of `count(*)`, `sum(measure)`,
+  *    `min(measure)`, `max(measure)` — no DISTINCT, no FILTER clause, no
+  *    min/max on a retractable view (it carries none, structurally).
+  *
+  * Count rewrites to `coalesce(sum(mv_n), 0)`: a global count over an
+  * empty (or fully retracted) view must yield 0, not the null an empty
+  * SUM produces. Sums are cast back to the original aggregate's narrower
+  * result type in the splice projection, so the rewritten plan is
+  * type-identical to the original (the values fit wherever the original
+  * sum would have).
+  *
+  * Freshness is the REGISTRANT'S assertion, exactly as with any
+  * materialized view: registering says "serve aggregates of this source
+  * from this view"; a view refreshed nightly answers with last night's
+  * fold. `spark.graft.view.rewrite=false` turns routing off per session
+  * without deregistering.
+  *
+  * The hook is [[org.apache.spark.sql.SparkSessionExtensions
+  * .injectPostHocResolutionRule]], not an optimizer rule: at the end of
+  * analysis the aggregate's child is still the un-pruned source shape
+  * registration captured — after column pruning it no longer matches
+  * `sameResult`. Spark's own view substitution lives in analysis for the
+  * same reason.
+  */
+object ViewRewrite {
+
+  final case class Registered(source: LogicalPlan, root: String, v: ViewDef)
+
+  private val registry = new ConcurrentHashMap[String, Registered]()
+
+  /** Route aggregates over `source` (captured as its analyzed plan) to
+    * the view at `root`. One registration per name; re-registering
+    * replaces. The caller asserts the view is maintained from exactly
+    * this source.
+    */
+  def register(name: String, source: DataFrame, root: String, v: ViewDef): Unit = {
+    val names = source.schema.fieldNames.toSet
+    require((v.keys :+ v.measure).forall(names),
+      s"view columns ${(v.keys :+ v.measure).filterNot(names).mkString(", ")} " +
+        s"missing from the source schema (${names.mkString(", ")})")
+    registry.put(name, Registered(source.queryExecution.analyzed, root, v))
+  }
+
+  def deregister(name: String): Unit = { registry.remove(name); () }
+  def clear(): Unit = registry.clear()
+
+  private[plans] def all: Seq[Registered] = registry.values.asScala.toSeq
+}
+
+class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ViewRewrite.all.isEmpty ||
+        !spark.conf.get("spark.graft.view.rewrite", "true").toBoolean) plan
+    else plan.transform {
+      case agg: Aggregate if agg.resolved && agg.child.resolved =>
+        ViewRewrite.all.iterator.map(r => rewrite(agg, r))
+          .collectFirst { case Some(p) => p }.getOrElse(agg)
+    }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+    xs.foldLeft(Option(Vector.empty[B])) { (acc, a) =>
+      acc.flatMap(v => f(a).map(v :+ _))
+    }
+
+  private def rewrite(agg: Aggregate, r: ViewRewrite.Registered): Option[LogicalPlan] = {
+    if (!agg.child.sameResult(r.source)) return None
+    val nameOf: Map[ExprId, String] =
+      agg.child.output.map(a => a.exprId -> a.name).toMap
+    val keys = r.v.keys.toSet
+
+    def keyName(e: Expression): Option[String] = e match {
+      case a: Attribute => nameOf.get(a.exprId).filter(keys)
+      case _            => None
+    }
+    def isMeasure(e: Expression): Boolean = e match {
+      case a: Attribute => nameOf.get(a.exprId).contains(r.v.measure)
+      case _            => false
+    }
+    def aggCol(ae: AggregateExpression): Option[Column] = {
+      if (ae.isDistinct || ae.filter.isDefined) None
+      else ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(coalesce(sum("mv_n"), lit(0L)))
+        case s: Sum if isMeasure(s.child)                    => Some(sum("mv_s"))
+        case m: Min if isMeasure(m.child) && !r.v.retractable => Some(min("mv_min"))
+        case m: Max if isMeasure(m.child) && !r.v.retractable => Some(max("mv_max"))
+        case _                                               => None
+      }
+    }
+
+    for {
+      groupNames <- traverse(agg.groupingExpressions)(keyName)
+      // (selectable, is-aggregate): grouping keys pass through the state
+      // groupBy; aggregate calls merge the partials
+      picked <- traverse(agg.aggregateExpressions) {
+        case a: Attribute          => keyName(a).map(n => (col(n), false))
+        case Alias(a: Attribute, _) => keyName(a).map(n => (col(n), false))
+        case Alias(ae: AggregateExpression, _) => aggCol(ae).map((_, true))
+        case _                     => None
+      }
+    } yield {
+      val state = IncrementalView.read(spark, r.root)
+      val aggCols = picked.zipWithIndex.collect {
+        case ((c, true), i) => c.as(s"__vr$i")
+      }
+      val grouped =
+        if (aggCols.isEmpty) state.select(groupNames.distinct.map(col): _*).distinct()
+        else if (groupNames.isEmpty) state.agg(aggCols.head, aggCols.tail: _*)
+        else state.groupBy(groupNames.distinct.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      // re-project into the original select order, then splice with the
+      // original exprIds/types so parents are none the wiser
+      val ordered = grouped.select(picked.zipWithIndex.map {
+        case ((c, false), _) => c
+        case ((_, true), i)  => col(s"__vr$i")
+      }: _*)
+      val rep = ordered.queryExecution.analyzed
+      val splice = agg.output.zip(rep.output).map { case (o, n) =>
+        val e: Expression =
+          if (n.dataType == o.dataType) n
+          else Cast(n, o.dataType, Option(conf.sessionLocalTimeZone))
+        Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      Project(splice, rep)
+    }
+  }
+}

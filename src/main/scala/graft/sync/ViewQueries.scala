@@ -110,6 +110,29 @@ object ViewQueries extends QueryFamily {
         .orderBy("status")
     }),
 
+    // Transparent routing (plans.ViewRewrite): the SAME corpus aggregate a
+    // user would write is answered from the state table — the query
+    // REFUSES to return a base-scan answer (plan asserted), so a green row
+    // certifies both the routing and the routed values.
+    "q_view_rewrite" -> ((s, dir) => {
+      val root = freshRoot("q_view_rewrite", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("status"), "total")
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate > $cutoff"), v)
+      val base = o.select("status", "total")
+      graft.plans.ViewRewrite.register("q_view_rewrite", base, root, v)
+      try {
+        val q = base.groupBy("status").agg(
+          count(lit(1)).as("n_rows"), sum("total").as("total_sum"),
+          min("total").as("total_min"), max("total").as("total_max"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("mv_n") && !plan.contains("o_orderkey"),
+          s"aggregate did not route to the view state:\n$plan")
+        q.orderBy("status")
+      } finally graft.plans.ViewRewrite.deregister("q_view_rewrite")
+    }),
+
     // Watermark-tracked refresh against two source snapshots: the first
     // pull sees the pre-cutoff world and commits its max event time
     // atomically with the state; the second sees the full table but folds
@@ -155,6 +178,13 @@ object ViewQueries extends QueryFamily {
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
+    // the routed aggregate must equal the scan it replaced — the oracle
+    // IS that scan
+    "q_view_rewrite" ->
+      ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum, MIN($duckTotal) AS total_min, " +
+        s"MAX($duckTotal) AS total_max " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "q_view_tracked" ->
       ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum, MIN($duckTotal) AS total_min, " +

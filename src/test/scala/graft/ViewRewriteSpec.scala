@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.ViewRewrite
+import graft.sync.IncrementalView
+import graft.sync.IncrementalView.ViewDef
+
+/** Transparent aggregate routing: a registered view source's aggregates
+  * answer from the state table, unregistered or inexpressible shapes
+  * keep scanning the base — and the routed answers are value-identical
+  * to the scans they replaced.
+  */
+class ViewRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = Files.createTempDirectory(s"graft_vrw_$tag").toString
+    graft.sinks.AliasedIndex.deleteRecursively(Paths.get(root))
+    root
+  }
+
+  private def orders: DataFrame =
+    spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").select(
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      Dets.money(col("o_totalprice")).as("total"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+  // the optimized plan prints relations schema-only (no paths): the state
+  // scan is recognizable by its partial columns, the base by its raw ones
+  private def routed(df: DataFrame): Boolean = {
+    val p = planOf(df); p.contains("mv_n") && !p.contains("o_orderkey")
+  }
+  private def scansBase(df: DataFrame): Boolean = {
+    val p = planOf(df); p.contains("o_orderkey") && !p.contains("mv_n")
+  }
+
+  private def collectSorted(df: DataFrame): Seq[Row] =
+    df.orderBy(df.columns.map(col): _*).collect().toSeq
+  private type Row = org.apache.spark.sql.Row
+
+  private def withView(tag: String, v: ViewDef)(body: String => Unit): Unit = {
+    val root = freshRoot(tag)
+    IncrementalView.refresh(spark, root, orders, v)
+    ViewRewrite.register(s"vrw_$tag", orders, root, v)
+    try body(root) finally ViewRewrite.deregister(s"vrw_$tag")
+  }
+
+  test("a matching aggregate routes to the state and matches the scan") {
+    withView("route", ViewDef(Seq("status", "priority"), "total")) { root =>
+      val q = orders.groupBy("status", "priority").agg(
+        count(lit(1)).as("n"), sum("total").as("s"),
+        min("total").as("lo"), max("total").as("hi"))
+      assert(routed(q), s"aggregate did not route to the view:\n${planOf(q)}")
+
+      spark.conf.set("spark.graft.view.rewrite", "false")
+      val direct = try collectSorted(q)
+      finally spark.conf.unset("spark.graft.view.rewrite")
+      assert(collectSorted(q) == direct, "routed answer diverges from the scan")
+      assert(q.schema == {
+        spark.conf.set("spark.graft.view.rewrite", "false")
+        try q.schema finally spark.conf.unset("spark.graft.view.rewrite")
+      }, "rewrite changed the result schema")
+    }
+  }
+
+  test("a key-subset grouping re-aggregates the partials") {
+    withView("subset", ViewDef(Seq("status", "priority"), "total")) { root =>
+      val q = orders.groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("total").as("s"))
+      assert(routed(q))
+      val got = collectSorted(q)
+      spark.conf.set("spark.graft.view.rewrite", "false")
+      try assert(got == collectSorted(q))
+      finally spark.conf.unset("spark.graft.view.rewrite")
+    }
+  }
+
+  test("a global aggregate routes, and count stays 0 on a fully retracted view") {
+    withView("global", ViewDef(Seq("status"), "total")) { root =>
+      val q = orders.agg(count(lit(1)).as("n"), sum("total").as("s"))
+      assert(routed(q))
+      assert(q.collect().head.getLong(0) == orders.count())
+    }
+    // retract everything: the state rows all hit mv_n = 0, read() serves
+    // zero rows, and the routed global count must COALESCE to 0 — the
+    // same answer a scan of the (conceptually emptied) source would give
+    val root = freshRoot("empty")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    IncrementalView.refresh(spark, root, orders, v)
+    IncrementalView.refreshSigned(spark, root, orders, v, lit(-1L))
+    ViewRewrite.register("vrw_empty", orders, root, v)
+    try {
+      val q = orders.agg(count(lit(1)).as("n"))
+      assert(routed(q))
+      assert(q.collect().head.getLong(0) == 0L)
+    } finally ViewRewrite.deregister("vrw_empty")
+  }
+
+  test("inexpressible shapes decline: the base scan survives untouched") {
+    withView("decline", ViewDef(Seq("status"), "total")) { root =>
+      // avg is not rewritten (Average division semantics are the
+      // original plan's business, not the partials')
+      assert(scansBase(orders.groupBy("status").agg(avg("total"))))
+      // distinct aggregation cannot come from partials
+      assert(scansBase(orders.groupBy("status").agg(countDistinct(col("priority")))))
+      // grouping on a non-key column
+      assert(scansBase(orders.groupBy("priority").agg(sum("total"))))
+      // aggregating a non-measure column
+      assert(scansBase(orders.groupBy("status").agg(max("priority"))))
+      // a different source (projection the view was not registered for)
+      val other = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .select(col("o_orderstatus").as("status"),
+          Dets.money(col("o_totalprice")).as("total"),
+          col("o_orderkey"))
+      assert(scansBase(other.groupBy("status").agg(sum("total"))))
+    }
+  }
+
+  test("min/max on a retractable view decline (the state carries none)") {
+    val root = freshRoot("retractmm")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    IncrementalView.refresh(spark, root, orders, v)
+    ViewRewrite.register("vrw_retractmm", orders, root, v)
+    try {
+      assert(scansBase(orders.groupBy("status").agg(min("total"))))
+      // but count/sum still route
+      assert(routed(orders.groupBy("status").agg(sum("total"))))
+    } finally ViewRewrite.deregister("vrw_retractmm")
+  }
+
+  test("the session conf turns routing off without deregistering") {
+    withView("conf", ViewDef(Seq("status"), "total")) { root =>
+      spark.conf.set("spark.graft.view.rewrite", "false")
+      try assert(scansBase(orders.groupBy("status").agg(sum("total"))))
+      finally spark.conf.unset("spark.graft.view.rewrite")
+      assert(routed(orders.groupBy("status").agg(sum("total"))))
+    }
+  }
+}
