@@ -523,7 +523,7 @@ object SyncRunner {
       client: BulkClient, where: String = "true"): DeliveryCounts = {
     val q = spark.read.parquet(dlqRoot).where(expr(where))
     val conflicts = q.groupBy("_id")
-      .agg(countDistinct(coalesce(col("doc"), lit(" del"))).as("n"))
+      .agg(countDistinct(coalesce(col("doc"), lit("\u0000del"))).as("n"))
       .where(col("n") > 1).select("_id")
     val bad = conflicts.take(5).map(_.getString(0))
     require(bad.isEmpty, s"quarantine holds conflicting bodies for _ids " +
