@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
     sync.SyncQueries,        // §3.1 config-driven sync-job orchestration
     sync.ViewQueries,        // incrementally-maintained aggregate views
+    search.SearchQueries,    // inverted index + ranked retrieval (serve side)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

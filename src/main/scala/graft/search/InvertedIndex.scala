@@ -1,0 +1,289 @@
+package graft.search
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.sinks.AliasedIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment-based inverted index over a (doc_id, text) corpus — the SERVE
+  * side of the Hive→ES product: the sync layer ships documents so users
+  * can run ranked full-text search, and this module closes that loop
+  * inside the engine itself.
+  *
+  * Layout (Lucene's commit-point model, re-expressed as parquet + an
+  * atomically-published manifest):
+  *
+  * {{{
+  *   root/seg-NNNNN/postings/   (tok, doc_id, tf, positions)  parquet
+  *   root/seg-NNNNN/docstats/   (doc_id, dl)                  parquet
+  *   root/meta/v-NNNNN/segments   newline list of live segment names
+  *   root/meta/v-NNNNN/lexicon/   (tok, df, tf_total)         parquet
+  *   root/meta/v-NNNNN/globals/   (n_docs, total_tokens)      parquet, 1 row
+  *   root/meta/current            alias file → the committed version
+  * }}}
+  *
+  * An append stages a new immutable segment, then publishes a meta
+  * version referencing it ([[AliasedIndex.publish]] — staging dir +
+  * ATOMIC_MOVE + alias flip). Readers resolve the alias first and only
+  * ever see segments the committed manifest names, so a crash between
+  * segment materialization and meta publish leaves an orphan directory
+  * that is INVISIBLE, never a half-indexed corpus. Orphans are reclaimed
+  * by [[vacuum]] (safe any time: live = named by the current manifest).
+  *
+  * Scale shape (100 TB):
+  *  - postings are FLAT rows clustered by token (`repartition(tok)` +
+  *    sort-within-partition), not per-token arrays — a stopword's posting
+  *    list is millions of rows spread across row groups, never one
+  *    monster cell; term lookups push `tok IN (…)` into the parquet scan
+  *    and row-group stats skip the rest.
+  *  - the lexicon is maintained by the incremental-view union-merge fold:
+  *    O(vocab) state per publish, never a corpus rescan.
+  *  - per-(tok, doc) positions ARE carried (Lucene's positional postings)
+  *    — bounded by per-doc term frequency, they enable phrase queries
+  *    without touching original text.
+  *  - serving joins query-term postings (small after the term filter)
+  *    against docstats on doc_id; the postings side broadcasts.
+  *
+  * Single concurrent writer (the sync loop), unlimited readers — the
+  * [[AliasedIndex]] contract.
+  */
+object InvertedIndex {
+
+  private val SegRe = "seg-(\\d{5,})".r
+
+  /** Tokenize + count: (tok, doc_id, tf, positions) with 1-based token
+    * positions, sorted for determinism. The family's whitespace
+    * tokenization, shared with every q_text_* oracle.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos") + 1)).as("positions"))
+
+  private def docstatsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("dl"))
+
+  private def segDirs(root: Path): Seq[(Int, Path)] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val listing = Files.list(root)
+      try listing.iterator.asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case SegRe(n) => Some((n.toInt, p))
+          case _        => None
+        }
+      }.toSeq.sortBy(_._1)
+      finally listing.close()
+    }
+
+  private def metaRoot(root: String): String = s"$root/meta"
+
+  private def currentMeta(root: String): String =
+    AliasedIndex.resolve(metaRoot(root)).getOrElse(
+      throw new IllegalStateException(
+        s"inverted index at $root has no committed meta version"))
+
+  private def liveSegments(root: String): Seq[String] = {
+    val dir = currentMeta(root)
+    Files.readAllLines(Paths.get(dir, "segments")).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Append `docs` (immutable, ids disjoint from everything already
+    * indexed — the nightly-ingest contract) as one new segment and
+    * publish a meta version whose manifest includes it. The lexicon and
+    * globals fold incrementally: old state ∪ delta, merged by key —
+    * O(vocab + 1) rows rewritten, the corpus itself is never rescanned.
+    */
+  def append(spark: SparkSession, root: String, docs: DataFrame): Unit = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    // stage the segment hidden, rename visible-but-unreferenced; numbering
+    // past orphans (max+1 over everything on disk) so a crashed append
+    // never blocks the retry with a name collision
+    val next = segDirs(rootP).lastOption.fold(1)(_._1 + 1)
+    val segName = f"seg-$next%05d"
+    val staging = Files.createTempDirectory(rootP, s".building-$segName-")
+    val post = postingsOf(docs)
+    val ds = docstatsOf(docs)
+    try {
+      // cluster by token so term lookups skip row groups (see header)
+      post.repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
+        .write.parquet(s"$staging/postings")
+      ds.write.parquet(s"$staging/docstats")
+      Files.move(staging, rootP.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        AliasedIndex.deleteRecursively(staging); throw e
+    }
+
+    val prev = AliasedIndex.resolve(metaRoot(root))
+    val deltaLex = spark.read.parquet(s"$root/$segName/postings")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+    val deltaGlob = spark.read.parquet(s"$root/$segName/docstats")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+    AliasedIndex.publish(metaRoot(root)) { dir =>
+      val (lex, glob, segs) = prev match {
+        case None => (deltaLex, deltaGlob, Seq(segName))
+        case Some(p) =>
+          val oldLex = spark.read.parquet(s"$p/lexicon")
+          val oldGlob = spark.read.parquet(s"$p/globals")
+          (oldLex.unionByName(deltaLex).groupBy("tok")
+            .agg(sum("df").as("df"), sum("tf_total").as("tf_total")),
+            oldGlob.unionByName(deltaGlob)
+              .agg(sum("n_docs").as("n_docs"),
+                sum("total_tokens").as("total_tokens")),
+            Files.readAllLines(Paths.get(p, "segments")).asScala.toSeq
+              .map(_.trim).filter(_.nonEmpty) :+ segName)
+      }
+      lex.repartition(1).write.parquet(s"$dir/lexicon")
+      glob.write.parquet(s"$dir/globals")
+      Files.write(Paths.get(dir, "segments"),
+        segs.mkString("\n").getBytes("UTF-8"))
+    }
+  }
+
+  /** Full build = append onto an empty root. */
+  def build(spark: SparkSession, root: String, docs: DataFrame): Unit = {
+    require(AliasedIndex.resolve(metaRoot(root)).isEmpty,
+      s"index at $root already has a committed version; use append")
+    append(spark, root, docs)
+  }
+
+  /** Merge every live segment into one and publish a manifest naming only
+    * the merged result — the small-files/compaction maintenance op.
+    * Readers in flight keep the old version ([[AliasedIndex]] keeps 2);
+    * the superseded segment dirs become orphans for [[vacuum]].
+    * Lexicon and globals are already corpus-exact — they carry over
+    * untouched, so compaction is pure data movement, no re-derivation.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val rootP = Paths.get(root)
+    val live = liveSegments(root)
+    require(live.nonEmpty, s"nothing to compact at $root")
+    val prevDir = currentMeta(root)
+    val next = segDirs(rootP).lastOption.fold(1)(_._1 + 1)
+    val segName = f"seg-$next%05d"
+    val staging = Files.createTempDirectory(rootP, s".building-$segName-")
+    try {
+      postings(spark, root)
+        .repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
+        .write.parquet(s"$staging/postings")
+      docstats(spark, root).write.parquet(s"$staging/docstats")
+      Files.move(staging, rootP.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        AliasedIndex.deleteRecursively(staging); throw e
+    }
+    AliasedIndex.publish(metaRoot(root)) { dir =>
+      spark.read.parquet(s"$prevDir/lexicon").repartition(1)
+        .write.parquet(s"$dir/lexicon")
+      spark.read.parquet(s"$prevDir/globals").write.parquet(s"$dir/globals")
+      Files.write(Paths.get(dir, "segments"), segName.getBytes("UTF-8"))
+    }
+  }
+
+  /** Delete segment dirs the committed manifest does not name (crashed
+    * appends, compacted-away segments). Safe while readers run IF they
+    * resolved the alias after the last two publishes — same contract as
+    * [[AliasedIndex]] version GC.
+    */
+  def vacuum(root: String): Seq[String] = {
+    val live = liveSegments(root).toSet
+    segDirs(Paths.get(root)).collect {
+      case (_, p) if !live.contains(p.getFileName.toString) =>
+        AliasedIndex.deleteRecursively(p); p.getFileName.toString
+    }
+  }
+
+  // ---- readers: everything below touches ONLY committed artifacts ----
+
+  /** Union of the live segments' postings as one scan — a multi-path
+    * parquet read keeps a single FileScan node, so term predicates push
+    * into every segment at once.
+    */
+  def postings(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(
+      liveSegments(root).map(s => s"$root/$s/postings"): _*)
+
+  def docstats(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(
+      liveSegments(root).map(s => s"$root/$s/docstats"): _*)
+
+  def lexicon(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"${currentMeta(root)}/lexicon")
+
+  def globals(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"${currentMeta(root)}/globals")
+
+  /** BM25 ranked retrieval over the committed index — top `k` documents
+    * for an OR-of-terms query, never touching the original corpus.
+    *
+    * Scoring is BM25 (k1 = 1.2, b = 0.75) with ONE declared deviation:
+    * the idf factor is the RATIONAL Robertson ratio
+    * `(N − df + 0.5) / (df + 0.5)` rather than its logarithm. `ln` is
+    * not a correctly-rounded IEEE operation (JVM Math.log and libm may
+    * disagree in the last ulp), while + − × ÷ and floor ARE — so the
+    * log-free form makes every score bit-reproducible across engines
+    * (SURVEY §7.4 law). It is order-equivalent per term (ln is
+    * monotone), strictly positive, and the per-term score is published
+    * as exact integer MICROS (`floor(score × 1e6)`), so cross-term sums
+    * are integer arithmetic — order-independent, hash-stable.
+    *
+    * Plan shape: the term filter prunes the postings scan (pushed to
+    * parquet), the pruned postings broadcast into the docstats join, the
+    * lexicon rows and the 1-row globals broadcast everywhere — at 100 TB
+    * the only large input is docstats, read once, joined hash-broadcast.
+    */
+  def bm25(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0, "bm25 needs terms and k > 0")
+    val post = postings(spark, root).where(col("tok").isin(terms: _*))
+    val lex = lexicon(spark, root).where(col("tok").isin(terms: _*))
+    val dbl = (c: String) => col(c).cast("double")
+    val scored = broadcast(post)
+      .join(docstats(spark, root), "doc_id")
+      .join(broadcast(lex), "tok")
+      .crossJoin(broadcast(globals(spark, root)))
+      // every step below is correctly-rounded IEEE double arithmetic —
+      // identical in any engine; parenthesization mirrors the oracle SQL
+      .withColumn("avgdl", dbl("total_tokens") / dbl("n_docs"))
+      .withColumn("idf",
+        ((dbl("n_docs") - dbl("df")) + lit(0.5)) / (dbl("df") + lit(0.5)))
+      .withColumn("tfp",
+        (dbl("tf") * lit(2.2)) /
+          (dbl("tf") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * dbl("dl")) / col("avgdl"))))
+      .withColumn("s_micros", floor(col("idf") * col("tfp") * lit(1e6)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        sum("s_micros").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Positional phrase query `"t1 t2"` from the index alone: explode the
+    * two terms' position lists and count adjacent pairs per document.
+    * Both sides are term-pruned postings scans (tiny after pushdown);
+    * the original text is never read — the point of carrying positions.
+    */
+  def phrase(spark: SparkSession, root: String, t1: String,
+      t2: String): DataFrame = {
+    val p = postings(spark, root)
+    val a = p.where(col("tok") === t1)
+      .select(col("doc_id"), explode(col("positions")).as("pa"))
+    val b = p.where(col("tok") === t2)
+      .select(col("doc_id").as("doc_b"), explode(col("positions")).as("pb"))
+    a.join(b, a("doc_id") === b("doc_b") && col("pb") === col("pa") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+}

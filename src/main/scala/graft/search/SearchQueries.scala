@@ -1,0 +1,146 @@
+package graft.search
+
+import java.nio.file.Paths
+
+import graft.{QueryFamily, Tables}
+import graft.sinks.AliasedIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked surface of [[InvertedIndex]] — full-text search served
+  * FROM the index artifacts, with the DuckDB oracle recomputing the same
+  * answer directly from the corpus (DuckDB has no index: a green row
+  * certifies the index round-trip — build, publish, read back, rank —
+  * against first-principles recomputation).
+  *
+  * Every query rebuilds its index from scratch under a fresh root (the
+  * ViewQueries convention: verify/bench invoke queries repeatedly, and a
+  * surviving index would hide build bugs), and every SERVE plan is
+  * required in-query to never touch `documents.parquet` — the engine
+  * must answer from what it published, or fail loudly.
+  */
+object SearchQueries extends QueryFamily {
+
+  private def freshRoot(tag: String, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    AliasedIndex.deleteRecursively(Paths.get(root))
+    root
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select("doc_id", "text")
+
+  /** The serve-side contract: answered from index artifacts only. */
+  private def fromIndexOnly(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("documents.parquet"),
+      s"search query read the corpus instead of the index:\n${plan.take(4000)}")
+    df
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Build the index, then serve the lexicon head (top-30 tokens by
+    // document frequency) from the published meta version — the "what's
+    // in this index" operational query.
+    "q_search_index" -> ((s, dir) => {
+      val root = freshRoot("q_search_index", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(InvertedIndex.lexicon(s, root)
+        .orderBy(col("df").desc, col("tok"))
+        .limit(30)
+        .select("tok", "df", "tf_total"))
+    }),
+
+    // BM25 ranked retrieval (rational-idf profile — see InvertedIndex
+    // scaladoc for the bit-reproducibility argument) for a 3-term OR
+    // query, top-20 docs with integer micro-scores.
+    "q_search_bm25" -> ((s, dir) => {
+      val root = freshRoot("q_search_bm25", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(
+        InvertedIndex.bm25(s, root, Seq("spark", "merge", "window"), 20))
+    }),
+
+    // Positional phrase query "merge batch": adjacent-position counts per
+    // doc from the postings alone — the corpus text is never re-read.
+    "q_search_phrase" -> ((s, dir) => {
+      val root = freshRoot("q_search_phrase", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(InvertedIndex.phrase(s, root, "merge", "batch"))
+    }),
+
+    // The segment model under ingest: three disjoint deltas appended as
+    // three segments (then compacted to one), served as a whole-index
+    // fingerprint — lexicon row count, df/tf mass, doc/token globals.
+    // Equality with the oracle's one-shot recompute certifies that the
+    // incremental lexicon fold and the manifest flip lose nothing, and
+    // that compaction is pure data movement.
+    "q_search_incremental" -> ((s, dir) => {
+      val root = freshRoot("q_search_incremental", dir)
+      val d = docs(s, dir)
+      InvertedIndex.build(s, root, d.where("doc_id % 3 = 0"))
+      InvertedIndex.append(s, root, d.where("doc_id % 3 = 1"))
+      InvertedIndex.append(s, root, d.where("doc_id % 3 = 2"))
+      InvertedIndex.compact(s, root)
+      InvertedIndex.vacuum(root)
+      val lex = InvertedIndex.lexicon(s, root)
+        .agg(count(lit(1)).as("n_tokens_lex"),
+          sum("df").as("df_sum"), sum("tf_total").as("tf_sum"))
+      fromIndexOnly(
+        lex.crossJoin(broadcast(InvertedIndex.globals(s, root))))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_search_index" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "lex AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "CAST(count(*) AS BIGINT) AS tf_total FROM tk GROUP BY tok) " +
+        "SELECT tok, df, tf_total FROM lex ORDER BY df DESC, tok LIMIT 30"),
+
+    // identical IEEE op sequence as InvertedIndex.bm25 — see its scaladoc;
+    // every parenthesis mirrors the Column expression
+    "q_search_bm25" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2), " +
+        "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
+        "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
+        "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
+        "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
+        "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
+        "* 1000000.0) AS BIGINT) AS s_micros " +
+        "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
+        "JOIN lex l ON p.tok = l.tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
+        "FROM sc GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20"),
+
+    "q_search_phrase" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences " +
+        "FROM d, UNNEST(range(1, len(t))) AS u(i) " +
+        "WHERE t[i] = 'merge' AND t[i + 1] = 'batch' " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_search_incremental" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "lex AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "CAST(count(*) AS BIGINT) AS tf_total FROM tk GROUP BY tok), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(t)) AS BIGINT) AS total_tokens FROM d) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_tokens_lex, " +
+        "CAST(sum(df) AS BIGINT) AS df_sum, " +
+        "CAST(sum(tf_total) AS BIGINT) AS tf_sum, " +
+        "g.n_docs, g.total_tokens FROM lex CROSS JOIN g " +
+        "GROUP BY g.n_docs, g.total_tokens"),
+  )
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.search.InvertedIndex
+import graft.sinks.AliasedIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The inverted-index serve path: segment model, incremental lexicon
+  * fold, compaction, crash-orphan invisibility, and the plan shape of
+  * ranked retrieval. Value-level agreement with first principles is the
+  * DuckDB oracle (q_search_*); these specs pin everything the oracle
+  * can't see — physical plans, file layout, equivalence across ingest
+  * histories.
+  */
+class SearchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_spec_$tag"
+    AliasedIndex.deleteRecursively(Paths.get(root))
+    root
+  }
+
+  private def docs: DataFrame =
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("segmented build equals one-shot build: bm25, phrase, lexicon") {
+    val one = freshRoot("search_oneshot")
+    val seg = freshRoot("search_segmented")
+    InvertedIndex.build(spark, one, docs)
+    InvertedIndex.build(spark, seg, docs.where("doc_id % 3 = 0"))
+    InvertedIndex.append(spark, seg, docs.where("doc_id % 3 = 1"))
+    InvertedIndex.append(spark, seg, docs.where("doc_id % 3 = 2"))
+    val terms = Seq("spark", "merge", "window")
+    assert(rows(InvertedIndex.bm25(spark, one, terms, 20)) ==
+      rows(InvertedIndex.bm25(spark, seg, terms, 20)))
+    assert(rows(InvertedIndex.phrase(spark, one, "merge", "batch")) ==
+      rows(InvertedIndex.phrase(spark, seg, "merge", "batch")))
+    assert(rows(InvertedIndex.lexicon(spark, one).orderBy("tok")) ==
+      rows(InvertedIndex.lexicon(spark, seg).orderBy("tok")))
+  }
+
+  test("compaction preserves every answer and collapses the manifest to one segment") {
+    val root = freshRoot("search_compact")
+    InvertedIndex.build(spark, root, docs.where("doc_id % 2 = 0"))
+    InvertedIndex.append(spark, root, docs.where("doc_id % 2 = 1"))
+    val terms = Seq("spark", "merge", "window")
+    val before = rows(InvertedIndex.bm25(spark, root, terms, 20))
+    val beforePh = rows(InvertedIndex.phrase(spark, root, "merge", "batch"))
+    InvertedIndex.compact(spark, root)
+    assert(rows(InvertedIndex.bm25(spark, root, terms, 20)) == before)
+    assert(rows(InvertedIndex.phrase(spark, root, "merge", "batch")) == beforePh)
+    // manifest now names exactly one live segment; vacuum reclaims the two
+    // compacted-away dirs and the reclaimed names never include the live one
+    val metaDir = AliasedIndex.resolve(s"$root/meta").get
+    val live = Files.readAllLines(Paths.get(metaDir, "segments"))
+    assert(live.size == 1, s"expected one live segment, got $live")
+    val reclaimed = InvertedIndex.vacuum(root)
+    assert(reclaimed.size == 2 && !reclaimed.contains(live.get(0)), s"$reclaimed")
+    assert(rows(InvertedIndex.bm25(spark, root, terms, 20)) == before)
+  }
+
+  test("a crash-orphan segment is invisible to readers and reclaimed by vacuum") {
+    val root = freshRoot("search_orphan")
+    InvertedIndex.build(spark, root, docs)
+    val nDocs = InvertedIndex.globals(spark, root)
+      .head().getAs[Long]("n_docs")
+    val postRows = InvertedIndex.postings(spark, root).count()
+    // simulate an append that materialized its segment but died before the
+    // meta publish: a visible, unreferenced seg dir with real parquet
+    docstatsLikeOrphan(root, "seg-99999")
+    assert(InvertedIndex.postings(spark, root).count() == postRows,
+      "orphan postings leaked into the committed read path")
+    assert(InvertedIndex.globals(spark, root)
+      .head().getAs[Long]("n_docs") == nDocs)
+    assert(InvertedIndex.vacuum(root) == Seq("seg-99999"))
+    assert(InvertedIndex.postings(spark, root).count() == postRows)
+  }
+
+  private def docstatsLikeOrphan(root: String, name: String): Unit = {
+    val d = docs.limit(7)
+    val seg = s"$root/$name"
+    d.select(col("doc_id"), lit("zzz").as("tok"), lit(1L).as("tf"),
+        array(lit(1)).as("positions"))
+      .write.parquet(s"$seg/postings")
+    d.select(col("doc_id"), lit(1L).as("dl")).write.parquet(s"$seg/docstats")
+  }
+
+  test("bm25 plan: term filter pushes into the postings scan; corpus never read") {
+    val root = freshRoot("search_plan")
+    InvertedIndex.build(spark, root, docs)
+    val p = InvertedIndex.bm25(spark, root, Seq("spark", "merge"), 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(tok, [merge,spark])") ||
+      p.contains("PushedFilters: [In(tok, [spark,merge])"), p.take(3000))
+    assert(!p.contains("documents.parquet"), p.take(3000))
+    // ranked cut is a distributed top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("phrase agrees with a direct recompute over the raw text") {
+    val root = freshRoot("search_phrase_direct")
+    InvertedIndex.build(spark, root, docs)
+    val direct = docs
+      .withColumn("t", split(col("text"), " "))
+      .where(size(col("t")) >= 2) // sequence(1, 0) DESCENDS (SURVEY §7.5)
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(1, size(t) - 1), " +
+          "i -> element_at(t, i) = 'merge' AND element_at(t, i + 1) = 'batch'), " +
+          "x -> x)")).as("hit"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+    assert(rows(InvertedIndex.phrase(spark, root, "merge", "batch")) ==
+      rows(direct))
+  }
+
+  test("build refuses a root that already has a committed version") {
+    val root = freshRoot("search_rebuild")
+    InvertedIndex.build(spark, root, docs.limit(10))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.build(spark, root, docs.limit(10))
+    }
+    assert(e.getMessage.contains("already has a committed version"))
+  }
+}
