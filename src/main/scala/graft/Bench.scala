@@ -28,12 +28,21 @@ object Bench {
     // number is the per-query MEDIAN, so one GC pause / compilation stall
     // no longer reads as a round-over-round regression. "noise" records
     // the median relative spread ((max-min)/median) across queries.
+    // A query that THROWS must never read as a fast success (a broken
+    // query completes in ~0.05 s and silently shrinks the workload —
+    // round-11 verdict item 3): failures are recorded by name+exception
+    // and reported in both the detail file and the printed line.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = names.map { name =>
       name -> (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case NonFatal(_) => () }
+        catch { case NonFatal(e) =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          ()
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
     }
@@ -48,13 +57,23 @@ object Bench {
     // printed line carries the headline numbers plus as many of the
     // SLOWEST queries as fit a hard 1500-char cap.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val total = results.map(_._2).sum
-    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+    // detail file: full class+message per failed query; printed line:
+    // names only (21 full messages would blow the driver's 2000-char tail)
+    val errFull = errors.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+      .mkString("{", ",", "}")
+    val errNames = errors.keys.map(jq).mkString("[", ",", "]")
+    def line(entries: Seq[(String, Double)], omitted: Int,
+        errs: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"n_queries":${results.size},"q_omitted":$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"noise":${fmt(noise)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"q_omitted":$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val full = line(results, 0)
+    val full = line(results, 0, errFull)
     // Anchor the detail file to an explicit base (user.dir = the sbt
     // project root) and never let an IO failure discard the timings the
     // run just spent minutes computing — the printed line below is the
@@ -70,9 +89,9 @@ object Bench {
     }
     val byCost = results.sortBy(-_._2)
     val keep = (results.size to 0 by -1)
-      .find(k => line(byCost.take(k), results.size - k).length <= 1500)
+      .find(k => line(byCost.take(k), results.size - k, errNames).length <= 1500)
       .getOrElse(0)
-    println(line(byCost.take(keep), results.size - keep))
+    println(line(byCost.take(keep), results.size - keep, errNames))
     spark.stop()
   }
 }

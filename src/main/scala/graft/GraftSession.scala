@@ -21,7 +21,6 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // cluster-wide extension point: custom expressions + the
       // JaccardSizePrefilter optimizer rule, builtin-level

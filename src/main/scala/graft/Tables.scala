@@ -1,21 +1,21 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Shared fixture reader (SURVEY.md §7.2 phase 0).
   *
-  * Every query function reads through here so that:
+  * All fixture tables — including `events` — are plain parquet reads. The
+  * timestamp columns (`events.ts`, `o_orderdate`, `l_shipdate`) are parquet
+  * `timestamp[us]` with isAdjustedToUTC=false, which Spark 4 infers natively
+  * as TIMESTAMP_NTZ — lining up with DuckDB's naive TIMESTAMP, so the oracle
+  * comparison needs no conversion on either side. (Earlier fixture
+  * generations wrote `events.ts` as TIMESTAMP(NANOS), which needed a
+  * nanosAsLong + truncate-to-µs workaround here; the regenerated fixtures
+  * made that a type error and it is gone — SURVEY.md §7.4 R6.)
   *
-  *  - `events.ts` (parquet `TIMESTAMP(NANOS)`) is readable at all: Spark's
-  *    parquet reader rejects nano timestamps, so we read them as raw Long
-  *    nanoseconds (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  *    microseconds with *integer* division, which matches DuckDB's ns→µs
-  *    truncation bit-for-bit (SURVEY.md §7.4 R6, verified V5/V6). The column
-  *    is exposed as TIMESTAMP_NTZ to line up with DuckDB's naive TIMESTAMP.
-  *  - scans stay declarative: no caching, no driver-side materialization —
-  *    Catalyst pushes each query's filters/projections into the parquet scan
-  *    (verify with `.explain("formatted")`: PushedFilters / ReadSchema).
+  * Scans stay declarative: no caching, no driver-side materialization —
+  * Catalyst pushes each query's filters/projections into the parquet scan
+  * (verify with `.explain("formatted")`: PushedFilters / ReadSchema).
   *
   * 100 TB note: at scale these would be partitioned-directory reads (e.g.
   * `events/date=.../`) registered in a catalog so partition pruning + DPP
@@ -26,14 +26,8 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
-    case "events" =>
-      // Runtime SQLConf consulted at read time; idempotent.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    case other => spark.read.parquet(s"$sfDir/$other.parquet")
-  }
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[Integer, String]()

@@ -29,8 +29,10 @@ import graft.sync.IncrementalView.ViewDef
   *    keys re-aggregates the state: partials merge by addition/min/max,
   *    which is what makes them partials),
   *  - every output is a key column or one of `count(*)`, `sum(measure)`,
-  *    `min(measure)`, `max(measure)` — no DISTINCT, no FILTER clause, no
-  *    min/max on a retractable view (it carries none, structurally).
+  *    `avg(measure)` (decimal measures only — see the splice note at the
+  *    Average case), `min(measure)`, `max(measure)` — no DISTINCT, no
+  *    FILTER clause, no min/max on a retractable view (it carries none,
+  *    structurally).
   *
   * Count rewrites to `coalesce(sum(mv_n), 0)`: a global count over an
   * empty (or fully retracted) view must yield 0, not the null an empty
@@ -107,12 +109,32 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Attribute => nameOf.get(a.exprId).contains(r.v.measure)
       case _            => false
     }
+    // avg splices as merged-sum / merged-non-null-count. Bit-parity with
+    // the native Average is an operand-type argument: the merged mv_s is
+    // cast to Average's own sum type (decimal(p+10, s)) and mv_nm is a
+    // LongType count, so the Divide the splice builds has the SAME
+    // operand types — hence the same result scale and the same HALF_UP
+    // rounding — as the plan it replaces. Only decimal measures route:
+    // an integral/double measure's native avg accumulates a running
+    // DOUBLE sum (order-dependent), which an exact decimal partial can
+    // differ from in the last ulp — the rule declines rather than
+    // approximates. A group whose measures were all NULL serves NULL
+    // (mv_nm = 0 guards the division), matching Average under ANSI.
+    def avgCol: Option[Column] =
+      r.source.output.find(_.name == r.v.measure).map(_.dataType).collect {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          val sumT = org.apache.spark.sql.types.DecimalType(
+            math.min(38, d.precision + 10), d.scale)
+          val nm = sum("mv_nm")
+          when(nm === 0L, lit(null)).otherwise(sum("mv_s").cast(sumT) / nm)
+      }
     def aggCol(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.isDefined) None
       else ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           Some(coalesce(sum("mv_n"), lit(0L)))
         case s: Sum if isMeasure(s.child)                    => Some(sum("mv_s"))
+        case a: Average if isMeasure(a.child)                => avgCol
         case m: Min if isMeasure(m.child) && !r.v.retractable => Some(min("mv_min"))
         case m: Max if isMeasure(m.child) && !r.v.retractable => Some(max("mv_max"))
         case _                                               => None

@@ -1,9 +1,7 @@
 package graft.search
 
-import java.nio.file.Paths
 
 import graft.{QueryFamily, Tables}
-import graft.sinks.AliasedIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,12 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object SearchQueries extends QueryFamily {
 
-  private def freshRoot(tag: String, dir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    AliasedIndex.deleteRecursively(Paths.get(root))
-    root
-  }
+  // per-invocation unique root (graft.Scratch) — see ViewQueries.freshRoot
+  private def freshRoot(tag: String, dir: String): String =
+    graft.Scratch.freshRoot(tag)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select("doc_id", "text")

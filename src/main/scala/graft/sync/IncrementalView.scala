@@ -217,6 +217,10 @@ object IncrementalView {
     val wm = wmCol.map(c => max(col(c)).as("mv_wm")).toSeq
     val deltaAggs = Seq(
       sum(sign).as("mv_n"),
+      // non-null-measure count: avg finalization (and the rewrite rule's
+      // avg splice) divides by the rows the measure actually had — a
+      // NULL measure contributes to mv_n (count(*)) but not here
+      sum(when(m.isNotNull, sign).otherwise(lit(0L))).as("mv_nm"),
       sum(m.cast(sumT) * sign).cast(sumT).as("mv_s"),
       sum((m.cast(sqT) * m.cast(sqT)) * sign).cast(sqT).as("mv_s2")) ++
       minmax ++ wm
@@ -243,6 +247,7 @@ object IncrementalView {
             else Seq(min("mv_min").as("mv_min"), max("mv_max").as("mv_max"))
           val mergeAggs = Seq(
             sum("mv_n").as("mv_n"),
+            sum("mv_nm").as("mv_nm"),
             sum("mv_s").cast(sumT).as("mv_s"),
             sum("mv_s2").cast(sqT).as("mv_s2")) ++ mergeMinmax
           st.unionByName(deltaState).groupBy(keyCols: _*)
@@ -268,7 +273,11 @@ object IncrementalView {
       val carriedWm = wmMax.orElse(currentWatermark(root))
       val carriedBatch = batch.orElse(lastBatch(root))
       AliasedIndex.publish(root) { dir =>
-        checked.write.parquet(Paths.get(dir, "state").toString)
+        // deterministic bytes: sort each hash-partition by key before the
+        // write, so identical folds produce identical state files (the
+        // serve path orders anyway; this pins the at-rest layout too)
+        checked.sortWithinPartitions(keyCols: _*)
+          .write.parquet(Paths.get(dir, "state").toString)
         carriedWm.foreach(l => Files.writeString(Paths.get(dir, "watermark"), l))
         carriedBatch.foreach(b =>
           Files.writeString(Paths.get(dir, "batch"), b.toString))

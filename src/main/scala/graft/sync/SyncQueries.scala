@@ -99,8 +99,7 @@ object SyncQueries extends QueryFamily {
     // and the doc bodies they carried — so a green row certifies the
     // shed docs keep their full delivery context for replay.
     "q_sync_dlq" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q_sync_dlq_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+      val base = graft.Scratch.freshRoot("q_sync_dlq")
       val job = fullJob.copy(name = "orders_dlq",
         deadLetter = Some(graft.sinks.DeadLetterPolicy(s"$base/dlq", budget = 5000)))
       SyncRunner.run(s, dir, job,

@@ -1,8 +1,6 @@
 package graft.sync
 
-import java.nio.file.Paths
 import graft.{Dets, QueryFamily}
-import graft.sinks.AliasedIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,18 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object ViewQueries extends QueryFamily {
 
-  /** Fresh per-(query, sfDir) view root. Wiped on every invocation: the
-    * verify and bench harnesses call a query repeatedly, and re-folding a
-    * delta onto surviving state would double-count (the one way an
-    * incremental view can silently rot). Rebuild-from-empty keeps each run
+  /** Fresh per-invocation view root ([[graft.Scratch]]): the verify and
+    * bench harnesses call a query repeatedly — possibly from overlapping
+    * JVMs — and re-folding a delta onto another invocation's surviving
+    * state would double-count (the one way an incremental view can
+    * silently rot). Build-from-empty under a unique root keeps each run
     * self-contained and byte-deterministic.
     */
-  private def freshRoot(tag: String, dir: String): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    AliasedIndex.deleteRecursively(Paths.get(root))
-    root
-  }
+  private def freshRoot(tag: String, dir: String): String =
+    graft.Scratch.freshRoot(tag)
 
   /** orders reshaped to view inputs: exact-decimal measure (double sums
     * are order-dependent; DECIMAL(12,2) folds identically in any order

@@ -102,12 +102,30 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally ViewRewrite.deregister("vrw_empty")
   }
 
+  test("avg routes as merged-sum over non-null count, bit-equal to the scan") {
+    withView("avg", ViewDef(Seq("status", "priority"), "total")) { root =>
+      // exact-key grouping AND key-subset grouping: both serve avg from
+      // (mv_s, mv_nm), and both must equal the native Average bit-for-bit
+      // (same Divide operand types — see the splice note in ViewRewrite)
+      for (q <- Seq(
+          orders.groupBy("status", "priority")
+            .agg(avg("total").as("a"), count(lit(1)).as("n")),
+          orders.groupBy("status").agg(avg("total").as("a")))) {
+        assert(routed(q), s"avg did not route:\n${planOf(q)}")
+        spark.conf.set("spark.graft.view.rewrite", "false")
+        val direct = try (collectSorted(q), q.schema)
+        finally spark.conf.unset("spark.graft.view.rewrite")
+        assert((collectSorted(q), q.schema) == direct,
+          "routed avg diverges from the native Average")
+      }
+    }
+  }
+
   test("inexpressible shapes decline: the base scan survives untouched") {
     withView("decline", ViewDef(Seq("status"), "total")) { root =>
-      // avg is not rewritten (Average division semantics are the
-      // original plan's business, not the partials')
-      assert(scansBase(orders.groupBy("status").agg(avg("total"))))
-      // distinct aggregation cannot come from partials
+      // distinct aggregation cannot come from partials — neither on the
+      // measure itself nor on any other column
+      assert(scansBase(orders.groupBy("status").agg(countDistinct(col("total")))))
       assert(scansBase(orders.groupBy("status").agg(countDistinct(col("priority")))))
       // grouping on a non-key column
       assert(scansBase(orders.groupBy("priority").agg(sum("total"))))
@@ -120,6 +138,19 @@ class ViewRewriteSpec extends AnyFunSuite {
           col("o_orderkey"))
       assert(scansBase(other.groupBy("status").agg(sum("total"))))
     }
+  }
+
+  test("avg on a non-decimal measure declines (native avg runs a double sum)") {
+    val root = freshRoot("avgint")
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey").as("total"))
+    val v = ViewDef(Seq("status"), "total")
+    IncrementalView.refresh(spark, root, src, v)
+    ViewRewrite.register("vrw_avgint", src, root, v)
+    try {
+      assert(scansBase(src.groupBy("status").agg(avg("total"))))
+      assert(routed(src.groupBy("status").agg(sum("total"))))
+    } finally ViewRewrite.deregister("vrw_avgint")
   }
 
   test("min/max on a retractable view decline (the state carries none)") {
