@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   root/meta/v-NNNNN/segments   newline list of live segment names
   *   root/meta/v-NNNNN/lexicon/   (tok, df, tf_total)         parquet
   *   root/meta/v-NNNNN/globals/   (n_docs, total_tokens)      parquet, 1 row
+  *   root/meta/v-NNNNN/deletes/   (doc_id) tombstones         parquet, opt
   *   root/meta/current            alias file → the committed version
   * }}}
   *
@@ -145,6 +146,10 @@ object InvertedIndex {
       }
       lex.repartition(1).write.parquet(s"$dir/lexicon")
       glob.write.parquet(s"$dir/globals")
+      // tombstones survive an append: the deleted docs' rows still sit
+      // in the old segments, so dropping the list would resurrect them
+      prev.flatMap(p => deletes(spark, p)).foreach(
+        _.repartition(1).write.parquet(s"$dir/deletes"))
       Files.write(Paths.get(dir, "segments"),
         segs.mkString("\n").getBytes("UTF-8"))
     }
@@ -203,19 +208,78 @@ object InvertedIndex {
     }
   }
 
+  /** Delete documents: tombstone, stats-exact. Lucene's model is
+    * "exclude now, purge on merge" with stats decaying only at merge;
+    * here the tombstone flip ALSO retires the deleted docs'
+    * contributions from the lexicon and globals (computed from their own
+    * postings — O(deleted docs' postings), never a corpus rescan), so
+    * BM25 idf/avgdl stay corpus-exact the moment the delete commits.
+    * The (deletes list, lexicon, globals) triple publishes as one atomic
+    * meta version; segment files are untouched until [[compact]], which
+    * reads through the tombstone filter and therefore physically purges.
+    *
+    * `ids` is a 1-column (`doc_id`) DataFrame — at scale a tombstone
+    * feed, not a driver-side list. Ids already deleted or never indexed
+    * are ignored (idempotent: replaying a delete cannot decrement stats
+    * twice, because postings/docstats below already exclude prior
+    * tombstones).
+    */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    require(ids.columns.sameElements(Array("doc_id")),
+      s"delete wants a single doc_id column, got ${ids.columns.mkString(",")}")
+    val prevDir = currentMeta(root)
+    val newDel = docstats(spark, root).join(broadcast(ids), "doc_id")
+    val negLex = postings(spark, root).join(broadcast(ids), "doc_id")
+      .groupBy("tok")
+      .agg((-count(lit(1))).as("df"), (-sum("tf")).as("tf_total"))
+    val negGlob = newDel
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum("dl"), lit(0L))).as("total_tokens"))
+    AliasedIndex.publish(metaRoot(root)) { dir =>
+      spark.read.parquet(s"$prevDir/lexicon").unionByName(negLex)
+        .groupBy("tok").agg(sum("df").as("df"), sum("tf_total").as("tf_total"))
+        .where(col("df") > 0) // a token living only in deleted docs vanishes
+        .repartition(1).write.parquet(s"$dir/lexicon")
+      spark.read.parquet(s"$prevDir/globals").unionByName(negGlob)
+        .agg(sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"))
+        .write.parquet(s"$dir/globals")
+      val dels = newDel.select("doc_id")
+      deletes(spark, prevDir).fold(dels)(_.unionByName(dels).distinct())
+        .repartition(1).write.parquet(s"$dir/deletes")
+      Files.copy(Paths.get(prevDir, "segments"), Paths.get(dir, "segments"))
+    }
+  }
+
   // ---- readers: everything below touches ONLY committed artifacts ----
+
+  private def deletes(spark: SparkSession, metaDir: String): Option[DataFrame] = {
+    val p = Paths.get(metaDir, "deletes")
+    if (Files.isDirectory(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Tombstone filter shared by every reader: deleted docs are invisible
+    * everywhere (search, phrase, compaction input). The deletes list is
+    * O(tombstones) — broadcast anti-join, and predicates above it still
+    * push through to the segment scans (the join key is doc_id, the
+    * pushed filters are on tok).
+    */
+  private def liveOnly(spark: SparkSession, root: String,
+      df: DataFrame): DataFrame =
+    deletes(spark, currentMeta(root)).fold(df)(d =>
+      df.join(broadcast(d), Seq("doc_id"), "left_anti"))
 
   /** Union of the live segments' postings as one scan — a multi-path
     * parquet read keeps a single FileScan node, so term predicates push
     * into every segment at once.
     */
   def postings(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(
-      liveSegments(root).map(s => s"$root/$s/postings"): _*)
+    liveOnly(spark, root, spark.read.parquet(
+      liveSegments(root).map(s => s"$root/$s/postings"): _*))
 
   def docstats(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(
-      liveSegments(root).map(s => s"$root/$s/docstats"): _*)
+    liveOnly(spark, root, spark.read.parquet(
+      liveSegments(root).map(s => s"$root/$s/docstats"): _*))
 
   def lexicon(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"${currentMeta(root)}/lexicon")
@@ -267,6 +331,24 @@ object InvertedIndex {
         sum("s_micros").as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Conjunctive (AND) retrieval from the postings alone: documents
+    * containing EVERY query term, with the matched terms' tf mass. One
+    * term-pruned postings scan (pushed `tok IN (…)`), one doc_id
+    * aggregation — the count-of-matched-terms == #terms trick turns the
+    * N-way positional intersection into a single groupBy, which is the
+    * shape that survives 100 TB (no self-join per term).
+    */
+  def conjunctive(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "conjunctive needs at least one term")
+    postings(spark, root).where(col("tok").isin(ts: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+      .where(col("n_terms") === ts.size)
+      .orderBy("doc_id")
   }
 
   /** Positional phrase query `"t1 t2"` from the index alone: explode the

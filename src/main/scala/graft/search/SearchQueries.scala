@@ -65,6 +65,28 @@ object SearchQueries extends QueryFamily {
       fromIndexOnly(InvertedIndex.phrase(s, root, "merge", "batch"))
     }),
 
+    // Conjunctive retrieval: docs containing ALL THREE terms, served
+    // from one term-pruned postings aggregation (no per-term self-join).
+    "q_search_and" -> ((s, dir) => {
+      val root = freshRoot("q_search_and", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(
+        InvertedIndex.conjunctive(s, root, Seq("spark", "merge", "window")))
+    }),
+
+    // Tombstone deletion, stats-exact: delete every 5th doc, then serve
+    // BM25 — scores must equal a from-scratch index of the surviving
+    // corpus (the oracle recomputes exactly that), certifying that the
+    // delete retired both the docs AND their df/avgdl contributions.
+    "q_search_delete" -> ((s, dir) => {
+      val root = freshRoot("q_search_delete", dir)
+      val d = docs(s, dir)
+      InvertedIndex.build(s, root, d)
+      InvertedIndex.delete(s, root, d.where("doc_id % 5 = 0").select("doc_id"))
+      fromIndexOnly(
+        InvertedIndex.bm25(s, root, Seq("spark", "merge", "window"), 20))
+    }),
+
     // The segment model under ingest: three disjoint deltas appended as
     // three segments (then compacted to one), served as a whole-index
     // fingerprint — lexicon row count, df/tf mass, doc/token globals.
@@ -99,6 +121,39 @@ object SearchQueries extends QueryFamily {
     // every parenthesis mirrors the Column expression
     "q_search_bm25" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2), " +
+        "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
+        "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
+        "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
+        "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
+        "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
+        "* 1000000.0) AS BIGINT) AS s_micros " +
+        "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
+        "JOIN lex l ON p.tok = l.tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
+        "FROM sc GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20"),
+
+    "q_search_and" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
+        "GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"),
+
+    // the q_search_bm25 oracle restricted to the surviving corpus — a
+    // from-scratch recompute the tombstoned index must equal exactly
+    "q_search_delete" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents " +
+        "WHERE doc_id % 5 <> 0), " +
         "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
         "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +

@@ -106,6 +106,22 @@ object ContinuousSync {
       .start()
   }
 
+  /** Stop a gated stream and compact the gate's signature store in one
+    * motion — the operator stop path. Ordering is the whole point: the
+    * store may only compact while no batch is in flight, and only up to
+    * the last batch that can no longer replay ([[DedupGate.compact]]'s
+    * contract); stopping first and letting [[DedupGate.compactSettled]]
+    * pick the safe bound makes the call impossible to misuse. Without
+    * this, a long-lived stream accretes one store partition per
+    * micro-batch and every probe pays the full listing tax.
+    */
+  def stopAndCompact(query: StreamingQuery, gate: DedupGate,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    query.stop()
+    query.awaitTermination()
+    gate.compactSettled(spark)
+  }
+
   /** One max-agg over the PRE-GATE batch into the watermark accumulator:
     * a gate sheds rows before delivery, but the stream consumed the whole
     * batch — the watermark must cover shed docs too, or the documented

@@ -127,6 +127,22 @@ class DedupGate(val storeRoot: String, thresh: Double = 0.8,
     finishCompaction(upTo)
   }
 
+  /** Compact everything that can no longer replay: merges all store
+    * partitions strictly below the newest one (the newest batch may be
+    * uncommitted in the stream checkpoint and replay on restart — its
+    * partition must stay addressable by its own id). The safe-`upTo`
+    * arithmetic lives here so every stop path shrinks the store the same
+    * way ([[ContinuousSync.stopAndCompact]]); a long-running stream that
+    * skips it pays an ever-growing per-probe listing tax (one parquet
+    * dir per micro-batch ever run), which is an operational leak even
+    * though answers stay correct.
+    */
+  def compactSettled(spark: org.apache.spark.sql.SparkSession): Unit = {
+    recover()
+    val ids = batchIds()
+    if (ids.size > 2) compact(spark, ids.max - 1)
+  }
+
   /** Finish an interrupted compaction if a committed marker is present.
     * Idempotent; called from compact() and filterBatch().
     */

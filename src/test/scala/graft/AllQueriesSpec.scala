@@ -49,6 +49,30 @@ class AllQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events-family queries are non-degenerate on the regenerated fixtures") {
+    // The 2026-08-13 fixture regeneration silently changed the events
+    // timestamp type once already (SURVEY §7.4 R6 tombstone). Exact
+    // values are the oracle gate's job; THIS pins that every query
+    // touching events/dates still finds non-trivial matches — a future
+    // fixture change that leaves them runnable-but-empty (degenerate
+    // joins, zero sessions) must fail here, not pass as "rows >= 0".
+    val floors = Map(
+      "q_join_range" -> 3L, "q_join_asof" -> 1000L,
+      "q_stream_session" -> 900L, "q_stream_tumbling" -> 800L,
+      "q_stream_sliding" -> 2000L, "q_stream_dedup" -> 1000L,
+      "q_win_sessionize" -> 10L, "q_win_leadlag" -> 1000L,
+      "q_win_sliding" -> 1000L, "q_stream_join" -> 800L,
+      "q_agg_rollup" -> 100L, "q_agg_cube" -> 100L, "q_agg_gsets" -> 100L,
+      "q_agg_approxdistinct" -> 5L, "q_fn_json" -> 5L,
+      "q_sub_scalar" -> 100L, "q_sub_in" -> 100L, "q_sql_cte" -> 100L,
+      "q_join_salted" -> 4L, "q_sync_upsert" -> 8L, "q_scan_sql_view" -> 25L)
+    val low = floors.flatMap { case (q, floor) =>
+      val n = SparkEntry.queries(q)(spark, sf0001).count()
+      if (n < floor) Some(s"$q: $n < $floor") else None
+    }
+    assert(low.isEmpty, s"degenerate events-family results: ${low.mkString("; ")}")
+  }
+
   test("q_agg_hashgroup has the Q1 group structure") {
     val rows = SparkEntry.queries("q_agg_hashgroup")(spark, sf0001).collect()
     assert(rows.length >= 4 && rows.length <= 6)

@@ -153,6 +153,44 @@ class DedupGateSpec extends AnyFunSuite {
       "compaction or the post-compaction append lost signature rows")
   }
 
+  test("stopAndCompact shrinks the store at the stop path and the restart converges") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "n_chars")
+    val job = SyncJob("gate_stop", SyncSource.Table("unused"), idCol = "doc_id",
+      fields = fields, shards = 2, batchSize = 200)
+    val gate = new DedupGate(tmp("graft_gs_sig"))
+    val idx = tmp("graft_gs_idx")
+    val ckpt = tmp("graft_gs_ckpt")
+    val slices = fixtureSlices(4)
+    val q1 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gs_wm")), ckpt, gate = Some(gate.filterBatch))
+    for (slice <- slices.take(3)) { input.addData(slice: _*); q1.processAllAvailable() }
+    // the operator stop path: stop, await, compact everything that can
+    // no longer replay — the newest batch (2) stays addressable because
+    // the checkpoint may still replay it after a crashed commit
+    ContinuousSync.stopAndCompact(q1, gate, spark)
+    val parts = Files.list(Paths.get(gate.storeRoot)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(parts == Seq("batch=1", "batch=2"),
+      s"stop-path compaction should leave merged history + newest: $parts")
+    val q2 = ContinuousSync.start(df, job, idx,
+      new WatermarkStore(tmp("graft_gs_wm2")), ckpt, gate = Some(gate.filterBatch))
+    try {
+      input.addData(slices(3): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val delivered = Writers.foldState(idx).keySet.map(_.toLong)
+    val oneShot = Dedup.ingestSurvivors(spark, sf0001, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(delivered == oneShot,
+      s"post-stopAndCompact survivors diverge: extra=${(delivered -- oneShot).take(5)} " +
+        s"missing=${(oneShot -- delivered).take(5)}")
+    assert(spark.read.parquet(gate.storeRoot).count() == slices.map(_.size).sum,
+      "stop-path compaction lost signature rows")
+  }
+
   test("a compaction crash after the commit marker is recovered without losing rows") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

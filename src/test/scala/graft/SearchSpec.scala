@@ -120,6 +120,49 @@ class SearchSpec extends AnyFunSuite {
       rows(direct))
   }
 
+  test("deletion: tombstoned index equals a from-scratch index of the survivors") {
+    val root = freshRoot("search_delete")
+    val clean = freshRoot("search_delete_clean")
+    InvertedIndex.build(spark, root, docs)
+    InvertedIndex.delete(spark, root,
+      docs.where("doc_id % 5 = 0").select("doc_id"))
+    InvertedIndex.build(spark, clean, docs.where("doc_id % 5 <> 0"))
+    val terms = Seq("spark", "merge", "window")
+    def fingerprint(r: String): (Seq[String], Seq[String], Seq[String], Seq[String]) = (
+      rows(InvertedIndex.bm25(spark, r, terms, 20)),
+      rows(InvertedIndex.conjunctive(spark, r, terms)),
+      rows(InvertedIndex.lexicon(spark, r).orderBy("tok")),
+      rows(InvertedIndex.globals(spark, r)))
+    assert(fingerprint(root) == fingerprint(clean),
+      "tombstone delete diverges from a clean rebuild of the survivors")
+
+    // replaying the same delete is a no-op (stats cannot decrement twice)
+    val before = fingerprint(root)
+    InvertedIndex.delete(spark, root,
+      docs.where("doc_id % 5 = 0").select("doc_id"))
+    assert(fingerprint(root) == before, "delete replay changed the index")
+
+    // an append AFTER a delete must not resurrect the tombstoned docs…
+    InvertedIndex.append(spark, root,
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    InvertedIndex.append(spark, clean,
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    assert(fingerprint(root) == fingerprint(clean),
+      "append after delete resurrected tombstoned docs")
+
+    // …and compaction physically purges them, clearing the tombstones
+    InvertedIndex.compact(spark, root)
+    InvertedIndex.vacuum(root)
+    assert(fingerprint(root) == fingerprint(clean),
+      "compaction after delete changed an answer")
+    assert(InvertedIndex.postings(spark, root)
+      .where("doc_id % 5 = 0 and doc_id < 1000000").count() == 0,
+      "compaction kept physically-deleted postings")
+    assert(!Files.isDirectory(Paths.get(
+      AliasedIndex.resolve(s"$root/meta").get, "deletes")),
+      "compaction did not clear the tombstone list")
+  }
+
   test("build refuses a root that already has a committed version") {
     val root = freshRoot("search_rebuild")
     InvertedIndex.build(spark, root, docs.limit(10))
