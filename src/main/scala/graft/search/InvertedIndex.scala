@@ -212,8 +212,15 @@ object InvertedIndex {
     * "exclude now, purge on merge" with stats decaying only at merge;
     * here the tombstone flip ALSO retires the deleted docs'
     * contributions from the lexicon and globals (computed from their own
-    * postings — O(deleted docs' postings), never a corpus rescan), so
-    * BM25 idf/avgdl stay corpus-exact the moment the delete commits.
+    * postings rows), so BM25 idf/avgdl stay corpus-exact the moment the
+    * delete commits. Honest cost accounting: postings are clustered by
+    * TOKEN, so finding a doc's rows reads the postings of every live
+    * segment once (the semi-join prunes rows, not row groups) — one
+    * index scan per delete batch, the same cost class as a compact, and
+    * deliberately chosen over Lucene's O(1) lazy-stats alternative
+    * because bit-reproducible BM25 (the family's law) cannot serve from
+    * stats that depend on merge timing. Batch deletes accordingly: one
+    * call with the night's tombstone feed, not one per doc.
     * The (deletes list, lexicon, globals) triple publishes as one atomic
     * meta version; segment files are untouched until [[compact]], which
     * reads through the tombstone filter and therefore physically purges.

@@ -102,6 +102,16 @@ class SearchSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"), p.take(3000))
     // ranked cut is a distributed top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // conjunctive shares the pushdown discipline — and stays one scan +
+    // one aggregation even after a delete installs the tombstone filter
+    InvertedIndex.delete(spark, root, docs.limit(3).select("doc_id"))
+    val c = InvertedIndex.conjunctive(spark, root, Seq("spark", "merge"))
+      .queryExecution.executedPlan.toString
+    assert(c.contains("PushedFilters: [In(tok, [merge,spark])") ||
+      c.contains("PushedFilters: [In(tok, [spark,merge])"), c.take(3000))
+    assert(!c.contains("documents.parquet"), c.take(3000))
+    assert(c.contains("BroadcastHashJoin") && c.contains("LeftAnti"),
+      s"tombstone filter should be a broadcast anti-join:\n${c.take(3000)}")
   }
 
   test("phrase agrees with a direct recompute over the raw text") {
@@ -128,9 +138,10 @@ class SearchSpec extends AnyFunSuite {
       docs.where("doc_id % 5 = 0").select("doc_id"))
     InvertedIndex.build(spark, clean, docs.where("doc_id % 5 <> 0"))
     val terms = Seq("spark", "merge", "window")
-    def fingerprint(r: String): (Seq[String], Seq[String], Seq[String], Seq[String]) = (
+    def fingerprint(r: String): Seq[Seq[String]] = Seq(
       rows(InvertedIndex.bm25(spark, r, terms, 20)),
       rows(InvertedIndex.conjunctive(spark, r, terms)),
+      rows(InvertedIndex.phrase(spark, r, "merge", "batch")),
       rows(InvertedIndex.lexicon(spark, r).orderBy("tok")),
       rows(InvertedIndex.globals(spark, r)))
     assert(fingerprint(root) == fingerprint(clean),
