@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   *   root/meta/v-NNNNN/lexicon/   (tok, df, tf_total)         parquet
   *   root/meta/v-NNNNN/globals/   (n_docs, total_tokens)      parquet, 1 row
   *   root/meta/v-NNNNN/deletes/   (doc_id) tombstones         parquet, opt
+  *   root/meta/v-NNNNN/batch      stream ledger (appendBatch)  text, opt
   *   root/meta/current            alias file → the committed version
   * }}}
   *
@@ -100,8 +101,13 @@ object InvertedIndex {
     * publish a meta version whose manifest includes it. The lexicon and
     * globals fold incrementally: old state ∪ delta, merged by key —
     * O(vocab + 1) rows rewritten, the corpus itself is never rescanned.
+    *
+    * `batch` stamps the stream ledger ([[appendBatch]]) into the
+    * published version; plain nightly appends leave it None and the
+    * previous stamp carries forward.
     */
-  def append(spark: SparkSession, root: String, docs: DataFrame): Unit = {
+  def append(spark: SparkSession, root: String, docs: DataFrame,
+      batch: Option[Long] = None): Unit = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     // stage the segment hidden, rename visible-but-unreferenced; numbering
@@ -150,9 +156,61 @@ object InvertedIndex {
       // in the old segments, so dropping the list would resurrect them
       prev.flatMap(p => deletes(spark, p)).foreach(
         _.repartition(1).write.parquet(s"$dir/deletes"))
+      // the stream ledger carries identically — dropping it would let a
+      // replayed micro-batch re-append after an interleaved nightly run
+      batch.orElse(prev.flatMap(ledger)).foreach(b =>
+        Files.write(Paths.get(dir, "batch"), b.toString.getBytes("UTF-8")))
       Files.write(Paths.get(dir, "segments"),
         segs.mkString("\n").getBytes("UTF-8"))
     }
+  }
+
+  /** The highest stream batchId whose append committed, read from the
+    * given meta version dir. */
+  private def ledger(metaDir: String): Option[Long] = {
+    val p = Paths.get(metaDir, "batch")
+    if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
+  }
+
+  /** Exactly-once micro-batch append: `foreachBatch` is at-least-once —
+    * a crash between the meta publish and the checkpoint commit replays
+    * the same batchId with the same rows, and a second segment of them
+    * would double every df/tf the lexicon carries. The ledger commits
+    * INSIDE the meta version the publish flips, so a replay whose fold
+    * already published is skipped (returns false), and one whose fold
+    * didn't re-runs onto the OLD committed meta — its crashed attempt's
+    * segment is an invisible orphan ([[vacuum]] reclaims). Either way
+    * the batch lands exactly once.
+    */
+  def appendBatch(spark: SparkSession, root: String, docs: DataFrame,
+      batchId: Long): Boolean = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    val done = AliasedIndex.resolve(metaRoot(root))
+      .flatMap(ledger).exists(_ >= batchId)
+    if (done) false
+    else { append(spark, root, docs, batch = Some(batchId)); true }
+  }
+
+  /** Continuous index maintenance: every micro-batch of `stream` (the
+    * `(doc_id, text)` doc shape) appends one segment through
+    * [[appendBatch]]'s exactly-once ledger — the serve side of a
+    * [[graft.sync.ContinuousSync]] delivery loop, kept fresh by the
+    * same stream. Run [[compact]]+[[vacuum]] in quiet windows exactly
+    * like the gate store: each micro-batch is one segment, and an
+    * uncompacted long stream pays per-segment listing/open costs at
+    * serve time.
+    */
+  def maintainContinuous(stream: DataFrame, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "maintainContinuous needs a streaming DataFrame")
+    stream.writeStream
+      .queryName(s"graft-index-${Paths.get(root).getFileName}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch.sparkSession, root, batch, batchId)
+        ()
+      }
+      .start()
   }
 
   /** Full build = append onto an empty root. */
@@ -191,6 +249,8 @@ object InvertedIndex {
       spark.read.parquet(s"$prevDir/lexicon").repartition(1)
         .write.parquet(s"$dir/lexicon")
       spark.read.parquet(s"$prevDir/globals").write.parquet(s"$dir/globals")
+      ledger(prevDir).foreach(b =>
+        Files.write(Paths.get(dir, "batch"), b.toString.getBytes("UTF-8")))
       Files.write(Paths.get(dir, "segments"), segName.getBytes("UTF-8"))
     }
   }
@@ -254,6 +314,8 @@ object InvertedIndex {
       val dels = newDel.select("doc_id")
       deletes(spark, prevDir).fold(dels)(_.unionByName(dels).distinct())
         .repartition(1).write.parquet(s"$dir/deletes")
+      ledger(prevDir).foreach(b =>
+        Files.write(Paths.get(dir, "batch"), b.toString.getBytes("UTF-8")))
       Files.copy(Paths.get(prevDir, "segments"), Paths.get(dir, "segments"))
     }
   }
