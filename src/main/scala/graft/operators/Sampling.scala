@@ -21,6 +21,13 @@ object Sampling extends QueryFamily {
   private val hSpark = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
   private val hDuck = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
 
+  /** Salted variant for split assignment — independent of the
+    * membership hash (see q_pipeline_train). */
+  private val hSplitSpark =
+    "CAST(conv(substr(md5(concat(text, '|split')), 1, 15), 16, 10) AS BIGINT)"
+  private val hSplitDuck =
+    "CAST(concat('0x', substr(md5(concat(text, '|split')), 1, 15)) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic ~10% sample: hash bucket 0 of 10.
     "q_sample_hash" -> ((s, dir) =>
@@ -85,43 +92,83 @@ object Sampling extends QueryFamily {
     // lowest doc_id per text) -> quality floor (distinct-token ratio
     // >= 0.35) -> near-dup removal (drop the higher doc_id of every
     // blocked token-Jaccard >= 0.8 pair) -> survivors per lang.
-    "q_pipeline_clean" -> ((s, dir) => {
-      graft.functions.SortedJaccardGe.register(s)
-      val docs = Tables(s, dir, "documents")
-      val canon = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-        .join(docs, "doc_id")
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      // quality feeds three consumers (pair blocking, token sets, the
-      // final anti-join) — left declarative: ReuseExchange already dedupes
-      // the identical shuffle subtrees (persist() measured slower here, it
-      // serializes the pipeline behind cache materialization). At 100 TB
-      // the equivalent lever is a checkpoint between the dedup and
-      // pair-scoring phases.
-      val quality = canon
-        .withColumn("n_toks", size(split(col("text"), " ")))
-        .withColumn("n_dist", size(array_distinct(split(col("text"), " "))))
-        .where(dbl(col("n_dist")) / col("n_toks") >= 0.35)
-      val ids = quality.selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
-      val toks = quality.selectExpr("doc_id",
-        "array_sort(array_distinct(split(text, ' '))) AS toks")
-      val pairs = ids.as("a").join(ids.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .repartition(col("doc_a"), col("doc_b"))
-      val dupB = pairs
-        .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
-        .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
-        .where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
-        .select(col("doc_b").as("doc_id")).distinct()
-      quality.join(dupB, Seq("doc_id"), "left_anti")
+    "q_pipeline_clean" -> ((s, dir) =>
+      cleanSurvivors(s, dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"),
           (dbl(sum(col("n_chars"))) / count(lit(1))).as("avg_chars"))
-        .orderBy("lang")
+        .orderBy("lang")),
+
+    // The FULL training-prep composition: cleaning survivors -> mixture
+    // resampling toward a uniform lang mix (rates derived from the
+    // SURVIVOR counts — resampling what you actually kept, not the raw
+    // corpus) -> train/val/test split on a SALTED content hash
+    // (independent of the acceptance hash: reusing one hash correlates
+    // membership with split whenever a rate isn't a multiple of the
+    // split modulus) -> per-(split, lang) doc and token accounting, the
+    // numbers a training run budgets by. Scale story: the rates table is
+    // O(#langs) broadcast, acceptance and split are map-side hash
+    // predicates, and the only row-scale shuffles are the ones the
+    // cleaning pipeline already does.
+    "q_pipeline_train" -> ((s, dir) => {
+      val surv = cleanSurvivors(s, dir)
+      val c = surv.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val t = c.agg(sum("cnt").as("total"), count(lit(1)).as("n_langs"))
+      val rates = c.crossJoin(broadcast(t))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("(total DIV n_langs) * 1000000 DIV cnt")))
+        .select("lang", "rate_ppm")
+      surv.withColumn("h", expr(hSpark))
+        .join(broadcast(rates), "lang")
+        .where(pmod(col("h"), lit(1000000L)) < col("rate_ppm"))
+        .withColumn("pct", pmod(expr(hSplitSpark), lit(100L)))
+        .withColumn("split",
+          when(col("pct") < 80, "train").when(col("pct") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("tok_sum"))
+        .orderBy("split", "lang")
     }),
   )
+
+  /** Shared head of the composed pipelines: exact-dedup -> quality
+    * floor -> near-dup removal; returns the surviving
+    * (doc_id, lang, n_chars, text) rows.
+    */
+  private def cleanSurvivors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedJaccardGe.register(s)
+    val docs = Tables(s, dir, "documents")
+    val canon = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    // quality feeds three consumers (pair blocking, token sets, the
+    // final anti-join) — left declarative: ReuseExchange already dedupes
+    // the identical shuffle subtrees (persist() measured slower here, it
+    // serializes the pipeline behind cache materialization). At 100 TB
+    // the equivalent lever is a checkpoint between the dedup and
+    // pair-scoring phases.
+    val quality = canon
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("n_dist", size(array_distinct(split(col("text"), " "))))
+      .where(dbl(col("n_dist")) / col("n_toks") >= 0.35)
+    val ids = quality.selectExpr("doc_id", "lang", "n_chars DIV 50 AS bucket")
+    val toks = quality.selectExpr("doc_id",
+      "array_sort(array_distinct(split(text, ' '))) AS toks")
+    val pairs = ids.as("a").join(ids.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(col("doc_a"), col("doc_b"))
+    val dupB = pairs
+      .join(broadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
+      .join(broadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
+      .where(expr("sorted_jaccard_ge(ta, tb, 0.8D)").isNotNull)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality.join(dupB, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars", "text")
+  }
 
   def oracles: Map[String, String] = Map(
     "q_sample_hash" -> (s"SELECT doc_id, lang, n_chars FROM documents " +
@@ -148,7 +195,29 @@ object Sampling extends QueryFamily {
       s"WHEN $hDuck % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents) " +
       "GROUP BY split, lang ORDER BY split, lang"),
 
-    "q_pipeline_clean" -> ("WITH canon AS (SELECT d.doc_id, d.lang, d.n_chars, d.text " +
+    "q_pipeline_clean" -> (cleanCtes +
+      "SELECT lang, count(*) AS n_kept, " +
+      "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
+      "FROM surv GROUP BY lang ORDER BY lang"),
+
+    "q_pipeline_train" -> (cleanCtes + ", " +
+      "c AS (SELECT lang, count(*) AS cnt FROM surv GROUP BY lang), " +
+      "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_langs FROM c), " +
+      "r AS (SELECT lang, CAST(LEAST(1000000, (total // n_langs) * 1000000 // cnt) " +
+      "AS BIGINT) AS rate_ppm FROM c, t), " +
+      "acc AS (SELECT s.lang, s.text FROM surv s JOIN r ON s.lang = r.lang " +
+      s"WHERE $hDuck % 1000000 < r.rate_ppm), " +
+      s"sp AS (SELECT lang, text, CASE WHEN $hSplitDuck % 100 < 80 THEN 'train' " +
+      s"WHEN $hSplitDuck % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM acc) " +
+      "SELECT split, lang, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum " +
+      "FROM sp GROUP BY split, lang ORDER BY split, lang"),
+  )
+
+  /** The cleaning pipeline's CTE chain, shared by both composed
+    * oracles; ends with `surv` = (doc_id, lang, n_chars, text). */
+  private val cleanCtes: String =
+    "WITH canon AS (SELECT d.doc_id, d.lang, d.n_chars, d.text " +
       "FROM (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k " +
       "JOIN documents d ON d.doc_id = k.doc_id), " +
       "quality AS (SELECT doc_id, lang, n_chars, text, " +
@@ -160,10 +229,7 @@ object Sampling extends QueryFamily {
       "AND a.n_chars // 50 = b.n_chars // 50 AND a.doc_id < b.doc_id), " +
       "dupb AS (SELECT DISTINCT doc_b AS doc_id FROM pairs " +
       "WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE) / " +
-      "(len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.8) " +
-      "SELECT lang, count(*) AS n_kept, " +
-      "CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
-      "FROM quality WHERE doc_id NOT IN (SELECT doc_id FROM dupb) " +
-      "GROUP BY lang ORDER BY lang"),
-  )
+      "(len(ta) + len(tb) - len(list_intersect(ta, tb))) >= 0.8), " +
+      "surv AS (SELECT doc_id, lang, n_chars, text FROM quality " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM dupb))"
 }
