@@ -4,9 +4,10 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 
@@ -24,7 +25,9 @@ import graft.sync.IncrementalView.ViewDef
   *
   *  - the aggregate's child must be the registered source plan
   *    ([[LogicalPlan.sameResult]] — the same test CacheManager uses to
-  *    recognize a cached scan),
+  *    recognize a cached scan), optionally under ONE Filter whose
+  *    predicate touches only key columns (re-rendered against the
+  *    state table — the "WHERE region = 'EU'" dashboard slice),
   *  - every grouping expression is a view key column (a SUBSET of the
   *    keys re-aggregates the state: partials merge by addition/min/max,
   *    which is what makes them partials),
@@ -86,8 +89,16 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         !spark.conf.get("spark.graft.view.rewrite", "true").toBoolean) plan
     else plan.transform {
       case agg: Aggregate if agg.resolved && agg.child.resolved =>
-        ViewRewrite.all.iterator.map(r => rewrite(agg, r))
-          .collectFirst { case Some(p) => p }.getOrElse(agg)
+        // a routing failure must never break the user's query — the
+        // original plan is always a correct answer; decline loudly
+        ViewRewrite.all.iterator.map { r =>
+          try rewrite(agg, r)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"view rewrite declined (root=${r.root}): $e")
+              None
+          }
+        }.collectFirst { case Some(p) => p }.getOrElse(agg)
     }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
@@ -96,10 +107,39 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def rewrite(agg: Aggregate, r: ViewRewrite.Registered): Option[LogicalPlan] = {
-    if (!agg.child.sameResult(r.source)) return None
+    // a WHERE between the aggregate and the source routes too, IF it
+    // touches only key columns: the state has one row per key, so
+    // filtering rows by a key predicate then aggregating equals
+    // filtering the state by the same predicate — the dashboard's
+    // "WHERE region = 'EU'" served from the view. Any other filter
+    // (measure predicates, non-key columns, nondeterminism) declines.
+    val (base, keyFilter) = agg.child match {
+      case Filter(cond, child) => (child, Some(cond))
+      case c                   => (c, None)
+    }
+    if (!base.sameResult(r.source)) return None
     val nameOf: Map[ExprId, String] =
-      agg.child.output.map(a => a.exprId -> a.name).toMap
+      base.output.map(a => a.exprId -> a.name).toMap
     val keys = r.v.keys.toSet
+
+    // render the condition against the state table's column names:
+    // every reference must be a key, and the expression must be
+    // deterministic and aggregate-free. Rendering goes through
+    // Expression.sql with attributes swapped to bare names — the state
+    // DataFrame re-resolves them in where().
+    val stateFilter: Option[Option[Column]] = keyFilter match {
+      case None => Some(None)
+      case Some(cond) =>
+        val routable = cond.deterministic &&
+          !cond.exists(_.isInstanceOf[AggregateExpression]) &&
+          !cond.exists(_.isInstanceOf[SubqueryExpression]) &&
+          cond.references.forall(a => nameOf.get(a.exprId).exists(keys))
+        if (!routable) None
+        else Some(Some(expr(cond.transform {
+          case a: Attribute => UnresolvedAttribute.quoted(nameOf(a.exprId))
+        }.sql)))
+    }
+    if (stateFilter.isEmpty) return None
 
     def keyName(e: Expression): Option[String] = e match {
       case a: Attribute => nameOf.get(a.exprId).filter(keys)
@@ -152,7 +192,8 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _                     => None
       }
     } yield {
-      val state = IncrementalView.read(spark, r.root)
+      val state = stateFilter.flatten.foldLeft(
+        IncrementalView.read(spark, r.root))(_ where _)
       val aggCols = picked.zipWithIndex.collect {
         case ((c, true), i) => c.as(s"__vr$i")
       }

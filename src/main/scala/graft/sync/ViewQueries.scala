@@ -144,6 +144,36 @@ object ViewQueries extends QueryFamily {
       } finally graft.plans.ViewRewrite.deregister("q_view_rewrite")
     }),
 
+    // Key-sliced routing: the dashboard's "WHERE status = 'F'" form —
+    // the filter must ride INTO the state table (plan asserted: routed,
+    // and the un-routed base is gone), and the served slice must equal
+    // the direct filtered aggregate the oracle computes.
+    "q_view_where" -> ((s, dir) => {
+      val root = freshRoot("q_view_where", dir)
+      val o = ordersSrc(s, dir)
+      val v = IncrementalView.ViewDef(Seq("status", "priority"), "total")
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root, o.where(s"o_orderdate > $cutoff"), v)
+      val base = o.select("status", "priority", "total")
+      graft.plans.ViewRewrite.register("q_view_where", base, root, v)
+      try {
+        // avg intentionally absent: its routed value is bit-pinned
+        // Spark-vs-Spark in ViewRewriteSpec; cross-engine, DuckDB's
+        // decimal AVG is a double fold with different rounding, so the
+        // oracle row sticks to the exact-decimal columns
+        val q = base.where("status = 'F'").groupBy("priority").agg(
+          count(lit(1)).as("n_rows"), sum("total").as("total_sum"),
+          min("total").as("total_min"), max("total").as("total_max"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("mv_n") && !plan.contains("o_orderkey"),
+          s"key-filtered aggregate did not route to the view state:\n$plan")
+        q.select(col("priority"), col("n_rows"), col("total_sum"),
+            col("total_min").cast("decimal(38,2)").as("total_min"),
+            col("total_max").cast("decimal(38,2)").as("total_max"))
+          .orderBy("priority")
+      } finally graft.plans.ViewRewrite.deregister("q_view_where")
+    }),
+
     // Watermark-tracked refresh against two source snapshots: the first
     // pull sees the pre-cutoff world and commits its max event time
     // atomically with the state; the second sees the full table but folds
@@ -198,6 +228,12 @@ object ViewQueries extends QueryFamily {
         s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
         s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+    "q_view_where" ->
+      ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum, " +
+        s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
+        s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"),
     "q_view_tracked" ->
       ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum, " +

@@ -140,6 +140,32 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a key-only WHERE routes: the state is filtered, answers match the scan") {
+    withView("where", ViewDef(Seq("status", "priority"), "total")) { root =>
+      val shapes = Seq(
+        orders.where("status = 'F'").groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum("total").as("s")),
+        orders.where("status IN ('F', 'O') AND priority != '1-URGENT'")
+          .groupBy("status", "priority").agg(sum("total").as("s")),
+        // global aggregate over a key slice
+        orders.where("status = 'P'").agg(count(lit(1)).as("n")))
+      for (q <- shapes) {
+        assert(routed(q), s"key-filtered aggregate did not route:\n${planOf(q)}")
+        spark.conf.set("spark.graft.view.rewrite", "false")
+        val direct = try (collectSorted(q), q.schema)
+        finally spark.conf.unset("spark.graft.view.rewrite")
+        assert((collectSorted(q), q.schema) == direct,
+          "routed key-filtered answer diverges from the scan")
+      }
+      // a filter touching the MEASURE (or any non-key) must decline —
+      // the state cannot re-see which rows passed
+      assert(scansBase(orders.where("total > 1000.0").groupBy("status")
+        .agg(sum("total").as("s"))))
+      assert(scansBase(orders.where("status = 'F' AND total > 1000.0")
+        .groupBy("priority").agg(sum("total").as("s"))))
+    }
+  }
+
   test("avg on a non-decimal measure declines (native avg runs a double sum)") {
     val root = freshRoot("avgint")
     val src = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
