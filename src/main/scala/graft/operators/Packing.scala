@@ -112,6 +112,44 @@ object Packing extends QueryFamily {
         .orderBy("rk")
     }),
 
+    // Deterministic epoch ordering: each epoch e permutes the corpus by
+    // a SALTED content hash (md5(text || '|epoch e')) — a different,
+    // fully reproducible global order per epoch, the property a resumed
+    // training run needs (rand() would reshuffle on every retry). Docs
+    // hash-route to 16 shards; the within-shard position comes from the
+    // bucket-offset decomposition (per-(epoch, shard, bucket) counts,
+    // prefix-summed and broadcast, local ranks only) — NO corpus-scale
+    // window. The served row is per (epoch, shard): doc/token counts
+    // plus an ORDER-SENSITIVE checksum sum(position × doc_id); the
+    // oracle recomputes positions with a plain row_number, so the hash
+    // gate certifies the decomposed ranks equal the windowed ranks —
+    // the q_sync_full discipline applied to training order.
+    "q_pack_epoch" -> ((s, dir) => {
+      val perEpoch = Seq(1, 2).map { e =>
+        Tables(s, dir, "documents").select(
+          lit(e).as("epoch"),
+          col("doc_id"),
+          big(size(split(col("text"), " "))).as("n_tok"),
+          expr("CAST(conv(substr(md5(concat(text, '|epoch" + e +
+            "')), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      }.reduce(_ unionByName _)
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+        .withColumn("bkt", expr("h DIV 281474976710656")) // 2^48: <=4096 buckets
+      val offs = perEpoch.groupBy("epoch", "shard", "bkt")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(
+          Window.partitionBy("epoch", "shard").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("epoch", "shard", "bkt", "off")
+      perEpoch.join(broadcast(offs), Seq("epoch", "shard", "bkt"))
+        .withColumn("pos", col("off") + row_number().over(
+          Window.partitionBy("epoch", "shard", "bkt").orderBy("h", "doc_id")) - 1)
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          big(sum(col("pos") * col("doc_id"))).as("ord_sum"))
+        .orderBy("epoch", "shard")
+    }),
+
     // Cross-document n-gram novelty: for each document, how many of its
     // distinct word-4-grams first appeared in an EARLIER document (gram's
     // min doc_id precedes this one) — the repetition-lineage signal dedup
@@ -192,6 +230,20 @@ object Packing extends QueryFamily {
       "count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
       "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
       "FROM c, t GROUP BY 1 ORDER BY shard"),
+
+    "q_pack_epoch" -> ("WITH d AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, text FROM documents), " +
+      "e AS (SELECT 1 AS epoch UNION ALL SELECT 2), " +
+      "h AS (SELECT epoch, doc_id, n_tok, " +
+      "CAST(concat('0x', substr(md5(text || '|epoch' || epoch), 1, 15)) AS BIGINT) AS h " +
+      "FROM d, e), " +
+      "r AS (SELECT epoch, doc_id, n_tok, h % 16 AS shard, " +
+      "row_number() OVER (PARTITION BY epoch, h % 16 ORDER BY h, doc_id) - 1 AS pos " +
+      "FROM h) " +
+      "SELECT epoch, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(pos * doc_id) AS BIGINT) AS ord_sum " +
+      "FROM r GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_text_vocab" -> ("WITH freq AS (SELECT tok, count(*) AS cnt FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
