@@ -196,6 +196,31 @@ class PlanSpec extends AnyFunSuite {
       s"sync row_number window not bucket-partitioned: $rn")
   }
 
+  test("q_pack_epoch ranks are bucket-partitioned and the offsets broadcast") {
+    // the epoch permutation must never funnel a shard's corpus fraction
+    // through one task: row_number windows ride (epoch, shard, bkt), and
+    // the per-bucket offset table joins back as a broadcast
+    val df = SparkEntry.queries("q_pack_epoch")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val rn = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("bkt")),
+      s"epoch rank window not bucket-partitioned: $rn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table should broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_pipeline_train broadcasts the rates table; acceptance is map-side") {
+    val df = SparkEntry.queries("q_pipeline_train")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"mixture rates should broadcast into the survivor stream:\n${p.take(1500)}")
+    // the split/acceptance hashes are projections, not joins or windows
+    assert(!p.contains("row_number"),
+      s"train-prep composition must not add rank windows:\n${p.take(1500)}")
+  }
+
   test("q_sync_upsert merges document state with no batch-rank machinery") {
     // the merge is batch-agnostic: built on SyncRunner.docs, its plan
     // must carry NO window (batch ranks) — two scans, an anti-join, a
