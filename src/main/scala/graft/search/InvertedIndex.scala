@@ -420,6 +420,48 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
+  /** Prefix (wildcard `pre*`) retrieval — Lucene's two-stage shape: the
+    * query term is EXPANDED against the lexicon first, and the expanded
+    * term set then runs as an ordinary multi-term query over the
+    * postings.
+    *
+    * The expansion collects O(matched vocab) terms to the driver —
+    * the documented lexicon stats-job pattern (the lexicon is O(vocab),
+    * not O(corpus); at 100 TB it is still a broadcast-sized table) —
+    * and is CAPPED at `maxExpansions`, failing loudly beyond it exactly
+    * as Lucene's `maxDeterminizedStates`/rewrite caps do: an unbounded
+    * `a*` expansion would otherwise turn one query into a vocabulary
+    * scan of the postings. Materializing the term list (rather than a
+    * lexicon semi-join) is what lets `tok IN (…)` push into the
+    * postings parquet scan, where token clustering makes row-group
+    * stats skip everything else.
+    */
+  def wildcard(spark: SparkSession, root: String, prefix: String,
+      maxExpansions: Int = 64): DataFrame = {
+    require(prefix.nonEmpty, "wildcard needs a non-empty prefix")
+    val expanded = lexicon(spark, root)
+      .where(col("tok").startsWith(prefix))
+      .select("tok")
+      .limit(maxExpansions + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(expanded.size <= maxExpansions,
+      s"prefix '$prefix*' expands past maxExpansions=$maxExpansions — " +
+        "narrow the prefix or raise the cap")
+    if (expanded.isEmpty) {
+      // no matching vocabulary: an empty, correctly-typed result
+      postings(spark, root).where(lit(false))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+    } else {
+      // postings carry one row per (tok, doc), so count(1) counts the
+      // DISTINCT matched terms per doc — no distinct aggregation needed
+      postings(spark, root).where(col("tok").isin(expanded: _*))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Positional phrase query `"t1 t2"` from the index alone: explode the
     * two terms' position lists and count adjacent pairs per document.
     * Both sides are term-pruned postings scans (tiny after pushdown);

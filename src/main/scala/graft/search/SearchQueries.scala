@@ -74,6 +74,15 @@ object SearchQueries extends QueryFamily {
         InvertedIndex.conjunctive(s, root, Seq("spark", "merge", "window")))
     }),
 
+    // Prefix wildcard "s*": capped term expansion against the lexicon
+    // (6 fixture terms), then one term-pruned postings aggregation —
+    // the Lucene rewrite model, served from the index alone.
+    "q_search_wildcard" -> ((s, dir) => {
+      val root = freshRoot("q_search_wildcard", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(InvertedIndex.wildcard(s, root, "s"))
+    }),
+
     // Tombstone deletion, stats-exact: delete every 5th doc, then serve
     // BM25 — scores must equal a from-scratch index of the surviving
     // corpus (the oracle recomputes exactly that), certifying that the
@@ -148,6 +157,15 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"),
+
+    "q_search_wildcard" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok LIKE 's%' GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
+        "GROUP BY doc_id ORDER BY doc_id"),
 
     // the q_search_bm25 oracle restricted to the surviving corpus — a
     // from-scratch recompute the tombstoned index must equal exactly

@@ -114,6 +114,41 @@ class SearchSpec extends AnyFunSuite {
       s"tombstone filter should be a broadcast anti-join:\n${c.take(3000)}")
   }
 
+  test("wildcard: capped lexicon expansion, postings pushdown, delete-aware") {
+    val root = freshRoot("search_wildcard")
+    InvertedIndex.build(spark, root, docs)
+    // expansion equals a multi-term query over the same expanded set
+    val viaWild = rows(InvertedIndex.wildcard(spark, root, "s"))
+    val expanded = InvertedIndex.lexicon(spark, root)
+      .where(col("tok").startsWith("s")).select("tok")
+      .collect().map(_.getString(0)).toSeq
+    assert(expanded.nonEmpty && expanded.forall(_.startsWith("s")))
+    val viaTerms = rows(InvertedIndex.postings(spark, root)
+      .where(col("tok").isin(expanded: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+      .orderBy("doc_id"))
+    assert(viaWild == viaTerms)
+    // the expanded IN pushes into the postings parquet scan
+    val p = InvertedIndex.wildcard(spark, root, "s")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(tok,"), p.take(3000))
+    assert(!p.contains("documents.parquet"), p.take(3000))
+    // the cap fails loudly instead of scanning the vocabulary
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.wildcard(spark, root, "s", maxExpansions = 2))
+    assert(e.getMessage.contains("maxExpansions"))
+    // an unmatched prefix serves an empty, correctly-typed result
+    assert(InvertedIndex.wildcard(spark, root, "zzz").count() == 0)
+    // tombstones apply: deleting a matching doc removes it from the hits
+    val victim = InvertedIndex.wildcard(spark, root, "s")
+      .select("doc_id").head().getLong(0)
+    InvertedIndex.delete(spark, root,
+      docs.where(col("doc_id") === victim).select("doc_id"))
+    assert(!InvertedIndex.wildcard(spark, root, "s")
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+  }
+
   test("phrase agrees with a direct recompute over the raw text") {
     val root = freshRoot("search_phrase_direct")
     InvertedIndex.build(spark, root, docs)
