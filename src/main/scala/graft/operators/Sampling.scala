@@ -76,6 +76,34 @@ object Sampling extends QueryFamily {
         .orderBy("lang")
     }),
 
+    // Temperature-scaled mixture sampling (mT5 / XLM-R style): sample
+    // language l with probability ∝ p_l^(1/τ) at τ = 2, implemented as
+    // pure downsampling — acceptance rate_l = sqrt(cnt_min / cnt_l), so
+    // the rarest language keeps everything and dominant ones shrink by
+    // the square-root ratio (gentler than q_sample_mixture's uniform
+    // target). τ = 2 is chosen deliberately: p^(1/2) is sqrt, and sqrt
+    // — unlike pow or ln — is a CORRECTLY-ROUNDED IEEE-754 operation,
+    // so ÷, sqrt, ×1e6, floor produce bit-identical ppm rates in any
+    // engine (the q_search_bm25 log-free argument). Same scale shape as
+    // q_sample_mixture: O(#langs) counts, broadcast rates, map-side
+    // hash acceptance.
+    "q_sample_temperature" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val mn = c.agg(min("cnt").as("mn"))
+      val rates = c.crossJoin(broadcast(mn))
+        .withColumn("rate_ppm",
+          floor(sqrt(dbl(col("mn")) / dbl(col("cnt"))) * lit(1000000.0)))
+        .select("lang", "cnt", "rate_ppm")
+      docs.withColumn("h", expr(hSpark))
+        .join(broadcast(rates), "lang")
+        .where(pmod(col("h"), lit(1000000L)) < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(max("cnt").as("n_orig"), max("rate_ppm").as("rate_ppm"),
+          count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // Train/val/test assignment 80/10/10 by content-hash percentile;
     // emits per-(split, lang) counts — the reviewer's sanity table.
     "q_split_assign" -> ((s, dir) =>
@@ -184,6 +212,19 @@ object Sampling extends QueryFamily {
       "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_langs FROM c), " +
       "r AS (SELECT lang, cnt, CAST(LEAST(1000000, (total // n_langs) * 1000000 // cnt) " +
       "AS BIGINT) AS rate_ppm FROM c, t) " +
+      "SELECT d.lang, max(r.cnt) AS n_orig, max(r.rate_ppm) AS rate_ppm, " +
+      "count(*) AS n_kept FROM documents d JOIN r ON d.lang = r.lang " +
+      s"WHERE $hDuck % 1000000 < r.rate_ppm " +
+      "GROUP BY d.lang ORDER BY d.lang"),
+
+    // parenthesization mirrors the Column expression — all four ops
+    // (÷, sqrt, ×, floor) are correctly-rounded IEEE, so the ppm rates
+    // are bit-identical across engines
+    "q_sample_temperature" -> ("WITH c AS (SELECT lang, count(*) AS cnt " +
+      "FROM documents GROUP BY lang), " +
+      "t AS (SELECT CAST(min(cnt) AS BIGINT) AS mn FROM c), " +
+      "r AS (SELECT lang, cnt, CAST(floor(sqrt(CAST(mn AS DOUBLE) / " +
+      "CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_ppm FROM c, t) " +
       "SELECT d.lang, max(r.cnt) AS n_orig, max(r.rate_ppm) AS rate_ppm, " +
       "count(*) AS n_kept FROM documents d JOIN r ON d.lang = r.lang " +
       s"WHERE $hDuck % 1000000 < r.rate_ppm " +

@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q_sample_temperature broadcasts the sqrt-rate table like the mixture query") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q_multimodal_cluster broadcasts the centroid arrays (members never reshuffled)") {
     val df = SparkEntry.queries("q_multimodal_cluster")(spark, sf0001)
     df.collect() // finalize the adaptive plan
