@@ -174,6 +174,48 @@ object ViewQueries extends QueryFamily {
       } finally graft.plans.ViewRewrite.deregister("q_view_where")
     }),
 
+    // A materialized view over a JOIN (fact ⋈ dimension), maintained
+    // incrementally and served through the same transparent routing: the
+    // registered source is the orders⋈customer plan itself, and the
+    // maintenance claim is the classic Δ(F ⋈ D) = ΔF ⋈ D for a static
+    // dimension — each fact delta is joined to the dim and folded, and
+    // the served state must equal the one-shot aggregate over the whole
+    // join (the oracle recomputes exactly that). At 100 TB this is THE
+    // dashboard view: the fact join never re-runs at read time, and
+    // nightly maintenance joins only the delta partitions to the
+    // broadcast-sized dim.
+    "q_view_join" -> ((s, dir) => {
+      val root = freshRoot("q_view_join", dir)
+      val orders = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_custkey"), col("o_orderstatus").as("status"),
+        Dets.money(col("o_totalprice")).as("total"), col("o_orderdate"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      def facts(pred: String): DataFrame =
+        orders.where(pred).join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))
+          .select("segment", "status", "total")
+      val v = IncrementalView.ViewDef(Seq("segment", "status"), "total")
+      IncrementalView.refresh(s, root, facts(s"o_orderdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root, facts(s"o_orderdate > $cutoff"), v)
+      val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .select("segment", "status", "total")
+      graft.plans.ViewRewrite.register("q_view_join", joined, root, v)
+      try {
+        val q = joined.groupBy("segment", "status").agg(
+          count(lit(1)).as("n_rows"), sum("total").as("total_sum"),
+          min("total").as("total_min"), max("total").as("total_max"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("mv_n") && !plan.contains("o_custkey"),
+          s"join aggregate did not route to the view state:\n$plan")
+        q.select(col("segment"), col("status"), col("n_rows"),
+            col("total_sum"),
+            col("total_min").cast("decimal(38,2)").as("total_min"),
+            col("total_max").cast("decimal(38,2)").as("total_max"))
+          .orderBy("segment", "status")
+      } finally graft.plans.ViewRewrite.deregister("q_view_join")
+    }),
+
     // Watermark-tracked refresh against two source snapshots: the first
     // pull sees the pre-cutoff world and commits its max event time
     // atomically with the state; the second sees the full table but folds
@@ -220,6 +262,17 @@ object ViewQueries extends QueryFamily {
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
+    // the routed join aggregate must equal the join it replaced — the
+    // oracle IS that join
+    "q_view_join" ->
+      ("SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status, " +
+        "count(*) AS n_rows, " +
+        s"SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total_sum, " +
+        s"CAST(MIN(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_min, " +
+        s"CAST(MAX(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_max " +
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
     // the routed aggregate must equal the scan it replaced — the oracle
     // IS that scan
     "q_view_rewrite" ->

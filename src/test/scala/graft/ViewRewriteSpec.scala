@@ -191,6 +191,46 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally ViewRewrite.deregister("vrw_retractmm")
   }
 
+  test("a join-source view routes; a structurally different join declines") {
+    val root = freshRoot("join")
+    val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").select(
+      col("o_custkey"), col("o_orderstatus").as("status"),
+      Dets.money(col("o_totalprice")).as("total"))
+    val c = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("segment", "status", "total")
+    val v = ViewDef(Seq("segment", "status"), "total")
+    // maintenance = Δ(F ⋈ D) for two fact deltas against the static dim
+    IncrementalView.refresh(spark, root,
+      o.where("o_custkey % 2 = 0").join(c,
+        col("o_custkey") === col("c_custkey"))
+        .select("segment", "status", "total"), v)
+    IncrementalView.refresh(spark, root,
+      o.where("o_custkey % 2 = 1").join(c,
+        col("o_custkey") === col("c_custkey"))
+        .select("segment", "status", "total"), v)
+    ViewRewrite.register("vrw_join", joined, root, v)
+    try {
+      val q = joined.groupBy("segment").agg(
+        count(lit(1)).as("n"), sum("total").as("s"))
+      val p = planOf(q)
+      assert(p.contains("mv_n") && !p.contains("o_custkey"),
+        s"join aggregate did not route:\n$p")
+      spark.conf.set("spark.graft.view.rewrite", "false")
+      val direct = try collectSorted(q)
+      finally spark.conf.unset("spark.graft.view.rewrite")
+      assert(collectSorted(q) == direct,
+        "routed join answer diverges from re-running the join")
+      // an OUTER join over the same tables is a different plan — decline
+      val outer = o.join(c, col("o_custkey") === col("c_custkey"), "left")
+        .select("segment", "status", "total")
+      val po = planOf(outer.groupBy("segment").agg(sum("total")))
+      assert(po.contains("o_custkey") && !po.contains("mv_n"),
+        s"outer-join aggregate should NOT route:\n$po")
+    } finally ViewRewrite.deregister("vrw_join")
+  }
+
   test("the session conf turns routing off without deregistering") {
     withView("conf", ViewDef(Seq("status"), "total")) { root =>
       spark.conf.set("spark.graft.view.rewrite", "false")
