@@ -110,6 +110,51 @@ object SyncQueries extends QueryFamily {
         .orderBy("_id")
     }),
     "q_sync_incremental" -> ((s, dir) => SyncRunner.stats(SyncRunner.plan(s, dir, incrJob))),
+
+    // Index↔source reconciliation — the drift check every sync product
+    // needs ("does ES still hold what Hive says it should?"): a REAL
+    // delivery runs, one batch file is then destroyed (simulated index
+    // data loss), and the reconciler — per-shard doc counts plus a
+    // content checksum over the 60-bit id-hash — must report exactly
+    // that shard out of sync with exactly the predicted deficit. The
+    // oracle recomputes both sides arithmetically (it knows which ids
+    // the lost batch held), so a green row certifies detection, not
+    // just agreement. Scale shape: both sides are map-side-combinable
+    // per-shard aggregations (src = the plan stream, idx = the store's
+    // own listing); at 100 TB the index side would be the real index's
+    // per-shard stats API — the comparison plan is unchanged.
+    "q_sync_reconcile" -> ((s, dir) => {
+      val base = graft.Scratch.freshRoot("q_sync_reconcile")
+      val job = fullJob.copy(name = "orders_reconcile")
+      SyncRunner.run(s, dir, job, graft.sinks.FileBulkClient(s"$base/idx"))
+      val lost = java.nio.file.Paths.get(
+        s"$base/idx/shard=00003/batch-000000.jsonl")
+      require(java.nio.file.Files.deleteIfExists(lost),
+        s"drift injection expected $lost to exist")
+      val h = "CAST(conv(substr(md5(_id), 1, 15), 16, 10) AS BIGINT)"
+      val idx = s.read.text(s"$base/idx/shard=*/batch-*.jsonl")
+        .withColumn("shard",
+          regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("bigint"))
+        .withColumn("_id",
+          regexp_extract(col("value"), "\"_id\":\"([^\"]+)\"", 1))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("idx_docs"),
+          sum(expr(s"$h % 1000000")).as("idx_sum"))
+      val src = SyncRunner.docs(s, dir, job)
+        .select(col("_id"), col("routing").cast("bigint").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("src_docs"),
+          sum(expr(s"$h % 1000000")).as("src_sum"))
+      src.join(idx, Seq("shard"), "left")
+        .select(col("shard"), col("src_docs"),
+          coalesce(col("idx_docs"), lit(0L)).as("idx_docs"),
+          (col("src_docs") - coalesce(col("idx_docs"), lit(0L)))
+            .as("missing_docs"),
+          (col("src_docs") === coalesce(col("idx_docs"), lit(0L)) &&
+            col("src_sum") === coalesce(col("idx_sum"), lit(0L)))
+            .as("in_sync"))
+        .orderBy("shard")
+    }),
     // Time-partitioned index routing (Rollover): per-(period index,
     // shard) doc volume of the monthly job — the planner's view of which
     // index every doc lands in. Window-free: one groupBy over the doc
@@ -182,6 +227,22 @@ object SyncQueries extends QueryFamily {
       "min(_id) AS first_id, max(_id) AS last_id " +
       "FROM h GROUP BY 1, 2 ORDER BY idx, shard"),
     "q_sync_upsert" -> duckUpsert,
+    // both sides recomputed arithmetically: the index side is the plan
+    // minus the rows the destroyed (shard 3, batch 0) file held
+    "q_sync_reconcile" ->
+      ("WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id FROM orders), " +
+        "h AS (SELECT _id, CAST(concat('0x', substr(md5(_id), 1, 15)) AS BIGINT) AS h FROM src), " +
+        "r AS (SELECT _id, h, h % 8 AS shard FROM h), " +
+        "n AS (SELECT shard, _id, h, row_number() OVER (PARTITION BY shard ORDER BY h, _id) AS rn FROM r), " +
+        "sa AS (SELECT CAST(shard AS BIGINT) AS shard, count(*) AS src_docs, " +
+        "CAST(sum(h % 1000000) AS BIGINT) AS src_sum FROM n GROUP BY 1), " +
+        "ia AS (SELECT CAST(shard AS BIGINT) AS shard, count(*) AS idx_docs, " +
+        "CAST(sum(h % 1000000) AS BIGINT) AS idx_sum FROM n " +
+        "WHERE NOT (shard = 3 AND (rn - 1) // 500 = 0) GROUP BY 1) " +
+        "SELECT s.shard, s.src_docs, COALESCE(i.idx_docs, 0) AS idx_docs, " +
+        "s.src_docs - COALESCE(i.idx_docs, 0) AS missing_docs, " +
+        "(s.src_docs = COALESCE(i.idx_docs, 0) AND s.src_sum = COALESCE(i.idx_sum, 0)) AS in_sync " +
+        "FROM sa s LEFT JOIN ia i ON s.shard = i.shard ORDER BY s.shard"),
     // the quarantine rows, recomputed arithmetically: poisoned ids with
     // the shard/batch coordinates the full plan gave them + doc bodies
     "q_sync_dlq" -> ("WITH src AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
