@@ -447,6 +447,46 @@ object InvertedIndex {
     require(expanded.size <= maxExpansions,
       s"prefix '$prefix*' expands past maxExpansions=$maxExpansions — " +
         "narrow the prefix or raise the cap")
+    termSetQuery(spark, root, expanded)
+  }
+
+  /** Fuzzy (edit-distance) retrieval — the misspelling-tolerant query an
+    * ES `fuzzy`/`match(fuzziness=…)` clause serves. Same two-stage Lucene
+    * shape as [[wildcard]]: the query term expands against the LEXICON
+    * first (every vocabulary term within `maxEdits` Levenshtein edits),
+    * and the expansion then runs as an ordinary multi-term query over the
+    * term-pruned postings.
+    *
+    * Lucene walks a Levenshtein automaton over its term dictionary; the
+    * Spark-first equivalent is one pass of the codegen'd `levenshtein`
+    * expression over the O(vocab) lexicon — the lexicon is broadcast-sized
+    * even at 100 TB (it grows with the vocabulary, not the corpus), so
+    * the honest cost is one tiny scan, capped at `maxExpansions` exactly
+    * like the prefix rewrite (a high-edit query against a huge vocabulary
+    * must fail loudly, not fan out across the postings).
+    */
+  def fuzzy(spark: SparkSession, root: String, term: String,
+      maxEdits: Int = 2, maxExpansions: Int = 64): DataFrame = {
+    require(term.nonEmpty, "fuzzy needs a non-empty term")
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    val expanded = lexicon(spark, root)
+      .where(levenshtein(col("tok"), lit(term)) <= maxEdits)
+      .select("tok")
+      .limit(maxExpansions + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(expanded.size <= maxExpansions,
+      s"fuzzy '$term'~$maxEdits expands past maxExpansions=$maxExpansions — " +
+        "lower maxEdits or raise the cap")
+    termSetQuery(spark, root, expanded)
+  }
+
+  /** Shared multi-term serve: per-doc distinct-matched-term count + tf
+    * mass over an expanded term set. Materializing the term list (rather
+    * than a lexicon semi-join) is what lets `tok IN (…)` push into the
+    * postings parquet scan.
+    */
+  private def termSetQuery(spark: SparkSession, root: String,
+      expanded: Seq[String]): DataFrame =
     if (expanded.isEmpty) {
       // no matching vocabulary: an empty, correctly-typed result
       postings(spark, root).where(lit(false))
@@ -460,7 +500,6 @@ object InvertedIndex {
         .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
         .orderBy("doc_id")
     }
-  }
 
   /** Positional phrase query `"t1 t2"` from the index alone: explode the
     * two terms' position lists and count adjacent pairs per document.

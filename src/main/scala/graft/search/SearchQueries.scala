@@ -83,6 +83,15 @@ object SearchQueries extends QueryFamily {
       fromIndexOnly(InvertedIndex.wildcard(s, root, "s"))
     }),
 
+    // Fuzzy query 'part'~2: Levenshtein expansion against the lexicon
+    // (fixture: part, fast, sort, spark), then the same term-pruned
+    // postings aggregation — the ES `fuzziness` clause, index-only.
+    "q_search_fuzzy" -> ((s, dir) => {
+      val root = freshRoot("q_search_fuzzy", dir)
+      InvertedIndex.build(s, root, docs(s, dir))
+      fromIndexOnly(InvertedIndex.fuzzy(s, root, "part", maxEdits = 2))
+    }),
+
     // Tombstone deletion, stats-exact: delete every 5th doc, then serve
     // BM25 — scores must equal a from-scratch index of the surviving
     // corpus (the oracle recomputes exactly that), certifying that the
@@ -163,6 +172,18 @@ object SearchQueries extends QueryFamily {
         "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
         "post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk " +
         "WHERE tok LIKE 's%' GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+
+    // same IN-set the engine expands to — the oracle recomputes the
+    // expansion itself via DuckDB's levenshtein (identical classic
+    // edit-distance semantics, no transpositions, in both engines)
+    "q_search_fuzzy" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE levenshtein(tok, 'part') <= 2 GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id ORDER BY doc_id"),

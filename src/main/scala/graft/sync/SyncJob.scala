@@ -256,6 +256,47 @@ object SyncRunner {
       .unionAll(survivors)
   }
 
+  /** Snapshot-diff change capture — the incremental mode for sources with
+    * NO watermark column (the reference's incremental sync requires a
+    * monotonic column and answers "re-run full mode" otherwise; this is
+    * the missing third way). Both inputs are [[docs]]-shaped snapshots of
+    * the SAME job at two points in time; the result is the minimal action
+    * feed that turns the delivered index from `previous` into `current`:
+    *
+    *   - `insert` — id only in `current` (ships the new doc)
+    *   - `update` — id in both, serialized doc changed (ships the new doc;
+    *     an ES `_bulk` treats insert and update as the same `index` op —
+    *     the label is kept distinct because replication consumers care)
+    *   - `delete` — id only in `previous` (ships id only)
+    *
+    * Unchanged rows are dropped BEFORE the result materializes — the whole
+    * point: a nightly CDC run against a 100 TB source ships only the
+    * churn. Plan shape: one full-outer equi-join on `_id`; the `previous`
+    * side is pruned to `(_id, md5(doc))` — a 2-narrow-column shuffle, not
+    * the doc bodies (at 100 TB the previous snapshot is the retained doc
+    * parquet of the last run, co-partitioned by the same id hash, so AQE
+    * plans this as a co-located join). Routing/batching for delivery are
+    * rebuilt from `_id` alone so delete actions (which have no current-side
+    * row) route identically to the run that indexed them.
+    */
+  def cdcActions(previous: DataFrame, current: DataFrame,
+      shards: Int): DataFrame = {
+    val prev = previous.select(col("_id"), md5(col("doc")).as("old_fp"))
+    val cur = current.select(col("_id"), col("doc"),
+      md5(col("doc")).as("new_fp"))
+    cur.join(prev, Seq("_id"), "full_outer")
+      .withColumn("action",
+        when(col("old_fp").isNull, lit("insert"))
+          .when(col("new_fp").isNull, lit("delete"))
+          .when(col("old_fp") =!= col("new_fp"), lit("update"))
+          .otherwise(lit("noop")))
+      .where(col("action") =!= "noop")
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(_id), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("routing", pmod(col("h"), lit(shards.toLong)).cast("int"))
+      .select("_id", "h", "routing", "action", "doc")
+  }
+
   /** Render a watermark value read back from a query as the SQL literal
     * the NEXT run's pushdown predicate will embed — engine-portable
     * (`TIMESTAMP '...'` / `DATE '...'` forms parse in both Spark and the

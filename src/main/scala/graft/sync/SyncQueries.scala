@@ -69,6 +69,29 @@ object SyncQueries extends QueryFamily {
     mode = SyncMode.Upsert("o_orderdate", "TIMESTAMP '1997-03-01'",
       "o_orderkey % 7 = 0"))
 
+  /** CDC fixture — two snapshots of the same logical job with no usable
+    * watermark column. The OLD snapshot is the pre-cutoff world; the NEW
+    * snapshot models upstream churn deterministically: every 13th id was
+    * deleted upstream, every 5th surviving id changed status (an in-place
+    * UPDATE — invisible to any date-column watermark, the exact case that
+    * breaks the reference's incremental mode), and post-cutoff ids are
+    * fresh inserts.
+    */
+  private def cdcOldJob = SyncJob("orders_cdc", SyncSource.Sql(
+    "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'"),
+    idCol = "o_orderkey", fields = ordersFields, shards = 8, batchSize = 500)
+
+  private val cdcNewFields = Seq(
+    DocField("order_id", "o_orderkey", quoted = false),
+    DocField("status",
+      "CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END",
+      quoted = true),
+    DocField("total", "CAST(o_totalprice AS DECIMAL(12,2))", quoted = false))
+
+  private def cdcNewJob = cdcOldJob.copy(
+    source = SyncSource.Sql("SELECT * FROM orders WHERE o_orderkey % 13 <> 0"),
+    fields = cdcNewFields)
+
   /** Deterministic per-doc poison for the dead-letter query: the store
     * permanently rejects every id divisible by `mod` (a mapping-conflict
     * model the oracle can mirror arithmetically) and accepts — and
@@ -167,6 +190,22 @@ object SyncQueries extends QueryFamily {
           sum(length(col("doc"))).cast("bigint").as("doc_bytes"),
           min("_id").as("first_id"), max("_id").as("last_id"))
         .orderBy("idx", "shard")),
+    // Snapshot-diff change capture (no watermark column): the minimal
+    // insert/update/delete action feed between two snapshots, stat'd per
+    // (action, shard). Green = the diff found EXACTLY the injected churn
+    // — upstream deletes, in-place updates a date watermark cannot see,
+    // and fresh inserts — and nothing else (unchanged rows never ship).
+    "q_sync_cdc" -> ((s, dir) =>
+      SyncRunner.cdcActions(
+          SyncRunner.docs(s, dir, cdcOldJob),
+          SyncRunner.docs(s, dir, cdcNewJob), shards = 8)
+        .groupBy(col("action"), col("routing").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("doc"))), lit(0L)).cast("bigint")
+            .as("doc_bytes"),
+          min("_id").as("first_id"), max("_id").as("last_id"))
+        .orderBy("action", "shard")),
+
     // Post-merge served-index state after an upsert run applies on a base
     // sync: per-shard doc count/bytes/id-range of base MERGE changes.
     "q_sync_upsert" -> ((s, dir) =>
@@ -227,6 +266,26 @@ object SyncQueries extends QueryFamily {
       "min(_id) AS first_id, max(_id) AS last_id " +
       "FROM h GROUP BY 1, 2 ORDER BY idx, shard"),
     "q_sync_upsert" -> duckUpsert,
+    // full-outer recompute of the snapshot diff: doc-string inequality is
+    // the update test in both engines (same concat, same decimal render)
+    "q_sync_cdc" ->
+      ("WITH snap_a AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+        s"$duckDoc AS doc FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'), " +
+        "snap_b AS (SELECT CAST(o_orderkey AS VARCHAR) AS _id, " +
+        "concat('{\"order_id\":', CAST(o_orderkey AS VARCHAR), " +
+        "',\"status\":\"', CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END, " +
+        "'\",\"total\":', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '}') AS doc " +
+        "FROM orders WHERE o_orderkey % 13 <> 0), " +
+        "d AS (SELECT COALESCE(a._id, b._id) AS _id, b.doc AS doc, " +
+        "CASE WHEN a._id IS NULL THEN 'insert' WHEN b._id IS NULL THEN 'delete' " +
+        "WHEN a.doc <> b.doc THEN 'update' ELSE 'noop' END AS action " +
+        "FROM snap_a a FULL OUTER JOIN snap_b b ON a._id = b._id), " +
+        "f AS (SELECT *, CAST(concat('0x', substr(md5(_id), 1, 15)) AS BIGINT) % 8 AS shard " +
+        "FROM d WHERE action <> 'noop') " +
+        "SELECT action, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs, " +
+        "CAST(COALESCE(sum(length(doc)), 0) AS BIGINT) AS doc_bytes, " +
+        "min(_id) AS first_id, max(_id) AS last_id " +
+        "FROM f GROUP BY 1, 2 ORDER BY action, shard"),
     // both sides recomputed arithmetically: the index side is the plan
     // minus the rows the destroyed (shard 3, batch 0) file held
     "q_sync_reconcile" ->

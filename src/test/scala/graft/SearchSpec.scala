@@ -149,6 +149,51 @@ class SearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).contains(victim))
   }
 
+  test("fuzzy: Levenshtein lexicon expansion, pushdown, cap, delete-aware") {
+    val root = freshRoot("search_fuzzy")
+    InvertedIndex.build(spark, root, docs)
+    // the fixture vocabulary puts fast/part/sort/spark within 2 edits of
+    // 'part' — the expansion must equal a plain multi-term query over
+    // exactly that set
+    val expanded = InvertedIndex.lexicon(spark, root)
+      .where(levenshtein(col("tok"), lit("part")) <= 2).select("tok")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(expanded == Seq("fast", "part", "sort", "spark"), expanded)
+    val viaFuzzy = rows(InvertedIndex.fuzzy(spark, root, "part", maxEdits = 2))
+    val viaTerms = rows(InvertedIndex.postings(spark, root)
+      .where(col("tok").isin(expanded: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+      .orderBy("doc_id"))
+    assert(viaFuzzy == viaTerms)
+    // maxEdits=0 degenerates to the exact single-term query
+    val exact = rows(InvertedIndex.fuzzy(spark, root, "merge", maxEdits = 0))
+    val direct = rows(InvertedIndex.postings(spark, root)
+      .where(col("tok") === "merge")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+      .orderBy("doc_id"))
+    assert(exact == direct && exact.nonEmpty)
+    // the expanded IN pushes into the postings scan; corpus never read
+    val p = InvertedIndex.fuzzy(spark, root, "part", maxEdits = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(tok,"), p.take(3000))
+    assert(!p.contains("documents.parquet"), p.take(3000))
+    // a hopeless term serves an empty, correctly-typed result
+    assert(InvertedIndex.fuzzy(spark, root, "zzzzzzzzz", maxEdits = 1).count() == 0)
+    // the cap fails loudly instead of fanning out across the postings
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.fuzzy(spark, root, "part", maxEdits = 2, maxExpansions = 2))
+    assert(e.getMessage.contains("maxExpansions"))
+    // tombstones apply to fuzzy hits too
+    val victim = InvertedIndex.fuzzy(spark, root, "part", maxEdits = 2)
+      .select("doc_id").head().getLong(0)
+    InvertedIndex.delete(spark, root,
+      docs.where(col("doc_id") === victim).select("doc_id"))
+    assert(!InvertedIndex.fuzzy(spark, root, "part", maxEdits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim))
+  }
+
   test("phrase agrees with a direct recompute over the raw text") {
     val root = freshRoot("search_phrase_direct")
     InvertedIndex.build(spark, root, docs)

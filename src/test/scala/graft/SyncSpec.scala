@@ -513,4 +513,58 @@ class SyncSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](SyncConfig.fromJson(badMode))
     assert(e2.getMessage.contains("from"), e2.getMessage)
   }
+
+  test("cdc: applying the action feed to the old snapshot reproduces the new one") {
+    val oldJob = fullJob.copy(name = "orders_cdc_a", source = SyncSource.Sql(
+      "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'"))
+    val newJob = oldJob.copy(name = "orders_cdc_b", source = SyncSource.Sql(
+      "SELECT * FROM orders WHERE o_orderkey % 13 <> 0"),
+      fields = Seq(
+        DocField("order_id", "o_orderkey", quoted = false),
+        DocField("status",
+          "CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END",
+          quoted = true),
+        DocField("total", "CAST(o_totalprice AS DECIMAL(12,2))",
+          quoted = false)))
+    val before = SyncRunner.docs(spark, sf0001, oldJob)
+    val after = SyncRunner.docs(spark, sf0001, newJob)
+    val acts = SyncRunner.cdcActions(before, after, shards = 4)
+      .select("_id", "action", "doc").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    // classification is exactly the injected churn, nothing else
+    val beforeIds = before.select("_id").collect().map(_.getString(0)).toSet
+    val afterMap = after.select("_id", "doc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    acts.foreach {
+      case (id, "insert", Some(_)) => assert(!beforeIds(id), id)
+      case (id, "delete", None)    => assert(beforeIds(id) && !afterMap.contains(id), id)
+      case (id, "update", Some(d)) => assert(beforeIds(id) && afterMap(id) == d, id)
+      case other                   => fail(s"malformed action row: $other")
+    }
+    // replaying the feed over the old state converges to the new snapshot
+    val beforeMap = before.select("_id", "doc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val replayed = acts.foldLeft(beforeMap) {
+      case (st, (id, "delete", _)) => st - id
+      case (st, (id, _, Some(d)))  => st.updated(id, d)
+      case (st, _)                 => st
+    }
+    assert(replayed == afterMap)
+    // unchanged rows never ship: ids untouched by the churn are absent
+    val shipped = acts.map(_._1).toSet
+    val untouched = beforeIds.filter(id =>
+      afterMap.get(id).contains(beforeMap(id)))
+    assert(untouched.nonEmpty && untouched.forall(!shipped(_)))
+    // a snapshot diffed against itself is an empty feed
+    assert(SyncRunner.cdcActions(before, before, shards = 4).count() == 0)
+    // deletes route exactly like the run that indexed them would
+    val delRouting = SyncRunner.cdcActions(before, after, shards = 4)
+      .where(col("action") === "delete").select("_id", "routing").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val origRouting = before.select("_id", "routing").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(delRouting.nonEmpty &&
+      delRouting.forall { case (id, r) => origRouting(id) == r })
+  }
 }
