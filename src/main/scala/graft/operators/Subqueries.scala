@@ -37,10 +37,66 @@ object Subqueries extends QueryFamily {
       "SELECT c_custkey, c_name, total FROM ranked " +
       "WHERE total > 1000000 ORDER BY c_custkey"
 
+  /** Composed TPC-H queries through the textual entry point — the
+    * reference's jobs are arbitrary HiveQL, so the proof that the
+    * relational core COMPOSES (multi-join + filter + agg + having-subquery
+    * + ordered top-k in one statement) matters as much as the per-operator
+    * rows. Q1 lives as the flagship `q_agg_hashgroup`; Q5's star shape is
+    * `q_join_multiway`. Decimal discipline per SURVEY §7.4: money and
+    * discount factors cast to exact decimals before multiply/sum, doubles
+    * only at the output boundary, and every ORDER BY carries a key
+    * tiebreak so the top-k cut is a total order.
+    *
+    * Scale: Catalyst plans these exactly like the hand-built DataFrame
+    * versions — broadcast for nation/customer-sized dims, shuffled hash
+    * or sort-merge for lineitem⋈orders, partial aggregation before every
+    * shuffle, TakeOrderedAndProject for the LIMIT (never a global sort).
+    */
+  private val tpch3Sql =
+    "SELECT l_orderkey, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, " +
+      "o_orderdate " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' " +
+      "AND o_orderdate < TIMESTAMP '1998-03-15' " +
+      "AND l_shipdate > TIMESTAMP '1998-03-15' " +
+      "GROUP BY l_orderkey, o_orderdate " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+
+  private val tpch10Sql =
+    "SELECT c_custkey, c_name, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, " +
+      "n_name " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, n_name " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"
+
+  private val tpch18Sql =
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+      "GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250) " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY total DESC, o_orderkey LIMIT 100"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sub_scalar" -> (sql(scalarSql) _),
     "q_sub_in" -> (sql(inSql) _),
     "q_sql_cte" -> (sql(cteSql) _),
+    "q_sql_tpch3" -> (sql(tpch3Sql) _),
+    "q_sql_tpch10" -> (sql(tpch10Sql) _),
+    "q_sql_tpch18" -> (sql(tpch18Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -48,5 +104,8 @@ object Subqueries extends QueryFamily {
     "q_sub_scalar" -> scalarSql,
     "q_sub_in" -> inSql,
     "q_sql_cte" -> cteSql,
+    "q_sql_tpch3" -> tpch3Sql,
+    "q_sql_tpch10" -> tpch10Sql,
+    "q_sql_tpch18" -> tpch18Sql,
   )
 }

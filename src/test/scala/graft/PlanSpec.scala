@@ -37,6 +37,26 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("composed TPC-H queries keep the scale-safe shapes") {
+    // Q3: the top-10 cut is TakeOrderedAndProject (never a global sort),
+    // aggregation is two-phase, and the date/segment predicates push
+    // into the parquet scans
+    val p3 = plan("q_sql_tpch3")
+    assert(p3.contains("TakeOrderedAndProject"), p3.take(2000))
+    assert("HashAggregate".r.findAllIn(p3).size >= 2, p3.take(2000))
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment)") ||
+      p3.contains("EqualTo(c_mktsegment,BUILDING)"), p3.take(3000))
+    // Q10: the 25-row nation dim must broadcast, never shuffle lineitem
+    val p10 = plan("q_sql_tpch10")
+    assert(p10.contains("BroadcastHashJoin"), p10.take(2000))
+    assert(p10.contains("TakeOrderedAndProject"), p10.take(2000))
+    // Q18: the HAVING subquery plans as a join (semi or aggregated-inner),
+    // not a per-row re-execution, and the top-100 cut stays TakeOrdered
+    val p18 = plan("q_sql_tpch18")
+    assert(p18.contains("TakeOrderedAndProject"), p18.take(2000))
+    assert(!p18.toLowerCase.contains("cartesianproduct"), p18.take(2000))
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_sim_topk").contains("BroadcastExchange"))
