@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * certifies the index round-trip — build, publish, read back, rank —
   * against first-principles recomputation).
   *
-  * Every query rebuilds its index from scratch under a fresh root (the
-  * ViewQueries convention: verify/bench invoke queries repeatedly, and a
-  * surviving index would hide build bugs), and every SERVE plan is
-  * required in-query to never touch `documents.parquet` — the engine
+  * Read-only queries serve from ONE shared base index per (session,
+  * fixture dir) — built exactly once, never mutated (the real lifecycle:
+  * build once, serve many). Queries that MUTATE the index (delete,
+  * append/compact/vacuum) rebuild under per-invocation fresh roots (the
+  * ViewQueries convention: verify/bench invoke queries repeatedly and
+  * concurrently, and a shared MUTABLE root would race). Every SERVE plan
+  * is required in-query to never touch `documents.parquet` — the engine
   * must answer from what it published, or fail loudly.
   */
 object SearchQueries extends QueryFamily {
@@ -25,6 +28,26 @@ object SearchQueries extends QueryFamily {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select("doc_id", "text")
+
+  /** One base index per (session, fixture dir), built exactly once and
+    * never mutated — the real lifecycle (build once, serve many) for the
+    * read-only queries. `computeIfAbsent` makes concurrent invocations
+    * block on a single build instead of racing (the root itself is still
+    * invocation-unique via Scratch, so no OTHER process can touch it);
+    * queries that MUTATE the index (delete, append/compact/vacuum) keep
+    * per-invocation roots, and the build path stays covered by them and
+    * by SearchSpec.
+    */
+  private val sharedRoots =
+    new java.util.concurrent.ConcurrentHashMap[(Integer, String), String]()
+
+  private def sharedIndex(s: SparkSession, dir: String): String =
+    sharedRoots.computeIfAbsent(
+      (Integer.valueOf(System.identityHashCode(s)), dir), _ => {
+        val root = graft.Scratch.freshRoot("q_search_shared")
+        InvertedIndex.build(s, root, docs(s, dir))
+        root
+      })
 
   /** The serve-side contract: answered from index artifacts only. */
   private def fromIndexOnly(df: DataFrame): DataFrame = {
@@ -39,8 +62,7 @@ object SearchQueries extends QueryFamily {
     // document frequency) from the published meta version — the "what's
     // in this index" operational query.
     "q_search_index" -> ((s, dir) => {
-      val root = freshRoot("q_search_index", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(InvertedIndex.lexicon(s, root)
         .orderBy(col("df").desc, col("tok"))
         .limit(30)
@@ -51,8 +73,7 @@ object SearchQueries extends QueryFamily {
     // scaladoc for the bit-reproducibility argument) for a 3-term OR
     // query, top-20 docs with integer micro-scores.
     "q_search_bm25" -> ((s, dir) => {
-      val root = freshRoot("q_search_bm25", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(
         InvertedIndex.bm25(s, root, Seq("spark", "merge", "window"), 20))
     }),
@@ -60,16 +81,14 @@ object SearchQueries extends QueryFamily {
     // Positional phrase query "merge batch": adjacent-position counts per
     // doc from the postings alone — the corpus text is never re-read.
     "q_search_phrase" -> ((s, dir) => {
-      val root = freshRoot("q_search_phrase", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(InvertedIndex.phrase(s, root, "merge", "batch"))
     }),
 
     // Conjunctive retrieval: docs containing ALL THREE terms, served
     // from one term-pruned postings aggregation (no per-term self-join).
     "q_search_and" -> ((s, dir) => {
-      val root = freshRoot("q_search_and", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(
         InvertedIndex.conjunctive(s, root, Seq("spark", "merge", "window")))
     }),
@@ -78,8 +97,7 @@ object SearchQueries extends QueryFamily {
     // (6 fixture terms), then one term-pruned postings aggregation —
     // the Lucene rewrite model, served from the index alone.
     "q_search_wildcard" -> ((s, dir) => {
-      val root = freshRoot("q_search_wildcard", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(InvertedIndex.wildcard(s, root, "s"))
     }),
 
@@ -87,8 +105,7 @@ object SearchQueries extends QueryFamily {
     // (fixture: part, fast, sort, spark), then the same term-pruned
     // postings aggregation — the ES `fuzziness` clause, index-only.
     "q_search_fuzzy" -> ((s, dir) => {
-      val root = freshRoot("q_search_fuzzy", dir)
-      InvertedIndex.build(s, root, docs(s, dir))
+      val root = sharedIndex(s, dir)
       fromIndexOnly(InvertedIndex.fuzzy(s, root, "part", maxEdits = 2))
     }),
 
