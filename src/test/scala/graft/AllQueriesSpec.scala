@@ -73,6 +73,41 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(low.isEmpty, s"degenerate events-family results: ${low.mkString("; ")}")
   }
 
+  test("q_win_funnel: depth spread is non-degenerate and chain times are ordered") {
+    val rows = SparkEntry.queries("q_win_funnel")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val depths = rows.map(_.getAs[Long]("depth")).toSet
+    assert(depths.size >= 2, s"funnel collapsed to depths $depths")
+    rows.foreach { r =>
+      val (t1, t2, t3) = (r.getAs[java.time.LocalDateTime]("t1"),
+        r.getAs[java.time.LocalDateTime]("t2"),
+        r.getAs[java.time.LocalDateTime]("t3"))
+      if (t2 != null) assert(t1 != null && t2.isAfter(t1))
+      if (t3 != null) assert(t2 != null && t3.isAfter(t2) &&
+        !t3.isAfter(t1.plusHours(72)))
+    }
+  }
+
+  test("q_sim_mrl: exact rescoring, and the coarse stage genuinely prunes") {
+    val mrl = SparkEntry.queries("q_sim_mrl")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"))).toSet
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("score"))).toSet
+    // every MRL hit carries the EXACT full-width score (stage 2 is not
+    // approximate), so any pair also in the brute-force top-5 must agree
+    val exactByPair = exact.map(t => (t._1, t._2) -> t._3).toMap
+    mrl.foreach { case (p, n, s) =>
+      exactByPair.get((p, n)).foreach(es => assert(es == s, s"($p,$n)")) }
+    // recall floor on the isotropic worst-case fixture: at least half of
+    // the true top-5 pairs survive the 16-dim coarse cut
+    val hits = mrl.map(t => (t._1, t._2))
+      .intersect(exact.map(t => (t._1, t._2)))
+    assert(hits.size * 2 >= exact.size,
+      s"MRL recall collapsed: ${hits.size}/${exact.size}")
+  }
+
   test("q_agg_hashgroup has the Q1 group structure") {
     val rows = SparkEntry.queries("q_agg_hashgroup")(spark, sf0001).collect()
     assert(rows.length >= 4 && rows.length <= 6)
