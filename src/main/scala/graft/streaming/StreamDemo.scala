@@ -148,6 +148,40 @@ object StreamDemo {
     spark.table("stream_sessions").as[SessionOut]
   }
 
+  /** True stream-STREAM interval join (the §2.J shape the stream-static
+    * enrichment can't show): clicks joined to later purchases by the same
+    * user within six hours. Both sides are watermarked, and the join
+    * condition carries an explicit event-time RANGE — that pair is what
+    * lets Spark bound the join state: a buffered click can be evicted
+    * once the purchase-side watermark passes click_ts + 6 h, so state is
+    * O(events per join window), not O(stream history). At 100 TB this is the
+    * only admissible shape — an unconstrained stream-stream join would
+    * buffer both streams forever. Inner join + append mode: results emit
+    * only once both watermarks clear the match window.
+    */
+  def intervalJoin(spark: SparkSession, workDir: String): DataFrame = {
+    val clicks = source(spark, workDir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = source(spark, workDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_interval_join").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("stream_interval_join")
+  }
+
   /** Stream → bulk store: the batch bulk sink reused under
     * foreachBatch. Exactly-once end to end from two layers:
     * the checkpoint makes each micro-batch processed once (a recovered

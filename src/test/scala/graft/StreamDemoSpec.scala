@@ -111,6 +111,30 @@ class StreamDemoSpec extends AnyFunSuite {
     assert(partial.toSet.subsetOf(full.toSet))
   }
 
+  test("stream-stream interval join agrees with the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamDemo.intervalJoin(spark, work)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = spark.read.parquet(s"$work/in")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture replays in event-time order, so no pair is dropped as
+    // late: the streaming result must equal the batch join exactly
+    assert(streamed == batch)
+    assert(streamed.size >= 10, s"degenerate join: ${streamed.size} pairs")
+  }
+
   test("flatMapGroupsWithState sessions agree with batch session_window") {
     import org.apache.spark.sql.functions._
     val closed = StreamDemo.sessions(spark, work).count()

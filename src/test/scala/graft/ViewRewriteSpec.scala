@@ -69,6 +69,24 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a TEXTUAL SQL aggregate routes too: the rule works at analysis level") {
+    // the reference's jobs are HiveQL strings — routing must apply to
+    // spark.sql() text exactly as to the DataFrame DSL, because the rule
+    // matches the resolved logical plan (sameResult), not the API used
+    withView("sqltext", ViewDef(Seq("status"), "total")) { _ =>
+      orders.createOrReplaceTempView("vrw_orders_text")
+      try {
+        val q = spark.sql(
+          "SELECT status, count(*) AS n, sum(total) AS s " +
+            "FROM vrw_orders_text GROUP BY status")
+        assert(routed(q), planOf(q))
+        val direct = orders.groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("total").as("s"))
+        assert(collectSorted(q) == collectSorted(direct))
+      } finally spark.catalog.dropTempView("vrw_orders_text")
+    }
+  }
+
   test("a key-subset grouping re-aggregates the partials") {
     withView("subset", ViewDef(Seq("status", "priority"), "total")) { root =>
       val q = orders.groupBy("status")
