@@ -209,8 +209,18 @@ object SyncRunner {
     planFor(source(spark, sfDir, job), job, keep)
 
   /** [[plan]] over a pre-resolved source (see [[docsFor]]). */
-  def planFor(src: DataFrame, job: SyncJob, keep: Seq[String] = Nil): DataFrame = {
-    val base = docsFor(src, job, keep)
+  def planFor(src: DataFrame, job: SyncJob, keep: Seq[String] = Nil): DataFrame =
+    planDocs(docsFor(src, job, keep), job, keep)
+
+  /** The batch-rank decomposition over an ALREADY-built docs stream —
+    * split out so alternative doc producers (the CDC action feed, which
+    * has no single source to run [[docsFor]] on) batch through the
+    * identical machinery. Input must carry `_id, doc, action, h,
+    * routing` (+ any `keep` columns).
+    */
+  def planDocs(docsDf: DataFrame, job: SyncJob,
+      keep: Seq[String] = Nil): DataFrame = {
+    val base = docsDf
       // 2048 uniform hash-range buckets per shard for the rank decomposition
       .withColumn("bkt", expr(s"h DIV ${1L << 49}"))
     val offs = base.groupBy("routing", "bkt").agg(count(lit(1)).as("cnt"))
@@ -418,8 +428,26 @@ object SyncRunner {
     * delivery engine for scan-based and micro-batch syncs.
     */
   def runOn(src: DataFrame, job: SyncJob, client: BulkClient,
-      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts = {
-    val spark = src.sparkSession
+      wmTrack: Option[(String, MaxWatermarkAccumulator)] = None): DeliveryCounts =
+    runDocs(docsFor(src, job, wmTrack.map(_._1).toSeq), job, client, wmTrack)
+
+  /** CDC end to end: diff the two snapshots ([[cdcActions]]) and deliver
+    * ONLY the churn through the standard batch/bulk engine — insert and
+    * update actions ship their new doc (an ES `_bulk` `index` op),
+    * deletes ship id-only. After this run an idempotent keyed store that
+    * held the `previous` snapshot serves exactly the `current` one
+    * (SyncSpec pins the convergence against a from-scratch full sync).
+    */
+  def runCdc(previous: DataFrame, current: DataFrame, job: SyncJob,
+      client: BulkClient): DeliveryCounts =
+    runDocs(cdcActions(previous, current, job.shards), job, client, None)
+
+  /** The delivery engine over an already-built docs stream (the shared
+    * tail of [[runOn]] and [[runCdc]]).
+    */
+  def runDocs(docsDf: DataFrame, job: SyncJob, client: BulkClient,
+      wmTrack: Option[(String, MaxWatermarkAccumulator)]): DeliveryCounts = {
+    val spark = docsDf.sparkSession
     val batchSize = job.batchSize // avoid serializing the runner object
     // the quarantine is SLICE-scoped: successive runs of a watermarked
     // job cover different deltas, and each run's parquet write overwrites
@@ -444,7 +472,7 @@ object SyncRunner {
     val retriedAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.retriedTasks")
     val wmAcc = wmTrack.map(_._2)
     val keep = wmTrack.map(_._1).toSeq
-    val prepared = planFor(src, job, keep)
+    val prepared = planDocs(docsDf, job, keep)
       .repartition(job.shards, col("routing"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
       .select("routing", (Seq("batch_id", "_id", "doc", "action") ++ keep): _*)

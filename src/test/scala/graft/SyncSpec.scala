@@ -514,6 +514,42 @@ class SyncSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("from"), e2.getMessage)
   }
 
+  test("cdc delivery converges a served store to the new snapshot, idempotently") {
+    import graft.sinks.Writers
+    val oldJob = fullJob.copy(name = "orders_cdcd_a", source = SyncSource.Sql(
+      "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'"))
+    val newJob = oldJob.copy(name = "orders_cdcd_b", source = SyncSource.Sql(
+      "SELECT * FROM orders WHERE o_orderkey % 13 <> 0"),
+      fields = Seq(
+        DocField("order_id", "o_orderkey", quoted = false),
+        DocField("status",
+          "CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END",
+          quoted = true),
+        DocField("total", "CAST(o_totalprice AS DECIMAL(12,2))",
+          quoted = false)))
+    val dir = tmp("graft_cdc_deliver").toString
+    // generation 0: the full sync that put the OLD snapshot in the store
+    SyncRunner.run(spark, sf0001, oldJob, FileBulkClient(dir, gen = Some(0)))
+    // generation 1: CDC ships only the churn
+    val counts = SyncRunner.runCdc(
+      SyncRunner.docs(spark, sf0001, oldJob),
+      SyncRunner.docs(spark, sf0001, newJob),
+      newJob, FileBulkClient(dir, gen = Some(1)))
+    // the folded store now equals a from-scratch full sync of the NEW world
+    val fresh = tmp("graft_cdc_fresh").toString
+    SyncRunner.run(spark, sf0001, newJob, FileBulkClient(fresh, gen = Some(0)))
+    val state = Writers.foldState(dir)
+    assert(state == Writers.foldState(fresh))
+    // CDC shipped strictly less than the full resync (the point of CDC)
+    assert(counts.docs > 0 && counts.docs < state.size)
+    // replaying the CDC generation changes nothing
+    SyncRunner.runCdc(
+      SyncRunner.docs(spark, sf0001, oldJob),
+      SyncRunner.docs(spark, sf0001, newJob),
+      newJob, FileBulkClient(dir, gen = Some(1)))
+    assert(Writers.foldState(dir) == state)
+  }
+
   test("cdc: applying the action feed to the old snapshot reproduces the new one") {
     val oldJob = fullJob.copy(name = "orders_cdc_a", source = SyncSource.Sql(
       "SELECT * FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01'"))
