@@ -82,6 +82,40 @@ object IncrementalView {
     doRefresh(spark, root, delta, v, sign, wmCol = None)
   }
 
+  /** Maintain the view from a SNAPSHOT DIFF — the CDC composition: when
+    * the source has no watermark column (in-place updates, upstream
+    * deletes), diff two snapshots by `idCol` and fold ONE signed delta:
+    * deleted/changed rows retract their OLD (keys, measure) with sign
+    * −1, inserted/changed rows fold their NEW values with +1. An update
+    * that moves a row between groups therefore transfers it exactly
+    * (retract from the old key, fold into the new); unchanged rows are
+    * dropped before anything materializes, so the refresh costs
+    * O(churn + state), never a corpus rescan. Both sides are pruned to
+    * (id, keys, measure) before the full-outer equi-join — the same
+    * narrow-shuffle argument as [[SyncRunner.cdcActions]]; at 100 TB
+    * the previous snapshot is the retained copy of the last run,
+    * co-partitioned by id. Requires a retractable view (min/max cannot
+    * un-see deleted rows) and snapshot-unique ids.
+    */
+  def refreshCdc(spark: SparkSession, root: String, previous: DataFrame,
+      current: DataFrame, idCol: String, v: ViewDef): Unit = {
+    require(v.retractable,
+      "refreshCdc retracts deleted/changed rows — the view must be retractable")
+    val cols = v.keys :+ v.measure
+    val o = previous.select((idCol +: cols).map(col): _*).alias("o")
+    val n = current.select((idCol +: cols).map(col): _*).alias("n")
+    val joined = o.join(n, col(s"o.$idCol") === col(s"n.$idCol"), "full_outer")
+    val same = cols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    val retracted = joined
+      .where(col(s"o.$idCol").isNotNull && (col(s"n.$idCol").isNull || !same))
+      .select(cols.map(c => col(s"o.$c").as(c)) :+ lit(-1L).as("mv_sign"): _*)
+    val folded = joined
+      .where(col(s"n.$idCol").isNotNull && (col(s"o.$idCol").isNull || !same))
+      .select(cols.map(c => col(s"n.$c").as(c)) :+ lit(1L).as("mv_sign"): _*)
+    doRefresh(spark, root, retracted.unionByName(folded), v,
+      col("mv_sign"), wmCol = None)
+  }
+
   /** Watermark-tracked refresh: pull the delta (`wmCol` strictly past
     * the mark committed with the CURRENT state version), fold it, and
     * commit the delta's max watermark atomically with the new state.

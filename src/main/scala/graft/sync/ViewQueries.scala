@@ -116,6 +116,30 @@ object ViewQueries extends QueryFamily {
       served(s, root, Seq("priority"), withMinMax = false)
     }),
 
+    // CDC-maintained view: the served aggregate after a SNAPSHOT DIFF
+    // refresh — upstream deleted every 13th order, flipped every 5th
+    // surviving order's status to 'U' (an in-place update that MOVES
+    // rows between the view's groups), and appended the post-cutoff
+    // world. The view never rescans the corpus: refreshCdc retracts the
+    // old rows and folds the new ones from the diff alone, and the
+    // served state must equal the oracle's direct aggregate over the
+    // new snapshot.
+    "q_view_cdc" -> ((s, dir) => {
+      val root = freshRoot("q_view_cdc", dir)
+      val v = IncrementalView.ViewDef(Seq("status"), "total",
+        retractable = true)
+      val prev = ordersSrc(s, dir).where(s"o_orderdate <= $cutoff")
+      val cur = s.read.parquet(s"$dir/orders.parquet")
+        .where("o_orderkey % 13 <> 0")
+        .select(col("o_orderkey"),
+          expr("CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END")
+            .as("status"),
+          Dets.money(col("o_totalprice")).as("total"))
+      IncrementalView.refresh(s, root, prev, v)
+      IncrementalView.refreshCdc(s, root, prev, cur, "o_orderkey", v)
+      served(s, root, Seq("status"), withMinMax = false)
+    }),
+
     // Finalization over the served partials: avg, population variance and
     // stddev derived from (n, s, s2) WITHOUT touching the corpus — the
     // dashboard read path of a maintained view. Exact decimals convert to
@@ -276,6 +300,13 @@ object ViewQueries extends QueryFamily {
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
+    // the direct aggregate over the NEW snapshot — the CDC-refreshed
+    // state never saw it whole, only the diff
+    "q_view_cdc" ->
+      ("SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END " +
+        "AS status, count(*) AS n_rows, " +
+        s"SUM($duckTotal) AS total_sum " +
+        "FROM orders WHERE o_orderkey % 13 <> 0 GROUP BY 1 ORDER BY 1"),
     // the routed join aggregate must equal the join it replaced — the
     // oracle IS that join
     "q_view_join" ->

@@ -204,6 +204,34 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retractable"))
   }
 
+  test("cdc refresh: group-moving updates transfer exactly; self-diff is stable") {
+    val root = freshRoot("cdc")
+    val v = ViewDef(Seq("status"), "total", retractable = true)
+    val prev = orders.select("o_orderkey", "status", "total")
+    // churn: delete %13, flip %5 survivors' status to 'U' (moves rows
+    // BETWEEN groups — the case a naive append-only fold gets wrong)
+    val cur = orders.where("o_orderkey % 13 <> 0").select(
+      col("o_orderkey"),
+      expr("CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE status END").as("status"),
+      col("total"))
+    IncrementalView.refresh(spark, root, prev, v)
+    IncrementalView.refreshCdc(spark, root, prev, cur, "o_orderkey", v)
+    val got = IncrementalView.read(spark, root)
+      .select("status", "mv_n", "mv_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val want = cur.groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("total").cast("decimal(38,2)")).cast("decimal(38,2)").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(got == want)
+    // a second CDC refresh with NO churn leaves the served view unchanged
+    IncrementalView.refreshCdc(spark, root, cur, cur, "o_orderkey", v)
+    val again = IncrementalView.read(spark, root)
+      .select("status", "mv_n", "mv_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(again == got)
+  }
+
   test("reading an unpublished view fails with a refresh hint") {
     val e = intercept[IllegalStateException] {
       IncrementalView.read(spark, freshRoot("nopub"))
