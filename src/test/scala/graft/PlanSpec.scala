@@ -57,6 +57,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p18.toLowerCase.contains("cartesianproduct"), p18.take(2000))
   }
 
+  test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
+    val p = plan("q_win_funnel")
+    // the three chained conditional MINs and the final per-user collapse
+    // all ride one hash partitioning on user_id; a per-step join cascade
+    // would show several exchanges and join nodes
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 user_id exchange, got $hashEx:\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q_sim_mrl broadcasts probes in both stages; candidates join by id") {
+    val p = plan("q_sim_mrl")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // stage 2 joins candidate IDS back to the full-width table — the
+    // full vectors must not ride through the coarse cross join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CrossJoin"),
+      p.take(2000))
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_sim_topk").contains("BroadcastExchange"))
