@@ -70,8 +70,8 @@ object ViewRewrite {
     */
   def register(name: String, source: DataFrame, root: String, v: ViewDef): Unit = {
     val names = source.schema.fieldNames.toSet
-    require((v.keys :+ v.measure).forall(names),
-      s"view columns ${(v.keys :+ v.measure).filterNot(names).mkString(", ")} " +
+    require((v.keys ++ v.measures).forall(names),
+      s"view columns ${(v.keys ++ v.measures).filterNot(names).mkString(", ")} " +
         s"missing from the source schema (${names.mkString(", ")})")
     registry.put(name, Registered(source.queryExecution.analyzed, root, v))
   }
@@ -145,9 +145,11 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: Attribute => nameOf.get(a.exprId).filter(keys)
       case _            => None
     }
-    def isMeasure(e: Expression): Boolean = e match {
-      case a: Attribute => nameOf.get(a.exprId).contains(r.v.measure)
-      case _            => false
+    // which registered measure (if any) an aggregate's operand names —
+    // a multi-measure view answers aggregates over ANY of its measures
+    def measureOf(e: Expression): Option[String] = e match {
+      case a: Attribute => nameOf.get(a.exprId).filter(r.v.measures.contains)
+      case _            => None
     }
     // avg splices as merged-sum / merged-non-null-count. Bit-parity with
     // the native Average is an operand-type argument: the merged mv_s is
@@ -160,24 +162,28 @@ class ViewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // differ from in the last ulp — the rule declines rather than
     // approximates. A group whose measures were all NULL serves NULL
     // (mv_nm = 0 guards the division), matching Average under ANSI.
-    def avgCol: Option[Column] =
-      r.source.output.find(_.name == r.v.measure).map(_.dataType).collect {
+    def avgCol(mm: String): Option[Column] =
+      r.source.output.find(_.name == mm).map(_.dataType).collect {
         case d: org.apache.spark.sql.types.DecimalType =>
           val sumT = org.apache.spark.sql.types.DecimalType(
             math.min(38, d.precision + 10), d.scale)
-          val nm = sum("mv_nm")
-          when(nm === 0L, lit(null)).otherwise(sum("mv_s").cast(sumT) / nm)
+          val nm = sum(r.v.stateCol("nm", mm))
+          when(nm === 0L, lit(null))
+            .otherwise(sum(r.v.stateCol("s", mm)).cast(sumT) / nm)
       }
     def aggCol(ae: AggregateExpression): Option[Column] = {
       if (ae.isDistinct || ae.filter.isDefined) None
       else ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null =>
           Some(coalesce(sum("mv_n"), lit(0L)))
-        case s: Sum if isMeasure(s.child)                    => Some(sum("mv_s"))
-        case a: Average if isMeasure(a.child)                => avgCol
-        case m: Min if isMeasure(m.child) && !r.v.retractable => Some(min("mv_min"))
-        case m: Max if isMeasure(m.child) && !r.v.retractable => Some(max("mv_max"))
-        case _                                               => None
+        case s: Sum =>
+          measureOf(s.child).map(mm => sum(r.v.stateCol("s", mm)))
+        case a: Average => measureOf(a.child).flatMap(avgCol)
+        case m: Min if !r.v.retractable =>
+          measureOf(m.child).map(mm => min(r.v.stateCol("min", mm)))
+        case m: Max if !r.v.retractable =>
+          measureOf(m.child).map(mm => max(r.v.stateCol("max", mm)))
+        case _ => None
       }
     }
 

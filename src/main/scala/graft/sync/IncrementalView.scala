@@ -57,13 +57,29 @@ import graft.sinks.AliasedIndex
   */
 object IncrementalView {
 
-  /** A maintained view: group keys plus one measure column (pre-cast by
-    * the caller to an EXACT type — decimal or integral; see
+  /** A maintained view: group keys plus one OR MORE measure columns
+    * (pre-cast by the caller to EXACT types — decimal or integral; see
     * [[graft.Dets.money]] — so sums are order-independent).
     * `retractable` views support signed refreshes and carry no min/max.
+    *
+    * A real dashboard view carries several measures (Q1 carries four);
+    * `extraMeasures` adds them. Column naming: a single-measure view
+    * keeps the legacy unsuffixed state columns (`mv_nm`/`mv_s`/`mv_s2`/
+    * `mv_min`/`mv_max`); a multi-measure view suffixes EVERY measure's
+    * columns with its name (`mv_s_qty`, `mv_s_price`, …) — uniform, so
+    * no column's meaning depends on declaration order. `mv_n` (the row
+    * count) is measure-independent either way.
     */
   final case class ViewDef(keys: Seq[String], measure: String,
-      retractable: Boolean = false)
+      retractable: Boolean = false, extraMeasures: Seq[String] = Nil) {
+    def measures: Seq[String] = measure +: extraMeasures
+    /** State-column name for a measure's partial `part` ∈
+      * {nm, s, s2, min, max}. */
+    def stateCol(part: String, m: String): String = {
+      require(measures.contains(m), s"unknown measure $m")
+      if (extraMeasures.isEmpty) s"mv_$part" else s"mv_${part}_$m"
+    }
+  }
 
   /** Fold `delta` (all rows additions) into the view at `root`. */
   def refresh(spark: SparkSession, root: String, delta: DataFrame,
@@ -101,7 +117,7 @@ object IncrementalView {
       current: DataFrame, idCol: String, v: ViewDef): Unit = {
     require(v.retractable,
       "refreshCdc retracts deleted/changed rows — the view must be retractable")
-    val cols = v.keys :+ v.measure
+    val cols = v.keys ++ v.measures
     val o = previous.select((idCol +: cols).map(col): _*).alias("o")
     val n = current.select((idCol +: cols).map(col): _*).alias("n")
     val joined = o.join(n, col(s"o.$idCol") === col(s"n.$idCol"), "full_outer")
@@ -233,7 +249,6 @@ object IncrementalView {
       v: ViewDef, sign: Column, wmCol: Option[String],
       batch: Option[Long] = None): Unit = {
     val keyCols = v.keys.map(col)
-    val m = col(v.measure)
     // a NULL event time is untrackable: it would fold on the refresh that
     // happens to see it but every later pull's `wm > mark` pushdown drops
     // NULLs, so whether the row is ever counted would depend on snapshot
@@ -244,20 +259,29 @@ object IncrementalView {
         s"IncrementalView: NULL $c in a tracked delta — null event times " +
           "cannot be watermarked; filter or backfill them upstream"))
         .cast(rawDelta.schema(c).dataType))))
-    val (sumT, sqT) = pinnedSum(delta.schema(v.measure).dataType)
-    val minmax =
-      if (v.retractable) Seq.empty
-      else Seq(min(m).as("mv_min"), max(m).as("mv_max"))
+    // pinned sum/square types per measure (schema-drift note at pinnedSum)
+    val pinned: Map[String, (DecimalType, DecimalType)] =
+      v.measures.map(mm =>
+        mm -> pinnedSum(delta.schema(mm).dataType)).toMap
     val wm = wmCol.map(c => max(col(c)).as("mv_wm")).toSeq
-    val deltaAggs = Seq(
-      sum(sign).as("mv_n"),
-      // non-null-measure count: avg finalization (and the rewrite rule's
-      // avg splice) divides by the rows the measure actually had — a
-      // NULL measure contributes to mv_n (count(*)) but not here
-      sum(when(m.isNotNull, sign).otherwise(lit(0L))).as("mv_nm"),
-      sum(m.cast(sumT) * sign).cast(sumT).as("mv_s"),
-      sum((m.cast(sqT) * m.cast(sqT)) * sign).cast(sqT).as("mv_s2")) ++
-      minmax ++ wm
+    val perMeasure = v.measures.flatMap { mm =>
+      val mc = col(mm)
+      val (sumT, sqT) = pinned(mm)
+      val minmax =
+        if (v.retractable) Seq.empty
+        else Seq(min(mc).as(v.stateCol("min", mm)),
+          max(mc).as(v.stateCol("max", mm)))
+      Seq(
+        // non-null-measure count: avg finalization (and the rewrite
+        // rule's avg splice) divides by the rows the measure actually
+        // had — a NULL measure contributes to mv_n (count(*)) but not here
+        sum(when(mc.isNotNull, sign).otherwise(lit(0L)))
+          .as(v.stateCol("nm", mm)),
+        sum(mc.cast(sumT) * sign).cast(sumT).as(v.stateCol("s", mm)),
+        sum((mc.cast(sqT) * mc.cast(sqT)) * sign).cast(sqT)
+          .as(v.stateCol("s2", mm))) ++ minmax
+    }
+    val deltaAggs = (sum(sign).as("mv_n") +: perMeasure) ++ wm
     val partials =
       delta.groupBy(keyCols: _*).agg(deltaAggs.head, deltaAggs.tail: _*)
     // the partials table is O(delta's distinct keys): pin it once —
@@ -276,14 +300,20 @@ object IncrementalView {
       val merged = state(spark, root) match {
         case None => deltaState
         case Some(st) =>
-          val mergeMinmax =
-            if (v.retractable) Seq.empty
-            else Seq(min("mv_min").as("mv_min"), max("mv_max").as("mv_max"))
-          val mergeAggs = Seq(
-            sum("mv_n").as("mv_n"),
-            sum("mv_nm").as("mv_nm"),
-            sum("mv_s").cast(sumT).as("mv_s"),
-            sum("mv_s2").cast(sqT).as("mv_s2")) ++ mergeMinmax
+          val mergePerMeasure = v.measures.flatMap { mm =>
+            val (sumT, sqT) = pinned(mm)
+            val minmax =
+              if (v.retractable) Seq.empty
+              else Seq(
+                min(v.stateCol("min", mm)).as(v.stateCol("min", mm)),
+                max(v.stateCol("max", mm)).as(v.stateCol("max", mm)))
+            Seq(
+              sum(v.stateCol("nm", mm)).as(v.stateCol("nm", mm)),
+              sum(v.stateCol("s", mm)).cast(sumT).as(v.stateCol("s", mm)),
+              sum(v.stateCol("s2", mm)).cast(sqT).as(v.stateCol("s2", mm))
+            ) ++ minmax
+          }
+          val mergeAggs = sum("mv_n").as("mv_n") +: mergePerMeasure
           st.unionByName(deltaState).groupBy(keyCols: _*)
             .agg(mergeAggs.head, mergeAggs.tail: _*)
       }

@@ -116,6 +116,44 @@ object ViewQueries extends QueryFamily {
       served(s, root, Seq("priority"), withMinMax = false)
     }),
 
+    // MULTI-measure view — the real dashboard shape (TPC-H Q1 carries
+    // four measures): one state table holds per-key partials for BOTH
+    // qty and price, folded in two deltas, REGISTERED, and the user's
+    // two-measure aggregate is answered from the state (routing
+    // asserted in-query, like q_view_rewrite). One fold, one state
+    // scan, N measures — not N single-measure views.
+    "q_view_multi" -> ((s, dir) => {
+      val root = freshRoot("q_view_multi", dir)
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"),
+        Dets.money(col("l_quantity")).as("qty"),
+        Dets.money(col("l_extendedprice")).as("price"),
+        col("l_shipdate"))
+      val v = IncrementalView.ViewDef(Seq("rflag", "lstatus"), "qty",
+        extraMeasures = Seq("price"))
+      IncrementalView.refresh(s, root,
+        li.where(s"l_shipdate <= $cutoff"), v)
+      IncrementalView.refresh(s, root,
+        li.where(s"l_shipdate > $cutoff"), v)
+      val base = li.select("rflag", "lstatus", "qty", "price")
+      graft.plans.ViewRewrite.register("q_view_multi", base, root, v)
+      try {
+        val q = base.groupBy("rflag", "lstatus").agg(
+          count(lit(1)).as("n_rows"),
+          sum("qty").as("qty_sum"), sum("price").as("price_sum"),
+          min("qty").as("qty_min"), max("price").as("price_max"))
+        val plan = q.queryExecution.optimizedPlan.toString
+        require(plan.contains("mv_s_qty") && plan.contains("mv_s_price") &&
+          !plan.contains("l_orderkey"),
+          s"two-measure aggregate did not route to the view state:\n$plan")
+        q.select(col("rflag"), col("lstatus"), col("n_rows"),
+            col("qty_sum"), col("price_sum"),
+            col("qty_min").cast("decimal(38,2)").as("qty_min"),
+            col("price_max").cast("decimal(38,2)").as("price_max"))
+          .orderBy("rflag", "lstatus")
+      } finally graft.plans.ViewRewrite.deregister("q_view_multi")
+    }),
+
     // CDC-maintained view: the served aggregate after a SNAPSHOT DIFF
     // refresh — upstream deleted every 13th order, flipped every 5th
     // surviving order's status to 'U' (an in-place update that MOVES
@@ -300,6 +338,16 @@ object ViewQueries extends QueryFamily {
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
         s"SUM($duckTotal) AS total_sum " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
+    // the two-measure dashboard recompute, straight off lineitem
+    "q_view_multi" ->
+      ("SELECT l_returnflag AS rflag, l_linestatus AS lstatus, " +
+        "count(*) AS n_rows, " +
+        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum, " +
+        "CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty_min, " +
+        "CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS price_max " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+
     // the direct aggregate over the NEW snapshot — the CDC-refreshed
     // state never saw it whole, only the diff
     "q_view_cdc" ->

@@ -204,6 +204,36 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retractable"))
   }
 
+  test("multi-measure fold equals one-shot for every measure, retraction too") {
+    val root = freshRoot("multi")
+    val src = orders.withColumn("points",
+      (col("o_orderkey") % 100).cast("decimal(12,2)"))
+    val v = ViewDef(Seq("status"), "total", retractable = true,
+      extraMeasures = Seq("points"))
+    IncrementalView.refresh(spark, root, src.where("o_orderkey % 2 = 0"), v)
+    IncrementalView.refresh(spark, root, src.where("o_orderkey % 2 = 1"), v)
+    IncrementalView.refreshSigned(spark, root,
+      src.where("o_orderkey % 7 = 0"), v, lit(-1L))
+    val got = IncrementalView.read(spark, root)
+      .select("status", "mv_n", "mv_s_total", "mv_s_points").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+      .toSet
+    val want = src.where("o_orderkey % 7 <> 0").groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("total").cast("decimal(38,2)")).cast("decimal(38,2)").as("st"),
+        sum(col("points").cast("decimal(38,2)")).cast("decimal(38,2)").as("sp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+      .toSet
+    assert(got == want)
+    // single-measure views keep the LEGACY unsuffixed state columns
+    val root1 = freshRoot("multi_legacy")
+    IncrementalView.refresh(spark, root1, orders, ViewDef(Seq("status"), "total"))
+    val cols = IncrementalView.read(spark, root1).columns.toSet
+    assert(cols == Set("status", "mv_n", "mv_nm", "mv_s", "mv_s2",
+      "mv_min", "mv_max"), cols)
+  }
+
   test("cdc refresh: group-moving updates transfer exactly; self-diff is stable") {
     val root = freshRoot("cdc")
     val v = ViewDef(Seq("status"), "total", retractable = true)

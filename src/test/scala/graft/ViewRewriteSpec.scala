@@ -87,6 +87,30 @@ class ViewRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a multi-measure view routes aggregates over every measure; others decline") {
+    val root = freshRoot("multi")
+    val src = orders.withColumn("other", lit(1).cast("decimal(12,2)"))
+    val v = ViewDef(Seq("status"), "total", extraMeasures = Seq("other"))
+    IncrementalView.refresh(spark, root, src, v)
+    ViewRewrite.register("vrw_multi", src, root, v)
+    try {
+      val q = src.groupBy("status").agg(
+        count(lit(1)).as("n"), sum("total").as("st"), sum("other").as("so"),
+        avg("total").as("at"), min("other").as("mo"))
+      assert(routed(q), planOf(q))
+      val direct = src.groupBy("status").agg(
+        count(lit(1)).as("n"), sum("total").as("st"), sum("other").as("so"),
+        avg("total").as("at"), min("other").as("mo"))
+      ViewRewrite.deregister("vrw_multi")
+      assert(collectSorted(q) == collectSorted(direct))
+      ViewRewrite.register("vrw_multi", src, root, v)
+      // an aggregate over a column that is NOT a registered measure
+      // declines the whole query (priority is neither key nor measure)
+      val bad = src.groupBy("status").agg(max("priority").as("mp"))
+      assert(scansBase(bad), planOf(bad))
+    } finally ViewRewrite.deregister("vrw_multi")
+  }
+
   test("a key-subset grouping re-aggregates the partials") {
     withView("subset", ViewDef(Seq("status", "priority"), "total")) { root =>
       val q = orders.groupBy("status")
