@@ -501,6 +501,37 @@ object InvertedIndex {
         .orderBy("doc_id")
     }
 
+  /** Arbitrary-length positional phrase (ES `match_phrase`): each term's
+    * exploded positions are shifted back by the term's slot, so a phrase
+    * occurrence becomes n rows sharing one (doc, start) — and one
+    * term-pruned scan plus one (doc, start) aggregation counts exact
+    * occurrences with NO per-term self-join (the [[phrase]] join shape
+    * is O(n) joins for an n-word phrase; this is the one that survives
+    * both 100 TB and long phrases). Per (tok, doc) the positions list is
+    * distinct, so after shifting, each (doc, start, tok) contributes at
+    * most one row: `count == n` ⇔ every slot aligned. Distinct terms
+    * only — a repeated word needs per-slot occurrence accounting this
+    * counting argument doesn't cover, so refuse loudly.
+    */
+  def phraseN(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "phraseN needs at least two terms")
+    require(terms.distinct.size == terms.size,
+      s"phraseN needs distinct terms, got ${terms.mkString(" ")}")
+    val slot = terms.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (t, i)) => when(col("tok") === t, lit(i)).otherwise(acc)
+    }
+    postings(spark, root).where(col("tok").isin(terms: _*))
+      .select(col("doc_id"), col("tok"), explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("tok"), (col("pos") - slot).as("start"))
+      .groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("n_slots"))
+      .where(col("n_slots") === terms.size)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** Positional phrase query `"t1 t2"` from the index alone: explode the
     * two terms' position lists and count adjacent pairs per document.
     * Both sides are term-pruned postings scans (tiny after pushdown);

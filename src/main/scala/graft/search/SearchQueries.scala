@@ -85,6 +85,15 @@ object SearchQueries extends QueryFamily {
       fromIndexOnly(InvertedIndex.phrase(s, root, "merge", "batch"))
     }),
 
+    // Three-word phrase "slow hash batch" via the shift-and-count shape
+    // (one scan + one aggregation, no per-term self-joins) — the
+    // arbitrary-length ES match_phrase, index-only.
+    "q_search_phrase3" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      fromIndexOnly(
+        InvertedIndex.phraseN(s, root, Seq("slow", "hash", "batch")))
+    }),
+
     // Conjunctive retrieval: docs containing ALL THREE terms, served
     // from one term-pruned postings aggregation (no per-term self-join).
     "q_search_and" -> ((s, dir) => {
@@ -228,6 +237,13 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
         "FROM sc GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20"),
+
+    "q_search_phrase3" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences " +
+        "FROM d, UNNEST(range(1, len(t) - 1)) AS u(i) " +
+        "WHERE t[i] = 'slow' AND t[i + 1] = 'hash' AND t[i + 2] = 'batch' " +
+        "GROUP BY doc_id ORDER BY doc_id"),
 
     "q_search_phrase" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +

@@ -194,6 +194,27 @@ class SearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).contains(victim))
   }
 
+  test("phraseN: shift-and-count equals the join-shape phrase; guards hold") {
+    val root = freshRoot("search_phrasen")
+    InvertedIndex.build(spark, root, docs)
+    // the two independent implementations must agree on every 2-term phrase
+    val viaJoin = rows(InvertedIndex.phrase(spark, root, "merge", "batch"))
+    val viaShift = rows(InvertedIndex.phraseN(spark, root, Seq("merge", "batch")))
+    assert(viaShift == viaJoin && viaShift.nonEmpty)
+    // a 3-term phrase count can never exceed either of its 2-term prefixes
+    // ("big order scan" is the sf0.001 fixture's most frequent trigram)
+    val tri = InvertedIndex.phraseN(spark, root, Seq("big", "order", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val duo = InvertedIndex.phraseN(spark, root, Seq("big", "order"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri.nonEmpty)
+    tri.foreach { case (d, n) => assert(duo.getOrElse(d, 0L) >= n, s"doc $d") }
+    // repeated terms refuse loudly rather than miscount
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.phraseN(spark, root, Seq("merge", "merge")))
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("phrase agrees with a direct recompute over the raw text") {
     val root = freshRoot("search_phrase_direct")
     InvertedIndex.build(spark, root, docs)
