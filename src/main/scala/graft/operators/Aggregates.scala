@@ -206,6 +206,41 @@ object Aggregates extends QueryFamily {
         .orderBy("o_orderpriority")
     }),
 
+    // Footer-stats aggregate pushdown: COUNT/MIN/MAX answered from
+    // parquet ROW-GROUP METADATA — the scan reads zero data pages
+    // (`PushedAggregation` in the plan, required in-query). At 100 TB
+    // this is the difference between "count the lake" as a metadata
+    // listing and as a full scan. Works only for whole-file aggregates
+    // (no filters, no grouping by data columns) — exactly the "how many
+    // rows / what's the key range" operational query. The conf is
+    // restored after; flipping it mid-flight only ever changes OTHER
+    // queries' plans to equally-correct ones.
+    "q_agg_footerstats" -> ((s, dir) => {
+      // aggregate pushdown is a DataSource V2 feature: route THIS scan
+      // through the V2 parquet source (useV1SourceList) with pushdown on
+      val confs = Seq(
+        "spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> "")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        // key/count only: parquet footer stats push for integral types;
+        // timestamp min/max stays un-pushable (logical-type caveats), so
+        // including one would silently fall back to a full scan
+        val df = s.read.parquet(s"$dir/orders.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+            min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregation: [COUNT(*)"),
+          s"aggregate did not push into the parquet footer:\n${plan.take(3000)}")
+        df
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // Histogram binning: fixed-width buckets over order value — the
     // distribution-profiling pass of data exploration; bucket boundaries
     // are exact double ops (floor of identical IEEE values) so the
@@ -372,6 +407,11 @@ object Aggregates extends QueryFamily {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS all_total, " +
       "count(*) AS n_orders " +
       "FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_agg_footerstats" -> ("SELECT count(*) AS n_rows, " +
+      "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
+      "min(o_custkey) AS min_cust, max(o_custkey) AS max_cust " +
+      "FROM orders"),
 
     "q_agg_histogram" -> ("SELECT CAST(least(greatest(" +
       "floor(o_totalprice / 60000.0), 0.0), 9.0) AS BIGINT) AS bucket, " +
