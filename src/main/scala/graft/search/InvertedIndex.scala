@@ -501,6 +501,29 @@ object InvertedIndex {
         .orderBy("doc_id")
     }
 
+  /** More-like-this (ES `more_like_this`): the query IS a document — its
+    * top `nTerms` terms by tf (tiebreak token, so term selection is
+    * deterministic) become an OR query, BM25-ranked over the rest of the
+    * index with the source doc excluded. Everything runs from the index
+    * alone: term selection is one doc-pruned postings read (O(doc
+    * vocabulary) to the driver — the lexicon stats-job pattern; a
+    * document's distinct-term count is bounded by its length, not the
+    * corpus), and the ranking is the standard [[bm25]] serve plan.
+    */
+  def moreLikeThis(spark: SparkSession, root: String, docId: Long,
+      nTerms: Int = 3, k: Int = 10): DataFrame = {
+    require(nTerms > 0 && k > 0, "moreLikeThis needs nTerms and k > 0")
+    val terms = postings(spark, root).where(col("doc_id") === docId)
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(nTerms)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, s"doc $docId is not in the index (or has no terms)")
+    bm25(spark, root, terms, k + 1)
+      .where(col("doc_id") =!= docId)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Arbitrary-length positional phrase (ES `match_phrase`): each term's
     * exploded positions are shifted back by the term's slot, so a phrase
     * occurrence becomes n rows sharing one (doc, start) — and one

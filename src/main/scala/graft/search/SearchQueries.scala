@@ -110,6 +110,14 @@ object SearchQueries extends QueryFamily {
       fromIndexOnly(InvertedIndex.wildcard(s, root, "s"))
     }),
 
+    // More-like-this for doc 42: its top-3 terms by tf become an OR
+    // query, BM25-ranked with the source doc excluded — the ES
+    // `more_like_this` serve path, index-only.
+    "q_search_mlt" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      fromIndexOnly(InvertedIndex.moreLikeThis(s, root, 42L))
+    }),
+
     // Fuzzy query 'part'~2: Levenshtein expansion against the lexicon
     // (fixture: part, fast, sort, spark), then the same term-pruned
     // postings aggregation — the ES `fuzziness` clause, index-only.
@@ -201,6 +209,34 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // the q_search_bm25 arithmetic with the term set DERIVED from doc
+    // 42's own tf profile (same deterministic top-3 cut), source doc
+    // excluded; excluding one doc from a top-k commutes with cutting
+    // top-(k+1) first, so both engines compute exclude-then-top-k
+    "q_search_mlt" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "qt AS (SELECT tok FROM (SELECT tok, count(*) AS qtf FROM tk " +
+        "WHERE doc_id = 42 GROUP BY tok ORDER BY qtf DESC, tok LIMIT 3)), " +
+        "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2), " +
+        "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
+        "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
+        "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
+        "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
+        "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
+        "* 1000000.0) AS BIGINT) AS s_micros " +
+        "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
+        "JOIN lex l ON p.tok = l.tok) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
+        "FROM sc WHERE doc_id <> 42 GROUP BY doc_id " +
+        "ORDER BY score_micros DESC, doc_id LIMIT 10"),
 
     // same IN-set the engine expands to — the oracle recomputes the
     // expansion itself via DuckDB's levenshtein (identical classic
