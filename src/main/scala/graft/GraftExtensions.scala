@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Domain optimizer rule: size-ratio prefilter ahead of the fused
     // Jaccard merge (see JaccardSizePrefilter's scaladoc).
     ext.injectOptimizerRule(_ => graft.plans.JaccardSizePrefilter)
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (graft.plans.AsOfJoin logical node -> AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Materialized-view routing: aggregates over a registered view
     // source answer from the O(keyspace) state table. Analysis-time —
     // after pruning the source shape no longer matches (ViewRewrite doc).

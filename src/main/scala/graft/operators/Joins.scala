@@ -162,6 +162,24 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // The SAME as-of join through the NATIVE operator (graft.plans
+    // .AsOfJoin: logical node → planner strategy → physical two-pointer
+    // merge): each side shuffles once on its own key and sorts within
+    // partitions — no unioned reshaped stream, no window buffer. Three
+    // independent implementations (this, the composed window form
+    // above, the oracle's row_number recompute) must agree exactly.
+    "q_join_asof_native" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select("user_id", "ts", "event_id")
+      val o = Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+      graft.plans.AsOfJoin.asOf(ev, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightOrder = Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    }),
+
     // Salted join: the hot-key escape hatch (SURVEY.md §7.6) as an
     // oracle-checked query — output identical to the plain equi-join.
     // Built on the one tested rewrite, Salting.saltedInnerJoin: the fact
@@ -245,6 +263,13 @@ object Joins extends QueryFamily {
       "ORDER BY s_id, p_id"),
 
     "q_join_asof" -> ("SELECT event_id, user_id, o_orderkey, o_orderdate FROM " +
+      "(SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, " +
+      "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+      "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
+      "WHERE rn = 1 ORDER BY event_id"),
+
+    // identical recompute — the native operator must match it exactly
+    "q_join_asof_native" -> ("SELECT event_id, user_id, o_orderkey, o_orderdate FROM " +
       "(SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, " +
       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
       "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
