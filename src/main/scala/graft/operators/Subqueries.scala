@@ -65,6 +65,20 @@ object Subqueries extends QueryFamily {
       "GROUP BY l_orderkey, o_orderdate " +
       "ORDER BY revenue DESC, l_orderkey LIMIT 10"
 
+  private val tpch5Sql =
+    "SELECT n_name, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
   private val tpch10Sql =
     "SELECT c_custkey, c_name, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
@@ -95,6 +109,7 @@ object Subqueries extends QueryFamily {
     "q_sub_in" -> (sql(inSql) _),
     "q_sql_cte" -> (sql(cteSql) _),
     "q_sql_tpch3" -> (sql(tpch3Sql) _),
+    "q_sql_tpch5" -> (sql(tpch5Sql) _),
     "q_sql_tpch10" -> (sql(tpch10Sql) _),
     "q_sql_tpch18" -> (sql(tpch18Sql) _),
   )
@@ -105,6 +120,7 @@ object Subqueries extends QueryFamily {
     "q_sub_in" -> inSql,
     "q_sql_cte" -> cteSql,
     "q_sql_tpch3" -> tpch3Sql,
+    "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch10" -> tpch10Sql,
     "q_sql_tpch18" -> tpch18Sql,
   )
