@@ -180,10 +180,16 @@ object ViewQueries extends QueryFamily {
 
     // Finalization over the served partials: avg, population variance and
     // stddev derived from (n, s, s2) WITHOUT touching the corpus — the
-    // dashboard read path of a maintained view. Exact decimals convert to
-    // identical doubles in both engines, and the IEEE ops are the same,
-    // so the derived floats hash-match unrounded (the Dets.avgMoney
-    // argument extended to second moments).
+    // dashboard read path of a maintained view. The avg hash-matches
+    // UNROUNDED (the Dets.avgMoney argument: mv_s's raw units stay under
+    // 2^53, both engines' decimal→double casts are exact-then-correctly-
+    // rounded, and the one division is IEEE). The second moments do NOT:
+    // at sf0.1 mv_s2's raw integer exceeds 2^53, and DuckDB's
+    // decimal→double cast (int128→double, then /10^scale — two
+    // roundings) is not correctly rounded where Spark's BigDecimal path
+    // is, so var/std legitimately differ in the last ulp across engines
+    // and are served ROUNDED (§7.4: round exactly the values whose
+    // computation genuinely differs cross-engine, nothing else).
     "q_view_finalize" -> ((s, dir) => {
       val root = sharedFold(s, dir, Seq("status"))
       val n = col("mv_n").cast("double")
@@ -192,8 +198,8 @@ object ViewQueries extends QueryFamily {
       IncrementalView.read(s, root).select(
           col("status"), col("mv_n").as("n_rows"),
           (sm / n).as("total_avg"),
-          ((s2 - sm * sm / n) / n).as("total_var_pop"),
-          sqrt((s2 - sm * sm / n) / n).as("total_std_pop"))
+          round((s2 - sm * sm / n) / n, 4).as("total_var_pop"),
+          round(sqrt((s2 - sm * sm / n) / n), 4).as("total_std_pop"))
         .orderBy("status")
     }),
 
@@ -331,8 +337,8 @@ object ViewQueries extends QueryFamily {
         "FROM m GROUP BY 1) " +
         "SELECT status, n AS n_rows, " +
         "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS total_avg, " +
-        "(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS total_var_pop, " +
-        "sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS total_std_pop " +
+        "round((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS total_var_pop, " +
+        "round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS total_std_pop " +
         "FROM p ORDER BY status"),
     "q_view_retract" ->
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
