@@ -91,7 +91,16 @@ final case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val proj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      // the output projection must treat the RIGHT side as nullable even
+      // when the child attributes are not — unmatched left rows carry the
+      // all-null row, and a non-nullable BoundReference would skip the
+      // null check and read garbage zeros (caught by AsOfJoinProps)
+      val proj = UnsafeProjection.create(
+        (leftOut.map(a => (a.dataType, a.nullable)) ++
+          rightOut.map(a => (a.dataType, true))).zipWithIndex.map {
+          case ((dt, nullable), i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(i, dt, nullable)
+        })
       new Iterator[InternalRow] {
         // one-row lookahead into the right side
         private var rHead: InternalRow = _
