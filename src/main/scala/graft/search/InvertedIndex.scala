@@ -378,6 +378,36 @@ object InvertedIndex {
   def bm25(spark: SparkSession, root: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty && k > 0, "bm25 needs terms and k > 0")
+    bm25Scored(spark, root, terms)
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Deep pagination (ES `search_after`): the next `k` results strictly
+    * AFTER the cursor `(afterScore, afterDoc)` in the total ranking
+    * order (score desc, doc_id asc). Because (score, doc_id) is a total
+    * order, page N+1 is exactly "full ranking ranks kN+1..k(N+1)" — but
+    * computed WITHOUT materializing the first kN rows: the cursor
+    * predicate filters the scored set before the top-k cut, so every
+    * page costs one `TakeOrderedAndProject`, never a deepening global
+    * sort (the reason ES deprecated `from`+`size` for deep pages).
+    */
+  def searchAfter(spark: SparkSession, root: String, terms: Seq[String],
+      k: Int, afterScore: Long, afterDoc: Long): DataFrame = {
+    require(terms.nonEmpty && k > 0, "searchAfter needs terms and k > 0")
+    bm25Scored(spark, root, terms)
+      .where(col("score_micros") < afterScore ||
+        (col("score_micros") === afterScore && col("doc_id") > afterDoc))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The shared BM25 scoring aggregation (see [[bm25]]'s scaladoc for
+    * the plan shape and the log-free idf argument): one row per matched
+    * doc with `n_terms` and exact integer `score_micros`, unordered.
+    */
+  private def bm25Scored(spark: SparkSession, root: String,
+      terms: Seq[String]): DataFrame = {
     val post = postings(spark, root).where(col("tok").isin(terms: _*))
     val lex = lexicon(spark, root).where(col("tok").isin(terms: _*))
     val dbl = (c: String) => col(c).cast("double")
@@ -398,8 +428,6 @@ object InvertedIndex {
     scored.groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_terms"),
         sum("s_micros").as("score_micros"))
-      .orderBy(col("score_micros").desc, col("doc_id"))
-      .limit(k)
   }
 
   /** Conjunctive (AND) retrieval from the postings alone: documents

@@ -110,6 +110,20 @@ object SearchQueries extends QueryFamily {
       fromIndexOnly(InvertedIndex.wildcard(s, root, "s"))
     }),
 
+    // Deep pagination (ES search_after): page 2 of the standard BM25
+    // query — the in-query cursor is page 1's last (score, doc_id),
+    // read back as a 1-row stats job; the served page must equal the
+    // full ranking's ranks 11-20 (the oracle recomputes exactly that),
+    // certifying the cursor predicate against the total order.
+    "q_search_after" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      val terms = Seq("spark", "merge", "window")
+      val cursor = InvertedIndex.bm25(s, root, terms, 10)
+        .select("score_micros", "doc_id").collect().last
+      fromIndexOnly(InvertedIndex.searchAfter(s, root, terms, 10,
+        afterScore = cursor.getLong(0), afterDoc = cursor.getLong(1)))
+    }),
+
     // More-like-this for doc 42: its top-3 terms by tf become an OR
     // query, BM25-ranked with the source doc excluded — the ES
     // `more_like_this` serve path, index-only.
@@ -209,6 +223,33 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id ORDER BY doc_id"),
+
+    // the full-ranking recompute cut at ranks 11-20 — equal to the
+    // engine's cursor-filtered page because (score, doc_id) totals
+    "q_search_after" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
+        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+        "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2), " +
+        "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
+        "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
+        "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
+        "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
+        "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
+        "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
+        "* 1000000.0) AS BIGINT) AS s_micros " +
+        "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
+        "JOIN lex l ON p.tok = l.tok), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
+        "FROM sc GROUP BY doc_id), " +
+        "rk AS (SELECT *, row_number() OVER " +
+        "(ORDER BY score_micros DESC, doc_id) AS rn FROM agg) " +
+        "SELECT doc_id, n_terms, score_micros FROM rk " +
+        "WHERE rn BETWEEN 11 AND 20 ORDER BY score_micros DESC, doc_id"),
 
     // the q_search_bm25 arithmetic with the term set DERIVED from doc
     // 42's own tf profile (same deterministic top-3 cut), source doc
