@@ -201,6 +201,49 @@ object Joins extends QueryFamily {
         .orderBy("c_mktsegment")
     }),
 
+    // Runtime Bloom-filter join pruning: a selective dimension filter
+    // (one order priority, ~20% of orders) seeds a bloom filter that is
+    // INJECTED into the fact-side scan, so lineitem rows that cannot
+    // join are dropped at the scan instead of riding the shuffle — at
+    // 100 TB this is the difference between shuffling the whole fact
+    // table and shuffling the ~selectivity fraction that can match.
+    // The thresholds are lowered scoped-to-this-query (fixture tables
+    // sit far under the 10 GB production default); might_contain is
+    // REQUIRED in the plan, so the query fails loudly if the filter
+    // ever stops injecting.
+    "q_join_bloom" -> ((s, dir) => {
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        // bloom filters inject only for SHUFFLE joins (a broadcast join
+        // already prunes at the probe); at fixture scale the filtered
+        // dim would broadcast, so pin the shuffle path — which is
+        // exactly the 100 TB situation the filter exists for
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val o = Tables(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderdate")
+        val df = Tables(s, dir, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            dbl(sum(money(col("l_quantity")))).as("sum_qty"))
+          .orderBy("l_returnflag")
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(plan.contains("might_contain"),
+          s"bloom filter was not injected into the fact scan:\n${plan.take(3000)}")
+        df
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }),
+
     // 4-way star join, TPC-H Q5 shape: revenue per nation for 1996.
     "q_join_multiway" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
@@ -279,6 +322,12 @@ object Joins extends QueryFamily {
       "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
       "FROM events JOIN customer ON user_id = c_custkey " +
       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q_join_bloom" -> ("SELECT l_returnflag, count(*) AS n_lines, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE o_orderpriority = '1-URGENT' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "q_join_multiway" -> ("SELECT r_name, n_name, count(*) AS n_lines, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue " +
