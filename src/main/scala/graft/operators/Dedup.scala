@@ -624,6 +624,36 @@ object Dedup extends QueryFamily {
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
 
+    // Containment dedup — the asymmetric metric Jaccard misses: a short
+    // doc whose distinct-token set lies ENTIRELY inside a longer doc's
+    // (quote extraction, boilerplate chunks, truncated copies) scores
+    // low Jaccard but is still redundant content. Served as the per-doc
+    // subsumption view — for every contained doc: how many same-lang
+    // docs fully contain it and the smallest such container — which is
+    // the keep/drop decision input. Candidates at fixture scale are the
+    // lang-blocked pairs with the codegen'd sorted-merge intersect;
+    // size-ratio pruning does NOT apply to containment (a 10-token doc
+    // can live inside a 1000-token one), so the 100 TB candidate
+    // generator is the rare-token inverted index instead (any superset
+    // of A must contain A's rarest token — O(df(rarest)) candidates
+    // per doc), the same postings the search family already builds.
+    "q_dedup_containment" -> ((s, dir) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+        col("toks").as("ta"))
+      val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("toks").as("tb"))
+      a.join(b, col("lang") === col("lang_b") && col("doc_a") =!= col("doc_b"))
+        .where(expr("sorted_intersect_size(ta, tb)") === size(col("ta")))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("n_containers"),
+          min(col("doc_b")).as("min_container"),
+          max(size(col("tb"))).cast("bigint").as("max_container_toks"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental near-dup: the q_dedup_near pair set restricted to pairs
     // touching a NEW batch — here the top fifth of the id space, standing
     // in for a day's append-only ingest. Candidates come from
@@ -1152,6 +1182,16 @@ object Dedup extends QueryFamily {
       "SELECT b.doc_id FROM d a JOIN d b " +
       "ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
       s"WHERE $jaccDuck >= 0.8) ORDER BY doc_id"),
+
+    "q_dedup_containment" ->
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+        "SELECT a.doc_id AS doc_id, count(*) AS n_containers, " +
+        "min(b.doc_id) AS min_container, " +
+        "CAST(max(len(b.toks)) AS BIGINT) AS max_container_toks " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id " +
+        "WHERE len(list_intersect(a.toks, b.toks)) = len(a.toks) " +
+        "GROUP BY a.doc_id ORDER BY doc_id"),
 
     "q_dedup_minhash" -> minhashOracle(8, 2),
     "q_dedup_minhash_banded" -> minhashOracle(12, 3),

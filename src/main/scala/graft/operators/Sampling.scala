@@ -37,6 +37,21 @@ object Sampling extends QueryFamily {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Fixed-SIZE uniform sample — "give me exactly 100 docs" (eval sets,
+    // spot-check panels), where a rate-based sample's size varies with
+    // the corpus. Distributed reservoir-equivalent: the k smallest
+    // content hashes ARE a uniform k-sample, computed as a top-k
+    // (TakeOrderedAndProject — per-partition heaps of k, never a global
+    // sort), deterministic under retries where reservoir-with-rand is
+    // not. Nested property: growing k only adds documents.
+    "q_sample_reservoir" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("h", expr(hSpark))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Stratified sample: per-stratum rates (majority language downsampled
     // harder) from the same content-hash percentile — the "rebalance the
     // language mix" step of corpus curation. Rates ride on the hash, so
@@ -201,6 +216,10 @@ object Sampling extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_sample_hash" -> (s"SELECT doc_id, lang, n_chars FROM documents " +
       s"WHERE $hDuck % 10 = 0 ORDER BY doc_id"),
+
+    "q_sample_reservoir" -> ("SELECT doc_id, lang, source, n_chars FROM " +
+      s"(SELECT doc_id, lang, source, n_chars FROM documents " +
+      s"ORDER BY $hDuck, doc_id LIMIT 100) ORDER BY doc_id"),
 
     "q_sample_stratified" -> ("SELECT lang, source, count(*) AS n_docs " +
       s"FROM documents WHERE $hDuck % 100 < " +

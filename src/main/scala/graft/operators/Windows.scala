@@ -155,6 +155,22 @@ object Windows extends QueryFamily {
         .orderBy("user_id")
     }),
 
+    // Event transition matrix (the Sankey/Markov view of a product
+    // funnel): consecutive event-type pairs per user in time order,
+    // counted globally with the distinct users that made each
+    // transition. One lead() over the same user_id shuffle every other
+    // event window uses; the transition table is O(|types|²) rows.
+    "q_win_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ntile + first/last/nth with explicit full frame.
     "q_win_ntile_firstlast" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -189,6 +205,15 @@ object Windows extends QueryFamily {
         "WHEN min(t2) IS NOT NULL THEN 2 " +
         "WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth " +
         "FROM c GROUP BY user_id ORDER BY user_id"),
+
+    "q_win_transitions" ->
+      ("WITH t AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events) " +
+        "SELECT event_type AS from_type, next_type AS to_type, " +
+        "count(*) AS n_transitions, count(DISTINCT user_id) AS n_users " +
+        "FROM t WHERE next_type IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY from_type, to_type"),
 
     "q_win_sessionize" -> ("WITH e AS (SELECT user_id, ts, event_id, " +
       "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
