@@ -108,6 +108,46 @@ class AllQueriesSpec extends AnyFunSuite {
       s"MRL recall collapsed: ${hits.size}/${exact.size}")
   }
 
+  test("q_sample_reservoir: exactly k rows, nested under a larger k") {
+    val docs = Tables(spark, sf0001, "documents")
+      .withColumn("h", org.apache.spark.sql.functions.expr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+    def topK(k: Int): Set[Long] = docs
+      .orderBy(org.apache.spark.sql.functions.col("h"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(k).select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = SparkEntry.queries("q_sample_reservoir")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served.size == 100)
+    assert(served == topK(100))
+    // growing k only ADDS documents (the nested-sample property)
+    assert(topK(100).subsetOf(topK(200)))
+  }
+
+  test("q_win_transitions: complete per-user chains, no self-invented types") {
+    val rows = SparkEntry.queries("q_win_transitions")(spark, sf0001).collect()
+    val types = Set("view", "click", "purchase", "signup", "error")
+    assert(rows.nonEmpty && rows.length <= types.size * types.size)
+    rows.foreach { r =>
+      assert(types(r.getAs[String]("from_type")) && types(r.getAs[String]("to_type")))
+      assert(r.getAs[Long]("n_transitions") >= r.getAs[Long]("n_users"))
+    }
+    // total transitions = total events - one per user (each chain loses
+    // exactly its last event as a "from")
+    val ev = Tables(spark, sf0001, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == expected)
+  }
+
+  test("q_dedup_containment: subsumption is real and self-free") {
+    val rows = SparkEntry.queries("q_dedup_containment")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_container") != r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_containers") >= 1L)
+    }
+  }
+
   test("q_agg_hashgroup has the Q1 group structure") {
     val rows = SparkEntry.queries("q_agg_hashgroup")(spark, sf0001).collect()
     assert(rows.length >= 4 && rows.length <= 6)
