@@ -52,6 +52,37 @@ object Sampling extends QueryFamily {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Composed EVAL-SET construction (the dual of q_pipeline_train):
+    // held-out candidates (content-hash pct >= 90, the q_split_assign
+    // test bucket) → drop every candidate that LEAKS: shares any word
+    // 4-gram with the train side (an eval item present in training data
+    // measures memorization, not capability) → exactly-10 reservoir cut
+    // on a '|eval'-salted hash (independent of the split hash, so the
+    // cut is uniform WITHIN the survivors). Scale shape: train grams
+    // deduplicate into a broadcast probe exactly like
+    // q_text_contamination; the survivors cut is a top-k.
+    "q_pipeline_eval" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("pct", pmod(expr(hSpark), lit(100L)))
+      val grams = d.where(size(col("t")) >= 4)
+        .select(col("doc_id"), col("pct"),
+          explode(expr("transform(sequence(1, size(t) - 3), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+            "element_at(t, i + 2), element_at(t, i + 3)))")).as("g"))
+      val trainGrams = grams.where(col("pct") < 90).select("g").distinct()
+      val leaky = grams.where(col("pct") >= 90)
+        .join(trainGrams, "g").select("doc_id").distinct()
+      d.where(col("pct") >= 90)
+        .join(leaky, Seq("doc_id"), "left_anti")
+        .withColumn("he",
+          expr("CAST(conv(substr(md5(concat(text, '|eval')), 1, 15), 16, 10) AS BIGINT)"))
+        .orderBy(col("he"), col("doc_id"))
+        .limit(10)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Stratified sample: per-stratum rates (majority language downsampled
     // harder) from the same content-hash percentile — the "rebalance the
     // language mix" step of corpus curation. Rates ride on the hash, so
@@ -220,6 +251,22 @@ object Sampling extends QueryFamily {
     "q_sample_reservoir" -> ("SELECT doc_id, lang, source, n_chars FROM " +
       s"(SELECT doc_id, lang, source, n_chars FROM documents " +
       s"ORDER BY $hDuck, doc_id LIMIT 100) ORDER BY doc_id"),
+
+    "q_pipeline_eval" ->
+      (s"WITH d AS (SELECT doc_id, lang, n_chars, text, " +
+        s"string_split(text, ' ') AS t, $hDuck % 100 AS pct FROM documents), " +
+        "grams AS (SELECT doc_id, pct, " +
+        "unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] " +
+        "for i in generate_series(1, len(t) - 3)]) AS g " +
+        "FROM d WHERE len(t) >= 4), " +
+        "train_g AS (SELECT DISTINCT g FROM grams WHERE pct < 90), " +
+        "leaky AS (SELECT DISTINCT doc_id FROM grams " +
+        "WHERE pct >= 90 AND g IN (SELECT g FROM train_g)) " +
+        "SELECT doc_id, lang, n_chars FROM (" +
+        "SELECT doc_id, lang, n_chars FROM d WHERE pct >= 90 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM leaky) " +
+        "ORDER BY CAST(concat('0x', substr(md5(concat(text, '|eval')), 1, 15)) AS BIGINT), doc_id " +
+        "LIMIT 10) ORDER BY doc_id"),
 
     "q_sample_stratified" -> ("SELECT lang, source, count(*) AS n_docs " +
       s"FROM documents WHERE $hDuck % 100 < " +
