@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Joins,         // §2.C joins
     operators.Aggregates,    // §2.D aggregations
     operators.Windows,       // §2.E window functions
+    operators.TimeSeries,    // §2.E time-series: cohorts, gap-fill, ffill, outliers
     operators.SortLimitSet,  // §2.F sorts/limits + §2.G set ops
     operators.ScalarFuncs,   // §2.H scalar function families
     operators.Dedup,         // §2.I dedup + similarity search

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Dets, QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** SURVEY.md §2.E extension — time-series analytics over the event stream.
+  *
+  * The reference's HiveQL jobs serve product analytics; the four classic
+  * time-series shapes a sync like that feeds downstream are cohort
+  * retention, gap-filled activity series, carried-forward state, and
+  * robust outlier flagging. Each is declared Spark-first:
+  *
+  *  - `q_ts_cohort`: two aggregations over the SAME user_id shuffle
+  *    (Catalyst reuses the exchange for the min-week and the join probe);
+  *    countDistinct is the built-in 2-phase expand — no row explosion.
+  *  - `q_ts_gapfill`: densification via `sequence()+explode` — the
+  *    calendar is GENERATED per user (O(span) rows from an O(1) span row),
+  *    never materialized as a driver-side range or a cross join against a
+  *    calendar table. At 100 TB the left join is user_id-copartitioned
+  *    with the daily rollup, so the whole densify is one shuffle.
+  *  - `q_ts_ffill`: forward-fill as `last(..., ignoreNulls)` over a
+  *    running frame — one pass per user partition, no self-join, no
+  *    recursive CTE. This is the carried-state shape (latest purchase
+  *    price, last-known config) at any scale.
+  *  - `q_ts_outliers`: robust (median/MAD) z-scores — resistant to the
+  *    very outliers being hunted, unlike mean/stddev. Medians are exact
+  *    interpolated percentiles rounded to 4 dp in BOTH engines before any
+  *    comparison, so the flag boundary is a shared decimal grid, not an
+  *    ulp race (same discipline as q_agg_percentile).
+  *
+  * Determinism: week/day bucketing uses date_trunc (Monday-start weeks in
+  * both Spark and DuckDB); week offsets are exact integer day-diffs over
+  * truncated dates divided by 7 (always a whole number). All outputs end
+  * in a unique total ORDER BY.
+  */
+object TimeSeries extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weekly cohort retention: users grouped by first-active week; for
+    // each (cohort, week-offset) cell, how many came back.
+    "q_ts_cohort" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(cohorts, "user_id")
+        .withColumn("week_offset", expr("datediff(wk, cohort_wk) div 7"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
+    // Zero-filled daily activity per user: every calendar day between a
+    // user's first and last event, with 0 rows where nothing happened.
+    "q_ts_gapfill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n_events"))
+      val days = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Carried-forward state: each event annotated with the most recent
+    // purchase amount seen so far for that user (null until the first).
+    "q_ts_ffill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    // Robust outliers: |value - median| > 3 * 1.4826 * MAD per event_type
+    // (1.4826 scales MAD to sigma-equivalent under normality). Median and
+    // MAD are rounded to the shared 4-dp grid before the comparison.
+    "q_ts_outliers" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val mad = ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      ev.join(mad, "event_type")
+        .where(abs(col("value") - col("med")) > lit(3 * 1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 4)
+            .as("robust_z"))
+        .orderBy("event_id")
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ts_cohort" -> ("""
+      WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+      cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+      SELECT cohort_wk,
+             CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+             count(DISTINCT ev.user_id) AS users
+      FROM ev JOIN cohorts USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "q_ts_gapfill" -> ("""
+      WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      daily AS (SELECT user_id, day, count(*) AS n_events FROM ev GROUP BY 1, 2),
+      days AS (SELECT user_id,
+                      unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+               FROM ev GROUP BY user_id)
+      SELECT days.user_id, days.day, coalesce(daily.n_events, 0) AS n_events
+      FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day
+      ORDER BY 1, 2"""),
+
+    "q_ts_ffill" -> ("""
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      FROM events ORDER BY event_id"""),
+
+    "q_ts_outliers" -> ("""
+      WITH med AS (SELECT event_type,
+                          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS med
+                   FROM events GROUP BY 1),
+      mad AS (SELECT e.event_type, med,
+                     round(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - med)), 4) AS mad
+              FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+      SELECT event_id, e.event_type, value, med, mad,
+             round((value - med) / (1.4826 * mad), 4) AS robust_z
+      FROM events e JOIN mad ON e.event_type = mad.event_type
+      WHERE abs(value - med) > 3 * 1.4826 * mad
+      ORDER BY event_id"""),
+  )
+}

@@ -257,4 +257,84 @@ class AllQueriesSpec extends AnyFunSuite {
     // And the signal is non-trivial on the self-similar fixture.
     assert(declared.nonEmpty)
   }
+
+  test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
+    val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
+        r.getAs[Long]("week_offset"), r.getAs[Long]("users")))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val base = rs.find(_._2 == 0L).map(_._3)
+        .getOrElse(fail(s"cohort $c has no offset-0 row"))
+      rs.foreach { case (_, off, users) =>
+        assert(users <= base, s"cohort $c offset $off: $users > base $base")
+        assert(off >= 0L)
+      }
+    }
+    // Every distinct user is counted exactly once across offset-0 cells.
+    val distinctUsers = Tables(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == distinctUsers)
+  }
+
+  test("q_ts_gapfill: per-user series is contiguous daily and preserves event totals") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_ts_gapfill")(spark, sf0001)
+    val perUser = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("span"),
+        sum(col("n_events")).as("total"))
+      .collect()
+    assert(perUser.nonEmpty)
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("n_days") == r.getAs[Int]("span").toLong,
+        s"user ${r.get(0)}: series not contiguous")
+    }
+    val evTotals = Tables(spark, sf0001, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("total") == evTotals(r.getLong(0)),
+        s"user ${r.get(0)}: gap-fill lost/invented events")
+    }
+  }
+
+  test("q_ts_ffill: carried value equals a per-user replay of purchases") {
+    val rows = SparkEntry.queries("q_ts_ffill")(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getString(3), r.getDouble(4)))
+    assert(rows.length == ev.length)
+    // Replay: walk each user's events in (ts, event_id) order carrying the
+    // last purchase value; must equal the declared window output.
+    val expect = ev.groupBy(_._2).iterator.flatMap { case (_, es) =>
+      var carry: Option[Double] = None
+      def micros(t: java.time.LocalDateTime): Long =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      es.sortBy(e => (micros(e._3), e._1)).map { e =>
+        if (e._4 == "purchase") carry = Some(e._5)
+        e._1 -> carry
+      }.toSeq
+    }.toMap
+    rows.foreach { r =>
+      val got = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      assert(got == expect(r.getLong(0)), s"event ${r.getLong(0)}")
+    }
+    // the signal is non-trivial: some rows carry, some precede any purchase
+    assert(rows.exists(_.isNullAt(4)) && rows.exists(!_.isNullAt(4)))
+  }
+
+  test("q_ts_outliers: flagged rows genuinely exceed the robust threshold; few of them") {
+    val rows = SparkEntry.queries("q_ts_outliers")(spark, sf0001).collect()
+    val total = Tables(spark, sf0001, "events").count()
+    assert(rows.length < total / 10, "more than 10% outliers — not robust")
+    rows.foreach { r =>
+      val (v, med, mad, z) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(math.abs(v - med) > 3 * 1.4826 * mad)
+      assert(math.abs(z) > 3.0 - 1e-9, s"event ${r.getLong(0)}: |z|=$z <= 3")
+    }
+  }
 }
