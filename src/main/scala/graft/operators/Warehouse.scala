@@ -80,6 +80,10 @@ object Warehouse extends QueryFamily {
   private[graft] def compactionPaths(dir: String): (String, String) =
     (scratch("frag", dir), scratch("compacted", dir))
 
+  /** The q_scan_zorder layout root, for ZOrderSpec's file-level skipping
+    * proof. */
+  private[graft] def zorderPath(dir: String): String = scratch("zorder", dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Real metastore round-trip: register orders in the (Derby-backed)
     // Hive catalog, read it back via the catalog, aggregate. The write is
@@ -112,6 +116,40 @@ object Warehouse extends QueryFamily {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("source")
+    }),
+
+    // Z-order clustered layout: events rewritten along the Morton curve
+    // of (user_id, time) — the multi-dimensional data-skipping layout
+    // (Delta/Iceberg OPTIMIZE ZORDER) from pure built-in arithmetic
+    // (functions.ZOrder). A linear sort serves range predicates on its
+    // leading column only; the Z-curve bounds BOTH dimensions' min/max
+    // per file, so footer stats prune the scan for user-band queries AND
+    // time-window queries from the same copy of the data. At 100 TB this
+    // is the difference between one clustered rewrite and keeping two
+    // sort orders. ZOrderSpec proves the skipping premise file-by-file;
+    // correctness here is the 2-D range read's result itself.
+    "q_scan_zorder" -> ((s, dir) => {
+      val path = zorderPath(dir)
+      once(s, dir, "zorder") {
+        val tsMicros = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        val ev = Tables(s, dir, "events")
+        val stats = ev.agg(
+          min("user_id").as("u0"), max("user_id").as("u1"),
+          min(tsMicros).as("t0"), max(tsMicros).as("t1"))
+        ev.crossJoin(broadcast(stats))
+          .withColumn("zv", graft.functions.ZOrder.zval(
+            graft.functions.ZOrder.quant16(col("user_id"), col("u0"), col("u1")),
+            graft.functions.ZOrder.quant16(tsMicros, col("t0"), col("t1"))))
+          .repartitionByRange(16, col("zv"))
+          .sortWithinPartitions("zv")
+          .select("event_id", "user_id", "ts", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+        .where(col("user_id").between(1, 2) &&
+          col("ts") >= tsLit("2024-01-10") && col("ts") < tsLit("2024-01-14"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .orderBy("event_id")
     }),
 
     // CSV source: header + explicit schema (never inferSchema — a
@@ -370,6 +408,11 @@ object Warehouse extends QueryFamily {
     "q_scan_partitioned" -> ("SELECT source, count(*) AS n_docs, " +
       "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents WHERE lang = 'en' " +
       "GROUP BY source ORDER BY source"),
+
+    "q_scan_zorder" -> ("SELECT event_id, user_id, ts, event_type, value " +
+      "FROM events WHERE user_id BETWEEN 1 AND 2 " +
+      "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14' " +
+      "ORDER BY event_id"),
 
     "q_scan_csv" -> ("SELECT c_mktsegment, count(*) AS n_cust, " +
       "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal " +
