@@ -104,6 +104,47 @@ object Subqueries extends QueryFamily {
       "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
       "ORDER BY total DESC, o_orderkey LIMIT 100"
 
+  /** TPC-H Q7 (volume shipping): the DISJUNCTIVE join-pair predicate —
+    * ((n1=A and n2=B) or (n1=B and n2=A)) — can't be pushed into either
+    * single-table scan; Catalyst keeps it as a join residual on the two
+    * broadcast nation joins while the lineitem⋈orders⋈customer spine
+    * still shuffles only on its equi-keys. Year extraction is cast to
+    * BIGINT for cross-engine type parity.
+    */
+  private val tpch7Sql =
+    "SELECT supp_nation, cust_nation, l_year, " +
+      "CAST(SUM(volume) AS DOUBLE) AS revenue " +
+      "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume " +
+      "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+      "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+      "AND l_shipdate >= TIMESTAMP '1995-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01') shipping " +
+      "GROUP BY supp_nation, cust_nation, l_year " +
+      "ORDER BY supp_nation, cust_nation, l_year"
+
+  /** TPC-H Q14 (promo effect): conditional aggregation folded into ONE
+    * pass over the join — no second scan for the numerator. Both sums are
+    * exact decimals; the ratio is a single double division at the output
+    * boundary, bit-identical across engines.
+    */
+  private val tpch14Sql =
+    "SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume END) AS DOUBLE) " +
+      "/ CAST(SUM(volume) AS DOUBLE) AS promo_revenue, " +
+      "count(*) AS n_lines " +
+      "FROM (SELECT p_type, CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-09-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-10-01') promo"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sub_scalar" -> (sql(scalarSql) _),
     "q_sub_in" -> (sql(inSql) _),
@@ -112,6 +153,8 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch5" -> (sql(tpch5Sql) _),
     "q_sql_tpch10" -> (sql(tpch10Sql) _),
     "q_sql_tpch18" -> (sql(tpch18Sql) _),
+    "q_sql_tpch7" -> (sql(tpch7Sql) _),
+    "q_sql_tpch14" -> (sql(tpch14Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -123,5 +166,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch10" -> tpch10Sql,
     "q_sql_tpch18" -> tpch18Sql,
+    "q_sql_tpch7" -> tpch7Sql,
+    "q_sql_tpch14" -> tpch14Sql,
   )
 }
