@@ -21,6 +21,7 @@ object SparkEntry {
     operators.SortLimitSet,  // §2.F sorts/limits + §2.G set ops
     operators.ScalarFuncs,   // §2.H scalar function families
     operators.Dedup,         // §2.I dedup + similarity search
+    operators.GraphOps,      // §2.I iterative graph analytics (PageRank, degrees)
     operators.TextOps,       // §2.I text analysis + multimodal
     operators.Sampling,      // §2.I reproducible sampling / splits / cleaning pipeline
     operators.Packing,       // §2.I training-batch construction: packing, vocab, novelty

@@ -530,7 +530,7 @@ object Dedup extends QueryFamily {
     * dir is provisioned (and swept at JVM exit) if none is set. Costs
     * one round-trip write per pass, buys executor-loss survival.
     */
-  private def passPinner(s: SparkSession): DataFrame => DataFrame = {
+  private[operators] def passPinner(s: SparkSession): DataFrame => DataFrame = {
     val reliable = s.conf.getOption("spark.graft.cluster.reliableCheckpoint")
       .exists(_.toBoolean)
     if (!reliable) df => df.localCheckpoint()
@@ -641,11 +641,14 @@ object Dedup extends QueryFamily {
       graft.functions.SortedIntersectSize.register(s)
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      val a = d.select(col("doc_id").as("doc_a"), col("lang"),
-        col("toks").as("ta"))
+      // fan the probe side out to the shuffle width: the fixture file is
+      // 1 partition and the O(block²) expansion must not run on one core
+      val a = d.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id").as("doc_a"), col("lang"),
+          col("toks").as("ta"))
       val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("toks").as("tb"))
-      a.join(b, col("lang") === col("lang_b") && col("doc_a") =!= col("doc_b"))
+      a.join(broadcast(b), col("lang") === col("lang_b") && col("doc_a") =!= col("doc_b"))
         .where(expr("sorted_intersect_size(ta, tb)") === size(col("ta")))
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("n_containers"),

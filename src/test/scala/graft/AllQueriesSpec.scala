@@ -258,6 +258,25 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(declared.nonEmpty)
   }
 
+  test("q_graph_pagerank: mass conserved, degrees consistent, hubs outrank leaves") {
+    val pr = SparkEntry.queries("q_graph_pagerank")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pr.nonEmpty)
+    // rank mass is conserved across iterations (symmetric graph, no
+    // dangling nodes): sum = 1 up to the 12-dp contribution rounding
+    assert(math.abs(pr.map(_._3).sum - 1.0) < 1e-6)
+    // degree column agrees with the degree-distribution query
+    val dist = SparkEntry.queries("q_graph_degree")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromPr = pr.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    assert(fromPr == dist)
+    // the max-degree node must outrank every degree-1 node
+    val hub = pr.maxBy(_._2)
+    pr.filter(_._2 == 1L).foreach { leaf =>
+      assert(hub._3 > leaf._3, s"hub $hub does not outrank leaf $leaf")
+    }
+  }
+
   test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
     val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
       .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
