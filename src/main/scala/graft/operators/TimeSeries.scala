@@ -40,13 +40,18 @@ object TimeSeries extends QueryFamily {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Weekly cohort retention: users grouped by first-active week; for
-    // each (cohort, week-offset) cell, how many came back.
+    // each (cohort, week-offset) cell, how many came back. The cohort
+    // week is a window MIN over the user partition — ONE shuffle of
+    // events total for cohort assignment (an agg+join formulation pays a
+    // second full shuffle of events at scale, since the partial-agg node
+    // under the join's build side defeats exchange reuse; at fixture
+    // scale that variant broadcasts, but the window form needs neither).
     "q_ts_cohort" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"),
           date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
-      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      ev.join(cohorts, "user_id")
+      ev.withColumn("cohort_wk",
+          min(col("wk")).over(Window.partitionBy("user_id")))
         .withColumn("week_offset", expr("datediff(wk, cohort_wk) div 7"))
         .groupBy("cohort_wk", "week_offset")
         .agg(countDistinct(col("user_id")).as("users"))

@@ -277,4 +277,36 @@ class PlanSpec extends AnyFunSuite {
       s"merged state must not compute batch ranks:\n${p.take(1500)}")
     assert(p.contains("LeftAnti"), s"expected an _id anti-join:\n${p.take(1500)}")
   }
+
+  test("q_ts_cohort assigns cohorts in ONE user_id shuffle (window min, no join)") {
+    val df = SparkEntry.queries("q_ts_cohort")(spark, sf0001)
+    df.collect()
+    // final adaptive plan only (the Initial Plan echo repeats exchanges)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"cohort assignment must not join:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange:\n${p.take(1500)}")
+  }
+
+  test("q_ts_gapfill generates the calendar, never joins one") {
+    val df = SparkEntry.queries("q_ts_gapfill")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"),
+      s"per-user days must come from sequence()+explode:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no calendar cross-join allowed:\n${p.take(1500)}")
+  }
+
+  test("q_scan_zorder pushes both range dimensions into one parquet scan") {
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // assert the user_id bounds there and the ts window via the Filter
+    // node's full predicate text
+    val p = plan("q_scan_zorder")
+    assert(p.contains("GreaterThanOrEqual(user_id,1)") &&
+      p.contains("LessThanOrEqual(user_id,2)"), p.take(2500))
+    assert(p.contains("ts#") && p.contains(">= 2024-01-10 00:00:00") &&
+      p.contains("< 2024-01-14 00:00:00"), p.take(2500))
+  }
 }
