@@ -88,6 +88,39 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // OHLC resample: per (user, day) the first/last/extreme values — the
+    // downsampling shape every metrics store serves. first/last are
+    // min_by/max_by on the event time (exact, single-pass; (user_id, ts)
+    // is verified unique at every SF, so the pick is total) — NOT
+    // first()/last() over a window, whose result depends on row order.
+    "q_ts_resample" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(
+          expr("min_by(value, ts)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, ts)").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "day")),
+
+    // Rolling 6-hour totals per user: a TIME-interval RANGE frame — the
+    // frame is defined by the ORDER-BY value, not a row count, so sparse
+    // and dense periods are compared on equal footing. One shuffle on
+    // user_id; the frame scan is a two-pointer sweep per partition.
+    // RANGE includes ts-peers by definition in both engines, so the
+    // result is order-independent without a tiebreaker.
+    "q_ts_rolling" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_ts_rolling_ev")
+      s.sql("""SELECT event_id, user_id, ts,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) AS n6h,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum6h
+        FROM graft_ts_rolling_ev ORDER BY event_id""")
+    }),
+
     // Robust outliers: |value - median| > 3 * 1.4826 * MAD per event_type
     // (1.4826 scales MAD to sigma-equivalent under normality). Median and
     // MAD are rounded to the shared 4-dp grid before the comparison.
@@ -133,6 +166,21 @@ object TimeSeries extends QueryFamily {
              last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      FROM events ORDER BY event_id"""),
+
+    "q_ts_resample" -> ("""
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             min_by(value, ts) AS open, max(value) AS high,
+             min(value) AS low, max_by(value, ts) AS close,
+             count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "q_ts_rolling" -> ("""
+      SELECT event_id, user_id, ts,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) AS n6h,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum6h
       FROM events ORDER BY event_id"""),
 
     "q_ts_outliers" -> ("""

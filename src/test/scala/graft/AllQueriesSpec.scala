@@ -345,6 +345,36 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.isNullAt(4)) && rows.exists(!_.isNullAt(4)))
   }
 
+  test("q_ts_resample: OHLC invariants hold and event counts are conserved") {
+    val rows = SparkEntry.queries("q_ts_resample")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sf0001, "events").count())
+  }
+
+  test("q_ts_rolling: 6h counts equal a per-user replay with an interval two-pointer") {
+    val rows = SparkEntry.queries("q_ts_rolling")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getAs[Long]("n6h")))
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val expect = rows.groupBy(_._2).iterator.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => micros(e._3))
+      sorted.map { e =>
+        val lo = micros(e._3) - 6L * 3600 * 1000000
+        e._1 -> sorted.count(x => micros(x._3) >= lo && micros(x._3) <= micros(e._3)).toLong
+      }.toSeq
+    }.toMap
+    rows.foreach { r => assert(r._4 == expect(r._1), s"event ${r._1}") }
+    // window genuinely varies (sparse vs dense periods)
+    assert(rows.map(_._4).distinct.length > 3)
+  }
+
   test("q_ts_outliers: flagged rows genuinely exceed the robust threshold; few of them") {
     val rows = SparkEntry.queries("q_ts_outliers")(spark, sf0001).collect()
     val total = Tables(spark, sf0001, "events").count()
