@@ -175,6 +175,35 @@ object Aggregates extends QueryFamily {
             <= col("exact_users") * 0.15).as("approx_ok"))
         .orderBy("event_type")),
 
+    // MERGEABLE sketches — the property approx_count_distinct's scalar
+    // output lacks: a Datasketches HLL per (event_type, shard) is a
+    // PRE-AGGREGATED table a 100 TB pipeline materializes once per
+    // partition/day, and any rollup (here: across shards to the type
+    // level) is hll_union_agg over the stored sketches — no rescan of the
+    // raw corpus, ever. DuckDB has no mergeable-sketch SQL surface, so
+    // the oracle is the same exact-count + in-bounds-boolean contract as
+    // q_agg_approxdistinct; the MERGE correctness (union estimate ==
+    // whole-table sketch estimate) is pinned engine-side in spec.
+    "q_agg_hllmerge" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_hll_ev")
+      s.sql("""
+        WITH shard_sketches AS (
+          SELECT event_type, user_id % 8 AS shard,
+                 hll_sketch_agg(user_id) AS sk
+          FROM graft_hll_ev GROUP BY event_type, shard),
+        rolled AS (
+          SELECT event_type,
+                 hll_sketch_estimate(hll_union_agg(sk)) AS merged_users
+          FROM shard_sketches GROUP BY event_type),
+        exact AS (
+          SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM graft_hll_ev GROUP BY event_type)
+        SELECT exact.event_type, exact_users,
+               (abs(merged_users - exact_users) <= exact_users * 0.15) AS merge_ok
+        FROM exact JOIN rolled ON exact.event_type = rolled.event_type
+        ORDER BY event_type""")
+    }),
+
     // Approximate quantile sketch (Greenwald-Khanna / t-digest family):
     // each engine runs its OWN sketch and asserts it lands within 5% of
     // its exact median — sketches are not cross-engine comparable, the
@@ -305,6 +334,12 @@ object Aggregates extends QueryFamily {
       "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
       "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
       "<= count(DISTINCT user_id) * 0.15) AS approx_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_agg_hllmerge" -> ("SELECT event_type, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+      "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
+      "<= count(DISTINCT user_id) * 0.15) AS merge_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q_agg_approxquantile" -> ("SELECT o_orderpriority, " +

@@ -277,6 +277,22 @@ class AllQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_hllmerge: sharded-union estimate equals the one-shot sketch estimate") {
+    Tables(spark, sf0001, "events").createOrReplaceTempView("graft_hll_spec_ev")
+    val merged = spark.sql(
+      """SELECT event_type, hll_sketch_estimate(hll_union_agg(sk)) AS est FROM (
+           SELECT event_type, user_id % 8 AS shard, hll_sketch_agg(user_id) AS sk
+           FROM graft_hll_spec_ev GROUP BY event_type, shard)
+         GROUP BY event_type ORDER BY event_type""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = spark.sql(
+      """SELECT event_type, hll_sketch_estimate(hll_sketch_agg(user_id)) AS est
+         FROM graft_hll_spec_ev GROUP BY event_type ORDER BY event_type""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot,
+      s"sketch union is not lossless: merged=$merged oneShot=$oneShot")
+  }
+
   test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
     val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
       .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
