@@ -204,6 +204,69 @@ object Aggregates extends QueryFamily {
         ORDER BY event_type""")
     }),
 
+    // Theta sketches — DISTINCT-SET ALGEBRA at sketch size: "users who
+    // clicked AND purchased but never errored" computed by
+    // intersecting/differencing per-type sketches, not by re-scanning
+    // events per combination. At 100 TB the per-type sketches are a tiny
+    // stored table; every audience combination is sketch math. Theta
+    // stays exact below its retention (4096 >> fixture user counts), but
+    // the declared contract is the scale-safe exact-count +
+    // in-bounds-boolean, like the other sketch rows.
+    "q_agg_theta" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("graft_theta_ev")
+      s.sql("""
+        WITH sk AS (
+          SELECT event_type, theta_sketch_agg(user_id) AS sk
+          FROM graft_theta_ev GROUP BY event_type),
+        audience AS (
+          SELECT theta_sketch_estimate(
+                   theta_difference(
+                     theta_intersection(c.sk, p.sk), e.sk)) AS approx_aud
+          FROM sk c, sk p, sk e
+          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            AND e.event_type = 'error'),
+        exact AS (
+          SELECT count(*) AS exact_aud FROM (
+            SELECT user_id FROM graft_theta_ev WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM graft_theta_ev WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT user_id FROM graft_theta_ev WHERE event_type = 'error'))
+        SELECT exact_aud,
+               (abs(approx_aud - exact_aud) <= greatest(exact_aud, 10) * 0.15)
+                 AS sketch_ok
+        FROM exact, audience""")
+    }),
+
+    // KLL quantile sketches — the MERGEABLE dual of approx_percentile:
+    // one KLL per (priority, shard) merged to the priority level, exactly
+    // the stored-sketch rollup a percentile dashboard runs at 100 TB.
+    // Contract: merged-sketch median within 5% of the exact interpolated
+    // median (per-engine bound, like q_agg_approxquantile).
+    "q_agg_kllmerge" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_kll_ord")
+      s.sql("""
+        WITH shard AS (
+          SELECT o_orderpriority, o_orderkey % 8 AS sh,
+                 kll_sketch_agg_double(o_totalprice) AS sk
+          FROM graft_kll_ord GROUP BY o_orderpriority, sh),
+        merged AS (
+          SELECT o_orderpriority,
+                 kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)
+                   AS kll_med
+          FROM shard GROUP BY o_orderpriority),
+        exact AS (
+          SELECT o_orderpriority,
+                 percentile(o_totalprice, 0.5) AS exact_med,
+                 count(*) AS n_orders
+          FROM graft_kll_ord GROUP BY o_orderpriority)
+        SELECT exact.o_orderpriority, round(exact_med, 4) AS exact_med,
+               n_orders,
+               (abs(kll_med - exact_med) <= exact_med * 0.05) AS kll_ok
+        FROM exact JOIN merged ON exact.o_orderpriority = merged.o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     // Approximate quantile sketch (Greenwald-Khanna / t-digest family):
     // each engine runs its OWN sketch and asserts it lands within 5% of
     // its exact median — sketches are not cross-engine comparable, the
@@ -341,6 +404,17 @@ object Aggregates extends QueryFamily {
       "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +
       "<= count(DISTINCT user_id) * 0.15) AS merge_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_agg_theta" -> ("WITH exact AS (SELECT count(*) AS exact_aud FROM (" +
+      "SELECT user_id FROM events WHERE event_type = 'click' " +
+      "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' " +
+      "EXCEPT SELECT user_id FROM events WHERE event_type = 'error')) " +
+      "SELECT exact_aud, true AS sketch_ok FROM exact"),
+
+    "q_agg_kllmerge" -> ("SELECT o_orderpriority, " +
+      "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) " +
+      "AS exact_med, count(*) AS n_orders, true AS kll_ok " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     "q_agg_approxquantile" -> ("SELECT o_orderpriority, " +
       "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) " +

@@ -293,6 +293,26 @@ class AllQueriesSpec extends AnyFunSuite {
       s"sketch union is not lossless: merged=$merged oneShot=$oneShot")
   }
 
+  test("q_agg_theta: sketch set algebra is exact below retention; audience is sane") {
+    val r = SparkEntry.queries("q_agg_theta")(spark, sf0001).head()
+    assert(r.getAs[Boolean]("sketch_ok"))
+    val exact = r.getAs[Long]("exact_aud")
+    val users = Tables(spark, sf0001, "events")
+      .select("user_id").distinct().count()
+    assert(exact >= 0 && exact <= users)
+    // direct sketch-vs-exact agreement (theta in exact mode at this scale)
+    Tables(spark, sf0001, "events").createOrReplaceTempView("graft_theta_spec")
+    val est = spark.sql(
+      """WITH sk AS (SELECT event_type, theta_sketch_agg(user_id) AS sk
+           FROM graft_theta_spec GROUP BY event_type)
+         SELECT theta_sketch_estimate(theta_difference(
+                  theta_intersection(c.sk, p.sk), e.sk)) AS est
+         FROM sk c, sk p, sk e
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND e.event_type = 'error'""").head().getLong(0)
+    assert(est == exact, s"theta not exact below retention: $est vs $exact")
+  }
+
   test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
     val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
       .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
