@@ -8,13 +8,15 @@ import Dets._
 
 /** SURVEY.md §2.E extension — time-series analytics over the event stream.
   *
-  * The reference's HiveQL jobs serve product analytics; the four classic
+  * The reference's HiveQL jobs serve product analytics; the classic
   * time-series shapes a sync like that feeds downstream are cohort
-  * retention, gap-filled activity series, carried-forward state, and
-  * robust outlier flagging. Each is declared Spark-first:
+  * retention, gap-filled activity series, carried-forward state, OHLC
+  * resampling, interval rolling windows, seasonal profiles, WoW growth,
+  * and robust outlier flagging. Each is declared Spark-first:
   *
-  *  - `q_ts_cohort`: two aggregations over the SAME user_id shuffle
-  *    (Catalyst reuses the exchange for the min-week and the join probe);
+  *  - `q_ts_cohort`: cohort week is a window MIN over the user partition
+  *    — ONE events shuffle, no join (the agg+join variant cannot reuse
+  *    its exchange: the partial-agg node differs; PlanSpec pins this);
   *    countDistinct is the built-in 2-phase expand — no row explosion.
   *  - `q_ts_gapfill`: densification via `sequence()+explode` — the
   *    calendar is GENERATED per user (O(span) rows from an O(1) span row),
@@ -121,6 +123,37 @@ object TimeSeries extends QueryFamily {
         FROM graft_ts_rolling_ev ORDER BY event_id""")
     }),
 
+    // Seasonal (hour-of-day) profile per event type, with the peak hour
+    // flagged — the load-shape view capacity planning reads. Peak choice
+    // is total under ties (smallest peak hour), so the flag is
+    // deterministic.
+    "q_ts_seasonal" -> ((s, dir) => {
+      val prof = Tables(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          (dbl(sum(dec6(col("value")))) / count(lit(1))).as("avg_value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("hr"))
+      prof
+        .withColumn("is_peak", row_number().over(w) === 1)
+        .select("event_type", "hr", "n", "avg_value", "is_peak")
+        .orderBy("event_type", "hr")
+    }),
+
+    // Week-over-week growth per event type: lag ratio over weekly exact
+    // sums (null on each type's first week).
+    "q_ts_wow" -> ((s, dir) => {
+      val wk = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+        .agg(dbl(sum(dec6(col("value")))).as("total"))
+      val w = Window.partitionBy("event_type").orderBy("wk")
+      wk.withColumn("prev", lag(col("total"), 1).over(w))
+        .select(col("event_type"), col("wk"), col("total"),
+          ((col("total") - col("prev")) / col("prev")).as("wow_growth"))
+        .orderBy("event_type", "wk")
+    }),
+
     // Robust outliers: |value - median| > 3 * 1.4826 * MAD per event_type
     // (1.4826 scales MAD to sigma-equivalent under normality). Median and
     // MAD are rounded to the shared 4-dp grid before the comparison.
@@ -182,6 +215,26 @@ object TimeSeries extends QueryFamily {
              CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum6h
       FROM events ORDER BY event_id"""),
+
+    "q_ts_seasonal" -> ("""
+      WITH prof AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, hr, n, avg_value,
+             (row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) = 1)
+               AS is_peak
+      FROM prof ORDER BY event_type, hr"""),
+
+    "q_ts_wow" -> ("""
+      WITH wk AS (
+        SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, wk, total,
+             (total - lag(total, 1) OVER (PARTITION BY event_type ORDER BY wk))
+               / lag(total, 1) OVER (PARTITION BY event_type ORDER BY wk) AS wow_growth
+      FROM wk ORDER BY event_type, wk"""),
 
     "q_ts_outliers" -> ("""
       WITH med AS (SELECT event_type,
