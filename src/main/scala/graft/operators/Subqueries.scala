@@ -145,6 +145,35 @@ object Subqueries extends QueryFamily {
       "WHERE l_shipdate >= TIMESTAMP '1997-09-01' " +
       "AND l_shipdate < TIMESTAMP '1997-10-01') promo"
 
+  /** TPC-H Q8 (national market share): the deepest composition in the
+    * suite — an 8-way star (part, supplier, lineitem, orders, customer,
+    * nation×2, region) where one nation table scopes the CUSTOMER side
+    * through region and the other labels the SUPPLIER side for the share
+    * numerator. Every dim broadcasts; lineitem⋈orders is the only big
+    * shuffle. Share = conditional decimal sum / total decimal sum, one
+    * double division per year.
+    */
+  private val tpch8Sql =
+    "SELECT o_year, " +
+      "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS DOUBLE) " +
+      "/ CAST(SUM(volume) AS DOUBLE) AS mkt_share, " +
+      "count(*) AS n_lines " +
+      "FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume, " +
+      "n2.n_name AS supp_nation " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01') all_nations " +
+      "GROUP BY o_year ORDER BY o_year"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sub_scalar" -> (sql(scalarSql) _),
     "q_sub_in" -> (sql(inSql) _),
@@ -155,6 +184,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch18" -> (sql(tpch18Sql) _),
     "q_sql_tpch7" -> (sql(tpch7Sql) _),
     "q_sql_tpch14" -> (sql(tpch14Sql) _),
+    "q_sql_tpch8" -> (sql(tpch8Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -168,5 +198,6 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch18" -> tpch18Sql,
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch14" -> tpch14Sql,
+    "q_sql_tpch8" -> tpch8Sql,
   )
 }
