@@ -191,6 +191,35 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM document scoring — the conditional-probability upgrade of
+    // q_text_logprob: avg ln P(w2|w1) with add-0.5 smoothing against the
+    // corpus vocabulary (so unseen continuations score finitely). Same
+    // determinism law: per-bigram ln rounded to 6 dp, summed as DECIMAL.
+    // Scale shape: bigram and unigram count tables are vocabulary-sized
+    // (broadcastable); the per-doc pass is explode + two equi-joins.
+    "q_text_bigramlm" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bi = t.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val toks = t.select(col("doc_id"), explode(col("t")).as("tok"))
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val cu = toks.groupBy("tok").agg(count(lit(1)).as("cnt1"))
+      val vocab = cu.agg(count(lit(1)).as("v"))
+      bi.join(cb, Seq("w1", "w2")).join(cu, col("w1") === col("tok"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(dbl(sum(dec6(round(
+            log((col("cnt2") + lit(0.5)) / (col("cnt1") + lit(0.5) * col("v"))),
+            6)))) / count(lit(1)), 4).as("avg_bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: order-sensitive position-weighted hash
     // (a rolling-hash analog that stays exact in 64-bit), plus an md5
     // prefix as the content id.
@@ -381,6 +410,19 @@ object TextOps extends QueryFamily {
       "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob " +
       "FROM toks JOIN freq USING (tok) CROSS JOIN total " +
       "GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_text_bigramlm" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 " +
+      "FROM t WHERE len(t) >= 2), " +
+      "toks AS (SELECT doc_id, unnest(t) AS tok FROM t), " +
+      "cb AS (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY w1, w2), " +
+      "cu AS (SELECT tok, count(*) AS cnt1 FROM toks GROUP BY tok), " +
+      "vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu) " +
+      "SELECT bi.doc_id, count(*) AS n_bigrams, " +
+      "round(CAST(SUM(CAST(round(ln((cnt2 + 0.5) / (cnt1 + 0.5 * v)), 6) " +
+      "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_bigram_logprob " +
+      "FROM bi JOIN cb USING (w1, w2) JOIN cu ON bi.w1 = cu.tok CROSS JOIN vocab " +
+      "GROUP BY bi.doc_id ORDER BY bi.doc_id"),
 
     "q_text_fingerprint" -> ("SELECT doc_id, " +
       "CAST(list_sum([i * (CAST(concat('0x', substr(md5(string_split(text, ' ')[i]), 1, 15)) AS BIGINT) % 1000003) " +
