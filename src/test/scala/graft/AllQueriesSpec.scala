@@ -313,6 +313,28 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(est == exact, s"theta not exact below retention: $est vs $exact")
   }
 
+  test("q_graph_triangles: per-node counts equal a brute-force replay") {
+    import org.apache.spark.sql.functions._
+    val declared = SparkEntry.queries("q_graph_triangles")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(declared.nonEmpty && declared.values.sum > 0)
+    // brute force on the same threshold-30 edge definition
+    graft.functions.SortedIntersectSize.register(spark)
+    val d = Tables(spark, sf0001, "documents").select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = d.select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
+    val b = d.select(col("doc_id").as("db"), col("lang").as("lb"), col("toks").as("tb"))
+    val edges = a.join(b, col("lang") === col("lb") && col("da") < col("db"))
+      .where(expr("sorted_intersect_size(ta, tb) >= 30"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((x, y) <- edges; z <- adj(x).intersect(adj(y)); if z > y)
+      Seq(x, y, z).foreach(n => brute(n) += 1)
+    assert(declared == brute.toMap, s"declared=$declared brute=$brute")
+  }
+
   test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
     val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
       .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
