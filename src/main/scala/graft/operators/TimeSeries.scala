@@ -154,6 +154,37 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type", "wk")
     }),
 
+    // CUSUM changepoint per event type: the day where the cumulative
+    // deviation from the series' mean daily volume peaks — the classic
+    // level-shift locator. Exactness discipline for an argmax over
+    // floats: daily totals and their prefix sums stay DECIMAL (exact,
+    // order-independent); cusum_k = S_k - k·S_n/n is evaluated in
+    // doubles with identical operation order in both engines, so the
+    // |cusum| ranking — and therefore the argmax day — is identical.
+    "q_ts_changepoint" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(sum(dec6(col("value"))).as("d_total"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val cu = daily
+        .withColumn("k", row_number().over(wOrd))
+        .withColumn("sk", sum(col("d_total")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sn", sum(col("d_total")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("cusum",
+          dbl(col("sk")) - col("k") * dbl(col("sn")) / col("n"))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      cu.withColumn("rk", row_number().over(wPick))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          round(col("cusum"), 4).as("cusum"), big(col("n")).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     // Robust outliers: |value - median| > 3 * 1.4826 * MAD per event_type
     // (1.4826 scales MAD to sigma-equivalent under normality). Median and
     // MAD are rounded to the shared 4-dp grid before the comparison.
@@ -235,6 +266,32 @@ object TimeSeries extends QueryFamily {
              (total - lag(total, 1) OVER (PARTITION BY event_type ORDER BY wk))
                / lag(total, 1) OVER (PARTITION BY event_type ORDER BY wk) AS wow_growth
       FROM wk ORDER BY event_type, wk"""),
+
+    "q_ts_changepoint" -> ("""
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS d_total
+        FROM events GROUP BY 1, 2),
+      cu AS (
+        SELECT event_type, day,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               SUM(d_total) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+               SUM(d_total) OVER (PARTITION BY event_type) AS sn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily),
+      scored AS (
+        SELECT event_type, day,
+               CAST(sk AS DOUBLE) - k * CAST(sn AS DOUBLE) / n AS cusum, n
+        FROM cu),
+      pick AS (
+        SELECT event_type, day, cusum, n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(cusum) DESC, day) AS rk
+        FROM scored)
+      SELECT event_type, day AS change_day, round(cusum, 4) AS cusum,
+             CAST(n AS BIGINT) AS n_days
+      FROM pick WHERE rk = 1 ORDER BY event_type"""),
 
     "q_ts_outliers" -> ("""
       WITH med AS (SELECT event_type,

@@ -433,6 +433,38 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length > 3)
   }
 
+  test("q_ts_changepoint: one row per type; the argmax beats every other day's |cusum|") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_ts_changepoint")(spark, sf0001).collect()
+    val types = Tables(spark, sf0001, "events")
+      .select("event_type").distinct().count()
+    assert(rows.length == types)
+    // replay: recompute every day's cusum per type and confirm the pick
+    val daily = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime]("day"),
+        r.getDecimal(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ds = daily.filter(_._1 == t).sortBy(_._2.toString)
+      val sn = ds.map(_._3.doubleValue).sum
+      var sk = 0.0
+      val cusums = ds.zipWithIndex.map { case ((_, day, d), i) =>
+        sk += d.doubleValue
+        day -> (sk - (i + 1) * sn / ds.length)
+      }
+      val best = cusums.maxBy { case (_, c) => math.abs(c) }
+      // replay float order differs slightly from the engine's — allow ties
+      // within 1e-6 but the picked day's |cusum| must be within that of max
+      val picked = cusums.toMap.apply(r.getAs[java.time.LocalDateTime]("change_day"))
+      assert(math.abs(picked) >= math.abs(best._2) - 1e-6,
+        s"$t: picked $picked vs best $best")
+    }
+  }
+
   test("q_ts_outliers: flagged rows genuinely exceed the robust threshold; few of them") {
     val rows = SparkEntry.queries("q_ts_outliers")(spark, sf0001).collect()
     val total = Tables(spark, sf0001, "events").count()
