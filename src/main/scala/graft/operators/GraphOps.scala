@@ -140,6 +140,28 @@ object GraphOps extends QueryFamily {
       perNode.orderBy("id")
     }),
 
+    // Common-neighbor link prediction over the near-clique tier: the
+    // non-adjacent pairs that share the most neighbors — exactly the
+    // "these two docs transitively co-cluster but never directly
+    // scored" candidates a dedup pass should re-examine (the candidate
+    // generator's blind spot, recovered from graph structure alone).
+    // Shape: one self-join of the sparse edge list on the shared
+    // neighbor + an anti-join against the edges; top-20 is
+    // TakeOrderedAndProject.
+    "q_graph_linkpred" -> ((s, dir) => {
+      val te = triEdges(s, dir)
+      val sym = te.select(col("da").as("n"), col("db").as("x"))
+        .unionByName(te.select(col("db").as("n"), col("da").as("x")))
+      val pairs = sym.select(col("n"), col("x").as("b"))
+        .join(sym.select(col("n"), col("x").as("c")), "n")
+        .where(col("b") < col("c"))
+        .groupBy("b", "c").agg(count(lit(1)).as("common"))
+      pairs.join(te,
+          col("b") === col("da") && col("c") === col("db"), "left_anti")
+        .orderBy(col("common").desc, col("b"), col("c"))
+        .limit(20)
+    }),
+
     // 3-iteration PageRank over the similarity graph.
     "q_graph_pagerank" -> ((s, dir) => {
       val pin = Dedup.passPinner(s)
@@ -205,6 +227,19 @@ object GraphOps extends QueryFamily {
       "pernode AS (SELECT a AS id FROM tri UNION ALL " +
       "SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
       "SELECT id, count(*) AS n_triangles FROM pernode GROUP BY id ORDER BY id"),
+
+    "q_graph_linkpred" -> ("WITH d AS (SELECT doc_id, lang, " +
+      "list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
+      "e AS (SELECT a.doc_id AS da, b.doc_id AS db FROM d a " +
+      "JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      s"WHERE length(list_intersect(a.toks, b.toks)) >= $triMinShared), " +
+      "sym AS (SELECT da AS n, db AS x FROM e UNION ALL SELECT db, da FROM e), " +
+      "pairs AS (SELECT s1.x AS b, s2.x AS c, count(*) AS common " +
+      "FROM sym s1 JOIN sym s2 ON s1.n = s2.n WHERE s1.x < s2.x " +
+      "GROUP BY s1.x, s2.x) " +
+      "SELECT b, c, common FROM pairs " +
+      "WHERE NOT EXISTS (SELECT 1 FROM e WHERE da = b AND db = c) " +
+      "ORDER BY common DESC, b, c LIMIT 20"),
 
     "q_graph_pagerank" -> (edgeCte + ", " +
       "r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn), " +

@@ -335,6 +335,31 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(declared == brute.toMap, s"declared=$declared brute=$brute")
   }
 
+  test("q_graph_linkpred: predictions are non-edges with true common-neighbor counts") {
+    import org.apache.spark.sql.functions._
+    val preds = SparkEntry.queries("q_graph_linkpred")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("common")))
+    assert(preds.nonEmpty && preds.length <= 20)
+    graft.functions.SortedIntersectSize.register(spark)
+    val d = Tables(spark, sf0001, "documents").select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val edges = d.select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
+      .join(d.select(col("doc_id").as("db"), col("lang").as("lb"), col("toks").as("tb")),
+        col("lang") === col("lb") && col("da") < col("db"))
+      .where(expr("sorted_intersect_size(ta, tb) >= 30"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    preds.foreach { case (b, c, common) =>
+      assert(!edges.contains((b, c)), s"($b,$c) is already an edge")
+      assert(adj(b).intersect(adj(c)).size.toLong == common, s"($b,$c)")
+    }
+    // the plan's top-20 must be a TakeOrderedAndProject, not a global sort
+    val plan = SparkEntry.queries("q_graph_linkpred")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("q_ts_cohort: offset-0 counts the whole cohort; retention never grows past it") {
     val rows = SparkEntry.queries("q_ts_cohort")(spark, sf0001).collect()
       .map(r => (r.getAs[java.time.LocalDateTime]("cohort_wk"),
