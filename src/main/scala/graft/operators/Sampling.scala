@@ -83,6 +83,27 @@ object Sampling extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Class-BALANCED downsample: exactly min-class-size docs per lang —
+    // the hard-balance dual of the rate-based mixture (classifier
+    // training sets, fairness probes). Per-lang rank over the salted
+    // content hash (deterministic, retry-stable, nested-in-k like the
+    // reservoir); the floor size is an O(#langs) aggregate joined back
+    // via broadcast.
+    "q_sample_balanced" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("h", expr(hSplitSpark))
+      val floor = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("k"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(floor))
+        .where(col("rk") <= col("k"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
+
     // Stratified sample: per-stratum rates (majority language downsampled
     // harder) from the same content-hash percentile — the "rebalance the
     // language mix" step of corpus curation. Rates ride on the hash, so
@@ -267,6 +288,14 @@ object Sampling extends QueryFamily {
         "AND doc_id NOT IN (SELECT doc_id FROM leaky) " +
         "ORDER BY CAST(concat('0x', substr(md5(concat(text, '|eval')), 1, 15)) AS BIGINT), doc_id " +
         "LIMIT 10) ORDER BY doc_id"),
+
+    "q_sample_balanced" -> ("WITH k AS (SELECT min(cnt) AS k FROM " +
+      "(SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)), " +
+      "ranked AS (SELECT doc_id, lang, row_number() OVER " +
+      s"(PARTITION BY lang ORDER BY $hSplitDuck, doc_id) AS rk FROM documents) " +
+      "SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc, " +
+      "max(doc_id) AS max_doc FROM ranked, k WHERE rk <= k.k " +
+      "GROUP BY lang ORDER BY lang"),
 
     "q_sample_stratified" -> ("SELECT lang, source, count(*) AS n_docs " +
       s"FROM documents WHERE $hDuck % 100 < " +

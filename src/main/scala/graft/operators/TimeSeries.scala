@@ -185,6 +185,25 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Lag-1 autocorrelation of daily volume per type — "is today like
+    // yesterday" (persistence vs noise), the first diagnostic before
+    // any forecasting. corr's co-moment sums are engine-internal
+    // doubles, so the output rounds to the shared 4-dp grid (the
+    // q_agg_stats discipline).
+    "q_ts_autocorr" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(dbl(sum(dec6(col("value")))).as("total"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("prev", lag(col("total"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("total"), col("prev")), 4).as("lag1_autocorr"))
+        .orderBy("event_type")
+    }),
+
     // Robust outliers: |value - median| > 3 * 1.4826 * MAD per event_type
     // (1.4826 scales MAD to sigma-equivalent under normality). Median and
     // MAD are rounded to the shared 4-dp grid before the comparison.
@@ -292,6 +311,20 @@ object TimeSeries extends QueryFamily {
       SELECT event_type, day AS change_day, round(cusum, 4) AS cusum,
              CAST(n AS BIGINT) AS n_days
       FROM pick WHERE rk = 1 ORDER BY event_type"""),
+
+    "q_ts_autocorr" -> ("""
+      WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, total,
+               lag(total, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily)
+      SELECT event_type, count(*) AS n_pairs,
+             round(corr(total, prev), 4) AS lag1_autocorr
+      FROM lagged WHERE prev IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""),
 
     "q_ts_outliers" -> ("""
       WITH med AS (SELECT event_type,

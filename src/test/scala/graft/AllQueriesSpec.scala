@@ -490,6 +490,19 @@ class AllQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_balanced: every language keeps exactly the min class size") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_sample_balanced")(spark, sf0001).collect()
+    val classes = Tables(spark, sf0001, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    assert(rows.length == classes.size)
+    val k = classes.values.min
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") == k, r.toString))
+    // the floor class is non-trivially smaller than the largest one
+    assert(classes.values.max > k)
+  }
+
   test("q_ts_outliers: flagged rows genuinely exceed the robust threshold; few of them") {
     val rows = SparkEntry.queries("q_ts_outliers")(spark, sf0001).collect()
     val total = Tables(spark, sf0001, "events").count()
