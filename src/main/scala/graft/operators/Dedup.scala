@@ -530,6 +530,30 @@ object Dedup extends QueryFamily {
     * dir is provisioned (and swept at JVM exit) if none is set. Costs
     * one round-trip write per pass, buys executor-loss survival.
     */
+  /** Lang-blocked doc pairs with distinct-sorted token arrays attached —
+    * the SHARED candidate construction for the whole-token-set metrics
+    * (containment here, the similarity graph in GraphOps). Probe side
+    * fanned to the session's shuffle width (the one-file fixture corpus
+    * would otherwise run the O(block²) expansion on one core), build
+    * side broadcast. `ordered=true` keeps da<db (symmetric metrics);
+    * false keeps all da≠db pairs (asymmetric metrics). Columns:
+    * (da, db, ta, tb). At 100 TB the candidate generator is the
+    * rare-token postings list — change it HERE, both families follow.
+    */
+  private[operators] def langBlockedTokenPairs(
+      s: SparkSession, dir: String, ordered: Boolean): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = d.repartition(parts)
+      .select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
+    val b = d.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+      col("toks").as("tb"))
+    val pairCond = if (ordered) col("da") < col("db") else col("da") =!= col("db")
+    a.join(broadcast(b), col("lang") === col("lang_b") && pairCond)
+      .select("da", "db", "ta", "tb")
+  }
+
   private[operators] def passPinner(s: SparkSession): DataFrame => DataFrame = {
     val reliable = s.conf.getOption("spark.graft.cluster.reliableCheckpoint")
       .exists(_.toBoolean)
@@ -639,20 +663,11 @@ object Dedup extends QueryFamily {
     // per doc), the same postings the search family already builds.
     "q_dedup_containment" -> ((s, dir) => {
       graft.functions.SortedIntersectSize.register(s)
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      // fan the probe side out to the shuffle width: the fixture file is
-      // 1 partition and the O(block²) expansion must not run on one core
-      val a = d.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .select(col("doc_id").as("doc_a"), col("lang"),
-          col("toks").as("ta"))
-      val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("toks").as("tb"))
-      a.join(broadcast(b), col("lang") === col("lang_b") && col("doc_a") =!= col("doc_b"))
+      langBlockedTokenPairs(s, dir, ordered = false)
         .where(expr("sorted_intersect_size(ta, tb)") === size(col("ta")))
-        .groupBy(col("doc_a").as("doc_id"))
+        .groupBy(col("da").as("doc_id"))
         .agg(count(lit(1)).as("n_containers"),
-          min(col("doc_b")).as("min_container"),
+          min(col("db")).as("min_container"),
           max(size(col("tb"))).cast("bigint").as("max_container_toks"))
         .orderBy("doc_id")
     }),

@@ -38,30 +38,26 @@ object GraphOps extends QueryFamily {
   private val minShared = 28
   private val triMinShared = 30
 
-  /** Undirected similarity edges (da < db). */
+  /** Undirected similarity edges (da < db) — candidate pairs come from
+    * the SHARED Dedup.langBlockedTokenPairs construction (probe fan-out +
+    * broadcast build side; the at-scale rare-token-postings generator
+    * lives there too, one place for both families). */
   private def edges(s: SparkSession, dir: String, thresh: Int = minShared): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
-    val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    // The fixture corpus is one small parquet file → a 1-partition probe
-    // side would run the O(block²) pair expansion on one core. Fan the
-    // probe out to the session's shuffle width and broadcast the build
-    // side (at real input sizes the scan itself is already wide and the
-    // candidate generator is the rare-token postings list — see scaladoc).
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = d.repartition(parts)
-      .select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
-    val b = d.select(col("doc_id").as("db"), col("lang").as("lang_b"),
-      col("toks").as("tb"))
-    a.join(broadcast(b), col("lang") === col("lang_b") && col("da") < col("db"))
+    Dedup.langBlockedTokenPairs(s, dir, ordered = true)
       .where(expr(s"sorted_intersect_size(ta, tb) >= $thresh"))
       .select("da", "db")
   }
 
+  // Keyed on the SparkSession OBJECT (identity equality), not its
+  // identityHashCode: a hash collision between two sessions in one JVM
+  // would hand session B checkpointed blocks owned by (possibly stopped)
+  // session A. Entries live for the JVM — the graphs are fixture-sized
+  // and the test/verify/bench processes are short-lived by design.
   private val builtGraphs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
   private val builtTriGraphs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The triangle query's SPARSER edge set (>= triMinShared shared
     * tokens), pinned+memoized like the main graph. The fixture vocabulary
@@ -70,7 +66,7 @@ object GraphOps extends QueryFamily {
     * similarity graphs real corpora produce, and the near-clique tier is
     * where clustering structure lives. */
   private def triEdges(s: SparkSession, dir: String): DataFrame =
-    builtTriGraphs.computeIfAbsent((System.identityHashCode(s), dir),
+    builtTriGraphs.computeIfAbsent((s, dir),
       _ => Dedup.passPinner(s)(edges(s, dir, triMinShared)))
 
   /** src→dst with both orientations, plus each src's out-degree — PINNED
@@ -81,7 +77,7 @@ object GraphOps extends QueryFamily {
     * here (and repeated bench runs) serve from the same pinned edge set.
     */
   private def symWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    builtGraphs.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    builtGraphs.computeIfAbsent((s, dir), _ => {
       val pin = Dedup.passPinner(s)
       val e = pin(edges(s, dir))
       val sym = pin(e.select(col("da").as("src"), col("db").as("dst"))

@@ -50,24 +50,39 @@ class ZOrderSpec extends AnyFunSuite {
 
     // Baseline: the same data linearly sorted by time. Time predicates
     // prune, but every file spans (nearly) the whole user domain.
-    val linPath = java.nio.file.Files
-      .createTempDirectory("graft_zorder_linear_").toString
-    Tables(spark, sf0001, "events")
-      .repartitionByRange(16, col("ts"))
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").parquet(linPath)
-    val (ln, lu, lt) = overlaps(linPath)
-    assert(lu >= ln - 1, s"linear layout unexpectedly prunes user band: $lu of $ln")
-    assert(lt <= ln / 2, s"linear layout must prune its own sort column: $lt of $ln")
-    assert(zu < lu, "z-order must beat linear sort on the non-sort dimension")
+    val linDir = java.nio.file.Files.createTempDirectory("graft_zorder_linear_")
+    try {
+      val linPath = linDir.toString
+      Tables(spark, sf0001, "events")
+        .repartitionByRange(16, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(linPath)
+      val (ln, lu, lt) = overlaps(linPath)
+      assert(lu >= ln - 1, s"linear layout unexpectedly prunes user band: $lu of $ln")
+      assert(lt <= ln / 2, s"linear layout must prune its own sort column: $lt of $ln")
+      assert(zu < lu, "z-order must beat linear sort on the non-sort dimension")
+    } finally {
+      // one full events copy per run — sweep it (Warehouse.scratchRoot
+      // documents the same leak for its own root)
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val walk = Files.walk(linDir)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   test("q_scan_zorder pushes both range predicates into the parquet scan") {
     val plan = SparkEntry.queries("q_scan_zorder")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters"), plan.take(500))
-    assert(plan.contains("GreaterThanOrEqual(user_id,1)") ||
-      plan.contains("user_id"), "user_id predicate not pushed")
-    assert(plan.contains("ts"), "ts predicate not pushed")
+    // the pushed user_id bounds appear verbatim; the ts window shows in
+    // the Filter node's full predicate text (PushedFilters elides long
+    // lists) — same assertions as PlanSpec, duplicated here so this
+    // suite stands alone
+    assert(plan.contains("GreaterThanOrEqual(user_id,1)") &&
+      plan.contains("LessThanOrEqual(user_id,2)"), plan.take(2500))
+    assert(plan.contains(">= 2024-01-10 00:00:00") &&
+      plan.contains("< 2024-01-14 00:00:00"), plan.take(2500))
   }
 }
