@@ -29,8 +29,11 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // Keyed on the SparkSession OBJECT (identity equality), not its
+  // identityHashCode — a hash collision between two sessions in one JVM
+  // would skip registration against the new session's catalog.
   private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register all fixtures as temp views (for SQL-string entry points).
     * Idempotent per (session, dir): several SQL-entry queries call this
@@ -38,10 +41,9 @@ object Tables {
     * costs more than the queries themselves.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    val key = Integer.valueOf(System.identityHashCode(spark))
-    if (registeredDir.get(key) != sfDir) {
+    if (registeredDir.get(spark) != sfDir) {
       names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
-      registeredDir.put(key, sfDir)
+      registeredDir.put(spark, sfDir)
     }
   }
 }

@@ -39,11 +39,14 @@ import Dets._
   */
 object Warehouse extends QueryFamily {
 
-  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, String)]()
+  // Keyed on the SparkSession OBJECT, not identityHashCode — see
+  // GraphOps.builtGraphs: a hash collision would make a new session skip
+  // a layout write and read another (possibly stopped) session's state.
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
 
   /** Run `body` once per (session, dir, tag); later calls are no-ops. */
   private def once(s: SparkSession, dir: String, tag: String)(body: => Unit): Unit = {
-    val key = (System.identityHashCode(s), dir, tag)
+    val key = (s, dir, tag)
     if (!written.contains(key)) written.synchronized {
       if (!written.contains(key)) { body; written.add(key) }
     }

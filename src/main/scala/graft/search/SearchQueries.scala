@@ -38,12 +38,14 @@ object SearchQueries extends QueryFamily {
     * per-invocation roots, and the build path stays covered by them and
     * by SearchSpec.
     */
+  // Keyed on the SparkSession OBJECT, not identityHashCode — see
+  // GraphOps.builtGraphs for why the hash scheme is collision-unsafe.
   private val sharedRoots =
-    new java.util.concurrent.ConcurrentHashMap[(Integer, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   private def sharedIndex(s: SparkSession, dir: String): String =
     sharedRoots.computeIfAbsent(
-      (Integer.valueOf(System.identityHashCode(s)), dir), _ => {
+      (s, dir), _ => {
         val root = graft.Scratch.freshRoot("q_search_shared")
         InvertedIndex.build(s, root, docs(s, dir))
         root

@@ -50,13 +50,17 @@ object ViewQueries extends QueryFamily {
     * DIFFERENT maintenance machinery (signed retraction, tracked
     * watermark pulls, join-source deltas) keep per-invocation roots.
     */
+  // Keyed on the SparkSession OBJECT (identity equality), not its
+  // identityHashCode — same rationale as GraphOps.builtGraphs: a hash
+  // collision between two sessions in one JVM would hand session B the
+  // folded state owned by (possibly stopped) session A.
   private val sharedStates =
-    new java.util.concurrent.ConcurrentHashMap[(Integer, String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
 
   private def sharedFold(s: SparkSession, dir: String,
       keys: Seq[String]): String =
     sharedStates.computeIfAbsent(
-      (Integer.valueOf(System.identityHashCode(s)), dir, keys.mkString(",")), _ => {
+      (s, dir, keys.mkString(",")), _ => {
         val root = graft.Scratch.freshRoot("q_view_shared")
         val o = ordersSrc(s, dir)
         val v = IncrementalView.ViewDef(keys, "total")
@@ -70,24 +74,23 @@ object ViewQueries extends QueryFamily {
     * and rescales at 38 digits, DuckDB refuses), so the moment column is
     * certified Spark-vs-Spark in IncrementalViewSpec instead.
     *
-    * min/max serve WIDENED to DECIMAL(38,2) (matching the sum), not the
-    * state's native DECIMAL(12,2) — forensic choice, not cosmetic: in
-    * round 11 the ONLY three queries of 145 whose driver-side hash
-    * failed (values verified exact by independent comparison) were
-    * exactly the only three exposing a precision<=18 decimal, which
-    * parquet stores as INT64 where every other decimal column in the
-    * suite is a 16-byte fixed array. Serving the wide type removes the
-    * suite's sole narrow-decimal physical encoding; the oracle casts
-    * identically.
+    * All decimal measures (sum/min/max) SERVE as DOUBLE via [[Dets.dbl]],
+    * never as raw DECIMAL — the suite-wide convention established in
+    * round 1 (see ScalarFuncs' note): a raw DECIMAL output column is the
+    * one type the driver's hash canonicalization and DuckDB disagree on.
+    * The fold itself stays exact decimal; only the final emit casts, and
+    * the cast is value-exact because the raw cent units are far below
+    * 2^53 at every SF (the avgMoney argument). The oracle mirrors with
+    * CAST(... AS DOUBLE).
     */
   private def served(s: SparkSession, root: String, keys: Seq[String],
       withMinMax: Boolean): DataFrame = {
     val base = IncrementalView.read(s, root).select(
       (keys.map(col) ++ Seq(col("mv_n").as("n_rows"),
-        col("mv_s").as("total_sum")) ++
+        Dets.dbl(col("mv_s")).as("total_sum")) ++
         (if (withMinMax) Seq(
-          col("mv_min").cast("decimal(38,2)").as("total_min"),
-          col("mv_max").cast("decimal(38,2)").as("total_max"))
+          Dets.dbl(col("mv_min")).as("total_min"),
+          Dets.dbl(col("mv_max")).as("total_max"))
         else Seq.empty)): _*)
     base.orderBy(keys.map(col): _*)
   }
@@ -147,9 +150,10 @@ object ViewQueries extends QueryFamily {
           !plan.contains("l_orderkey"),
           s"two-measure aggregate did not route to the view state:\n$plan")
         q.select(col("rflag"), col("lstatus"), col("n_rows"),
-            col("qty_sum"), col("price_sum"),
-            col("qty_min").cast("decimal(38,2)").as("qty_min"),
-            col("price_max").cast("decimal(38,2)").as("price_max"))
+            Dets.dbl(col("qty_sum")).as("qty_sum"),
+            Dets.dbl(col("price_sum")).as("price_sum"),
+            Dets.dbl(col("qty_min")).as("qty_min"),
+            Dets.dbl(col("price_max")).as("price_max"))
           .orderBy("rflag", "lstatus")
       } finally graft.plans.ViewRewrite.deregister("q_view_multi")
     }),
@@ -220,10 +224,11 @@ object ViewQueries extends QueryFamily {
         val plan = q.queryExecution.optimizedPlan.toString
         require(plan.contains("mv_n") && !plan.contains("o_orderkey"),
           s"aggregate did not route to the view state:\n$plan")
-        // widen min/max to the sum's decimal — see served()'s note
-        q.select(col("status"), col("n_rows"), col("total_sum"),
-            col("total_min").cast("decimal(38,2)").as("total_min"),
-            col("total_max").cast("decimal(38,2)").as("total_max"))
+        // serve decimals as exact doubles — see served()'s note
+        q.select(col("status"), col("n_rows"),
+            Dets.dbl(col("total_sum")).as("total_sum"),
+            Dets.dbl(col("total_min")).as("total_min"),
+            Dets.dbl(col("total_max")).as("total_max"))
           .orderBy("status")
       } finally graft.plans.ViewRewrite.deregister("q_view_rewrite")
     }),
@@ -249,9 +254,10 @@ object ViewQueries extends QueryFamily {
         val plan = q.queryExecution.optimizedPlan.toString
         require(plan.contains("mv_n") && !plan.contains("o_orderkey"),
           s"key-filtered aggregate did not route to the view state:\n$plan")
-        q.select(col("priority"), col("n_rows"), col("total_sum"),
-            col("total_min").cast("decimal(38,2)").as("total_min"),
-            col("total_max").cast("decimal(38,2)").as("total_max"))
+        q.select(col("priority"), col("n_rows"),
+            Dets.dbl(col("total_sum")).as("total_sum"),
+            Dets.dbl(col("total_min")).as("total_min"),
+            Dets.dbl(col("total_max")).as("total_max"))
           .orderBy("priority")
       } finally graft.plans.ViewRewrite.deregister("q_view_where")
     }),
@@ -291,9 +297,9 @@ object ViewQueries extends QueryFamily {
         require(plan.contains("mv_n") && !plan.contains("o_custkey"),
           s"join aggregate did not route to the view state:\n$plan")
         q.select(col("segment"), col("status"), col("n_rows"),
-            col("total_sum"),
-            col("total_min").cast("decimal(38,2)").as("total_min"),
-            col("total_max").cast("decimal(38,2)").as("total_max"))
+            Dets.dbl(col("total_sum")).as("total_sum"),
+            Dets.dbl(col("total_min")).as("total_min"),
+            Dets.dbl(col("total_max")).as("total_max"))
           .orderBy("segment", "status")
       } finally graft.plans.ViewRewrite.deregister("q_view_join")
     }),
@@ -322,9 +328,9 @@ object ViewQueries extends QueryFamily {
     "q_view_incremental" ->
       ("SELECT o_orderstatus AS status, o_orderpriority AS priority, " +
         "count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum, " +
-        s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
-        s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum, " +
+        s"CAST(MIN($duckTotal) AS DOUBLE) AS total_min, " +
+        s"CAST(MAX($duckTotal) AS DOUBLE) AS total_max " +
         "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
     // recompute the identical exact partials (DuckDB's 38-digit multiply
     // cap forces the narrower DECIMAL(19,2) square inputs — same exact
@@ -342,16 +348,16 @@ object ViewQueries extends QueryFamily {
         "FROM p ORDER BY status"),
     "q_view_retract" ->
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1"),
     // the two-measure dashboard recompute, straight off lineitem
     "q_view_multi" ->
       ("SELECT l_returnflag AS rflag, l_linestatus AS lstatus, " +
         "count(*) AS n_rows, " +
-        "SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum, " +
-        "SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS price_sum, " +
-        "CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty_min, " +
-        "CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS price_max " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_sum, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum, " +
+        "CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_min, " +
+        "CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max " +
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // the direct aggregate over the NEW snapshot — the CDC-refreshed
@@ -359,16 +365,16 @@ object ViewQueries extends QueryFamily {
     "q_view_cdc" ->
       ("SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END " +
         "AS status, count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum " +
         "FROM orders WHERE o_orderkey % 13 <> 0 GROUP BY 1 ORDER BY 1"),
     // the routed join aggregate must equal the join it replaced — the
     // oracle IS that join
     "q_view_join" ->
       ("SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status, " +
         "count(*) AS n_rows, " +
-        s"SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total_sum, " +
-        s"CAST(MIN(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_min, " +
-        s"CAST(MAX(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_max " +
+        s"CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sum, " +
+        s"CAST(MIN(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_min, " +
+        s"CAST(MAX(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_max " +
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
 
@@ -376,21 +382,21 @@ object ViewQueries extends QueryFamily {
     // IS that scan
     "q_view_rewrite" ->
       ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum, " +
-        s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
-        s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum, " +
+        s"CAST(MIN($duckTotal) AS DOUBLE) AS total_min, " +
+        s"CAST(MAX($duckTotal) AS DOUBLE) AS total_max " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
     "q_view_where" ->
       ("SELECT o_orderpriority AS priority, count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum, " +
-        s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
-        s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum, " +
+        s"CAST(MIN($duckTotal) AS DOUBLE) AS total_min, " +
+        s"CAST(MAX($duckTotal) AS DOUBLE) AS total_max " +
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"),
     "q_view_tracked" ->
       ("SELECT o_orderstatus AS status, count(*) AS n_rows, " +
-        s"SUM($duckTotal) AS total_sum, " +
-        s"CAST(MIN($duckTotal) AS DECIMAL(38,2)) AS total_min, " +
-        s"CAST(MAX($duckTotal) AS DECIMAL(38,2)) AS total_max " +
+        s"CAST(SUM($duckTotal) AS DOUBLE) AS total_sum, " +
+        s"CAST(MIN($duckTotal) AS DOUBLE) AS total_min, " +
+        s"CAST(MAX($duckTotal) AS DOUBLE) AS total_max " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
   )
 }
