@@ -530,27 +530,82 @@ object Dedup extends QueryFamily {
     * dir is provisioned (and swept at JVM exit) if none is set. Costs
     * one round-trip write per pass, buys executor-loss survival.
     */
-  /** Lang-blocked doc pairs with distinct-sorted token arrays attached —
+  /** Same-lang doc pairs with distinct-sorted token arrays attached —
     * the SHARED candidate construction for the whole-token-set metrics
-    * (containment here, the similarity graph in GraphOps). Probe side
-    * fanned to the session's shuffle width (the one-file fixture corpus
-    * would otherwise run the O(block²) expansion on one core), build
-    * side broadcast. `ordered=true` keeps da<db (symmetric metrics);
-    * false keeps all da≠db pairs (asymmetric metrics). Columns:
-    * (da, db, ta, tb). At 100 TB the candidate generator is the
-    * rare-token postings list — change it HERE, both families follow.
+    * (containment here, the similarity graph in GraphOps). Candidates
+    * come from the rare-token INVERTED INDEX (the postings the search
+    * family also builds), never a corpus-wide join or broadcast, so the
+    * generator survives 100 TB: every join is a pinned shuffle join on
+    * one-row-per-doc or one-row-per-posting tables.
+    *
+    * Both generators index the same rarest-first total order — each
+    * doc's distinct tokens sorted by (same-lang document frequency,
+    * token), the PPJoin ordering — and both are EXACT supersets of the
+    * qualifying pairs:
+    *  - `ordered=false` (asymmetric — containment): db must contain
+    *    da's single RAREST token (any superset of A's token set
+    *    contains A's rarest member), so da posts its rank-1 token and
+    *    joins the full postings list; O(df(rarest)) candidates per doc,
+    *    each (da, db) emitted at most once (one posting per da, db
+    *    holds a distinct token at most once) — no dedup shuffle.
+    *  - `ordered=true` (symmetric — >= `minShared` common tokens):
+    *    prefix filtering — if |A∩B| >= k their rarest-first prefixes of
+    *    length sz-k+1 must intersect (were every common token outside
+    *    A's prefix, at most k-1 of A's tokens could be common), so each
+    *    side posts only its prefix; the PPJoin positional bound
+    *    min(sza-ia, szb-ib) >= k (an upper bound on |A∩B| at the first
+    *    collision) rides the join, and docs with sz < k never post.
+    * The exact verify stays downstream with the consumer; token arrays
+    * attach to the surviving id pairs via shuffle joins (the per-doc
+    * token table is terabytes at 100 TB — the hints pin the plan AQE
+    * would flip to broadcast at fixture size). `ordered=true` keeps
+    * da<db (symmetric metrics); false keeps all da≠db pairs
+    * (asymmetric). Columns: (da, db, ta, tb).
+    * RareTokenCandidatesSpec pins pair-set equality against the naive
+    * lang-block join on the fixtures and the no-broadcast plan shape.
     */
-  private[operators] def langBlockedTokenPairs(
-      s: SparkSession, dir: String, ordered: Boolean): DataFrame = {
+  private[graft] def langBlockedTokenPairs(
+      s: SparkSession, dir: String, ordered: Boolean,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
       array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = d.repartition(parts)
-      .select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
-    val b = d.select(col("doc_id").as("db"), col("lang").as("lang_b"),
-      col("toks").as("tb"))
-    val pairCond = if (ordered) col("da") < col("db") else col("da") =!= col("db")
-    a.join(broadcast(b), col("lang") === col("lang_b") && pairCond)
+    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+    val dfreq = tok.groupBy("lang", "t").agg(count(lit(1)).as("df"))
+    val ord = tok.join(dfreq.hint("shuffle_hash"), Seq("lang", "t"))
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ord"),
+        count(lit(1)).as("sz"))
+    val pairs =
+      if (!ordered) {
+        val a = ord.select(col("doc_id").as("da"), col("lang"),
+          expr("ord[0].t").as("t"))
+        val b = tok.select(col("doc_id").as("db"), col("lang"), col("t"))
+        a.join(b.hint("shuffle_hash"), Seq("lang", "t"))
+          .where(col("da") =!= col("db"))
+          .select("da", "db")
+      } else {
+        val prefix = ord
+          .withColumn("p", col("sz") - lit(minShared) + 1)
+          .where(col("p") >= 1)
+          .select(col("doc_id"), col("lang"), col("sz"),
+            posexplode(expr("slice(ord, 1, CAST(p AS INT))")).as(Seq("pos", "pc")))
+          .select(col("doc_id"), col("lang"), col("sz"), col("pos"),
+            col("pc.t").as("t"))
+        val a = prefix.select(col("doc_id").as("da"), col("lang"),
+          col("sz").as("sza"), col("pos").as("ia"), col("t"))
+        val b = prefix.select(col("doc_id").as("db"), col("lang"),
+          col("sz").as("szb"), col("pos").as("ib"), col("t"))
+        a.join(b.hint("shuffle_hash"), Seq("lang", "t"))
+          .where(col("da") < col("db") &&
+            least(col("sza") - col("ia"), col("szb") - col("ib")) >= minShared)
+          .groupBy("da", "db").agg(count(lit(1)))
+          .select("da", "db")
+      }
+    val ta = d.select(col("doc_id").as("da"), col("toks").as("ta"))
+    val tb = d.select(col("doc_id").as("db"), col("toks").as("tb"))
+    pairs.join(ta.hint("shuffle_hash"), "da")
+      .join(tb.hint("shuffle_hash"), "db")
       .select("da", "db", "ta", "tb")
   }
 
@@ -654,13 +709,12 @@ object Dedup extends QueryFamily {
     // low Jaccard but is still redundant content. Served as the per-doc
     // subsumption view — for every contained doc: how many same-lang
     // docs fully contain it and the smallest such container — which is
-    // the keep/drop decision input. Candidates at fixture scale are the
-    // lang-blocked pairs with the codegen'd sorted-merge intersect;
-    // size-ratio pruning does NOT apply to containment (a 10-token doc
-    // can live inside a 1000-token one), so the 100 TB candidate
-    // generator is the rare-token inverted index instead (any superset
-    // of A must contain A's rarest token — O(df(rarest)) candidates
-    // per doc), the same postings the search family already builds.
+    // the keep/drop decision input. Size-ratio pruning does NOT apply
+    // to containment (a 10-token doc can live inside a 1000-token one),
+    // so candidates come from the rare-token inverted index (any
+    // superset of A must contain A's rarest token — O(df(rarest))
+    // candidates per doc; the langBlockedTokenPairs asymmetric path),
+    // then the codegen'd sorted-merge intersect decides exactly.
     "q_dedup_containment" -> ((s, dir) => {
       graft.functions.SortedIntersectSize.register(s)
       langBlockedTokenPairs(s, dir, ordered = false)

@@ -11,12 +11,12 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Graph: same-lang doc pairs sharing ≥ 28 distinct tokens (the sparse
   * top of the similarity spectrum), scored with the codegen'd
-  * sorted-merge intersect the dedup family already uses. At fixture
-  * scale the candidate generator is the lang block join; at 100 TB it is
-  * the rare-token postings list (any pair sharing 28 tokens shares its
-  * rarest one), exactly as documented for containment dedup — the graph
-  * CONSTRUCTION is the expensive, shuffle-bound stage, and it is shared
-  * across both queries here.
+  * sorted-merge intersect the dedup family already uses. Candidates come
+  * from the rare-token postings generator (PPJoin prefix filtering at
+  * the edge threshold — Dedup.langBlockedTokenPairs), the same inverted-
+  * index construction containment dedup uses — the graph CONSTRUCTION is
+  * the expensive, shuffle-bound stage, and it is shared across both
+  * queries here.
   *
   * PageRank runs 3 unrolled power iterations (damping 0.85). Shapes that
   * matter at scale: edges shuffle ONCE onto src and are joined per
@@ -39,12 +39,14 @@ object GraphOps extends QueryFamily {
   private val triMinShared = 30
 
   /** Undirected similarity edges (da < db) — candidate pairs come from
-    * the SHARED Dedup.langBlockedTokenPairs construction (probe fan-out +
-    * broadcast build side; the at-scale rare-token-postings generator
-    * lives there too, one place for both families). */
+    * the SHARED Dedup.langBlockedTokenPairs rare-token postings
+    * generator (PPJoin prefix filter at the edge threshold — every
+    * >= thresh pair collides inside both prefixes), then the exact
+    * codegen'd sorted-merge intersect verifies. One construction for
+    * both families, no corpus-wide join or broadcast anywhere. */
   private def edges(s: SparkSession, dir: String, thresh: Int = minShared): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
-    Dedup.langBlockedTokenPairs(s, dir, ordered = true)
+    Dedup.langBlockedTokenPairs(s, dir, ordered = true, minShared = thresh)
       .where(expr(s"sorted_intersect_size(ta, tb) >= $thresh"))
       .select("da", "db")
   }

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** The rare-token postings generator (Dedup.langBlockedTokenPairs) is
+  * the shared candidate construction for containment dedup and the
+  * similarity graph — the one the scale story leans on, since it
+  * replaced a corpus-wide broadcast block join. Contracts:
+  *  - PAIR-SET EQUALITY: for both modes (asymmetric rarest-token,
+  *    symmetric prefix-filter) the verified output must equal the naive
+  *    lang-blocked all-pairs join's verified output on the fixtures —
+  *    candidate generation may prune, never lose;
+  *  - NO CORPUS BROADCAST: the generator's physical plan must contain
+  *    no broadcast exchange (AQE would happily broadcast the
+  *    fixture-sized corpus; the shuffle_hash hints must pin the shape
+  *    that survives 100 TB);
+  *  - SUB-QUADRATIC: on a Zipfian vocabulary (rarest tokens near-
+  *    unique — the regime the postings index is built for) candidate
+  *    volume must grow far slower than the corpus pair count.
+  */
+class RareTokenCandidatesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Naive reference: ALL same-lang pairs with token arrays — the
+    * construction the postings generator replaced, kept here as the
+    * ground truth the exactness claims are measured against.
+    */
+  private def naivePairs(dir: String, ordered: Boolean): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val a = d.select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
+    val b = d.select(col("doc_id").as("db"), col("lang").as("lb"), col("toks").as("tb"))
+    val cond = if (ordered) col("da") < col("db") else col("da") =!= col("db")
+    a.join(b, col("lang") === col("lb") && cond).select("da", "db", "ta", "tb")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("containment pairs: rarest-token candidates lose nothing vs the naive join") {
+    graft.functions.SortedIntersectSize.register(spark)
+    val contain = expr("sorted_intersect_size(ta, tb)") === size(col("ta"))
+    val got = pairSet(
+      Dedup.langBlockedTokenPairs(spark, sf0001, ordered = false).where(contain))
+    val want = pairSet(naivePairs(sf0001, ordered = false).where(contain))
+    assert(want.nonEmpty, "fixture should contain at least one containment pair")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("graph edges: prefix-filter candidates lose nothing at both thresholds") {
+    graft.functions.SortedIntersectSize.register(spark)
+    for (k <- Seq(28, 30)) {
+      val ge = expr(s"sorted_intersect_size(ta, tb) >= $k")
+      val got = pairSet(
+        Dedup.langBlockedTokenPairs(spark, sf0001, ordered = true, minShared = k)
+          .where(ge))
+      val want = pairSet(naivePairs(sf0001, ordered = true).where(ge))
+      assert(want.nonEmpty, s"fixture should contain >= $k-overlap pairs")
+      assert(got == want,
+        s"k=$k missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("generator plans contain no broadcast exchange") {
+    for ((df, tag) <- Seq(
+        (Dedup.langBlockedTokenPairs(spark, sf0001, ordered = false), "asym"),
+        (Dedup.langBlockedTokenPairs(spark, sf0001, ordered = true, minShared = 28), "sym"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"$tag generator broadcasts:\n${plan.take(3000)}")
+    }
+  }
+
+  /** Zipfian corpus (DedupWallClockSpec's generator, inlined smaller)
+    * with a vocabulary that GROWS with the corpus (10 words per doc —
+    * Heaps' law: real text mints new rare words linearly, ~half of all
+    * tokens are hapax legomena). That growth is what makes the rarest-
+    * token postings sub-quadratic: each doc's rarest token keeps O(1)
+    * df as N scales, so candidate volume stays ~linear where naive
+    * pairs are quadratic. (A FIXED vocabulary under a growing corpus
+    * inflates every df linearly and genuinely quadratifies ANY exact
+    * postings generator — but it also quadratifies the true pair count,
+    * so there is nothing to prune.) Count-based (deterministic), not
+    * wall-clock.
+    */
+  private def synthCorpus(n: Int): String = {
+    val dir = Files.createTempDirectory(s"graft_raretok_$n")
+    dir.toFile.deleteOnExit()
+    val word =
+      "concat('w', CAST(pow(" +
+        "CAST(conv(substr(md5(concat(CAST(src AS STRING), ':', CAST(j AS STRING))), " +
+        "1, 15), 16, 10) AS DOUBLE) " +
+        s"/ ${(1L << 60).toDouble}D, 3.0D) * ${10 * n} AS INT))"
+    spark.range(n).selectExpr("id AS doc_id", "id AS src")
+      .selectExpr("doc_id", "'en' AS lang",
+        s"concat_ws(' ', transform(sequence(1, 40), j -> $word)) AS text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "lang", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("candidate volume grows sub-quadratically on a Zipfian corpus", SlowTest) {
+    val n = 2000
+    val small = synthCorpus(n)
+    val big = synthCorpus(n * 4)
+    val cS = Dedup.langBlockedTokenPairs(spark, small, ordered = false).count()
+    val cB = Dedup.langBlockedTokenPairs(spark, big, ordered = false).count()
+    // naive all-pairs would be 16x; linear is 4x — allow 2x headroom for
+    // df shifts (a token's rarity rank can drop as the corpus grows)
+    assert(cB < 8L * math.max(cS, 1L),
+      s"candidates: $cS at N, $cB at 4N — quadratic would be ${16L * cS}")
+    info(s"asym candidates: $cS at N=$n, $cB at 4N (naive pairs: ${n.toLong * (n - 1)})")
+    assert(cS < n.toLong * (n - 1) / 4,
+      s"candidate volume $cS is not materially below the naive ${n.toLong * (n - 1)}")
+  }
+}
