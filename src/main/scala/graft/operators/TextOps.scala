@@ -192,8 +192,11 @@ object TextOps extends QueryFamily {
     }),
 
     // Bigram LM document scoring — the conditional-probability upgrade of
-    // q_text_logprob: avg ln P(w2|w1) with add-0.5 smoothing against the
-    // corpus vocabulary (so unseen continuations score finitely). Same
+    // q_text_logprob: avg ln P(w2|w1) with add-0.5 smoothing in the
+    // standard estimator form. (Scoring docs drawn from the training
+    // corpus itself, every bigram has cnt2 >= 1 — the smoothing term
+    // keeps both engines on the identical formula rather than rescuing
+    // unseen continuations, which this query never meets.) Same
     // determinism law: per-bigram ln rounded to 6 dp, summed as DECIMAL.
     // Scale shape: bigram and unigram count tables are vocabulary-sized
     // (broadcastable); the per-doc pass is explode + two equi-joins.

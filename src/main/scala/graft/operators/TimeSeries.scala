@@ -92,8 +92,8 @@ object TimeSeries extends QueryFamily {
 
     // OHLC resample: per (user, day) the first/last/extreme values — the
     // downsampling shape every metrics store serves. first/last are
-    // min_by/max_by on the event time (exact, single-pass; (user_id, ts)
-    // is verified unique at every SF, so the pick is total) — NOT
+    // min_by/max_by on the event time (exact, single-pass; FixtureSchemaSpec
+    // asserts (user_id, ts) is unique, so the pick is total) — NOT
     // first()/last() over a window, whose result depends on row order.
     "q_ts_resample" -> ((s, dir) =>
       Tables(s, dir, "events")

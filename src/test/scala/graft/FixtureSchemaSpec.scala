@@ -41,4 +41,29 @@ class FixtureSchemaSpec extends AnyFunSuite {
     val empty = Tables.names.filter(Tables(spark, sf0001, _).isEmpty)
     assert(empty.isEmpty, s"empty/missing fixture tables: $empty")
   }
+
+  test("(user_id, ts) is unique in events — q_ts_resample's pick totality") {
+    // q_ts_resample's open/close are min_by/max_by keyed on ts alone; the
+    // pick is total (engine-independent) only while no user has two
+    // events at one timestamp. A regeneration that introduces ties would
+    // silently make the result engine-divergent — fail here instead.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = Tables(spark, s"/root/testdata/$sf", "events")
+      val n = ev.count()
+      val d = ev.select("user_id", "ts").distinct().count()
+      assert(n == d, s"$sf events has $n rows but $d distinct (user_id, ts) " +
+        "— ts ties exist; q_ts_resample needs a value tiebreaker now")
+    }
+  }
+
+  test("all three q_agg_theta event types are present") {
+    // q_agg_theta crosses the click/purchase/error sketch rows; a fixture
+    // regeneration dropping one type would zero the Spark side while the
+    // DuckDB oracle still returns its exact-CTE row — a fixture failure
+    // masquerading as an engine bug. Pin the presence assumption here.
+    val types = Tables(spark, sf0001, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    val missing = Set("click", "purchase", "error") -- types
+    assert(missing.isEmpty, s"event types missing from fixtures: $missing")
+  }
 }

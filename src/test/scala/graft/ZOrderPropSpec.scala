@@ -3,7 +3,6 @@ package graft
 import graft.functions.ZOrder
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalacheck.Gen
 
 /** Bit-level laws of the Morton encoding, checked through the engine
   * (the expressions are evaluated by Spark, not reimplemented here):
@@ -28,8 +27,10 @@ class ZOrderPropSpec extends AnyFunSuite {
   }
 
   test("zval is injective on 16-bit pairs and de-interleaves back to (a, b)") {
-    val pairs = Gen.listOfN(500,
-      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))).sample.get.distinct
+    // seeded Random, not Gen.sample (which may return None and fail the
+    // suite for a reason unrelated to the property under test)
+    val rnd = new scala.util.Random(0x5eed)
+    val pairs = List.fill(500)((rnd.nextLong(65536L), rnd.nextLong(65536L))).distinct
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(pairs.map(p => org.apache.spark.sql.Row(p._1, p._2)), 4),
       org.apache.spark.sql.types.StructType(Seq(
