@@ -75,6 +75,129 @@ object MediaPipeline {
       expr(s"transform(sequence(1, CAST(octet_length(content) AS INT), $k), " +
         s"i -> substr(hex(content), (i - 1) * 2 + 1, 2))"))
 
+  // ---- Header-format stage: REAL byte-level parsing (no stub) --------
+  //
+  // The fixture set ships no media payloads, so the blobs are synthesized
+  // — but with REAL container headers (BMP's BITMAPFILEHEADER +
+  // BITMAPINFOHEADER at the standard offsets; canonical RIFF/WAVE fmt +
+  // data chunks), and the parse stage reads every served field from the
+  // BYTES at those offsets, exactly as a media-lake profiler sniffs
+  // dimensions without decoding pixels. Both engines build and parse in
+  // hex-string space (DuckDB has no blob substring); the Spark side
+  // round-trips through a genuine BinaryType column (unhex -> binary ->
+  // hex) and serves md5 over the canonical hex, so a byte-level
+  // construction divergence fails the hash gate. All ops are codegen'd
+  // built-ins — no UDF in the path.
+
+  /** Little-endian hex of an integer SQL expr, `n` bytes. `div` is the
+    * engine's integer-division operator (Spark `DIV`, DuckDB `//`).
+    */
+  private def leHex(e: String, n: Int, div: String): String =
+    (0 until n).map(i =>
+        s"lpad(hex((($e) $div ${1L << (8 * i)}) % 256), 2, '0')")
+      .mkString("concat(", ", ", ")")
+
+  /** Hex-string expression for the headered blob over (doc_id, text).
+    * Even ids: BMP (width/height derived from the id); odd ids: WAV
+    * (sample rate/channels derived from the id); payload = utf-8 text.
+    */
+  private def headeredHex(div: String, payloadHex: String): String = {
+    def le(e: String, n: Int) = leHex(e, n, div)
+    val L = "__len"
+    val bmp = Seq(
+      "'424D'",                      // "BM"
+      le(s"54 + $L", 4),             // file size
+      "'00000000'", le("54", 4),     // reserved, pixel offset
+      le("40", 4),                   // DIB header size
+      le("16 + doc_id % 1000", 4),   // width
+      le(s"16 + (doc_id * 7) % 1000", 4), // height
+      le("1", 2), le("24", 2),       // planes, bpp
+      le("0", 4), le(L, 4),          // compression, image size
+      le("2835", 4), le("2835", 4),  // x/y pixels-per-metre
+      le("0", 4), le("0", 4),        // palette sizes
+      payloadHex).mkString("concat(", ", ", ")")
+    val rate = "8000 * (1 + doc_id % 5)"
+    val ch = s"1 + (doc_id $div 3) % 2"
+    val wav = Seq(
+      "'52494646'",                  // "RIFF"
+      le(s"36 + $L", 4),             // chunk size
+      "'57415645'", "'666D7420'",    // "WAVE", "fmt "
+      le("16", 4), le("1", 2),       // fmt size, PCM
+      le(ch, 2), le(rate, 4),        // channels, sample rate
+      le(s"($rate) * ($ch) * 2", 4), // byte rate
+      le(s"($ch) * 2", 2), le("16", 2), // block align, bits
+      "'64617461'", le(L, 4),        // "data", data length
+      payloadHex).mkString("concat(", ", ", ")")
+    s"CASE WHEN doc_id % 2 = 0 THEN $bmp ELSE $wav END"
+  }
+
+  /** Spark construction: the hex expr materialized into a real binary
+    * column — (media_id, content). The parse stage must recover
+    * everything else from `content` alone.
+    */
+  def headeredBlobs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "octet_length(text) AS __len",
+        "hex(encode(text, 'UTF-8')) AS __payload")
+      .selectExpr("doc_id AS media_id",
+        s"unhex(${headeredHex("DIV", "__payload")}) AS content")
+
+  /** Little-endian field parse out of hex string `h` at 1-based BYTE
+    * offset `off`, `n` bytes; `toInt` wraps the big-endian hex digits
+    * into the engine's hex->int form.
+    */
+  private def leParse(h: String, off: Int, n: Int, toInt: String => String): String =
+    toInt((n - 1 to 0 by -1).map(i =>
+        s"substr($h, ${(off - 1 + i) * 2 + 1}, 2)")
+      .mkString("concat(", ", ", ")"))
+
+  private def sparkInt(hexDigits: String): String =
+    s"CAST(conv($hexDigits, 16, 10) AS BIGINT)"
+  private def duckInt(hexDigits: String): String =
+    s"CAST(concat('0x', $hexDigits) AS BIGINT)"
+
+  /** The parsed-header projection over a hex-string column `h` plus a
+    * byte-length expr — shared shape of the Spark query and the DuckDB
+    * oracle so the two parsers cannot drift.
+    */
+  private def parseCols(h: String, nBytes: String,
+      toInt: String => String): Seq[String] = {
+    def f(off: Int, n: Int) = leParse(h, off, n, toInt)
+    val isBmp = s"substr($h, 1, 4) = '424D'"
+    val isWav = s"substr($h, 1, 8) = '52494646'"
+    Seq(
+      s"CASE WHEN $isBmp THEN 'image' WHEN $isWav THEN 'audio' END AS kind",
+      s"$nBytes AS n_bytes",
+      s"md5($h) AS blob_md5",
+      s"CASE WHEN $isBmp THEN ${f(19, 4)} END AS width",
+      s"CASE WHEN $isBmp THEN ${f(23, 4)} END AS height",
+      s"CASE WHEN $isBmp THEN ${f(29, 2)} END AS bpp",
+      s"CASE WHEN $isWav THEN ${f(25, 4)} END AS sample_rate",
+      s"CASE WHEN $isWav THEN ${f(23, 2)} END AS channels",
+      s"CASE WHEN $isWav THEN (${f(41, 4)}) * 1000 DIV (${f(29, 4)}) END AS duration_ms")
+  }
+
+  /** The header-profile query: construct -> binary -> parse-from-bytes. */
+  def headerProfile(spark: SparkSession, sfDir: String): DataFrame =
+    headeredBlobs(spark, sfDir)
+      .selectExpr("media_id", "hex(content) AS __h",
+        "CAST(octet_length(content) AS BIGINT) AS __n")
+      .selectExpr("media_id" +: parseCols("__h", "__n", sparkInt): _*)
+      .orderBy("media_id")
+
+  /** The DuckDB oracle: identical construct + parse, through a real BLOB
+    * (unhex -> hex) so the round trip is certified on both engines.
+    */
+  def headerOracleSql: String = {
+    val hexExpr = headeredHex("//", "hex(encode(text))")
+    val cols = parseCols("h", "CAST(octet_length(unhex(h)) AS BIGINT)", duckInt)
+      .map(_.replace(" DIV ", " // "))
+    s"WITH b AS (SELECT doc_id AS media_id, " +
+      s"hex(unhex($hexExpr)) AS h FROM (SELECT doc_id, text, " +
+      s"octet_length(encode(text)) AS __len FROM documents)) " +
+      s"SELECT media_id, ${cols.mkString(", ")} FROM b ORDER BY media_id"
+  }
+
   /** Full pipeline: decode -> resize -> sample -> per-kind feature stats. */
   def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val staged = frameSample(resize(withFeatures(mediaFrame(spark, sfDir))), 16)

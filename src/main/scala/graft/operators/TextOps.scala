@@ -325,6 +325,19 @@ object TextOps extends QueryFamily {
         "md5(text) AS content_md5",
         "base64(encode(substr(text, 1, 9), 'UTF-8')) AS b64_head")
         .orderBy("doc_id")),
+
+    // Header parsing from BYTES: blobs with real BMP / RIFF-WAVE
+    // container headers (synthesized — the container ships no codecs),
+    // and every served field (kind sniffed from the magic, dimensions,
+    // bpp, sample rate, channels, duration) little-endian-decoded from
+    // the standard byte offsets of a genuine BinaryType column — the
+    // media-lake profile pass that reads header row-groups without
+    // decoding payloads. Codegen'd built-ins only (substr/conv/hex);
+    // the oracle re-runs the identical construct+parse through a DuckDB
+    // BLOB, and md5 over the canonical hex certifies the round trip
+    // byte-for-byte. See multimodal/MediaPipeline.scala.
+    "q_multimodal_header" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.headerProfile(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -464,5 +477,7 @@ object TextOps extends QueryFamily {
       "md5(text) AS content_md5, " +
       "to_base64(encode(substr(text, 1, 9))) AS b64_head " +
       "FROM documents ORDER BY doc_id"),
+
+    "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
   )
 }

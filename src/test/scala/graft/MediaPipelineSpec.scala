@@ -34,4 +34,37 @@ class MediaPipelineSpec extends AnyFunSuite {
     val b = MediaPipeline.pipeline(spark, sf0001).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("header parse inverts header construction — every field, from bytes") {
+    // The oracle certifies Spark==DuckDB; this certifies the parse reads
+    // the INTENDED values back out of the byte offsets (construct and
+    // parse could agree on a shared mistake — the arithmetic ground
+    // truth here cannot).
+    val rows = MediaPipeline.headerProfile(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val texts = Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "CAST(octet_length(text) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val len = texts(id)
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("kind") == "image", r.toString)
+        assert(r.getAs[Long]("width") == 16 + id % 1000, r.toString)
+        assert(r.getAs[Long]("height") == 16 + (id * 7) % 1000, r.toString)
+        assert(r.getAs[Long]("bpp") == 24, r.toString)
+        assert(r.getAs[Long]("n_bytes") == 54 + len, r.toString)
+        assert(r.isNullAt(r.fieldIndex("sample_rate")), r.toString)
+      } else {
+        val rate = 8000 * (1 + id % 5)
+        val ch = 1 + (id / 3) % 2
+        assert(r.getAs[String]("kind") == "audio", r.toString)
+        assert(r.getAs[Long]("sample_rate") == rate, r.toString)
+        assert(r.getAs[Long]("channels") == ch, r.toString)
+        assert(r.getAs[Long]("duration_ms") == len * 1000 / (rate * ch * 2), r.toString)
+        assert(r.getAs[Long]("n_bytes") == 44 + len, r.toString)
+        assert(r.isNullAt(r.fieldIndex("width")), r.toString)
+      }
+    }
+  }
 }
