@@ -104,6 +104,31 @@ object Subqueries extends QueryFamily {
       "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
       "ORDER BY total DESC, o_orderkey LIMIT 100"
 
+  /** TPC-H Q17 (small-quantity-order revenue): the CORRELATED AVG
+    * scalar subquery — each lineitem row compares against the average
+    * quantity OF ITS OWN PART. Catalyst decorrelates
+    * (RewriteCorrelatedScalarSubquery) into one per-part aggregate of
+    * lineitem joined back on l_partkey — the whole threshold table is
+    * computed once and shuffle-joined, never re-aggregated per row
+    * (PlanSpec pins the decorrelation). Fixture part has no
+    * p_container, so the selective dim filter is p_size; the final
+    * output groups by brand rather than Q17's single global row for a
+    * stronger hash surface. Threshold determinism: exact decimal sum
+    * cast to double (raw units << 2^53), one IEEE divide and multiply —
+    * bit-identical in both engines, so the comparison cut is too.
+    */
+  private val tpch17Sql =
+    "SELECT p_brand, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 " +
+      "AS avg_yearly, " +
+      "count(*) AS n_lines " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_size <= 20 " +
+      "AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * " +
+      "(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)) " +
+      "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
+      "GROUP BY p_brand ORDER BY p_brand"
+
   /** TPC-H Q7 (volume shipping): the DISJUNCTIVE join-pair predicate —
     * ((n1=A and n2=B) or (n1=B and n2=A)) — can't be pushed into either
     * single-table scan; Catalyst keeps it as a join residual on the two
@@ -182,6 +207,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch5" -> (sql(tpch5Sql) _),
     "q_sql_tpch10" -> (sql(tpch10Sql) _),
     "q_sql_tpch18" -> (sql(tpch18Sql) _),
+    "q_sql_tpch17" -> (sql(tpch17Sql) _),
     "q_sql_tpch7" -> (sql(tpch7Sql) _),
     "q_sql_tpch14" -> (sql(tpch14Sql) _),
     "q_sql_tpch8" -> (sql(tpch8Sql) _),
@@ -196,6 +222,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch5" -> tpch5Sql,
     "q_sql_tpch10" -> tpch10Sql,
     "q_sql_tpch18" -> tpch18Sql,
+    "q_sql_tpch17" -> tpch17Sql,
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch14" -> tpch14Sql,
     "q_sql_tpch8" -> tpch8Sql,

@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
     val p18 = plan("q_sql_tpch18")
     assert(p18.contains("TakeOrderedAndProject"), p18.take(2000))
     assert(!p18.toLowerCase.contains("cartesianproduct"), p18.take(2000))
+    // Q17: the correlated avg subquery must DECORRELATE — one per-part
+    // aggregate of lineitem joined back on l_partkey, no scalar-subquery
+    // node re-executing per outer row
+    val p17 = plan("q_sql_tpch17")
+    assert(!p17.contains("ScalarSubquery"), p17.take(3000))
+    assert("HashAggregate".r.findAllIn(p17).size >= 2, p17.take(2000))
+    assert(!p17.toLowerCase.contains("cartesianproduct"), p17.take(2000))
   }
 
   test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
