@@ -690,6 +690,44 @@ object Dedup extends QueryFamily {
         .select(col("canonical_id"), md5(col("text")).as("fp"), col("n_copies"))
         .orderBy("canonical_id")),
 
+    // Shared-substring fingerprint dedup — the character-level metric
+    // token-set Jaccard misses (reordered paragraphs, inserted
+    // boilerplate around a verbatim core): doc pairs sharing >= 3
+    // content-defined fingerprints, where a fingerprint is a sampled
+    // 24-char-gram hash. Sampling is 0-mod-p on the HASH VALUE (Broder/
+    // Heintze fingerprinting, the winnowing family): selection depends
+    // on content alone, so two docs sharing a substring select the SAME
+    // grams regardless of where the substring sits in each doc —
+    // stride/offset sampling would miss misaligned copies. A shared
+    // substring of length ~K + p*minShared is detected with high
+    // probability (it contributes ~(L-K+1)/p sampled grams). Fingerprints
+    // seen in > 64 docs are dropped before pairing — the boilerplate/skew
+    // guard: a corpus-wide header would otherwise fan out df^2 pairs.
+    // Scale shape: per-doc gram hashing is map-side (a real deployment
+    // swaps the md5 k-gram for an O(1)-per-position polynomial rolling
+    // hash — the plan is unchanged); candidates shuffle once on the
+    // fingerprint, pairs aggregate once. Never a corpus self-join.
+    "q_dedup_substring" -> ((s, dir) => {
+      val (k, p, minShared, maxDf) = (24, 8, 3, 64)
+      val g = Tables(s, dir, "documents")
+        .where(length(col("text")) >= k)
+        .selectExpr("doc_id", "lang",
+          s"explode(transform(sequence(1, length(text) - ${k - 1}), " +
+            s"i -> ${hs(s"substr(text, i, $k)")})) AS h")
+        .distinct()
+      val fp = g.where(col("h") % p === 0)
+      val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("h")
+      val kept = fp.join(keep.hint("shuffle_hash"), "h")
+      val a = kept.select(col("doc_id").as("doc_a"), col("lang"), col("h"))
+      val b = kept.select(col("doc_id").as("doc_b"), col("lang"), col("h"))
+      a.join(b.hint("shuffle_hash"), Seq("lang", "h"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
     // blocks. Candidates from the adaptive generator (candidatePairs:
     // prefix filtering on Zipfian vocab, size-pruned block join on
@@ -1225,6 +1263,20 @@ object Dedup extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT min(doc_id) AS canonical_id, md5(text) AS fp, " +
       "count(*) AS n_copies FROM documents GROUP BY text ORDER BY canonical_id"),
+
+    // identical gram hash, 0-mod-p cut, df cap, and pair threshold
+    "q_dedup_substring" -> ("WITH g AS (SELECT DISTINCT doc_id, lang, " +
+      s"${hd("sub")} AS h FROM (SELECT doc_id, lang, " +
+      "unnest(list_transform(range(1, length(text) - 24 + 2), " +
+      "i -> substr(text, i, 24))) AS sub " +
+      "FROM documents WHERE length(text) >= 24)), " +
+      "fp AS (SELECT * FROM g WHERE h % 8 = 0), " +
+      "keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 64), " +
+      "k AS (SELECT fp.* FROM fp JOIN keep USING (h)) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared " +
+      "FROM k a JOIN k b ON a.lang = b.lang AND a.h = b.h " +
+      "AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b"),
 
     "q_dedup_near" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
       "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +

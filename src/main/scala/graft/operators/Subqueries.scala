@@ -129,6 +129,34 @@ object Subqueries extends QueryFamily {
       "FROM lineitem l2 WHERE l2.l_partkey = p_partkey) " +
       "GROUP BY p_brand ORDER BY p_brand"
 
+  /** TPC-H Q20 (potential part promotion), adapted to the fixture schema
+    * (no partsupp table — lineitem plays the supply-history role): the
+    * NESTED-IN + correlated-HAVING shape. The inner query groups supply
+    * history by (supplier, part), keeps only parts whose name matches,
+    * and its HAVING compares the group's quantity against TWO correlated
+    * scalar subqueries over the same correlation key (the part's
+    * distinct-supplier count and total quantity) — "suppliers shipping
+    * more than twice a matched part's per-supplier average". A relative
+    * threshold, so the query stays selective at every SF where Q20's
+    * absolute 0.5x cut would go empty as supplier counts grow. All
+    * comparisons are exact decimal*integer — no double boundary.
+    * Catalyst: the IN becomes a left semi join, the two correlated
+    * aggregates decorrelate (and merge) into per-part aggregate joins.
+    */
+  private val tpch20Sql =
+    "SELECT s_suppkey, s_name, n_name " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE s_suppkey IN (" +
+      "SELECT l_suppkey FROM lineitem l2 " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') " +
+      "GROUP BY l_suppkey, l_partkey " +
+      "HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) * " +
+      "(SELECT count(DISTINCT l_suppkey) FROM lineitem l3 " +
+      "WHERE l3.l_partkey = l2.l_partkey) " +
+      "> 2 * (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l4 " +
+      "WHERE l4.l_partkey = l2.l_partkey)) " +
+      "ORDER BY s_suppkey"
+
   /** TPC-H Q7 (volume shipping): the DISJUNCTIVE join-pair predicate —
     * ((n1=A and n2=B) or (n1=B and n2=A)) — can't be pushed into either
     * single-table scan; Catalyst keeps it as a join residual on the two
@@ -208,6 +236,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch10" -> (sql(tpch10Sql) _),
     "q_sql_tpch18" -> (sql(tpch18Sql) _),
     "q_sql_tpch17" -> (sql(tpch17Sql) _),
+    "q_sql_tpch20" -> (sql(tpch20Sql) _),
     "q_sql_tpch7" -> (sql(tpch7Sql) _),
     "q_sql_tpch14" -> (sql(tpch14Sql) _),
     "q_sql_tpch8" -> (sql(tpch8Sql) _),
@@ -223,6 +252,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch10" -> tpch10Sql,
     "q_sql_tpch18" -> tpch18Sql,
     "q_sql_tpch17" -> tpch17Sql,
+    "q_sql_tpch20" -> tpch20Sql,
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch14" -> tpch14Sql,
     "q_sql_tpch8" -> tpch8Sql,
