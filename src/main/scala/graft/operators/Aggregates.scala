@@ -298,6 +298,31 @@ object Aggregates extends QueryFamily {
         .orderBy("o_orderpriority")
     }),
 
+    // Frequent-items (heavy-hitter) sketch — the fourth sketch family
+    // next to hll/theta/kll: corpus token heavy hitters via the custom
+    // TypedImperativeAggregate (functions.FreqSketch, Datasketches
+    // ItemsSketch) whose O(maxMapSize) buffer rides the partial/merge
+    // path where an exact groupBy ships a row per distinct token. The
+    // contract is the q_agg_hllmerge shape: exact counts (the
+    // oracle-checked side) plus the sketch's NO_FALSE_NEGATIVES bounds
+    // containing them — exact below eviction (fixture vocab 31 <<
+    // 0.75 * 64), bounds-true at any scale. The 1-row sketch map
+    // broadcasts onto the top-10 exact rows.
+    "q_agg_freqitems" -> ((s, dir) => {
+      graft.functions.FreqSketch.register(s)
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val fm = toks.agg(expr("freq_sketch(tok, 64)").as("fm"))
+      val hit = element_at(col("fm"), col("tok"))
+      toks.groupBy("tok").agg(count(lit(1)).as("n_occurs"))
+        .orderBy(col("n_occurs").desc, col("tok")).limit(10)
+        .crossJoin(broadcast(fm))
+        .select(col("tok"), col("n_occurs"),
+          (hit.isNotNull && hit.getField("lb") <= col("n_occurs") &&
+            col("n_occurs") <= hit.getField("ub")).as("sketch_ok"))
+        .orderBy(col("n_occurs").desc, col("tok"))
+    }),
+
     // Footer-stats aggregate pushdown: COUNT/MIN/MAX answered from
     // parquet ROW-GROUP METADATA — the scan reads zero data pages
     // (`PushedAggregation` in the plan, required in-query). At 100 TB
@@ -516,6 +541,12 @@ object Aggregates extends QueryFamily {
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS all_total, " +
       "count(*) AS n_orders " +
       "FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // exact top-10 token counts; sketch_ok is the bounds check the
+    // Spark side computes from the sketch (exact below eviction)
+    "q_agg_freqitems" -> ("SELECT tok, count(*) AS n_occurs, true AS sketch_ok " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "GROUP BY tok ORDER BY n_occurs DESC, tok LIMIT 10"),
 
     "q_agg_footerstats" -> ("SELECT count(*) AS n_rows, " +
       "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, " +
