@@ -54,7 +54,7 @@ object ViewQueries extends QueryFamily {
   // identityHashCode — same rationale as GraphOps.builtGraphs: a hash
   // collision between two sessions in one JVM would hand session B the
   // folded state owned by (possibly stopped) session A.
-  private val sharedStates =
+  private[graft] val sharedStates =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
 
   private def sharedFold(s: SparkSession, dir: String,

@@ -180,6 +180,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("q_dedup_substring never broadcasts: fingerprint join + pair agg only") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("BroadcastExchange"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_agg_freqitems: sketch rides an object aggregate; 1-row map broadcasts") {
+    val p = plan("q_agg_freqitems")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
   test("q_scan_partitioned prunes partitions on the lang predicate") {
     val df = SparkEntry.queries("q_scan_partitioned")(spark, sf0001)
     df.collect()
