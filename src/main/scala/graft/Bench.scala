@@ -32,7 +32,17 @@ object Bench {
     // query completes in ~0.05 s and silently shrinks the workload —
     // round-11 verdict item 3): failures are recorded by name+exception
     // and reported in both the detail file and the printed line.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // for adjudicating a flagged per-query regression on a settled box
+    // without paying the full-suite wall clock. Unknown names fail loud
+    // (a typo must not silently time an empty set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    only.foreach { sel =>
+      val unknown = sel.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+    }
+    val names = only.getOrElse(SparkEntry.queries.keys.toSeq).sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = names.map { name =>
       name -> (1 to runs).map { _ =>
@@ -78,8 +88,12 @@ object Bench {
     // project root) and never let an IO failure discard the timings the
     // run just spent minutes computing — the printed line below is the
     // contract, the detail file is best-effort.
+    // A filtered (ONLY) run must not clobber the full-suite detail file —
+    // it is the idle per-query reference for round-over-round regression
+    // checks; partial timings land in a sibling file instead.
     val detailPath = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "BENCH_DETAIL.json")
+      sys.props.getOrElse("user.dir", "."),
+      if (only.isDefined) "BENCH_DETAIL_ONLY.json" else "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(detailPath,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
