@@ -39,6 +39,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     only.foreach { sel =>
+      // an empty selection ("" or only commas) would pass the unknown-name
+      // check vacuously and silently time zero queries — same fail-loud
+      // rule as a typo
+      require(sel.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
       val unknown = sel.filterNot(SparkEntry.queries.contains)
       require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
     }

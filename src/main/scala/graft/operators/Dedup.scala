@@ -46,6 +46,20 @@ object Dedup extends QueryFamily {
   private def hd(e: String) =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB-side k-gram polynomial hash of a k-char string `g` — the sum
+    * form of RollingKgramHash's definition, evaluated in HUGEINT so the
+    * un-reduced sum (< 2^87 for k = 24) never overflows. The coefficient
+    * constants come from RollingKgramHash.powers, the same computation
+    * the Spark expression uses: one source of truth for both engines.
+    */
+  private def rollDuck(g: String, k: Int): String = {
+    val pw = graft.functions.RollingKgramHash.powers(k)
+    val terms = (0 until k).map(j =>
+      s"(CAST(unicode(substr($g, ${j + 1}, 1)) AS HUGEINT) + 1) * ${pw(j)}")
+      .mkString(" + ")
+    s"CAST(($terms) % ${graft.functions.RollingKgramHash.M} AS BIGINT)"
+  }
+
   /** Distinct token set of `text`, hash-encoded to sorted 60-bit codes.
     * H is injective on any real vocabulary with overwhelming probability
     * (~1e-9 collision odds at a 10^5 vocab; the hash gate would catch
@@ -724,19 +738,25 @@ object Dedup extends QueryFamily {
     // probability (it contributes ~(L-K+1)/p sampled grams). Fingerprints
     // seen in > 64 docs are dropped before pairing — the boilerplate/skew
     // guard: a corpus-wide header would otherwise fan out df^2 pairs.
-    // Scale shape: per-doc gram hashing is map-side (a real deployment
-    // swaps the md5 k-gram for an O(1)-per-position polynomial rolling
-    // hash — the plan is unchanged); candidates shuffle once on the
-    // fingerprint, pairs aggregate once. Never a corpus self-join.
+    // Scale shape: per-doc gram hashing is map-side and O(1) PER
+    // POSITION — the native rolling-hash expression (functions.
+    // RollingKgramHash, Rabin-Karp polynomial mod 2^61-1) replaces the
+    // earlier md5-per-position form at ~1/k the work, and the oracle
+    // evaluates the identical polynomial in 128-bit SQL arithmetic;
+    // candidates shuffle once on the fingerprint, pairs aggregate once.
+    // Never a corpus self-join.
     "q_dedup_substring" -> ((s, dir) => {
+      graft.functions.RollingKgramHash.register(s)
       val (k, p, minShared, maxDf) = (24, 8, 3, 64)
-      val g = Tables(s, dir, "documents")
+      // h % p filter BEFORE the distinct: the predicate is on h alone, so
+      // distinct-then-filter == filter-then-distinct, and the dedup
+      // shuffle moves 1/p of the grams instead of all of them
+      val fp = Tables(s, dir, "documents")
         .where(length(col("text")) >= k)
         .selectExpr("doc_id", "lang",
-          s"explode(transform(sequence(1, length(text) - ${k - 1}), " +
-            s"i -> ${hs(s"substr(text, i, $k)")})) AS h")
+          s"explode(rolling_kgram_hash(text, $k)) AS h")
+        .where(col("h") % p === 0)
         .distinct()
-      val fp = g.where(col("h") % p === 0)
       val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf).select("h")
       val kept = fp.join(keep.hint("shuffle_hash"), "h")
@@ -1285,9 +1305,10 @@ object Dedup extends QueryFamily {
     "q_dedup_exact" -> ("SELECT min(doc_id) AS canonical_id, md5(text) AS fp, " +
       "count(*) AS n_copies FROM documents GROUP BY text ORDER BY canonical_id"),
 
-    // identical gram hash, 0-mod-p cut, df cap, and pair threshold
+    // identical gram hash (the RollingKgramHash polynomial, sum form in
+    // HUGEINT), 0-mod-p cut, df cap, and pair threshold
     "q_dedup_substring" -> ("WITH g AS (SELECT DISTINCT doc_id, lang, " +
-      s"${hd("sub")} AS h FROM (SELECT doc_id, lang, " +
+      s"${rollDuck("sub", 24)} AS h FROM (SELECT doc_id, lang, " +
       "unnest(list_transform(range(1, length(text) - 24 + 2), " +
       "i -> substr(text, i, 24))) AS sub " +
       "FROM documents WHERE length(text) >= 24)), " +
