@@ -31,9 +31,10 @@ object Tables {
 
   // Keyed on the SparkSession OBJECT (identity equality), not its
   // identityHashCode — a hash collision between two sessions in one JVM
-  // would skip registration against the new session's catalog.
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // would skip registration against the new session's catalog. Stopped /
+  // overflowing sessions are evicted by SessionMemo (re-registering
+  // against a fresh session is cheap and idempotent).
+  private val registeredDir = new SessionMemo[SparkSession, String](identity)
 
   /** Register all fixtures as temp views (for SQL-string entry points).
     * Idempotent per (session, dir): several SQL-entry queries call this
@@ -41,7 +42,7 @@ object Tables {
     * costs more than the queries themselves.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (registeredDir.get(spark) != sfDir) {
+    if (!registeredDir.get(spark).contains(sfDir)) {
       names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
       registeredDir.put(spark, sfDir)
     }

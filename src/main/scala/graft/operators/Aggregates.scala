@@ -313,7 +313,11 @@ object Aggregates extends QueryFamily {
       val toks = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
       val fm = toks.agg(expr("freq_sketch(tok, 64)").as("fm"))
-      val hit = element_at(col("fm"), col("tok"))
+      // try_element_at, not element_at: under ANSI mode a token evicted
+      // from the sketch map (possible once the corpus vocab exceeds the
+      // eviction threshold — the regime this query exists for) must yield
+      // null and flow to sketch_ok=false, not crash the query
+      val hit = expr("try_element_at(fm, tok)")
       toks.groupBy("tok").agg(count(lit(1)).as("n_occurs"))
         .orderBy(col("n_occurs").desc, col("tok")).limit(10)
         .crossJoin(broadcast(fm))

@@ -587,11 +587,11 @@ object Dedup extends QueryFamily {
   // Everything the generators need derives from it without touching the
   // corpus again: the full postings explode its arrays, the token
   // arrays re-sort them lexically.
-  private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val postingsMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](_._1)
 
   private def rarestOrdered(s: SparkSession, dir: String): DataFrame =
-    postingsMemo.computeIfAbsent((s, dir), _ => {
+    postingsMemo.getOrBuild((s, dir))(_ => {
       val tok = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("t"))

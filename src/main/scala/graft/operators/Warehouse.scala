@@ -42,15 +42,16 @@ object Warehouse extends QueryFamily {
   // Keyed on the SparkSession OBJECT, not identityHashCode — see
   // GraphOps.builtGraphs: a hash collision would make a new session skip
   // a layout write and read another (possibly stopped) session's state.
-  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+  // SessionMemo evicts stopped/overflow sessions; an evicted entry just
+  // means the (idempotent, overwrite-mode) layout write re-runs.
+  private val written =
+    new graft.SessionMemo[(SparkSession, String, String), Unit](_._1)
 
-  /** Run `body` once per (session, dir, tag); later calls are no-ops. */
-  private def once(s: SparkSession, dir: String, tag: String)(body: => Unit): Unit = {
-    val key = (s, dir, tag)
-    if (!written.contains(key)) written.synchronized {
-      if (!written.contains(key)) { body; written.add(key) }
-    }
-  }
+  /** Run `body` once per (session, dir, tag); later calls are no-ops.
+    * computeIfAbsent under SessionMemo serializes the one build, same as
+    * the double-checked lock it replaces. */
+  private def once(s: SparkSession, dir: String, tag: String)(body: => Unit): Unit =
+    written.getOrBuild((s, dir, tag))(_ => body)
 
   // Per-JVM root (like GraftSession's metastore dir): `once` memoizes per
   // process, so two concurrent drivers (Verify + Bench, parallel test

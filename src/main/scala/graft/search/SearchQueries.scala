@@ -41,11 +41,11 @@ object SearchQueries extends QueryFamily {
   // Keyed on the SparkSession OBJECT, not identityHashCode — see
   // GraphOps.builtGraphs for why the hash scheme is collision-unsafe.
   private val sharedRoots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new graft.SessionMemo[(SparkSession, String), String](_._1)
 
   private def sharedIndex(s: SparkSession, dir: String): String =
-    sharedRoots.computeIfAbsent(
-      (s, dir), _ => {
+    sharedRoots.getOrBuild(
+      (s, dir))(_ => {
         val root = graft.Scratch.freshRoot("q_search_shared")
         InvertedIndex.build(s, root, docs(s, dir))
         root

@@ -55,12 +55,12 @@ object ViewQueries extends QueryFamily {
   // collision between two sessions in one JVM would hand session B the
   // folded state owned by (possibly stopped) session A.
   private[graft] val sharedStates =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+    new graft.SessionMemo[(SparkSession, String, String), String](_._1)
 
   private def sharedFold(s: SparkSession, dir: String,
       keys: Seq[String]): String =
-    sharedStates.computeIfAbsent(
-      (s, dir, keys.mkString(",")), _ => {
+    sharedStates.getOrBuild(
+      (s, dir, keys.mkString(",")))(_ => {
         val root = graft.Scratch.freshRoot("q_view_shared")
         val o = ordersSrc(s, dir)
         val v = IncrementalView.ViewDef(keys, "total")
