@@ -157,6 +157,55 @@ object Subqueries extends QueryFamily {
       "WHERE l4.l_partkey = l2.l_partkey)) " +
       "ORDER BY s_suppkey"
 
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    * fixture schema (no l_receiptdate/l_commitdate — "late" becomes
+    * l_shipdate > o_orderdate + 60 days, the fixture's median ship lag,
+    * correlating the inner existentials on BOTH l1.l_orderkey and the
+    * outer order's o_orderdate): the hardest classic decorrelation —
+    * chained EXISTS + NOT-EXISTS against the SAME fact table. "The
+    * supplier whose line was the ONLY late one on a multi-supplier
+    * finished order": EXISTS(another supplier's line on the order) AND
+    * NOT EXISTS(another supplier's LATE line). Catalyst plans the pair
+    * as one left-semi and one left-anti join of lineitem against itself
+    * on l_orderkey — two shuffles of the fact, zero per-outer-row
+    * re-execution, no cartesian (PlanSpec pins all three). s_name is
+    * unique per supplier so the (numwait DESC, s_name) top-20 cut is a
+    * total order.
+    */
+  private val tpch21Sql =
+    "SELECT s_name, count(*) AS numwait " +
+      "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+      "JOIN orders ON o_orderkey = l1.l_orderkey " +
+      "WHERE o_orderstatus = 'F' " +
+      "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+      "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+      "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+      "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
+
+  /** TPC-H Q22 (global sales opportunity), adapted (no c_phone — the
+    * country code comes from the real nation dim; "no recent orders"
+    * replaces "no orders ever", which the fixture's active customers
+    * would make empty): an UNCORRELATED scalar subquery (the global
+    * positive-balance average — computed once, broadcast as a literal
+    * into the filter) plus a NOT-EXISTS anti join against orders.
+    * Decimal discipline: the average is an exact decimal sum divided
+    * once in double (the Q17 pattern), so the threshold — and with it
+    * the selected set — is bit-identical across engines; the output sum
+    * aggregates decimals and casts at the boundary.
+    */
+  private val tpch22Sql =
+    "SELECT n_name AS cntry, count(*) AS numcust, " +
+      "CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) " +
+      "AS DOUBLE) / count(*) FROM customer WHERE c_acctbal > 0.0) " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+      "AND o_orderdate >= TIMESTAMP '2000-06-01') " +
+      "GROUP BY n_name ORDER BY n_name"
+
   /** TPC-H Q7 (volume shipping): the DISJUNCTIVE join-pair predicate —
     * ((n1=A and n2=B) or (n1=B and n2=A)) — can't be pushed into either
     * single-table scan; Catalyst keeps it as a join residual on the two
@@ -240,6 +289,8 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch7" -> (sql(tpch7Sql) _),
     "q_sql_tpch14" -> (sql(tpch14Sql) _),
     "q_sql_tpch8" -> (sql(tpch8Sql) _),
+    "q_sql_tpch21" -> (sql(tpch21Sql) _),
+    "q_sql_tpch22" -> (sql(tpch22Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -256,5 +307,7 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch7" -> tpch7Sql,
     "q_sql_tpch14" -> tpch14Sql,
     "q_sql_tpch8" -> tpch8Sql,
+    "q_sql_tpch21" -> tpch21Sql,
+    "q_sql_tpch22" -> tpch22Sql,
   )
 }

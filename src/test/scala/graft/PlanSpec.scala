@@ -64,6 +64,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p17.toLowerCase.contains("cartesianproduct"), p17.take(2000))
   }
 
+  test("TPC-H Q20-Q22 decorrelate into joins (no per-outer-row re-execution)") {
+    // Q20: the nested IN plans as a LEFT SEMI join of supplier against
+    // the aggregated supply history, and the two correlated HAVING
+    // scalars (per-part distinct-supplier count, per-part total
+    // quantity) become per-part aggregate joins — each a two-phase
+    // HashAggregate computed ONCE over lineitem, never re-run per outer
+    // row; nothing degenerates to a cartesian product
+    val p20 = plan("q_sql_tpch20")
+    assert(p20.contains("LeftSemi"), p20.take(3000))
+    assert("HashAggregate".r.findAllIn(p20).size >= 4,
+      s"expected the decorrelated per-part aggregates:\n${p20.take(3000)}")
+    assert(!p20.toLowerCase.contains("cartesianproduct"), p20.take(3000))
+    // Q21: chained EXISTS + NOT EXISTS against the same fact decorrelate
+    // into one LeftSemi and one LeftAnti join of lineitem against itself
+    // on l_orderkey (the non-equi "other supplier / late" conditions ride
+    // as join residuals); the top-20 cut stays TakeOrderedAndProject
+    val p21 = plan("q_sql_tpch21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21.take(3000))
+    assert(!p21.toLowerCase.contains("cartesianproduct"), p21.take(3000))
+    assert(p21.contains("TakeOrderedAndProject"), p21.take(3000))
+    // Q22: the uncorrelated global-average scalar stays a ONE-shot
+    // single-partition subquery feeding the customer filter (no join,
+    // no re-execution), and the NOT EXISTS is a LeftAnti against orders
+    val p22 = plan("q_sql_tpch22")
+    assert(p22.contains("LeftAnti"), p22.take(3000))
+    assert(p22.contains("Subquery"), p22.take(3000))
+    assert(!p22.toLowerCase.contains("cartesianproduct"), p22.take(3000))
+  }
+
   test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
     val p = plan("q_win_funnel")
     // the three chained conditional MINs and the final per-user collapse
