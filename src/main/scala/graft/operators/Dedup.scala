@@ -1237,6 +1237,55 @@ object Dedup extends QueryFamily {
           col("vec_id").as("neighbor_id"), col("score"))
         .orderBy("probe_id", "rank")
     }),
+
+    // ANN quality gate: recall@5 of the three approximate paths against
+    // the exact answer, oracle-checked as integer hit counts. For each
+    // fixture probe, the exact cosine top-5 (q_sim_topk's ranking) is
+    // intersected with each method's CANDIDATE set — LSH: same sign-LSH
+    // bucket (the fixture 4-plane fan-out, identical literals in both
+    // engines); IVF: same coarse label; MRL: the 16-dim-prefix coarse
+    // top-64. Deterministic because every score is the shared
+    // round(·,4)+id-tiebreak total order the sim family already pins.
+    // One candidates×probes pass computes BOTH rankings: the exact and
+    // coarse windows share the probe_id partition, so the whole query is
+    // one broadcast cross join + one shuffle. The recall floors
+    // themselves are pinned in SimRecallSpec; the oracle pins the
+    // arithmetic.
+    "q_sim_recall" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val bucket = lshBucketExpr(j => s"element_at(v, $j)", 4)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+        .withColumn("bucket", expr(bucket))
+        .withColumn("p16", slice(col("v"), 1, 16))
+        .withColumn("norm16", expr("sqrt(vec_dot(p16, p16))"))
+      val probes = e.where(col("vec_id") < 10).select(
+        col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("bucket").as("pbucket"), col("v").as("pv"), col("norm").as("pnorm"),
+        col("p16").as("pp16"), col("norm16").as("pnorm16"))
+      val wExact = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val wCoarse = Window.partitionBy("probe_id")
+        .orderBy(col("cscore").desc, col("neighbor_id"))
+      e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("label"), col("bucket"),
+          col("v"), col("norm"), col("p16"), col("norm16"))
+        .crossJoin(broadcast(probes))
+        .withColumn("score",
+          round(expr("vec_dot(pv, v)") / (col("pnorm") * col("norm")), 4))
+        .withColumn("cscore",
+          round(expr("vec_dot(pp16, p16)") / (col("pnorm16") * col("norm16")), 4))
+        .withColumn("rank", row_number().over(wExact))
+        .withColumn("crank", row_number().over(wCoarse))
+        .where(col("rank") <= 5)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("bucket") === col("pbucket"), 1L).otherwise(0L)).as("lsh_hits"),
+          sum(when(col("label") === col("plabel"), 1L).otherwise(0L)).as("ivf_hits"),
+          sum(when(col("crank") <= 64, 1L).otherwise(0L)).as("mrl_hits"))
+        .orderBy("probe_id")
+    }),
   )
 
   private val jaccDuck = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
@@ -1463,5 +1512,29 @@ object Dedup extends QueryFamily {
       "FROM embeddings p JOIN embeddings c ON p.label = c.label AND c.vec_id != p.vec_id " +
       "WHERE p.vec_id < 10) " +
       "WHERE rank <= 3 ORDER BY probe_id, rank"),
+
+    // identical exact/coarse rankings (round(·,4) + id tiebreak) and the
+    // identical inlined 4-plane bucket literals; hits are integer counts
+    "q_sim_recall" -> {
+      val bucket = lshBucketExpr(j => s"v[$j]", 4)
+      "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"s AS (SELECT vec_id, label, v, $bucket AS bucket FROM e), " +
+      "pr AS (SELECT * FROM s WHERE vec_id < 10), " +
+      "ca AS (SELECT * FROM s WHERE vec_id >= 10), " +
+      "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "round(list_cosine_similarity(p.v, c.v), 4) AS score, " +
+      "round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 4) AS cscore, " +
+      "(c.bucket = p.bucket) AS lsh_hit, (c.label = p.label) AS ivf_hit " +
+      "FROM pr p, ca c), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id " +
+      "ORDER BY score DESC, neighbor_id) AS rnk, " +
+      "row_number() OVER (PARTITION BY probe_id " +
+      "ORDER BY cscore DESC, neighbor_id) AS crank FROM scored) " +
+      "SELECT probe_id, count(*) AS n_exact, " +
+      "CAST(sum(CASE WHEN lsh_hit THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits, " +
+      "CAST(sum(CASE WHEN ivf_hit THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hits, " +
+      "CAST(sum(CASE WHEN crank <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS mrl_hits " +
+      "FROM rk WHERE rnk <= 5 GROUP BY probe_id ORDER BY probe_id"
+    },
   )
 }

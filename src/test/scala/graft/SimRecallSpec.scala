@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the ANN paths' measured recall@5 at the fixture knobs (r13
+  * verdict item 4). The fixture vectors are isotropic random — the
+  * hardest case for every approximate method (no cluster structure for
+  * IVF's labels, no variance concentration for MRL's prefix, near-
+  * orthogonal everything for sign-LSH) — so the floors are deliberately
+  * the measured-fixture values minus slack, not production targets:
+  * they exist to catch a silent candidate-generation regression (a
+  * wrong bucket expression or prefix slice collapses recall to ~0),
+  * while the oracle on q_sim_recall pins the arithmetic exactly.
+  */
+class SimRecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_sim_recall: candidate recall@5 stays above the fixture floors") {
+    val rows = SparkEntry.queries("q_sim_recall")(spark, sf0001).collect()
+    assert(rows.length == 10, s"expected one row per probe, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 5L), "every probe must have 5 exact neighbors")
+    val lsh = rows.map(_.getLong(2)).sum
+    val ivf = rows.map(_.getLong(3)).sum
+    val mrl = rows.map(_.getLong(4)).sum
+    // measured at sf0.001: lsh 5, ivf 2, mrl 29 (of 50)
+    assert(lsh >= 3, s"LSH candidate recall collapsed: $lsh/50")
+    assert(ivf >= 1, s"IVF candidate recall collapsed: $ivf/50")
+    assert(mrl >= 20, s"MRL coarse recall collapsed: $mrl/50")
+    // and the coarse top-64 can never beat exhaustive search's 50
+    assert(lsh <= 50 && ivf <= 50 && mrl <= 50)
+  }
+}
