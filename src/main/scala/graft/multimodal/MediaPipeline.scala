@@ -97,6 +97,58 @@ object MediaPipeline {
         s"lpad(hex((($e) $div ${1L << (8 * i)}) % 256), 2, '0')")
       .mkString("concat(", ", ", ")")
 
+  /** Big-endian hex of an integer SQL expr, `n` bytes — hex() already
+    * emits big-endian digits, so BE is one lpad (vs leHex's per-byte
+    * shuffle): the whole point of network-byte-order containers.
+    */
+  private def beHex(e: String, n: Int): String =
+    s"lpad(hex($e), ${2 * n}, '0')"
+
+  /** Canonical RIFF/WAVE hex (little-endian fields) over (doc_id, text);
+    * shared by the BMP/WAV and PNG/WAV blob families.
+    */
+  private def wavHex(div: String, payloadHex: String): String = {
+    def le(e: String, n: Int) = leHex(e, n, div)
+    val L = "__len"
+    val rate = "8000 * (1 + doc_id % 5)"
+    val ch = s"1 + (doc_id $div 3) % 2"
+    Seq(
+      "'52494646'",                  // "RIFF"
+      le(s"36 + $L", 4),             // chunk size
+      "'57415645'", "'666D7420'",    // "WAVE", "fmt "
+      le("16", 4), le("1", 2),       // fmt size, PCM
+      le(ch, 2), le(rate, 4),        // channels, sample rate
+      le(s"($rate) * ($ch) * 2", 4), // byte rate
+      le(s"($ch) * 2", 2), le("16", 2), // block align, bits
+      "'64617461'", le(L, 4),        // "data", data length
+      payloadHex).mkString("concat(", ", ", ")")
+  }
+
+  /** Canonical PNG hex (BIG-endian fields — the endianness dual of
+    * BMP/WAV): 8-byte signature, IHDR at the fixed offsets (width BE at
+    * byte 17, height at 21, depth/color/compression/filter/interlace),
+    * one IDAT carrying the payload, and the constant IEND chunk. Chunk
+    * CRCs are zeroed except IEND's spec constant — a header profiler
+    * reads dimensions by offset and never validates checksums, and the
+    * md5-over-bytes gate pins the construction either way.
+    */
+  private def pngHex(payloadHex: String): String = {
+    def be(e: String, n: Int) = beHex(e, n)
+    Seq(
+      "'89504E470D0A1A0A'",            // signature
+      be("13", 4), "'49484452'",       // IHDR length, "IHDR"
+      be("16 + doc_id % 1000", 4),     // width (BE)
+      be(s"16 + (doc_id * 7) % 1000", 4), // height (BE)
+      be("8", 1), be("6", 1),          // bit depth, color type (RGBA)
+      be("0", 1), be("0", 1), be("0", 1), // compression, filter, interlace
+      "'00000000'",                    // IHDR CRC (unvalidated)
+      be("__len", 4), "'49444154'",    // IDAT length (BE), "IDAT"
+      payloadHex,
+      "'00000000'",                    // IDAT CRC (unvalidated)
+      "'0000000049454E44AE426082'"     // IEND + its spec-constant CRC
+    ).mkString("concat(", ", ", ")")
+  }
+
   /** Hex-string expression for the headered blob over (doc_id, text).
     * Even ids: BMP (width/height derived from the id); odd ids: WAV
     * (sample rate/channels derived from the id); payload = utf-8 text.
@@ -116,20 +168,16 @@ object MediaPipeline {
       le("2835", 4), le("2835", 4),  // x/y pixels-per-metre
       le("0", 4), le("0", 4),        // palette sizes
       payloadHex).mkString("concat(", ", ", ")")
-    val rate = "8000 * (1 + doc_id % 5)"
-    val ch = s"1 + (doc_id $div 3) % 2"
-    val wav = Seq(
-      "'52494646'",                  // "RIFF"
-      le(s"36 + $L", 4),             // chunk size
-      "'57415645'", "'666D7420'",    // "WAVE", "fmt "
-      le("16", 4), le("1", 2),       // fmt size, PCM
-      le(ch, 2), le(rate, 4),        // channels, sample rate
-      le(s"($rate) * ($ch) * 2", 4), // byte rate
-      le(s"($ch) * 2", 2), le("16", 2), // block align, bits
-      "'64617461'", le(L, 4),        // "data", data length
-      payloadHex).mkString("concat(", ", ", ")")
+    val wav = wavHex(div, payloadHex)
     s"CASE WHEN doc_id % 2 = 0 THEN $bmp ELSE $wav END"
   }
+
+  /** The mixed-endianness blob family: even ids PNG (big-endian), odd
+    * ids WAV (little-endian) — one column carrying both byte orders.
+    */
+  private def pngWavHex(div: String, payloadHex: String): String =
+    s"CASE WHEN doc_id % 2 = 0 THEN ${pngHex(payloadHex)} " +
+      s"ELSE ${wavHex(div, payloadHex)} END"
 
   /** Spark construction: the hex expr materialized into a real binary
     * column — (media_id, content). The parse stage must recover
@@ -150,6 +198,14 @@ object MediaPipeline {
     toInt((n - 1 to 0 by -1).map(i =>
         s"substr($h, ${(off - 1 + i) * 2 + 1}, 2)")
       .mkString("concat(", ", ", ")"))
+
+  /** Big-endian field parse: the container's digits are already in
+    * wire order, so the field is ONE contiguous hex substring — no
+    * per-byte reassembly (the leParse dual).
+    */
+  private def beParse(h: String, off: Int, n: Int,
+      toInt: String => String): String =
+    toInt(s"substr($h, ${(off - 1) * 2 + 1}, ${2 * n})")
 
   private def sparkInt(hexDigits: String): String =
     s"CAST(conv($hexDigits, 16, 10) AS BIGINT)"
@@ -191,6 +247,56 @@ object MediaPipeline {
   def headerOracleSql: String = {
     val hexExpr = headeredHex("//", "hex(encode(text))")
     val cols = parseCols("h", "CAST(octet_length(unhex(h)) AS BIGINT)", duckInt)
+      .map(_.replace(" DIV ", " // "))
+    s"WITH b AS (SELECT doc_id AS media_id, " +
+      s"hex(unhex($hexExpr)) AS h FROM (SELECT doc_id, text, " +
+      s"octet_length(encode(text)) AS __len FROM documents)) " +
+      s"SELECT media_id, ${cols.mkString(", ")} FROM b ORDER BY media_id"
+  }
+
+  /** Parsed projection for the mixed-endianness family: PNG fields read
+    * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT
+    * length at byte 34), WAV fields little-endian — one projection
+    * exercising both byte orders, shared verbatim with the oracle.
+    */
+  private def pngWavParseCols(h: String, nBytes: String,
+      toInt: String => String): Seq[String] = {
+    def be(off: Int, n: Int) = beParse(h, off, n, toInt)
+    def le(off: Int, n: Int) = leParse(h, off, n, toInt)
+    val isPng = s"substr($h, 1, 16) = '89504E470D0A1A0A'"
+    val isWav = s"substr($h, 1, 8) = '52494646'"
+    Seq(
+      s"CASE WHEN $isPng THEN 'image' WHEN $isWav THEN 'audio' END AS kind",
+      s"$nBytes AS n_bytes",
+      s"md5($h) AS blob_md5",
+      s"CASE WHEN $isPng THEN ${be(17, 4)} END AS width",
+      s"CASE WHEN $isPng THEN ${be(21, 4)} END AS height",
+      s"CASE WHEN $isPng THEN ${be(25, 1)} END AS bit_depth",
+      s"CASE WHEN $isPng THEN ${be(26, 1)} END AS color_type",
+      s"CASE WHEN $isWav THEN ${le(25, 4)} END AS sample_rate",
+      s"CASE WHEN $isWav THEN ${le(23, 2)} END AS channels",
+      s"CASE WHEN $isPng THEN ${be(34, 4)} ELSE ${le(41, 4)} END AS data_len")
+  }
+
+  /** The big-endian header-profile query (r13 verdict item 6):
+    * construct PNG/WAV blobs -> real binary column -> parse every field
+    * back from the bytes, big- and little-endian in one pass.
+    */
+  def pngProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "octet_length(text) AS __len",
+        "hex(encode(text, 'UTF-8')) AS __payload")
+      .selectExpr("doc_id AS media_id",
+        s"unhex(${pngWavHex("DIV", "__payload")}) AS content")
+      .selectExpr("media_id", "hex(content) AS __h",
+        "CAST(octet_length(content) AS BIGINT) AS __n")
+      .selectExpr("media_id" +: pngWavParseCols("__h", "__n", sparkInt): _*)
+      .orderBy("media_id")
+
+  def pngOracleSql: String = {
+    val hexExpr = pngWavHex("//", "hex(encode(text))")
+    val cols = pngWavParseCols("h",
+      "CAST(octet_length(unhex(h)) AS BIGINT)", duckInt)
       .map(_.replace(" DIV ", " // "))
     s"WITH b AS (SELECT doc_id AS media_id, " +
       s"hex(unhex($hexExpr)) AS h FROM (SELECT doc_id, text, " +

@@ -338,6 +338,12 @@ object TextOps extends QueryFamily {
     // byte-for-byte. See multimodal/MediaPipeline.scala.
     "q_multimodal_header" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.headerProfile(s, dir)),
+
+    // the endianness dual of q_multimodal_header: PNG's IHDR/IDAT fields
+    // are big-endian, WAV's little-endian — one blob column, both byte
+    // orders parsed from raw bytes at fixed offsets
+    "q_multimodal_png" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pngProfile(s, dir)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -479,5 +485,6 @@ object TextOps extends QueryFamily {
       "FROM documents ORDER BY doc_id"),
 
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
+    "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
   )
 }

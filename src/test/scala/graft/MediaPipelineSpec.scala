@@ -67,4 +67,33 @@ class MediaPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PNG parse reads big-endian IHDR/IDAT fields back from the bytes") {
+    // the endianness dual: same arithmetic ground truth for the
+    // big-endian family (PNG blobs), incl. the fixed PNG overhead
+    // (8 sig + 25 IHDR + 12 IDAT framing + 12 IEND = 57 bytes)
+    val rows = MediaPipeline.pngProfile(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val texts = Tables(spark, sf0001, "documents")
+      .selectExpr("doc_id", "CAST(octet_length(text) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Long]("media_id") % 2 == 0).foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val len = texts(id)
+      assert(r.getAs[String]("kind") == "image", r.toString)
+      assert(r.getAs[Long]("width") == 16 + id % 1000, r.toString)
+      assert(r.getAs[Long]("height") == 16 + (id * 7) % 1000, r.toString)
+      assert(r.getAs[Long]("bit_depth") == 8, r.toString)
+      assert(r.getAs[Long]("color_type") == 6, r.toString)
+      assert(r.getAs[Long]("data_len") == len, r.toString)
+      assert(r.getAs[Long]("n_bytes") == 57 + len, r.toString)
+      assert(r.isNullAt(r.fieldIndex("sample_rate")), r.toString)
+    }
+    // the odd half is the SAME little-endian WAV family as
+    // q_multimodal_header — spot-check it survives the mixed column
+    val wav = rows.filter(_.getAs[Long]("media_id") % 2 == 1)
+    assert(wav.nonEmpty && wav.forall(_.getAs[String]("kind") == "audio"))
+    assert(wav.forall(r =>
+      r.getAs[Long]("sample_rate") == 8000 * (1 + r.getAs[Long]("media_id") % 5)))
+  }
 }

@@ -120,4 +120,35 @@ class RareTokenCandidatesSpec extends AnyFunSuite {
     assert(cS < n.toLong * (n - 1) / 4,
       s"candidate volume $cS is not materially below the naive ${n.toLong * (n - 1)}")
   }
+
+  test("containment wall-clock grows sub-quadratically on the Zipfian corpus",
+      SlowTest) {
+    // r13 verdict item 5: the count pin above proves candidate VOLUME is
+    // ~linear; this proves the TIME is too — i.e. no hidden quadratic
+    // stage (the verify intersect, the postings fold) eats the pruning.
+    // Same protocol as DedupWallClockSpec: warm-up run off the clock at
+    // each size (JIT + the postings memo — both sizes then time the
+    // candidates join + verify equally), bound the ratio at half of
+    // quadratic so scheduler noise can't flake the complexity claim.
+    graft.functions.SortedIntersectSize.register(spark)
+    val n = 2000
+    val small = synthCorpus(n)
+    val big = synthCorpus(n * 4)
+    def contained(dir: String): Long =
+      Dedup.langBlockedTokenPairs(spark, dir, ordered = false)
+        .where(expr("sorted_intersect_size(ta, tb)") === size(col("ta")))
+        .count()
+    def timed(dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = contained(dir)
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    contained(small); contained(big) // warm-up
+    val (tS, _) = timed(small)
+    val (tB, _) = timed(big)
+    val ratio = tB / math.max(tS, 1e-3)
+    assert(ratio < 8,
+      f"containment: t(4N)=$tB%.2fs / t(N)=$tS%.2fs = $ratio%.1fx — quadratic would be ~16x")
+    info(f"containment wall-clock: t(N)=$tS%.2fs, t(4N)=$tB%.2fs, ratio $ratio%.1fx")
+  }
 }
