@@ -276,6 +276,114 @@ object Subqueries extends QueryFamily {
       "AND o_orderdate < TIMESTAMP '1998-01-01') all_nations " +
       "GROUP BY o_year ORDER BY o_year"
 
+  /** TPC-H Q4 (order priority checking), fixture-adapted lateness (the
+    * Q21 rule: l_shipdate > o_orderdate + 60 days): a correlated EXISTS
+    * whose inner predicate references the OUTER's o_orderdate — Catalyst
+    * decorrelates to a left semi join of orders against lineitem on
+    * l_orderkey with the lateness comparison as a join residual; the
+    * date filter pushes into the orders scan.
+    */
+  private val tpch4Sql =
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+      "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  /** TPC-H Q11 (important stock), adapted (no partsupp — lineitem is the
+    * part-supplier value relation; nation scaled to the fixture's
+    * supplier spread): a GROUP BY whose HAVING compares against an
+    * UNCORRELATED aggregate of the same filtered join — the global total
+    * is computed once (single-partition subquery, broadcast as a
+    * literal), never per group. The 0.0002 fraction keeps the cut
+    * non-empty at every fixture SF (shares shrink as parts multiply —
+    * the same reason TPC-H scales Q11's fraction by 1/SF).
+    */
+  private val tpch11Sql =
+    "SELECT l_partkey AS ps_partkey, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value " +
+      "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE n_name = 'NATION_3' " +
+      "GROUP BY l_partkey " +
+      "HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) > " +
+      "(SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 0.0002 " +
+      "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') " +
+      "ORDER BY value DESC, ps_partkey LIMIT 25"
+
+  /** TPC-H Q13 (customer order-count distribution): the LEFT OUTER join
+    * with a predicate on the RIGHT side (filtered inside the join, so
+    * order-less customers survive with count 0) feeding two stacked
+    * aggregations — the distribution-of-a-distribution shape. count
+    * (o_orderkey) not count(*): the outer join's null rows must count 0.
+    */
+  private val tpch13Sql =
+    "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+      "LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+      "AND o_orderpriority <> '1-URGENT' " +
+      "GROUP BY c_custkey) c_orders " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
+  /** TPC-H Q15 (top supplier): a CTE aggregated once and consumed TWICE
+    * — as the join input and inside the scalar MAX subquery. Catalyst
+    * computes the revenue aggregate and reuses it (ReuseExchange/
+    * ReuseSubquery) rather than re-scanning lineitem; equality on the
+    * exact-decimal-sum-cast-to-double revenue is bit-stable, and ties
+    * (all suppliers at the max) surface deterministically via the
+    * s_suppkey order.
+    */
+  private val tpch15Sql =
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) " +
+      "SELECT s_suppkey, s_name, total_revenue " +
+      "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+      "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) " +
+      "ORDER BY s_suppkey"
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted (lineitem as the
+    * part-supplier relation; the complaints exclusion becomes a low-
+    * balance exclusion so the NOT IN genuinely filters): NOT IN over an
+    * uncorrelated subquery (null-safe anti join) + count(DISTINCT) per
+    * group — the distinct-agg-after-anti-join shape.
+    */
+  private val tpch16Sql =
+    "SELECT p_brand, p_type, p_size, " +
+      "count(DISTINCT l_suppkey) AS supplier_cnt " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE p_brand <> 'Brand#11' " +
+      "AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22) " +
+      "AND l_suppkey NOT IN " +
+      "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500.0) " +
+      "GROUP BY p_brand, p_type, p_size " +
+      "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20"
+
+  /** TPC-H Q19 (discounted revenue): the OR-of-ANDs join predicate over
+    * BOTH sides' columns (brand/size from part, quantity from lineitem)
+    * — none of the three disjuncts can be pushed alone, but their union
+    * bounds CAN: Catalyst pushes the per-side disjunction envelopes
+    * (p_brand IN (..), p_size <= 35, l_quantity BETWEEN 1 AND 40) into
+    * the scans and keeps the full disjunction as the equi-join's
+    * residual — the classic "derive pushable bounds from a disjunction"
+    * test.
+    */
+  private val tpch19Sql =
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n_lines " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity >= 1 AND l_quantity <= 21) " +
+      "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity >= 10 AND l_quantity <= 30) " +
+      "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 " +
+      "AND l_quantity >= 20 AND l_quantity <= 40)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sub_scalar" -> (sql(scalarSql) _),
     "q_sub_in" -> (sql(inSql) _),
@@ -291,6 +399,12 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch8" -> (sql(tpch8Sql) _),
     "q_sql_tpch21" -> (sql(tpch21Sql) _),
     "q_sql_tpch22" -> (sql(tpch22Sql) _),
+    "q_sql_tpch4" -> (sql(tpch4Sql) _),
+    "q_sql_tpch11" -> (sql(tpch11Sql) _),
+    "q_sql_tpch13" -> (sql(tpch13Sql) _),
+    "q_sql_tpch15" -> (sql(tpch15Sql) _),
+    "q_sql_tpch16" -> (sql(tpch16Sql) _),
+    "q_sql_tpch19" -> (sql(tpch19Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -309,5 +423,11 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch8" -> tpch8Sql,
     "q_sql_tpch21" -> tpch21Sql,
     "q_sql_tpch22" -> tpch22Sql,
+    "q_sql_tpch4" -> tpch4Sql,
+    "q_sql_tpch11" -> tpch11Sql,
+    "q_sql_tpch13" -> tpch13Sql,
+    "q_sql_tpch15" -> tpch15Sql,
+    "q_sql_tpch16" -> tpch16Sql,
+    "q_sql_tpch19" -> tpch19Sql,
   )
 }

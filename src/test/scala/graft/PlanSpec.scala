@@ -93,6 +93,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p22.toLowerCase.contains("cartesianproduct"), p22.take(3000))
   }
 
+  test("TPC-H Q4/Q13/Q15/Q16/Q19 keep their signature shapes") {
+    // Q4: the correlated EXISTS (inner references the outer's
+    // o_orderdate) decorrelates to a LeftSemi with the lateness
+    // comparison as a join residual
+    val p4 = plan("q_sql_tpch4")
+    assert(p4.contains("LeftSemi"), p4.take(3000))
+    assert(!p4.toLowerCase.contains("cartesianproduct"), p4.take(3000))
+    // Q13: left OUTER join (order-less customers must survive to count
+    // 0) feeding the two stacked aggregations
+    val p13 = plan("q_sql_tpch13")
+    assert(p13.contains("LeftOuter"), p13.take(3000))
+    assert("HashAggregate".r.findAllIn(p13).size >= 4,
+      s"expected both aggregation levels two-phase:\n${p13.take(3000)}")
+    // Q15: the MAX-of-the-CTE scalar is a one-shot single-partition
+    // subquery feeding a filter — never a per-row re-aggregation
+    val p15 = plan("q_sql_tpch15")
+    assert(p15.contains("Subquery"), p15.take(3000))
+    assert(!p15.toLowerCase.contains("cartesianproduct"), p15.take(3000))
+    // Q16: NOT IN plans as the null-aware LeftAnti broadcast join;
+    // count(DISTINCT) expands to the two-phase distinct aggregate
+    val p16 = plan("q_sql_tpch16")
+    assert(p16.contains("LeftAnti"), p16.take(3000))
+    assert(p16.contains("TakeOrderedAndProject"), p16.take(3000))
+    // Q19: the OR-of-ANDs predicate spans both join sides, so it stays
+    // a join residual — but each side's disjunction ENVELOPE must be
+    // derived and pushed into its parquet scan (quantity bounds into
+    // lineitem, brand/size into part); the join itself stays equi-hash,
+    // never cartesian
+    val p19 = plan("q_sql_tpch19")
+    assert(p19.contains("BroadcastHashJoin") || p19.contains("ShuffledHashJoin") ||
+      p19.contains("SortMergeJoin"), p19.take(3000))
+    assert(!p19.toLowerCase.contains("cartesianproduct"), p19.take(3000))
+    assert(p19.contains("DataFilters: [isnotnull(l_partkey"), p19.take(4000))
+    assert("DataFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p19).isDefined,
+      s"quantity envelope not pushed to the lineitem scan:\n${p19.take(4000)}")
+    assert("DataFilters: \\[[^\\]]*p_brand".r.findFirstIn(p19).isDefined,
+      s"brand envelope not pushed to the part scan:\n${p19.take(4000)}")
+  }
+
   test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
     val p = plan("q_win_funnel")
     // the three chained conditional MINs and the final per-user collapse
