@@ -1238,6 +1238,61 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id", "rank")
     }),
 
+    // Product-quantization ANN (Jegou-style PQ with asymmetric distance
+    // computation) — the memory-bound serving layout the other sim paths
+    // don't cover: vectors stored as 8 one-byte codes (one per 8-dim
+    // subspace, argmin against a 16-centroid codebook) instead of 64
+    // floats — 32x less candidate I/O. The probe precomputes its
+    // distance TABLE to every centroid (8x16 integers, broadcast), and
+    // each candidate scores as 8 table lookups — no vector arithmetic
+    // per candidate at all. Everything runs in exact fixed-point
+    // (x -> floor(1000x + 0.5) integers; squared distances are integer
+    // sums — order-independent, bit-identical cross-engine, ties broken
+    // by centroid/neighbor id), so the whole pipeline is deterministic
+    // without a round() boundary. The codebook is the first 16
+    // non-probe vectors' subvectors (training-free sample quantizer —
+    // codebook QUALITY is a modeling concern; the operator contract is
+    // the encode/ADC pipeline, which a k-means codebook would reuse
+    // unchanged). Scale: codebook and probe tables broadcast; encoding
+    // is one broadcast join per subspace row; serving never touches the
+    // full-width vectors.
+    "q_sim_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
+      val sub = e.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), s -> " +
+            "struct(s AS s, slice(fx, s * 8 + 1, 8) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      val cb = sub.where(col("vec_id").between(10, 25))
+        .select((col("vec_id") - 10).as("k"), col("s"), col("sv").as("cent"))
+      val sqd = "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val dist = sub.join(broadcast(cb), "s").withColumn("d", expr(sqd))
+      val codes = dist.where(col("vec_id") >= 10)
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("k"))).as("m"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(s, m.k AS k))), " +
+          "x -> x.k)").as("codes"))
+      val dtv = dist.where(col("vec_id") < 10)
+        .groupBy(col("vec_id").as("probe_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(s, k, d))), " +
+          "x -> x.d)").as("dta"))
+      val adc = "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, s) -> " +
+        "acc + element_at(dta, CAST(s * 16 + " +
+        "element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("adc_dist"), col("vec_id"))
+      codes.crossJoin(broadcast(dtv))
+        .withColumn("adc_dist", expr(adc))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("vec_id").as("neighbor_id"), col("adc_dist"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // ANN quality gate: recall@5 of the three approximate paths against
     // the exact answer, oracle-checked as integer hit counts. For each
     // fixture probe, the exact cosine top-5 (q_sim_topk's ranking) is
@@ -1512,6 +1567,29 @@ object Dedup extends QueryFamily {
       "FROM embeddings p JOIN embeddings c ON p.label = c.label AND c.vec_id != p.vec_id " +
       "WHERE p.vec_id < 10) " +
       "WHERE rank <= 3 ORDER BY probe_id, rank"),
+
+    // identical fixed-point/codebook/encode/ADC arithmetic — all-integer,
+    // so no rounding boundary anywhere
+    "q_sim_pq" -> ("WITH e AS (SELECT vec_id, " +
+      "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
+      "FROM embeddings), " +
+      "sub AS (SELECT vec_id, s, fx[s*8+1 : s*8+8] AS sv FROM e, range(8) t(s)), " +
+      "cb AS (SELECT vec_id - 10 AS k, s, sv AS cent FROM sub WHERE vec_id BETWEEN 10 AND 25), " +
+      "dist AS (SELECT c.vec_id, c.s, cb.k, " +
+      "list_sum([ (c.sv[i+1] - cb.cent[i+1]) * (c.sv[i+1] - cb.cent[i+1]) for i in range(8) ]) AS d " +
+      "FROM sub c JOIN cb ON c.s = cb.s), " +
+      "codes AS (SELECT vec_id, s, k AS code FROM dist WHERE vec_id >= 10 " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) = 1), " +
+      "cvec AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id), " +
+      "dtv AS (SELECT vec_id AS probe_id, list(d ORDER BY s, k) AS dta " +
+      "FROM dist WHERE vec_id < 10 GROUP BY vec_id), " +
+      "scored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
+      "list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) AS adc_dist " +
+      "FROM cvec c, dtv p), " +
+      "rk AS (SELECT probe_id, neighbor_id, adc_dist, CAST(row_number() OVER " +
+      "(PARTITION BY probe_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM scored) " +
+      "SELECT probe_id, rank, neighbor_id, adc_dist FROM rk " +
+      "WHERE rank <= 5 ORDER BY probe_id, rank"),
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the
     // identical inlined 4-plane bucket literals; hits are integer counts

@@ -151,6 +151,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_sim_pq: codebook and probe distance tables broadcast; serving joins codes only") {
+    val p = plan("q_sim_pq")
+    // encode stage: the 128-row codebook broadcasts onto the subvector
+    // rows; serve stage: the 10-row probe distance tables broadcast onto
+    // the code vectors (BroadcastNestedLoopJoin = the declared cross
+    // join). The full-width fx vectors must never reach the serve join.
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_sim_topk").contains("BroadcastExchange"))
