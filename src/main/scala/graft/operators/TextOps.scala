@@ -314,6 +314,52 @@ object TextOps extends QueryFamily {
         .orderBy("label")
     }),
 
+    // Distributed Lloyd's k-means over the embedding corpus (K=8, two
+    // exact iterations) — the clustering primitive behind corpus
+    // bucketing / mixture balancing that q_multimodal_cluster's one-shot
+    // per-label stats don't cover: labels here are DISCOVERED by
+    // iterative reassignment, not given. Everything is exact integer
+    // arithmetic: vectors fixed-point (floor(1000x+0.5)), distances
+    // integer sums (order-independent), and each updated centroid is
+    // rounded back to the integer grid per dimension (one IEEE divide +
+    // floor — bit-identical cross-engine), so assignments and inertia
+    // hash-match with NO rounding boundary. Ties break (distance, k).
+    // Seeds = vectors 0..7, so every cluster retains its seed (self-
+    // distance 0) and can never empty. Scale shape: assignment is
+    // MAP-SIDE — the K centroids ride one broadcast row and argmin is
+    // array_min over (d, k) structs; the update is the posexplode
+    // per-(k, dim) sum (the q_multimodal_cluster pattern) — one narrow
+    // shuffle per iteration, never a vector collect.
+    "q_cluster_kmeans" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
+      def centRow(c: DataFrame): DataFrame =
+        c.agg(expr("array_sort(collect_list(struct(k, cv)))").as("cents"))
+      val sqd = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .withColumn("m",
+            expr(s"array_min(transform(cents, c -> struct($sqd AS d, c.k AS k)))"))
+          .select(col("vec_id"), col("fx"), col("m.k").as("k"), col("m.d").as("d"))
+      def update(a: DataFrame): DataFrame =
+        a.select(col("k"), posexplode(col("fx")).as(Seq("pos", "x")))
+          .groupBy("k", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .withColumn("c",
+            expr("CAST(floor(CAST(sx AS DOUBLE) / n + 0.5D) AS BIGINT)"))
+          .groupBy("k")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
+            "p -> p.c)").as("cv"))
+      val c0 = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("k"), col("fx").as("cv"))
+      val a2 = assign(centRow(update(assign(centRow(c0)))))
+      a2.groupBy("k").agg(count(lit(1)).as("n_members"),
+          sum(col("d")).as("inertia"), min(col("vec_id")).as("min_member"))
+        .orderBy("k")
+    }),
+
     // Binary-column plumbing: encode -> byte length, hexdump head, content
     // hash, base64 "frame sample" — the schema/ops a real media pipeline
     // runs before a decode UDF.
@@ -486,5 +532,25 @@ object TextOps extends QueryFamily {
 
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
+
+    // identical fixed-point/assign/update arithmetic, all-integer
+    "q_cluster_kmeans" -> ("WITH e AS (SELECT vec_id, " +
+      "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
+      "FROM embeddings), " +
+      "c0 AS (SELECT vec_id AS k, fx AS cv FROM e WHERE vec_id < 8), " +
+      "a1 AS (SELECT e.vec_id, c0.k, e.fx FROM e, c0 " +
+      "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_sum([ (e.fx[i+1] - c0.cv[i+1]) * (e.fx[i+1] - c0.cv[i+1]) for i in range(64) ]), c0.k) = 1), " +
+      "s1 AS (SELECT k, pos, sum(x) AS sx, count(*) AS n FROM " +
+      "(SELECT k, unnest(fx) AS x, generate_subscripts(fx, 1) - 1 AS pos FROM a1) " +
+      "GROUP BY k, pos), " +
+      "c1 AS (SELECT k, list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) AS cv " +
+      "FROM s1 GROUP BY k), " +
+      "a2 AS (SELECT e.vec_id, c1.k, " +
+      "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) for i in range(64) ]) AS d " +
+      "FROM e, c1 " +
+      "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c1.k) = 1) " +
+      "SELECT k, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia, " +
+      "min(vec_id) AS min_member FROM a2 GROUP BY k ORDER BY k"),
   )
 }

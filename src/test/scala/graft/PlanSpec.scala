@@ -162,6 +162,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
   }
 
+  test("q_cluster_kmeans assigns map-side: centroids broadcast, corpus never re-sorted") {
+    val p = plan("q_cluster_kmeans")
+    // both assignment passes ride a 1-row broadcast centroid array
+    // (BroadcastNestedLoopJoin); the only shuffles are the narrow
+    // (k, dim) centroid updates and the final per-k aggregate
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_sim_topk").contains("BroadcastExchange"))
