@@ -384,6 +384,136 @@ object Subqueries extends QueryFamily {
       "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 " +
       "AND l_quantity >= 20 AND l_quantity <= 40)"
 
+  /** TPC-H Q1 (pricing summary report): the canonical full-scan rollup —
+    * eight aggregates (four exact-decimal sums including the two-factor
+    * charge, three averages, a count) over one pass of lineitem, grouped
+    * by the 6-value (returnflag, linestatus) pair. The flagship
+    * `q_agg_hashgroup` covers the family; Q1 belongs in the SQL surface
+    * verbatim because it is THE reference point every engine quotes.
+    * Averages are exact-decimal-sum / count with ONE double divide at the
+    * boundary (never avg() over doubles, whose accumulation order is
+    * nondeterministic across partitions). Scale: partial aggregation
+    * collapses everything to 6 groups map-side — the shuffle carries
+    * O(partitions × 6) rows regardless of SF.
+    */
+  private val tpch1Sql =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)) * " +
+      "CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price, " +
+      "CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc, " +
+      "count(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+      "GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"
+
+  /** TPC-H Q2 (minimum cost supplier), adapted (no partsupp — the supply
+    * relation is derived: per (part, supplier) the MIN exact-decimal
+    * l_extendedprice ever shipped plays ps_supplycost): the CORRELATED
+    * MIN over a derived relation that is also the outer join input — the
+    * CTE is consumed TWICE, once as the join spine and once inside the
+    * correlated scalar, and BOTH consumers re-apply the region scoping.
+    * Catalyst decorrelates the min into a per-part aggregate of the
+    * region-filtered supply join computed ONCE and joined back on
+    * p_partkey (no per-row re-execution — PlanSpec pins it), and reuses
+    * the CTE aggregate across the two consumers. The (s_acctbal DESC,
+    * n_name, s_name, p_partkey) sort is a total order: supply rows are
+    * unique per (part, supplier). Scale: the supply aggregation is the
+    * only fact-sized shuffle; everything downstream is dim-sized.
+    */
+  private val tpch2Sql =
+    "WITH supply AS (SELECT l_partkey, l_suppkey, " +
+      "MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost " +
+      "FROM lineitem GROUP BY l_partkey, l_suppkey) " +
+      "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, " +
+      "CAST(cost AS DOUBLE) AS supplycost " +
+      "FROM part JOIN supply ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE p_size >= 10 AND p_size <= 20 AND p_type = 'STANDARD' " +
+      "AND r_name = 'EUROPE' " +
+      "AND cost = (SELECT MIN(cost) FROM supply s2 " +
+      "JOIN supplier s3 ON s2.l_suppkey = s3.s_suppkey " +
+      "JOIN nation n2 ON s3.s_nationkey = n2.n_nationkey " +
+      "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+      "WHERE s2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+      "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter-sum —
+    * no join, no group; the whole query is one map-side partial sum. Its
+    * value as a declared key is the PLAN: all three range predicates
+    * (date window, discount band, quantity cap) must reach the parquet
+    * scan as pushed filters (PlanSpec pins the pushdown), so at 100 TB
+    * the row-group statistics prune most of the table before any CPU.
+    * The discount band compares the parquet-stored doubles against
+    * double literals — bit-identical semantics in both engines.
+    */
+  private val tpch6Sql =
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n_lines " +
+      "FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+      "AND l_discount >= 0.05 AND l_discount <= 0.07 " +
+      "AND l_quantity < 24.0"
+
+  /** TPC-H Q9 (product type profit), adapted (no partsupp — the supply
+    * cost proxy is 60% of the part's list price: profit per line =
+    * extendedprice·(1−discount) − 0.6·p_retailprice·quantity, every
+    * factor an exact decimal so the amount — which can go NEGATIVE — is
+    * exact in both engines; one double cast per group at the boundary):
+    * the 5-way star whose defining features are the LIKE '%...%'
+    * dim filter (un-pushable as a range, rides the part scan as a
+    * residual), arithmetic spanning BOTH fact and dim columns, and the
+    * (nation, year) rollup of the whole join. Scale: part/supplier/
+    * nation broadcast; lineitem⋈orders is the only big shuffle.
+    */
+  private val tpch9Sql =
+    "SELECT nation, o_year, " +
+      "CAST(SUM(amount) AS DOUBLE) AS sum_profit, count(*) AS n_lines " +
+      "FROM (SELECT n_name AS nation, " +
+      "CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+      "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)) - " +
+      "CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2)) * " +
+      "CAST(l_quantity AS DECIMAL(12,2)) AS amount " +
+      "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%blue%') profit " +
+      "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+
+  /** TPC-H Q12 (shipping modes and order priority), adapted (no
+    * l_shipmode/l_commitdate — l_returnflag is the 3-value line class
+    * and "late" is the fixture's Q21/Q4 lateness rule l_shipdate >
+    * o_orderdate + 60 days, which correlates the filter across BOTH join
+    * sides so it can only ride the join as a residual): the
+    * conditional-count pivot — one pass over the join, two CASE sums
+    * splitting urgent/high priority from the rest. Scale: the date
+    * window pushes into the lineitem scan; the join shuffles on
+    * orderkey only; partial aggregation collapses to 3 groups map-side.
+    */
+  private val tpch12Sql =
+    "SELECT l_returnflag, " +
+      "SUM(CASE WHEN o_orderpriority = '1-URGENT' " +
+      "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count, " +
+      "SUM(CASE WHEN o_orderpriority <> '1-URGENT' " +
+      "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+      "AND l_shipdate >= TIMESTAMP '1997-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1998-01-01' " +
+      "GROUP BY l_returnflag ORDER BY l_returnflag"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sub_scalar" -> (sql(scalarSql) _),
     "q_sub_in" -> (sql(inSql) _),
@@ -405,6 +535,11 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch15" -> (sql(tpch15Sql) _),
     "q_sql_tpch16" -> (sql(tpch16Sql) _),
     "q_sql_tpch19" -> (sql(tpch19Sql) _),
+    "q_sql_tpch1" -> (sql(tpch1Sql) _),
+    "q_sql_tpch2" -> (sql(tpch2Sql) _),
+    "q_sql_tpch6" -> (sql(tpch6Sql) _),
+    "q_sql_tpch9" -> (sql(tpch9Sql) _),
+    "q_sql_tpch12" -> (sql(tpch12Sql) _),
   )
 
   // Identical ANSI SQL runs in DuckDB.
@@ -429,5 +564,10 @@ object Subqueries extends QueryFamily {
     "q_sql_tpch15" -> tpch15Sql,
     "q_sql_tpch16" -> tpch16Sql,
     "q_sql_tpch19" -> tpch19Sql,
+    "q_sql_tpch1" -> tpch1Sql,
+    "q_sql_tpch2" -> tpch2Sql,
+    "q_sql_tpch6" -> tpch6Sql,
+    "q_sql_tpch9" -> tpch9Sql,
+    "q_sql_tpch12" -> tpch12Sql,
   )
 }

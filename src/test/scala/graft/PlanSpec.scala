@@ -132,6 +132,46 @@ class PlanSpec extends AnyFunSuite {
       s"brand envelope not pushed to the part scan:\n${p19.take(4000)}")
   }
 
+  test("TPC-H Q1/Q2/Q6/Q9/Q12 keep their signature shapes") {
+    // Q1: the 8-aggregate rollup is two-phase (map-side collapse to 6
+    // groups before the shuffle) and the shipdate cut reaches the scan
+    val p1 = plan("q_sql_tpch1")
+    assert("HashAggregate".r.findAllIn(p1).size >= 2, p1.take(2000))
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p1).isDefined,
+      s"shipdate cut not pushed:\n${p1.take(3000)}")
+    // Q2: the correlated MIN over the derived supply relation must
+    // DECORRELATE — a per-part min aggregate computed once and joined
+    // back, never a scalar subquery re-run per outer row, and never a
+    // cartesian; both supply consumers are two-phase aggregates
+    val p2 = plan("q_sql_tpch2")
+    assert(!p2.contains("ScalarSubquery"), p2.take(3000))
+    assert(!p2.toLowerCase.contains("cartesianproduct"), p2.take(3000))
+    assert("HashAggregate".r.findAllIn(p2).size >= 4,
+      s"expected both supply aggregations two-phase:\n${p2.take(3000)}")
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(3000))
+    // Q6: the pure scan-filter-sum — ALL THREE range predicates reach
+    // the parquet scan so row-group stats can prune at scale
+    val p6 = plan("q_sql_tpch6")
+    for (col <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(s"PushedFilters: \\[[^\\]]*$col".r.findFirstIn(p6).isDefined,
+        s"$col predicate not pushed:\n${p6.take(3000)}")
+    assert(!p6.contains("Join"), p6.take(2000))
+    // Q9: dims broadcast; the only big shuffle is the fact spine; the
+    // LIKE rides the part scan; aggregation is two-phase
+    val p9 = plan("q_sql_tpch9")
+    assert(p9.contains("BroadcastHashJoin"), p9.take(3000))
+    assert("HashAggregate".r.findAllIn(p9).size >= 2, p9.take(3000))
+    assert(!p9.toLowerCase.contains("cartesianproduct"), p9.take(3000))
+    // Q12: the cross-side lateness predicate rides the equi-join as a
+    // residual (it cannot push alone), the date window DOES push into
+    // the lineitem scan, and the pivot collapses map-side
+    val p12 = plan("q_sql_tpch12")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p12).isDefined,
+      s"date window not pushed to lineitem:\n${p12.take(3000)}")
+    assert("HashAggregate".r.findAllIn(p12).size >= 2, p12.take(3000))
+    assert(!p12.toLowerCase.contains("cartesianproduct"), p12.take(3000))
+  }
+
   test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
     val p = plan("q_win_funnel")
     // the three chained conditional MINs and the final per-user collapse
