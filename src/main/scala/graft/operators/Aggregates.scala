@@ -175,6 +175,27 @@ object Aggregates extends QueryFamily {
             <= col("exact_users") * 0.15).as("approx_ok"))
         .orderBy("event_type")),
 
+    // EXACT distinct at scale without the countDistinct expand: the
+    // bitmap-index trick (Doris/ClickHouse bitmap aggregates, roaring
+    // bitmaps) expressed in pure Spark SQL — dense int keys chunk into
+    // 32-bit words (bucket = key div 32), a map-side-combining bit_or
+    // folds each (group, bucket) to ONE long mask, and the distinct
+    // count is sum(bit_count(mask)). Intermediate state is
+    // O(groups x keyspace/32) longs — vs countDistinct's shuffle of
+    // every (group, key) pair — and both shuffles partial-aggregate.
+    // The oracle is the SEMANTIC check (count DISTINCT), not an
+    // arithmetic mirror: the bitmap path must reproduce the true count
+    // exactly, which is the operator's whole claim.
+    "q_agg_bitmap" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), expr("user_id div 32").as("bucket"))
+        .agg(bit_or(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"))
+          .as("mask"))
+        .groupBy("event_type")
+        .agg(big(sum(bit_count(col("mask")))).as("n_users"))
+        .orderBy("event_type")),
+
     // MERGEABLE sketches — the property approx_count_distinct's scalar
     // output lacks: a Datasketches HLL per (event_type, shard) is a
     // PRE-AGGREGATED table a 100 TB pipeline materializes once per
@@ -422,6 +443,10 @@ object Aggregates extends QueryFamily {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
   def oracles: Map[String, String] = Map(
+    "q_agg_bitmap" -> ("SELECT event_type, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "q_agg_approxdistinct" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
       "(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) " +

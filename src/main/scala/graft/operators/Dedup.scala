@@ -873,6 +873,37 @@ object Dedup extends QueryFamily {
       jaccardVerify(minhashCandidates(d, 12, 3), tokenCodes(s, dir), 0.8)
     }),
 
+    // Candidate-quality gate for the approximate dedup paths — the
+    // dedup twin of q_sim_recall: how many of the TRUE near-dup pairs
+    // (the declared exact >=0.8 Jaccard set, q_dedup_near's answer) does
+    // each MinHash-LSH knob setting surface as candidates, and at what
+    // candidate volume? One row per graded knob setting with integer
+    // (n_true, n_cand, n_hit) counts — the recall/cost curve a real
+    // pipeline tracks when tuning bands x rows (theory: recall at t is
+    // 1-(1-t^rows)^bands -> 65% for 8x2, 80% for 12x3 at t=0.8; the
+    // fixture's true pairs sit well above 0.8, so observed recall is
+    // higher — DedupRecallSpec pins the floors). All three counts are
+    // aggregates of id-pair joins: the 1-row stat frames cross-join at
+    // the end, the fact-sized work is hash joins + counts.
+    "q_dedup_recall" -> ((s, dir) => {
+      graft.functions.SortedJaccardGe.register(s)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      val truth = nearDupEdges(s, dir)
+      def graded(name: String, perms: Int, bands: Int): DataFrame = {
+        val cand = minhashCandidates(d, perms, bands).select("doc_a", "doc_b")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(truth.join(cand, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_hit")))
+          .select(lit(name).as("modality"),
+            col("n_true"), col("n_cand"), col("n_hit"))
+      }
+      graded("minhash_12x3", 12, 3)
+        .unionByName(graded("minhash_8x2", 8, 2))
+        .orderBy("modality")
+    }),
+
     // SimHash: signature from per-bit token majority votes; pairs with
     // hamming distance <= 3 inside the same language. Candidates by
     // pigeonhole-LSH over disjoint bands (simhashCandidates): 3
@@ -1346,12 +1377,14 @@ object Dedup extends QueryFamily {
   private val jaccDuck = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
     "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
 
-  /** DuckDB oracle for the banded-MinHash pipeline at (perms, bands) —
-    * the same affine hash family (shared multiplier table, so oracle
-    * widths beyond the fixture reuse hash i verbatim), band keys, and
-    * two-stage candidates→verify shape the Spark side runs.
+  /** The MinHash-LSH candidate-pair CTE chain at (`perms`, `bands`),
+    * names suffixed with `sfx` so several knob settings can coexist in
+    * one statement (the recall oracle grades two). Assumes a CTE `d`
+    * with (doc_id, lang, toks) is already in scope. Shared by
+    * [[minhashOracle]] so the graded pipeline and the per-knob oracles
+    * cannot drift apart.
     */
-  private def minhashOracle(perms: Int, bands: Int): String = {
+  private def minhashCandSql(perms: Int, bands: Int, sfx: String): String = {
     val as = graft.functions.MinHashSig.multipliers(perms)
     val mh = (0 until perms).map { i =>
       s"list_min(list_transform(toks, t -> ((${hd("t")} % 2147483647) * ${as(i)} + $i) % 2147483647)) AS mh$i"
@@ -1361,13 +1394,22 @@ object Dedup extends QueryFamily {
       val els = (0 until rows).map(r => s"mh${b * rows + r}").mkString(", ")
       s"concat_ws(':', lang, $b, $els)"
     }.mkString(", ")
+    s"s$sfx AS (SELECT doc_id, lang, toks, $mh FROM d), " +
+    s"b$sfx AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM s$sfx), " +
+    s"c$sfx AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b$sfx x JOIN b$sfx y " +
+    "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+  }
+
+  /** DuckDB oracle for the banded-MinHash pipeline at (perms, bands) —
+    * the same affine hash family (shared multiplier table, so oracle
+    * widths beyond the fixture reuse hash i verbatim), band keys, and
+    * two-stage candidates→verify shape the Spark side runs.
+    */
+  private def minhashOracle(perms: Int, bands: Int): String = {
     val j = "CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) / " +
       "(len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)))"
     "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
-    s"s AS (SELECT doc_id, lang, toks, $mh FROM d), " +
-    s"b AS (SELECT doc_id, unnest([$bandKeys]) AS band_key FROM s), " +
-    "c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM b x JOIN b y " +
-    "ON x.band_key = y.band_key AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+    minhashCandSql(perms, bands, "") + " " +
     s"SELECT doc_a, doc_b, $j AS jacc FROM c " +
     "JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b " +
     s"WHERE $j >= 0.8 ORDER BY doc_a, doc_b"
@@ -1462,6 +1504,25 @@ object Dedup extends QueryFamily {
         "FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id " +
         "WHERE len(list_intersect(a.toks, b.toks)) = len(a.toks) " +
         "GROUP BY a.doc_id ORDER BY doc_id"),
+
+    "q_dedup_recall" ->
+      ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
+        "list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+        "truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket " +
+        s"AND a.doc_id < b.doc_id WHERE $jaccDuck >= 0.8), " +
+        minhashCandSql(8, 2, "82") + ", " + minhashCandSql(12, 3, "123") + " " +
+        "SELECT * FROM (" +
+        "SELECT 'minhash_12x3' AS modality, " +
+        "(SELECT count(*) FROM truth) AS n_true, " +
+        "(SELECT count(*) FROM c123) AS n_cand, " +
+        "(SELECT count(*) FROM truth t JOIN c123 c " +
+        "ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit " +
+        "UNION ALL SELECT 'minhash_8x2', " +
+        "(SELECT count(*) FROM truth), (SELECT count(*) FROM c82), " +
+        "(SELECT count(*) FROM truth t JOIN c82 c " +
+        "ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)) " +
+        "ORDER BY modality"),
 
     "q_dedup_minhash" -> minhashOracle(8, 2),
     "q_dedup_minhash_banded" -> minhashOracle(12, 3),

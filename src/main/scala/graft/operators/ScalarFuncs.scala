@@ -207,9 +207,36 @@ object ScalarFuncs extends QueryFamily {
         expr("shiftright(o_orderkey, 2)").as("b_shr"),
         big(expr("bit_count(o_custkey)")).as("n_bits"))
         .orderBy("o_orderkey")),
+
+    // Regex family beyond q_fn_string's extract/replace basics — the
+    // Hive-surface staples a log-parsing sync leans on: boolean rlike,
+    // match counting, and multi-group capture. Patterns stay inside the
+    // character-class/anchor/quantifier subset where Java regex (Spark)
+    // and RE2 (DuckDB) agree; no backrefs, no lookaround.
+    "q_fn_regex" -> ((s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)$", 1).cast("bigint")
+          .as("brand_num"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 2).as("noun"),
+        col("p_name").rlike("(widget|gear)$").as("is_widgetish"),
+        big(regexp_count(col("p_name"), lit("[aeiou]+"))).as("n_vowel_runs"),
+        regexp_replace(col("p_name"), "[aeiou]{2,}", "*").as("squeezed"))
+        .orderBy("p_partkey")),
   )
 
   def oracles: Map[String, String] = Map(
+    // regexp_replace needs the 'g' flag (DuckDB replaces first-only by
+    // default where Spark replaces all); rlike -> regexp_matches;
+    // regexp_count -> len(regexp_extract_all).
+    "q_fn_regex" -> ("SELECT p_partkey, " +
+      "CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS BIGINT) AS brand_num, " +
+      "regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS noun, " +
+      "regexp_matches(p_name, '(widget|gear)$') AS is_widgetish, " +
+      "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs, " +
+      "regexp_replace(p_name, '[aeiou]{2,}', '*', 'g') AS squeezed " +
+      "FROM part ORDER BY p_partkey"),
+
     "q_fn_string" -> ("SELECT p_partkey, p_name, upper(p_name) AS up_name, " +
       "lower(p_brand) AS lo_brand, substr(p_name, 1, 5) AS name5, " +
       "length(p_name) AS name_len, concat_ws('/', p_brand, p_type) AS brand_type, " +

@@ -263,6 +263,30 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Overlapping sliding-window chunking — the RAG / context-window prep
+    // staple: 120-char windows on a 90-char stride (30 overlap), chunk
+    // starts generated per doc from its own length (sequence + explode —
+    // never a corpus-size cross join with an index table). Everything but
+    // the output ordering is MAP-ONLY: chunk ids, offsets, hashes and
+    // token counts are projections of the doc row, so at 100 TB this is
+    // an embarrassingly parallel single pass with no shuffle at all.
+    // substr/length are CHARACTER-based in both engines (the zh docs are
+    // multibyte) and md5 hashes the UTF-8 bytes of the same characters,
+    // so c_hash is bit-identical cross-engine.
+    "q_text_chunks" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST(floor((length(text) - 1) / 90) AS INT))"))
+            .as("chunk_id"))
+        .withColumn("c_start", col("chunk_id") * 90 + 1)
+        .withColumn("chunk", expr("substr(text, c_start, 120)"))
+        .select(col("doc_id"), big(col("chunk_id")).as("chunk_id"),
+          big(col("c_start")).as("c_start"),
+          big(length(col("chunk"))).as("c_len"),
+          md5(col("chunk")).as("c_hash"),
+          big(size(split(col("chunk"), " "))).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Multimodal join: text features with vector features, outer where the
     // embedding is missing (genuinely partial at sf0.1).
     "q_multimodal_join" -> ((s, dir) => {
@@ -360,6 +384,58 @@ object TextOps extends QueryFamily {
         .orderBy("k")
     }),
 
+    // Distributed BPE vocabulary induction — 4 exact merge rounds of the
+    // byte-pair-encoding trainer every tokenizer pipeline runs. The ONLY
+    // corpus-scale pass is the initial word count; every round after
+    // operates on the VOCAB-sized (word, count) table (Heaps' law: ~N^0.5
+    // of the corpus), exactly how production BPE trainers scale: pair
+    // counts are weighted by word frequency (one shuffle over vocab rows
+    // per round), the argmax merge is a 1-row limit with a (count DESC,
+    // pair ASC) total-order tie-break, and applying it is a map-side
+    // string rewrite under a 1-row broadcast. Symbols are delimited
+    // '<a><b>' so a merge pattern '<x><y>' can never match inside a
+    // longer symbol and adjacent matches never share characters —
+    // replace() is then boundary-exact and left-to-right identical in
+    // both engines ('<'/'>' verified absent from the corpus at all SFs).
+    // Round r's plan references round r-1 twice (once for its top pair,
+    // once rewritten); the subplans are identical, so ReuseExchange
+    // dedups them — at corpus scale you would checkpoint the word table
+    // between rounds instead. Output: the learned merge table.
+    "q_text_bpe" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .withColumn("sym", concat(lit("<"),
+          array_join(expr("filter(split(w, ''), c -> c <> '')"), "><"), lit(">")))
+        .select("wc", "sym")
+      def topMerge(w: DataFrame): DataFrame =
+        w.select(col("wc"),
+            expr("split(substr(sym, 2, length(sym) - 2), '><')").as("t"))
+          .select(col("wc"), explode(expr(
+            "CASE WHEN size(t) < 2 THEN " +
+            "CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) " +
+            "ELSE transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y)) END"))
+            .as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+          .select(col("x"), col("y"), col("cnt"),
+            concat(lit("<"), col("x"), lit("><"), col("y"), lit(">")).as("pat"),
+            concat(lit("<"), col("x"), col("y"), lit(">")).as("mrg"))
+      var cur = words
+      val merges = (1 to 4).map { i =>
+        val m = topMerge(cur)
+        cur = cur.crossJoin(broadcast(m.select("pat", "mrg")))
+          .withColumn("sym", expr("replace(sym, pat, mrg)"))
+          .select("wc", "sym")
+        m.select(lit(i.toLong).as("iter"), col("x"), col("y"),
+          concat(col("x"), col("y")).as("merged"), col("cnt"))
+      }
+      merges.reduce(_ unionByName _).orderBy("iter")
+    }),
+
     // Binary-column plumbing: encode -> byte length, hexdump head, content
     // hash, base64 "frame sample" — the schema/ops a real media pipeline
     // runs before a decode UDF.
@@ -392,7 +468,37 @@ object TextOps extends QueryFamily {
       graft.multimodal.MediaPipeline.pngProfile(s, dir)),
   )
 
+  /** DuckDB mirror of the BPE trainer: the identical word-count base,
+    * per-round weighted pair counts, (cnt DESC, x, y) argmax, and
+    * boundary-delimited replace — one CTE triple (p/t/w) per round.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val base =
+      "wbase AS (SELECT w, count(*) AS wc FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t " +
+      "WHERE length(w) > 0 GROUP BY w), " +
+      "w0 AS (SELECT wc, '<' || array_to_string(" +
+      "list_filter(string_split(w, ''), c -> c <> ''), '><') || '>' AS sym FROM wbase)"
+    val iters = (1 to rounds).map { i =>
+      s"p$i AS (SELECT p.x AS x, p.y AS y, SUM(wc) AS cnt FROM " +
+      "(SELECT wc, unnest(list_transform(range(1, greatest(len(t), 1)), " +
+      "j -> {'x': t[j], 'y': t[j + 1]})) AS p FROM " +
+      s"(SELECT wc, string_split(substr(sym, 2, length(sym) - 2), '><') AS t FROM w${i - 1})) " +
+      "GROUP BY 1, 2), " +
+      s"t$i AS (SELECT x, y, cnt, '<' || x || '><' || y || '>' AS pat, " +
+      s"'<' || x || y || '>' AS mrg FROM p$i ORDER BY cnt DESC, x, y LIMIT 1), " +
+      s"w$i AS (SELECT wc, replace(sym, (SELECT pat FROM t$i), " +
+      s"(SELECT mrg FROM t$i)) AS sym FROM w${i - 1})"
+    }.mkString(", ")
+    val sel = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS iter, x, y, x || y AS merged, " +
+      s"CAST(cnt AS BIGINT) AS cnt FROM t$i").mkString(" UNION ALL ")
+    s"WITH $base, $iters SELECT * FROM ($sel) ORDER BY iter"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_text_bpe" -> bpeOracle(4),
+
     "q_text_tokenize" -> ("SELECT token, count(*) AS n FROM " +
       "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
       "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
@@ -449,6 +555,16 @@ object TextOps extends QueryFamily {
       "CAST(n_dist AS DOUBLE) / n_toks * 0.5 + " +
       "(1.0 - CAST(coalesce(sc.n_stop, 0) AS DOUBLE) / n_toks) * 0.5 AS quality " +
       "FROM base LEFT JOIN sc ON base.doc_id = sc.doc_id ORDER BY base.doc_id"),
+
+    "q_text_chunks" -> ("WITH c AS (SELECT doc_id, text, " +
+      "unnest(generate_series(0, CAST(floor((length(text) - 1) / 90) AS INT))) AS chunk_id " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+      "CAST(chunk_id * 90 + 1 AS BIGINT) AS c_start, " +
+      "CAST(length(substr(text, chunk_id * 90 + 1, 120)) AS BIGINT) AS c_len, " +
+      "md5(substr(text, chunk_id * 90 + 1, 120)) AS c_hash, " +
+      "CAST(len(string_split(substr(text, chunk_id * 90 + 1, 120), ' ')) AS BIGINT) AS n_tokens " +
+      "FROM c ORDER BY doc_id, chunk_id"),
 
     "q_text_scrub" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
       "list_filter(string_split(text, ' '), x -> x NOT IN ('the', 'a')) AS kept " +

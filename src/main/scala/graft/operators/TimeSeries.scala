@@ -123,6 +123,37 @@ object TimeSeries extends QueryFamily {
         FROM graft_ts_rolling_ev ORDER BY event_id""")
     }),
 
+    // Exponentially weighted moving average, TRUNCATED to depth 16 so it
+    // is exact: alpha = 1/2, so the weights 2^15..2^0 over the last 16
+    // points are integers, the measure is exact micro-units (dec6 *
+    // 1e6), and the weighted sum stays far below 2^53 — the whole EWMA
+    // is integer arithmetic with ONE IEEE divide at the end,
+    // bit-identical cross-engine (the untruncated recursive form
+    // accumulates float error whose value depends on evaluation order —
+    // un-oracle-able; truncation at 16 halvings is below 2e-5 relative
+    // anyway). The 16 lags ride ONE (user_id) window partition —
+    // codegen'd projections over a single shuffle, no self-join per
+    // offset. Series head normalizes by the weights actually present.
+    "q_ts_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val withMicro = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (dec6(col("value")) * 1000000).cast("bigint").as("micro"))
+      val terms = (0 to 15).map { j =>
+        val lg = lag(col("micro"), j).over(w)
+        val wt = 1L << (15 - j)
+        (coalesce(lg * lit(wt), lit(0L)),
+          when(lg.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      withMicro
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          dbl(col("micro")).divide(lit(1000000.0)).as("value6"),
+          (dbl(col("num")) / dbl(col("den") * lit(1000000L))).as("ewma"))
+        .orderBy("user_id", "ts")
+    }),
+
     // Seasonal (hour-of-day) profile per event type, with the peak hour
     // flagged — the load-shape view capacity planning reads. Peak choice
     // is total under ties (smallest peak hour), so the flag is
@@ -224,7 +255,28 @@ object TimeSeries extends QueryFamily {
     }),
   )
 
+  /** DuckDB mirror of the truncated EWMA: the identical 16-term lag
+    * chain over one named window — exact integer weights, one divide.
+    */
+  private val ewmaOracle: String = {
+    val num = (0 to 15).map { j =>
+      s"coalesce(lag(micro, $j) OVER w * ${1L << (15 - j)}, 0)"
+    }.mkString(" + ")
+    val den = (0 to 15).map { j =>
+      s"(CASE WHEN lag(micro, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT user_id, ts, event_id, " +
+    "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro FROM events) " +
+    "SELECT user_id, ts, event_id, " +
+    "CAST(micro AS DOUBLE) / 1000000.0 AS value6, " +
+    s"CAST($num AS DOUBLE) / CAST(CAST($den AS BIGINT) * 1000000 AS DOUBLE) AS ewma " +
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+    "ORDER BY user_id, ts"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_ts_ewma" -> ewmaOracle,
+
     "q_ts_cohort" -> ("""
       WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
       cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)

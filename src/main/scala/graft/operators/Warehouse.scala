@@ -33,6 +33,12 @@ import Dets._
   *  - `q_scan_csv` / `q_scan_orc` / `q_scan_evolution`: the other source
   *    formats plus mergeSchema over batches with later-added columns.
   *  - `q_merge_upsert`: the incremental-sync MERGE write semantics.
+  *  - `q_scd2`: the slowly-changing-dimension type-2 build — a mutation
+  *    log folded into validity intervals in ONE key shuffle.
+  *  - `q_join_pointintime`: the consumer side — facts enriched with the
+  *    dimension version in effect at their timestamp, rewritten from a
+  *    range join to union + carry-forward (one shuffle, no interval
+  *    explosion).
   *
   * Layout writes are memoized per (session, fixture dir): Verify pays
   * them once; Bench's 3 timed runs amortize to the read-only path.
@@ -379,6 +385,61 @@ object Warehouse extends QueryFamily {
         .orderBy("c_custkey")
     }),
 
+    // SCD2 (slowly-changing-dimension type 2) build: fold the event log
+    // into per-user validity intervals — one row per state RUN (version,
+    // state, valid_from, valid_to, n_events, is_current), the dimension
+    // shape every warehouse keeps for point-in-time joins.
+    //
+    // Scale shape: every window partitions by user_id alone, so change
+    // detection (lag), the run filter, version numbering, interval close
+    // (lead) and the run-length arithmetic (next change's row_number
+    // minus this one's — counting without a second aggregate) all ride
+    // ONE hashpartitioning(user_id) exchange; there is no join and no
+    // (user, version) re-shuffle of the fact. PlanSpec pins the
+    // single-exchange, join-free plan. Ties in ts break on event_id, so
+    // every window is a total order and the output is deterministic.
+    "q_scd2" -> ((s, dir) =>
+      scd2Runs(s, dir)
+        .select(col("user_id"), big(col("version")).as("version"),
+          col("state"), col("valid_from"),
+          col("valid_to"), big(col("n_events")).as("n_events"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")),
+
+    // Point-in-time (temporal) join: each purchase fact enriched with
+    // the SCD2 dimension version in effect at its timestamp — the
+    // consumer side of q_scd2 and the query shape every dimension table
+    // exists to serve. NOT a range join: Spark plans interval-overlap
+    // conditions as a per-key loop join (quadratic per user at scale).
+    // Instead the dimension's version-open rows and the facts are
+    // UNIONED and the in-effect (version, state) carried onto each fact
+    // with last(ignoreNulls) over one (user_id, ts) ordering — the
+    // merge-and-carry shape costs ONE user_id shuffle for arbitrarily
+    // many facts per interval. Dimension rows sort before facts at equal
+    // ts (kind 0 < 1), making valid_from INCLUSIVE — mirroring the
+    // oracle's vf <= ts < coalesce(vt, +inf) range join exactly.
+    "q_join_pointintime" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dim = scd2Runs(s, dir).select(col("user_id"),
+        col("valid_from").as("ts"), lit(null).cast("bigint").as("event_id"),
+        big(col("version")).as("version"), col("state"), lit(0).as("kind"))
+      val facts = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("bigint").as("version"),
+          lit(null).cast("string").as("state"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dim.unionByName(facts)
+        .withColumn("v", last(col("version"), ignoreNulls = true).over(w))
+        .withColumn("st", last(col("state"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v").as("version"), col("st").as("state"))
+        .orderBy("event_id")
+    }),
+
     // Exchange-free equi-join: orders and customer bucketed by the join
     // key with the same bucket count; hint("merge") pins sort-merge so
     // the co-located bucket layout (not a broadcast) is what removes the
@@ -400,6 +461,36 @@ object Warehouse extends QueryFamily {
         .orderBy("c_mktsegment")
     }),
   )
+
+  /** The SCD2 run table shared by q_scd2 (the build) and
+    * q_join_pointintime (the consumer): per-user state runs with
+    * version, valid_from/valid_to and run length. Every window
+    * partitions by user_id alone, so change detection (lag), the run
+    * filter, version numbering, interval close (lead) and the
+    * run-length arithmetic (next change's row_number minus this one's —
+    * counting without a second aggregate) all ride ONE
+    * hashpartitioning(user_id) exchange; no join, no re-shuffle. Ties
+    * in ts break on event_id, so every window is a total order.
+    */
+  private def scd2Runs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    val changes = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(wAll))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = Window.partitionBy("user_id").orderBy(col("rn"))
+    changes
+      .withColumn("version", row_number().over(wc))
+      .withColumn("valid_to", lead("ts", 1).over(wc))
+      .withColumn("n_events",
+        coalesce(lead("rn", 1).over(wc), col("n_total") + 1) - col("rn"))
+      .withColumn("state", col("event_type"))
+      .withColumn("valid_from", col("ts"))
+  }
 
   def oracles: Map[String, String] = Map(
     // The oracles read the SOURCE parquet: they verify the catalog/layout
@@ -468,6 +559,38 @@ object Warehouse extends QueryFamily {
       "coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment " +
       "FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey " +
       "ORDER BY c_custkey"),
+
+    "q_scd2" -> ("WITH m AS (SELECT user_id, ts, event_id, event_type, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+      "count(*) OVER (PARTITION BY user_id) AS n_total, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events), " +
+      "c AS (SELECT * FROM m WHERE prev_type IS NULL OR prev_type <> event_type) " +
+      "SELECT user_id, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS version, " +
+      "event_type AS state, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to, " +
+      "CAST(coalesce(lead(rn) OVER (PARTITION BY user_id ORDER BY rn), n_total + 1) " +
+      "- rn AS BIGINT) AS n_events, " +
+      "(lead(ts) OVER (PARTITION BY user_id ORDER BY rn) IS NULL) AS is_current " +
+      "FROM c ORDER BY user_id, version"),
+
+    // The oracle does the GENERIC interval range join the Spark side
+    // deliberately avoids — validating the merge-and-carry rewrite
+    // against the textbook formulation.
+    "q_join_pointintime" -> ("WITH m AS (SELECT user_id, ts, event_id, event_type, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events), " +
+      "c AS (SELECT * FROM m WHERE prev_type IS NULL OR prev_type <> event_type), " +
+      "scd AS (SELECT user_id, " +
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS version, " +
+      "event_type AS state, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to FROM c) " +
+      "SELECT f.event_id, f.user_id, f.ts, s.version, s.state " +
+      "FROM events f JOIN scd s ON f.user_id = s.user_id " +
+      "AND f.ts >= s.valid_from AND (s.valid_to IS NULL OR f.ts < s.valid_to) " +
+      "WHERE f.event_type = 'purchase' ORDER BY f.event_id"),
 
     "q_join_bucketed" -> ("SELECT c_mktsegment, count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +

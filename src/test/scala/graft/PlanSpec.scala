@@ -172,6 +172,67 @@ class PlanSpec extends AnyFunSuite {
     assert(!p12.toLowerCase.contains("cartesianproduct"), p12.take(3000))
   }
 
+  test("q_text_chunks is map-only: no shuffle before the output ordering") {
+    val p = plan("q_text_chunks")
+    // chunk generation must be sequence+explode projections of the doc
+    // row — any hashpartitioning exchange means a join or window crept in
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_text_bpe: merge rounds ride 1-row broadcasts over the vocab table") {
+    val p = plan("q_text_bpe")
+    // each of the 4 merge applications is a 1-row broadcast onto the
+    // word-count table (BroadcastNestedLoopJoin = the declared cross
+    // join); a sort-merge or cartesian here would re-shuffle the vocab
+    // per round
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
+  test("q_scd2 folds the event log in ONE user_id shuffle (no join, no re-shuffle)") {
+    val df = SparkEntry.queries("q_scd2")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"SCD2 build must not join:\n${p.take(2000)}")
+    val ex = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(ex == 1, s"expected exactly one user_id exchange, got $ex:\n${p.take(2500)}")
+  }
+
+  test("q_join_pointintime is a merge-and-carry, not a range join") {
+    val df = SparkEntry.queries("q_join_pointintime")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the interval condition must never surface as a join (Spark would
+    // plan it as a per-user loop join — quadratic per key); the union +
+    // carry-forward form costs two user_id exchanges (dimension build,
+    // union window) and nothing else
+    assert(!p.contains("Join"), s"PIT enrichment must not join:\n${p.take(2000)}")
+    val ex = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(ex == 2, s"expected two user_id exchanges, got $ex:\n${p.take(2500)}")
+  }
+
+  test("q_agg_bitmap: exact distinct with NO countDistinct expand") {
+    val p = plan("q_agg_bitmap")
+    // the bitmap chunking must keep both aggregations plain two-phase
+    // hash aggregates; an Expand node means countDistinct crept back in
+    assert(!p.contains("Expand"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two two-phase aggregates:\n${p.take(2000)}")
+  }
+
+  test("q_ts_ewma: 16 lag terms ride ONE user_id window pass") {
+    val p = plan("q_ts_ewma")
+    assert(!p.contains("Join"), s"EWMA must not self-join per offset:\n${p.take(2000)}")
+    val ex = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(ex == 1, s"expected one user_id exchange, got $ex:\n${p.take(2500)}")
+    assert("Window".r.findAllIn(p).size == 1,
+      s"expected a single Window node:\n${p.take(2500)}")
+  }
+
   test("q_win_funnel funnels through ONE user_id shuffle (no join cascade)") {
     val p = plan("q_win_funnel")
     // the three chained conditional MINs and the final per-user collapse

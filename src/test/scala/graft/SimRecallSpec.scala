@@ -29,4 +29,23 @@ class SimRecallSpec extends AnyFunSuite {
     // and the coarse top-64 can never beat exhaustive search's 50
     assert(lsh <= 50 && ivf <= 50 && mrl <= 50)
   }
+
+  test("q_sim_pq: ADC top-5 keeps a deterministic overlap with the exact top-5") {
+    // PQ is a RANKING approximation, not a candidate filter, so its
+    // quality gate is top-5 overlap with q_sim_topk rather than a
+    // candidate hit count. Isotropic fixture vectors + an untrained
+    // 16-entry codebook are PQ's worst case — the measured overlap is
+    // exactly 3/50 and is bit-stable (integer ADC distances, (dist, id)
+    // tie-breaks), so any drop to <=1 means the encode/serve arithmetic
+    // broke, not that the data got unlucky.
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs("q_sim_topk")
+    val pq = pairs("q_sim_pq")
+    assert(exact.size == 50 && pq.size == 50,
+      s"expected 10 probes x top-5: exact ${exact.size}, pq ${pq.size}")
+    val overlap = (exact & pq).size
+    assert(overlap >= 2, s"PQ overlap with exact top-5 collapsed: $overlap/50")
+  }
 }
