@@ -1372,6 +1372,107 @@ object Dedup extends QueryFamily {
           sum(when(col("crank") <= 64, 1L).otherwise(0L)).as("mrl_hits"))
         .orderBy("probe_id")
     }),
+
+    // Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    // prune NEAR-SEMANTIC duplicates only WITHIN each cluster — the
+    // published answer to "cosine all-pairs doesn't scale": K grows with
+    // the corpus (K ~ N / target-cluster-size), so per-cluster population
+    // — and with it the within-cluster pair count — stays bounded while
+    // the clustering itself is the linear-time map-side assignment
+    // (TextOps.kmeansAssign: centroids ride one broadcast row). Keep
+    // policy is the paper's keep-farthest-from-centroid: in every
+    // above-threshold pair the member CLOSER to its centroid (the more
+    // redundant one) is dropped, ties on the id — a deterministic
+    // greedy suppression with a total order, no iteration. All
+    // arithmetic exact-integer (fixed-point vectors, integer dot/norms,
+    // one IEEE sqrt+divide per pair), so assignments, cosines, and the
+    // drop set hash-match the oracle's identical chain.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val av = TextOps.kmeansAssign(s, dir).withColumn("n2",
+        expr("aggregate(transform(fx, x -> x * x), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x)"))
+      val a = av.select(col("k"), col("vec_id").as("va"), col("fx").as("fa"),
+        col("d").as("da"), col("n2").as("na2"))
+      val b = av.select(col("k"), col("vec_id").as("vb"), col("fx").as("fb"),
+        col("d").as("db"), col("n2").as("nb2"))
+      val dot = "aggregate(zip_with(fa, fb, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val pairs = a.join(b, Seq("k"))
+        .where(col("va") < col("vb"))
+        .withColumn("cos",
+          expr(s"CAST($dot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE))"))
+        .where(col("cos") >= 0.4)
+      val losers = pairs.select(col("k"),
+        when(col("da") > col("db") ||
+          (col("da") === col("db") && col("va") < col("vb")),
+          col("vb")).otherwise(col("va")).as("dropped"))
+        .distinct()
+      val members = av.groupBy("k").agg(count(lit(1)).as("n_members"))
+      val dupPairs = pairs.groupBy("k").agg(count(lit(1)).as("n_dup_pairs"))
+      val drops = losers.groupBy("k").agg(count(lit(1)).as("nd"),
+        min("dropped").as("md"))
+      members.join(dupPairs, Seq("k"), "left").join(drops, Seq("k"), "left")
+        .select(col("k"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("nd"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("nd"), lit(0L))).as("n_kept"),
+          coalesce(col("md"), lit(-1L)).as("min_dropped"))
+        .orderBy("k")
+    }),
+
+    // Bloom-filter pre-dedup against a reference corpus — THE shape for
+    // "drop from the new crawl everything already in the 100 TB training
+    // set": the reference side folds to an m-bit filter (here m=4096,
+    // k=3 — 63 bits per bit_or'd long (shift <= 62: DuckDB's checked
+    // BIGINT shift rejects 1 << 63), built with one map-side-combining
+    // aggregate), the filter BROADCASTS (the reference corpus never
+    // joins), every new doc probes it map-side, and only the flagged
+    // sliver (true dups + the ~(1-e^(-kn/m))^k false-positive rate)
+    // reaches the exact md5 semi-join verify. Candidates-then-verify,
+    // like the MinHash family — but the candidate state is O(m) bits,
+    // independent of the reference corpus's row count. Probe positions
+    // are double-hashing h1 + i*h2 (Kirsch-Mitzenmacher) over two md5
+    // halves — integer arithmetic identical in both engines, so the
+    // filter words, the flag set, and the false-positive count all
+    // hash-match. Fixture split: doc_id % 7 == 4 is "already trained"
+    // (residue 4 puts four of sf0.1's eight exact-dup pairs across the
+    // split, so the verify stage sees real hits, not only FPs).
+    "q_dedup_bloom" -> ((s, dir) => {
+      val h = Tables(s, dir, "documents").select(col("doc_id"),
+          md5(col("text")).as("sig"))
+        .withColumn("h1",
+          expr("CAST(conv(substr(sig, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("h2",
+          expr("CAST(conv(substr(sig, 9, 8), 16, 10) AS BIGINT) * 2 + 1"))
+      def probes(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("sig"),
+          explode(expr("transform(sequence(0, 2), " +
+            "i -> pmod(h1 + i * h2, 4096))")).as("pos"))
+        .withColumn("word", expr("CAST(pos DIV 63 AS BIGINT)"))
+        .withColumn("mask",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"))
+      val block = h.where(col("doc_id") % 7 === 4)
+      val newDocs = h.where(col("doc_id") % 7 =!= 4)
+      val bloom = probes(block).groupBy("word")
+        .agg(bit_or(col("mask")).as("bits"))
+      val flagged = probes(newDocs)
+        .join(broadcast(bloom), Seq("word"), "left")
+        .groupBy("doc_id", "sig")
+        .agg(sum(when(expr("(bits & mask) = mask"), 1L).otherwise(0L))
+          .as("nh"))
+        .where(col("nh") === 3)
+      val trueDup = flagged
+        .join(block.select("sig").distinct(), Seq("sig"), "left_semi")
+      newDocs.agg(count(lit(1)).as("n_new"))
+        .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+        .crossJoin(trueDup.agg(count(lit(1)).as("n_true_dup")))
+        .crossJoin(bloom.agg(big(sum(bit_count(col("bits"))))
+          .as("n_set_bits")))
+        .select(col("n_new"), col("n_flagged"), col("n_true_dup"),
+          (col("n_flagged") - col("n_true_dup")).as("n_false_pos"),
+          col("n_set_bits"))
+    }),
   )
 
   private val jaccDuck = "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
@@ -1675,5 +1776,59 @@ object Dedup extends QueryFamily {
       "CAST(sum(CASE WHEN crank <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS mrl_hits " +
       "FROM rk WHERE rnk <= 5 GROUP BY probe_id ORDER BY probe_id"
     },
+
+    // the identical kmeans assignment chain (shared CTE prefix), then the
+    // identical intra-cluster integer-cosine pairs and keep-farthest drop
+    "q_dedup_semantic" -> (s"WITH ${TextOps.kmeansAssignCtes}, " +
+      "av AS (SELECT a2.vec_id, a2.k, a2.d, e.fx AS fx, " +
+      "list_sum([ e.fx[i+1] * e.fx[i+1] for i in range(64) ]) AS n2 " +
+      "FROM a2 JOIN e ON a2.vec_id = e.vec_id), " +
+      "dp AS (SELECT a.k AS k, a.vec_id AS va, b.vec_id AS vb, " +
+      "a.d AS da, b.d AS db " +
+      "FROM av a JOIN av b ON a.k = b.k AND a.vec_id < b.vec_id " +
+      "WHERE CAST(list_sum([ a.fx[i+1] * b.fx[i+1] for i in range(64) ]) " +
+      "AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4), " +
+      "dr AS (SELECT DISTINCT k, CASE WHEN da > db OR (da = db AND va < vb) " +
+      "THEN vb ELSE va END AS dropped FROM dp), " +
+      "mem AS (SELECT k, count(*) AS n_members FROM a2 GROUP BY k), " +
+      "pp AS (SELECT k, count(*) AS n_dup_pairs FROM dp GROUP BY k), " +
+      "dd AS (SELECT k, count(*) AS nd, min(dropped) AS md FROM dr GROUP BY k) " +
+      "SELECT mem.k, mem.n_members, " +
+      "coalesce(pp.n_dup_pairs, 0) AS n_dup_pairs, " +
+      "coalesce(dd.nd, 0) AS n_dropped, " +
+      "mem.n_members - coalesce(dd.nd, 0) AS n_kept, " +
+      "coalesce(dd.md, -1) AS min_dropped " +
+      "FROM mem LEFT JOIN pp ON mem.k = pp.k " +
+      "LEFT JOIN dd ON mem.k = dd.k ORDER BY mem.k"),
+
+    // identical double-hash probe positions, 64-long filter words, flag
+    // set, and exact-verify split
+    "q_dedup_bloom" -> ("WITH h AS (SELECT doc_id, md5(text) AS sig, " +
+      "CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h1, " +
+      "CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) * 2 + 1 AS h2 " +
+      "FROM documents), " +
+      "bp AS (SELECT unnest([ (h1 + i * h2) % 4096 for i in range(3) ]) AS pos " +
+      "FROM h WHERE doc_id % 7 = 4), " +
+      "bloom AS (SELECT pos // 63 AS word, " +
+      "bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits " +
+      "FROM bp GROUP BY 1), " +
+      "np AS (SELECT doc_id, sig, " +
+      "unnest([ (h1 + i * h2) % 4096 for i in range(3) ]) AS pos " +
+      "FROM h WHERE doc_id % 7 <> 4), " +
+      "pr AS (SELECT np.doc_id, np.sig, " +
+      "CASE WHEN (bloom.bits & (CAST(1 AS BIGINT) << CAST(np.pos % 63 AS INT))) = " +
+      "(CAST(1 AS BIGINT) << CAST(np.pos % 63 AS INT)) THEN 1 ELSE 0 END AS hit " +
+      "FROM np LEFT JOIN bloom ON np.pos // 63 = bloom.word), " +
+      "fl AS (SELECT doc_id, sig FROM pr GROUP BY doc_id, sig " +
+      "HAVING sum(hit) = 3), " +
+      "nn AS (SELECT count(*) AS n_new FROM h WHERE doc_id % 7 <> 4), " +
+      "nf AS (SELECT count(*) AS n_flagged FROM fl), " +
+      "nt AS (SELECT count(*) AS n_true_dup FROM fl WHERE sig IN " +
+      "(SELECT sig FROM h WHERE doc_id % 7 = 4)), " +
+      "sb AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_set_bits " +
+      "FROM bloom) " +
+      "SELECT n_new, n_flagged, n_true_dup, " +
+      "n_flagged - n_true_dup AS n_false_pos, n_set_bits " +
+      "FROM nn, nf, nt, sb"),
   )
 }

@@ -24,6 +24,77 @@ object TextOps extends QueryFamily {
   private val hText = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
   private val hTextDuck = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
 
+  /** Two-iteration fixed-point Lloyd's assignment over the embedding
+    * corpus — (vec_id, fx, k, d) with fx the floor(1000x+0.5) integer
+    * vector, k the assigned cluster and d the exact integer squared
+    * distance to its centroid. Shared by q_cluster_kmeans (per-cluster
+    * rollup) and Dedup's q_dedup_semantic (intra-cluster prune): both
+    * must see the SAME assignment, so the pipeline lives here once.
+    * Assignment is map-side (K centroids ride one broadcast row); the
+    * update is the posexplode per-(k, dim) sum — one narrow shuffle per
+    * iteration, never a vector collect.
+    */
+  private[operators] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
+    def centRow(c: DataFrame): DataFrame =
+      c.agg(expr("array_sort(collect_list(struct(k, cv)))").as("cents"))
+    val sqd = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("m",
+          expr(s"array_min(transform(cents, c -> struct($sqd AS d, c.k AS k)))"))
+        .select(col("vec_id"), col("fx"), col("m.k").as("k"), col("m.d").as("d"))
+    def update(a: DataFrame): DataFrame =
+      a.select(col("k"), posexplode(col("fx")).as(Seq("pos", "x")))
+        .groupBy("k", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c",
+          expr("CAST(floor(CAST(sx AS DOUBLE) / n + 0.5D) AS BIGINT)"))
+        .groupBy("k")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
+          "p -> p.c)").as("cv"))
+    val c0 = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("k"), col("fx").as("cv"))
+    assign(centRow(update(assign(centRow(c0)))))
+  }
+
+  /** The BPE base table: corpus word counts with each word rendered as a
+    * '<c><c>…' delimited symbol string — the ONLY corpus-scale pass of
+    * the trainer/encoder pair; every merge round after operates on these
+    * vocab-sized rows.
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("sym", concat(lit("<"),
+        array_join(expr("filter(split(w, ''), c -> c <> '')"), "><"), lit(">")))
+
+  /** One BPE trainer round: frequency-weighted adjacent-pair counts over
+    * the delimited symbol strings, (cnt DESC, x, y) argmax. Input needs
+    * (wc, sym); extra columns pass through untouched (the encode path
+    * carries the raw word). Shared by q_text_bpe and q_text_bpe_encode.
+    */
+  private def bpeTopMerge(w: DataFrame): DataFrame =
+    w.select(col("wc"),
+        expr("split(substr(sym, 2, length(sym) - 2), '><')").as("t"))
+      .select(col("wc"), explode(expr(
+        "CASE WHEN size(t) < 2 THEN " +
+        "CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) " +
+        "ELSE transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y)) END"))
+        .as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+      .select(col("x"), col("y"), col("cnt"),
+        concat(lit("<"), col("x"), lit("><"), col("y"), lit(">")).as("pat"),
+        concat(lit("<"), col("x"), col("y"), lit(">")).as("mrg"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer as a generator (explode) + global top-20 token counts.
     "q_text_tokenize" -> ((s, dir) =>
@@ -354,35 +425,11 @@ object TextOps extends QueryFamily {
     // array_min over (d, k) structs; the update is the posexplode
     // per-(k, dim) sum (the q_multimodal_cluster pattern) — one narrow
     // shuffle per iteration, never a vector collect.
-    "q_cluster_kmeans" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
-      def centRow(c: DataFrame): DataFrame =
-        c.agg(expr("array_sort(collect_list(struct(k, cv)))").as("cents"))
-      val sqd = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .withColumn("m",
-            expr(s"array_min(transform(cents, c -> struct($sqd AS d, c.k AS k)))"))
-          .select(col("vec_id"), col("fx"), col("m.k").as("k"), col("m.d").as("d"))
-      def update(a: DataFrame): DataFrame =
-        a.select(col("k"), posexplode(col("fx")).as(Seq("pos", "x")))
-          .groupBy("k", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-          .withColumn("c",
-            expr("CAST(floor(CAST(sx AS DOUBLE) / n + 0.5D) AS BIGINT)"))
-          .groupBy("k")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
-            "p -> p.c)").as("cv"))
-      val c0 = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("k"), col("fx").as("cv"))
-      val a2 = assign(centRow(update(assign(centRow(c0)))))
-      a2.groupBy("k").agg(count(lit(1)).as("n_members"),
+    "q_cluster_kmeans" -> ((s, dir) =>
+      kmeansAssign(s, dir)
+        .groupBy("k").agg(count(lit(1)).as("n_members"),
           sum(col("d")).as("inertia"), min(col("vec_id")).as("min_member"))
-        .orderBy("k")
-    }),
+        .orderBy("k")),
 
     // Distributed BPE vocabulary induction — 4 exact merge rounds of the
     // byte-pair-encoding trainer every tokenizer pipeline runs. The ONLY
@@ -402,31 +449,9 @@ object TextOps extends QueryFamily {
     // dedups them — at corpus scale you would checkpoint the word table
     // between rounds instead. Output: the learned merge table.
     "q_text_bpe" -> ((s, dir) => {
-      val words = Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .withColumn("sym", concat(lit("<"),
-          array_join(expr("filter(split(w, ''), c -> c <> '')"), "><"), lit(">")))
-        .select("wc", "sym")
-      def topMerge(w: DataFrame): DataFrame =
-        w.select(col("wc"),
-            expr("split(substr(sym, 2, length(sym) - 2), '><')").as("t"))
-          .select(col("wc"), explode(expr(
-            "CASE WHEN size(t) < 2 THEN " +
-            "CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) " +
-            "ELSE transform(sequence(1, size(t) - 1), " +
-            "i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y)) END"))
-            .as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum("wc").as("cnt"))
-          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
-          .select(col("x"), col("y"), col("cnt"),
-            concat(lit("<"), col("x"), lit("><"), col("y"), lit(">")).as("pat"),
-            concat(lit("<"), col("x"), col("y"), lit(">")).as("mrg"))
-      var cur = words
+      var cur = bpeVocab(s, dir).select("wc", "sym")
       val merges = (1 to 4).map { i =>
-        val m = topMerge(cur)
+        val m = bpeTopMerge(cur)
         cur = cur.crossJoin(broadcast(m.select("pat", "mrg")))
           .withColumn("sym", expr("replace(sym, pat, mrg)"))
           .select("wc", "sym")
@@ -434,6 +459,37 @@ object TextOps extends QueryFamily {
           concat(col("x"), col("y")).as("merged"), col("cnt"))
       }
       merges.reduce(_ unionByName _).orderBy("iter")
+    }),
+
+    // The consumer of q_text_bpe's learned merge table: tokenize the
+    // corpus with the trained subword vocabulary and serve per-doc token
+    // statistics — the token-counting pass every training-data pipeline
+    // runs to budget sequences. The production shape: merges apply to
+    // the VOCAB table (Heaps' law, ~N^0.5 rows), producing a word ->
+    // token-count lexicon, and the corpus pass is ONE broadcast join on
+    // the word — the corpus-scale text is never rewritten, only its
+    // (doc_id, word) explode is touched. n_tokens/n_chars shrink as
+    // merges land; n_words is the whitespace baseline.
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      var cur = bpeVocab(s, dir)
+      (1 to 4).foreach { _ =>
+        val m = bpeTopMerge(cur)
+        cur = cur.crossJoin(broadcast(m.select("pat", "mrg")))
+          .withColumn("sym", expr("replace(sym, pat, mrg)"))
+          .select("w", "wc", "sym")
+      }
+      val lexicon = cur.select(col("w"),
+        big(expr("size(split(substr(sym, 2, length(sym) - 2), '><'))"))
+          .as("n_tok"),
+        big(length(col("w"))).as("n_chars_w"))
+      toks.join(broadcast(lexicon), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_chars_w").as("n_chars"),
+          sum("n_tok").as("n_tokens"))
+        .orderBy("doc_id")
     }),
 
     // Binary-column plumbing: encode -> byte length, hexdump head, content
@@ -472,12 +528,18 @@ object TextOps extends QueryFamily {
     * per-round weighted pair counts, (cnt DESC, x, y) argmax, and
     * boundary-delimited replace — one CTE triple (p/t/w) per round.
     */
-  private def bpeOracle(rounds: Int): String = {
+  /** The shared CTE chain w0..w{rounds}: word-count base, then one
+    * (p/t/w) triple per round — weighted pair counts, (cnt DESC, x, y)
+    * argmax, boundary-delimited replace. Carries the raw word so the
+    * encode oracle can join the corpus back to the merged lexicon (the
+    * trainer's final select ignores it).
+    */
+  private def bpeChainCtes(rounds: Int): String = {
     val base =
       "wbase AS (SELECT w, count(*) AS wc FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) t " +
       "WHERE length(w) > 0 GROUP BY w), " +
-      "w0 AS (SELECT wc, '<' || array_to_string(" +
+      "w0 AS (SELECT w, wc, '<' || array_to_string(" +
       "list_filter(string_split(w, ''), c -> c <> ''), '><') || '>' AS sym FROM wbase)"
     val iters = (1 to rounds).map { i =>
       s"p$i AS (SELECT p.x AS x, p.y AS y, SUM(wc) AS cnt FROM " +
@@ -487,17 +549,39 @@ object TextOps extends QueryFamily {
       "GROUP BY 1, 2), " +
       s"t$i AS (SELECT x, y, cnt, '<' || x || '><' || y || '>' AS pat, " +
       s"'<' || x || y || '>' AS mrg FROM p$i ORDER BY cnt DESC, x, y LIMIT 1), " +
-      s"w$i AS (SELECT wc, replace(sym, (SELECT pat FROM t$i), " +
+      s"w$i AS (SELECT w, wc, replace(sym, (SELECT pat FROM t$i), " +
       s"(SELECT mrg FROM t$i)) AS sym FROM w${i - 1})"
     }.mkString(", ")
+    s"$base, $iters"
+  }
+
+  /** DuckDB mirror of the BPE trainer: the chain's per-round argmax rows. */
+  private def bpeOracle(rounds: Int): String = {
     val sel = (1 to rounds).map(i =>
       s"SELECT CAST($i AS BIGINT) AS iter, x, y, x || y AS merged, " +
       s"CAST(cnt AS BIGINT) AS cnt FROM t$i").mkString(" UNION ALL ")
-    s"WITH $base, $iters SELECT * FROM ($sel) ORDER BY iter"
+    s"WITH ${bpeChainCtes(rounds)} SELECT * FROM ($sel) ORDER BY iter"
   }
+
+  /** DuckDB mirror of the BPE encoder: the identical merge chain, then
+    * the merged lexicon joined back to the corpus word explode.
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"WITH ${bpeChainCtes(rounds)}, " +
+    "lex AS (SELECT w, CAST(len(string_split(substr(sym, 2, " +
+    "length(sym) - 2), '><')) AS BIGINT) AS n_tok, " +
+    s"CAST(length(w) AS BIGINT) AS n_chars_w FROM w$rounds), " +
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+    "FROM documents) " +
+    "SELECT doc_id, count(*) AS n_words, " +
+    "CAST(sum(n_chars_w) AS BIGINT) AS n_chars, " +
+    "CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+    "FROM tok JOIN lex USING (w) WHERE length(w) > 0 " +
+    "GROUP BY doc_id ORDER BY doc_id"
 
   def oracles: Map[String, String] = Map(
     "q_text_bpe" -> bpeOracle(4),
+    "q_text_bpe_encode" -> bpeEncodeOracle(4),
 
     "q_text_tokenize" -> ("SELECT token, count(*) AS n FROM " +
       "(SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) " +
@@ -650,23 +734,32 @@ object TextOps extends QueryFamily {
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer
-    "q_cluster_kmeans" -> ("WITH e AS (SELECT vec_id, " +
-      "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
-      "FROM embeddings), " +
-      "c0 AS (SELECT vec_id AS k, fx AS cv FROM e WHERE vec_id < 8), " +
-      "a1 AS (SELECT e.vec_id, c0.k, e.fx FROM e, c0 " +
-      "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
-      "list_sum([ (e.fx[i+1] - c0.cv[i+1]) * (e.fx[i+1] - c0.cv[i+1]) for i in range(64) ]), c0.k) = 1), " +
-      "s1 AS (SELECT k, pos, sum(x) AS sx, count(*) AS n FROM " +
-      "(SELECT k, unnest(fx) AS x, generate_subscripts(fx, 1) - 1 AS pos FROM a1) " +
-      "GROUP BY k, pos), " +
-      "c1 AS (SELECT k, list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) AS cv " +
-      "FROM s1 GROUP BY k), " +
-      "a2 AS (SELECT e.vec_id, c1.k, " +
-      "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) for i in range(64) ]) AS d " +
-      "FROM e, c1 " +
-      "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c1.k) = 1) " +
+    "q_cluster_kmeans" -> (s"WITH $kmeansAssignCtes " +
       "SELECT k, count(*) AS n_members, CAST(sum(d) AS BIGINT) AS inertia, " +
       "min(vec_id) AS min_member FROM a2 GROUP BY k ORDER BY k"),
   )
+
+  /** DuckDB mirror of [[kmeansAssign]]: the CTE chain ending in
+    * a2 (vec_id, k, d) — fixed-point vectors in e, seed centroids c0,
+    * first assignment a1, per-(k, pos) update s1/c1, final assignment a2.
+    * Shared by the q_cluster_kmeans oracle and Dedup's q_dedup_semantic
+    * oracle (which joins a2 back to e for the vectors).
+    */
+  private[operators] val kmeansAssignCtes: String =
+    "e AS (SELECT vec_id, " +
+    "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
+    "FROM embeddings), " +
+    "c0 AS (SELECT vec_id AS k, fx AS cv FROM e WHERE vec_id < 8), " +
+    "a1 AS (SELECT e.vec_id, c0.k, e.fx FROM e, c0 " +
+    "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+    "list_sum([ (e.fx[i+1] - c0.cv[i+1]) * (e.fx[i+1] - c0.cv[i+1]) for i in range(64) ]), c0.k) = 1), " +
+    "s1 AS (SELECT k, pos, sum(x) AS sx, count(*) AS n FROM " +
+    "(SELECT k, unnest(fx) AS x, generate_subscripts(fx, 1) - 1 AS pos FROM a1) " +
+    "GROUP BY k, pos), " +
+    "c1 AS (SELECT k, list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) AS cv " +
+    "FROM s1 GROUP BY k), " +
+    "a2 AS (SELECT e.vec_id, c1.k, " +
+    "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) for i in range(64) ]) AS d " +
+    "FROM e, c1 " +
+    "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c1.k) = 1)"
 }

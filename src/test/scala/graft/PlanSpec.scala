@@ -273,6 +273,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
 
+  test("q_dedup_semantic: centroids broadcast; pairs keyed on the cluster id") {
+    val p = plan("q_dedup_semantic")
+    // the shared kmeans assignment's two 1-row broadcast centroid arrays
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    // the intra-cluster pair stage must be an equi-join on k — an
+    // unkeyed product would be the all-pairs cosine SemDeDup replaces
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
+  test("q_dedup_bloom: the filter broadcasts; the reference corpus never joins") {
+    val p = plan("q_dedup_bloom")
+    // the probe join must carry the <=66-row filter by broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
+  test("q_text_bpe_encode: merges and lexicon broadcast; the corpus never re-shuffles") {
+    val p = plan("q_text_bpe_encode")
+    // 4 merge rounds = 4 one-row broadcasts over the vocab table
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    // the corpus-side tokenize pass joins the merged lexicon by broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_sim_topk").contains("BroadcastExchange"))
