@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
 
@@ -17,11 +18,17 @@ import org.apache.spark.sql.SparkSession
   *   - entries whose session's SparkContext has stopped are dropped (the
   *     promptly-reclaimable case: a stopped context's checkpoint blocks
   *     are dead weight the moment `stop()` returns);
-  *   - if more than `cap` entries remain LIVE (a JVM churning through
+  *   - the cap bounds distinct live SESSIONS, not entries. A session's
+  *     entry count is bounded by the code that uses the memo (finitely
+  *     many tags × fixture dirs), but session churn (a JVM looping
   *     `newSession()` clones, which share one running context and so
-  *     never trip the stopped sweep), the memo resets wholesale. A memo
-  *     miss only costs a rebuild, so clearing is always safe — the cap
-  *     turns an unbounded leak into a fixed-size cache.
+  *     never trip the stopped sweep) is not. Overflow evicts whole
+  *     sessions, longest-untouched first, never the session currently
+  *     being accessed. The previous policy — entry cap + clear-all —
+  *     was an oscillator: Warehouse.written holds 11 once-tags per
+  *     (session, dir) against the old cap of 8, so a session touching
+  *     them all wholesale-cleared the memo on every later access and
+  *     re-ran idempotent layout writes (r14 verdict).
   *
   * Weak references to the session are NOT the answer here even though the
   * advice offers them: the memoized DataFrames strongly reference their
@@ -38,22 +45,59 @@ final class SessionMemo[K, V](
     // in-test without killing the suite-shared SparkContext
     stopped: SparkSession => Boolean = _.sparkContext.isStopped) {
   private val m = new ConcurrentHashMap[K, V]()
+  // last-touch tick per session (ConcurrentHashMap keys on .equals, which
+  // SparkSession does not override — identity semantics for free)
+  private val touched = new ConcurrentHashMap[SparkSession, java.lang.Long]()
+  private val tick = new AtomicLong()
 
-  private def sweep(): Unit = {
+  private def liveSessions(): List[SparkSession] = {
+    val seen = new java.util.IdentityHashMap[SparkSession, java.lang.Boolean]()
+    val it = m.keySet().iterator()
+    while (it.hasNext) seen.put(owner(it.next()), java.lang.Boolean.TRUE)
+    import scala.jdk.CollectionConverters._
+    seen.keySet().asScala.toList
+  }
+
+  private def evictSession(v: SparkSession): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) if (owner(it.next()) eq v) it.remove()
+    touched.remove(v)
+  }
+
+  /** `current` is the session of the key being accessed (null from
+    * liveSize): it is touched, and exempt from overflow eviction — the
+    * access about to happen must not invalidate its own working set. */
+  private def sweep(current: SparkSession): Unit = {
+    if (current != null)
+      touched.put(current, java.lang.Long.valueOf(tick.incrementAndGet()))
     val it = m.keySet().iterator()
     while (it.hasNext) if (stopped(owner(it.next()))) it.remove()
-    if (m.size > cap) m.clear()
+    var sessions = liveSessions()
+    while (sessions.size > cap) {
+      val victims = sessions.filter(s => current == null || (s ne current))
+      if (victims.isEmpty) return
+      evictSession(
+        victims.minBy(s => Option(touched.get(s)).fold(0L)(_.longValue)))
+      sessions = liveSessions()
+    }
+    // touch records die with their last entry, or `touched` itself leaks
+    val ti = touched.keySet().iterator()
+    while (ti.hasNext) {
+      val s = ti.next()
+      if ((current == null || (s ne current)) && !sessions.exists(_ eq s))
+        ti.remove()
+    }
   }
 
   /** Memoized build: at most one build per key runs at a time. */
   def getOrBuild(k: K)(build: K => V): V = {
-    sweep()
+    sweep(owner(k))
     m.computeIfAbsent(k, kk => build(kk))
   }
 
-  def get(k: K): Option[V] = { sweep(); Option(m.get(k)) }
+  def get(k: K): Option[V] = { sweep(owner(k)); Option(m.get(k)) }
 
-  def put(k: K, v: V): Unit = { sweep(); m.put(k, v) }
+  def put(k: K, v: V): Unit = { sweep(owner(k)); m.put(k, v) }
 
   /** Immutable view — for specs asserting memo contents. */
   private[graft] def snapshot: Map[K, V] = {
@@ -61,5 +105,5 @@ final class SessionMemo[K, V](
     m.asScala.toMap
   }
 
-  private[graft] def liveSize: Int = { sweep(); m.size }
+  private[graft] def liveSize: Int = { sweep(null); m.size }
 }

@@ -348,6 +348,38 @@ object Aggregates extends QueryFamily {
         .orderBy(col("n_occurs").desc, col("tok"))
     }),
 
+    // Count-Min sketch (Cormode-Muthukrishnan) — the point-frequency
+    // sketch the hll/theta/kll/freq quartet was missing: a d=4 x w=256
+    // counter grid where every event increments cell (j, h_j(user)) and
+    // a key's estimate is the MIN over its d cells — one-sided error
+    // (never under-counts), O(d·w) state regardless of key cardinality.
+    // Served as the top-10 users' exact count beside their CM estimate.
+    // Scale: the grid build is one groupBy over (j, bucket) — 1024 cells
+    // whatever the corpus size — and lookups join the tiny grid
+    // broadcast; hashes are the engine-portable md5-prefix integers the
+    // text family already uses, so the oracle rebuilds the identical
+    // grid. Deterministic: integer cells, (count DESC, user_id) top-10.
+    "q_agg_countmin" -> ((s, dir) => {
+      def lanes(col0: String) = (0 to 3).map(j =>
+        s"struct($j AS j, CAST(conv(substr(md5(concat('$j:', CAST($col0 AS STRING))), 1, 15), 16, 10) AS BIGINT) % 256 AS b")
+        .mkString("array(", "), ", "))")
+      val ev = Tables(s, dir, "events").select(col("user_id"))
+      val cells = ev.select(explode(expr(lanes("user_id"))).as("c"))
+        .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val truth = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      truth.select(col("user_id"), col("exact_n"),
+          explode(expr(lanes("user_id"))).as("c"))
+        .select(col("user_id"), col("exact_n"),
+          col("c.j").as("j"), col("c.b").as("b"))
+        .join(broadcast(cells), Seq("j", "b"))
+        .groupBy("user_id", "exact_n")
+        .agg(min(col("cnt")).as("cm_n"))
+        .select(col("user_id"), col("exact_n"), col("cm_n"))
+        .orderBy("user_id")
+    }),
+
     // Footer-stats aggregate pushdown: COUNT/MIN/MAX answered from
     // parquet ROW-GROUP METADATA — the scan reads zero data pages
     // (`PushedAggregation` in the plan, required in-query). At 100 TB
@@ -443,6 +475,19 @@ object Aggregates extends QueryFamily {
   private val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
 
   def oracles: Map[String, String] = Map(
+    // identical md5-prefix lane hashes rebuild the identical 4x256 grid
+    "q_agg_countmin" -> ("WITH cells AS (SELECT j, " +
+      "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS b, " +
+      "count(*) AS cnt FROM events, range(4) t(j) GROUP BY 1, 2), " +
+      "truth AS (SELECT user_id, count(*) AS exact_n FROM events " +
+      "GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10), " +
+      "lk AS (SELECT user_id, exact_n, j, " +
+      "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256 AS b " +
+      "FROM truth, range(4) t(j)) " +
+      "SELECT lk.user_id, lk.exact_n, min(cells.cnt) AS cm_n " +
+      "FROM lk JOIN cells ON lk.j = cells.j AND lk.b = cells.b " +
+      "GROUP BY lk.user_id, lk.exact_n ORDER BY lk.user_id"),
+
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),

@@ -668,23 +668,179 @@ object Dedup extends QueryFamily {
   }
 
   /** The q_dedup_near pair set as bare (doc_a, doc_b) edges — shared by
-    * q_dedup_cluster (edge input) and q_dedup_retention (dominance
-    * input). Same candidates, same fused threshold check; here the
-    * Jaccard value is discarded, so the predicate sits alone in a filter
-    * (no projection for CollapseProject to re-inline it into) and runs
-    * once per pair.
+    * q_dedup_cluster (edge input), q_dedup_retention (dominance input)
+    * and q_dedup_recall (ground truth). Same candidates, same fused
+    * threshold check; here the Jaccard value is discarded, so the
+    * predicate sits alone in a filter (no projection for CollapseProject
+    * to re-inline it into) and runs once per pair.
+    *
+    * MEMOIZED per (session OBJECT, dir) and pinned, like the postings
+    * table it feeds from (r14 verdict: the three consumers each re-ran
+    * the full candidates+verify pipeline, ~2s apiece at sf0.01 — and at
+    * 100 TB the near-dup edge set is exactly the artifact you
+    * materialize once and share).
     */
-  private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.SortedJaccardGe.register(s)
-    val meta = docMeta(Tables(s, dir, "documents"))
-    val enc = tokenCodes(s, dir)
-    val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
-    val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
-    val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
-    pairs.join(ca.hint("shuffle_hash"), "doc_a")
-      .join(cb.hint("shuffle_hash"), "doc_b")
-      .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
-      .select(col("doc_a"), col("doc_b"))
+  private[graft] val edgesMemo =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](_._1)
+
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
+    edgesMemo.getOrBuild((s, dir))(_ => {
+      graft.functions.SortedJaccardGe.register(s)
+      val meta = docMeta(Tables(s, dir, "documents"))
+      val enc = tokenCodes(s, dir)
+      val pairs = candidatePairs(enc, meta, 4, 5, s"near:$dir")
+      val ca = enc.select(col("doc_id").as("doc_a"), col("codes").as("ca"))
+      val cb = enc.select(col("doc_id").as("doc_b"), col("codes").as("cb"))
+      passPinner(s)(pairs.join(ca.hint("shuffle_hash"), "doc_a")
+        .join(cb.hint("shuffle_hash"), "doc_b")
+        .where(expr("sorted_jaccard_ge(ca, cb, 0.8D)").isNotNull)
+        .select(col("doc_a"), col("doc_b")))
+    })
+
+  // ---- Product-quantization plumbing, shared by q_sim_pq (sample
+  // codebook), q_sim_pq_trained (subspace-wise Lloyd's codebook) and
+  // q_sim_recall_pq (both graded against the exact top-5). ----
+
+  /** (vec_id, s, sv): the fixed-point corpus split into 8 8-dim
+    * subvectors, one row per (vector, subspace). */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
+    e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> " +
+          "struct(s AS s, slice(fx, s * 8 + 1, 8) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+  }
+
+  /** Exact-integer squared distance between a subvector and a centroid. */
+  private val pqSqd = "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), " +
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+  /** The 16-centroid-per-subspace codebook (s, k, cent). trained=false:
+    * the first 16 candidate subvectors as-is (training-free sample
+    * quantizer). trained=true: those seeds refined by one exact-integer
+    * Lloyd's round over the candidate corpus — the same assign/update
+    * shape as TextOps.kmeansAssign, run subspace-wise so each 8-dim
+    * quantizer trains on its own slice (Jegou PQ's actual trainer).
+    * Empty clusters keep their seed centroid — a deterministic rule both
+    * engines can state, instead of the usual re-seed-random. Scale: the
+    * codebook is 8x16 rows (broadcast); assignment is map-side under it;
+    * the update is one narrow (s, k, pos) shuffle — training never
+    * collects a vector to the driver.
+    */
+  private def pqCodebook(sub: DataFrame, trained: Boolean): DataFrame = {
+    val cb0 = sub.where(col("vec_id").between(10, 25))
+      .select(col("s"), (col("vec_id") - 10).as("k"), col("sv").as("cent"))
+    if (!trained) cb0
+    else {
+      val tr = sub.where(col("vec_id") >= 10)
+      // sv is constant per (vec_id, s) group, so first() carries it
+      // through the argmin without a second join back to tr
+      val asg = tr.join(broadcast(cb0), "s")
+        .withColumn("d", expr(pqSqd))
+        .groupBy("vec_id", "s")
+        .agg(min(struct(col("d"), col("k"))).as("m"), first(col("sv")).as("sv"))
+        .select(col("s"), col("m.k").as("k"), col("sv"))
+      val upd = asg
+        .select(col("s"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "k", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("CAST(floor(CAST(sx AS DOUBLE) / n + 0.5D) AS BIGINT)"))
+        .groupBy("s", "k")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
+          "p -> p.c)").as("newc"))
+      // the merge is codebook-sized (8x16 rows) at ANY corpus scale —
+      // broadcast it rather than let the static plan sort-merge
+      cb0.join(broadcast(upd), Seq("s", "k"), "left")
+        .select(col("s"), col("k"), coalesce(col("newc"), col("cent")).as("cent"))
+    }
+  }
+
+  /** The full ADC serving pipeline against either codebook →
+    * (probe_id, rank, neighbor_id, adc_dist), top-5 per probe,
+    * unordered (callers sort for presentation). Candidates score as 8
+    * integer table lookups — zero per-candidate vector math; codebook
+    * and probe distance tables both broadcast (PlanSpec-pinned). */
+  private def pqAdcRanked(s: SparkSession, dir: String, trained: Boolean): DataFrame = {
+    val sub = pqSubvectors(s, dir)
+    val cb = pqCodebook(sub, trained)
+    val dist = sub.join(broadcast(cb), "s").withColumn("d", expr(pqSqd))
+    val codes = dist.where(col("vec_id") >= 10)
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("k"))).as("m"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(s, m.k AS k))), " +
+        "x -> x.k)").as("codes"))
+    val dtv = dist.where(col("vec_id") < 10)
+      .groupBy(col("vec_id").as("probe_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, k, d))), " +
+        "x -> x.d)").as("dta"))
+    val adc = "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, s) -> " +
+      "acc + element_at(dta, CAST(s * 16 + " +
+      "element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("vec_id"))
+    codes.crossJoin(broadcast(dtv))
+      .withColumn("adc_dist", expr(adc))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), big(col("rank")).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** DuckDB mirror of [[pqSubvectors]]: fixed-point vectors e, per-
+    * subspace slices sub, the candidate training set tr. */
+  private val pqOracleHead: String =
+    "e AS (SELECT vec_id, " +
+    "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
+    "FROM embeddings), " +
+    "sub AS (SELECT vec_id, s, fx[s*8+1 : s*8+8] AS sv FROM e, range(8) t(s)), " +
+    "tr AS (SELECT * FROM sub WHERE vec_id >= 10)"
+
+  /** DuckDB mirror of [[pqCodebook]] + [[pqAdcRanked]]: the CTE chain
+    * ending in rk&lt;sfx&gt; (probe_id, neighbor_id, adc_dist, rank). CTE
+    * names carry `sfx` so q_sim_recall_pq can run both codebooks in one
+    * statement. Identical arithmetic: integer squared distances with
+    * (d, k) argmin tiebreak; trained's update mean is the same
+    * floor(sum/n + 0.5) double division both engines compute IEEE-
+    * identically; empty clusters coalesce back to their seed. */
+  private def pqOracleChain(sfx: String, trained: Boolean): String = {
+    val cb =
+      if (!trained)
+        s"cb$sfx AS (SELECT vec_id - 10 AS k, s, sv AS cent FROM sub " +
+        "WHERE vec_id BETWEEN 10 AND 25)"
+      else
+        s"cb0$sfx AS (SELECT vec_id - 10 AS k, s, sv AS cent FROM sub " +
+        "WHERE vec_id BETWEEN 10 AND 25), " +
+        s"a1$sfx AS (SELECT t.vec_id, t.s, c.k, t.sv FROM tr t " +
+        s"JOIN cb0$sfx c ON t.s = c.s " +
+        "QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY " +
+        "list_sum([ (t.sv[i+1] - c.cent[i+1]) * (t.sv[i+1] - c.cent[i+1]) " +
+        "for i in range(8) ]), c.k) = 1), " +
+        s"s1$sfx AS (SELECT s, k, pos, sum(x) AS sx, count(*) AS n FROM " +
+        "(SELECT s, k, unnest(sv) AS x, generate_subscripts(sv, 1) - 1 AS pos " +
+        s"FROM a1$sfx) GROUP BY s, k, pos), " +
+        s"c1$sfx AS (SELECT s, k, " +
+        "list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) " +
+        s"AS newc FROM s1$sfx GROUP BY s, k), " +
+        s"cb$sfx AS (SELECT c0.s, c0.k, coalesce(c1.newc, c0.cent) AS cent " +
+        s"FROM cb0$sfx c0 LEFT JOIN c1$sfx c1 ON c0.s = c1.s AND c0.k = c1.k)"
+    cb + ", " +
+    s"dist$sfx AS (SELECT c.vec_id, c.s, cb.k, " +
+    "list_sum([ (c.sv[i+1] - cb.cent[i+1]) * (c.sv[i+1] - cb.cent[i+1]) " +
+    s"for i in range(8) ]) AS d FROM sub c JOIN cb$sfx cb ON c.s = cb.s), " +
+    s"codes$sfx AS (SELECT vec_id, s, k AS code FROM dist$sfx WHERE vec_id >= 10 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) = 1), " +
+    s"cvec$sfx AS (SELECT vec_id, list(code ORDER BY s) AS codes " +
+    s"FROM codes$sfx GROUP BY vec_id), " +
+    s"dtv$sfx AS (SELECT vec_id AS probe_id, list(d ORDER BY s, k) AS dta " +
+    s"FROM dist$sfx WHERE vec_id < 10 GROUP BY vec_id), " +
+    s"scored$sfx AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
+    "CAST(list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) " +
+    s"AS BIGINT) AS adc_dist FROM cvec$sfx c, dtv$sfx p), " +
+    s"rk$sfx AS (SELECT probe_id, neighbor_id, adc_dist, CAST(row_number() OVER " +
+    s"(PARTITION BY probe_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank " +
+    s"FROM scored$sfx)"
   }
 
   /** Verify stage shared by the Jaccard dedup paths: attach each side's
@@ -1269,6 +1425,51 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF with a TRAINED coarse quantizer — the real IVF-Flat recipe
+    // (q_sim_ivf searches the fixture's GIVEN labels): the shared
+    // k-means clustering (TextOps.kmeansAssign, K=8) is the coarse
+    // quantizer, candidates are bucketed by their assigned centroid, and
+    // each probe searches its nprobe=2 nearest centroids' buckets with
+    // exact cosine rescoring. Scale: the centroid row broadcasts (probe
+    // cluster selection is map-side), the candidate join is an equi-join
+    // on the cluster id (never a cross), and raising K keeps per-bucket
+    // populations bounded exactly as in q_dedup_semantic. Deterministic:
+    // integer centroid distances with (d, k) tiebreak pick the probe
+    // buckets; the rescore is the sim family's round(·,4)+id total order.
+    "q_sim_ivf_trained" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val av = TextOps.kmeansAssign(s, dir)
+      val cents = TextOps.kmeansCentroidRow(s, dir)
+      val sqd = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val probeClusters = av.where(col("vec_id") < 10)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id").as("probe_id"), explode(expr(
+          s"slice(array_sort(transform(cents, c -> struct($sqd AS d, c.k AS k))), 1, 2)")).as("pc"))
+        .select(col("probe_id"), col("pc.k").as("k"))
+      val cand = av.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("k"))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val pv = e.where(col("vec_id") < 10).select(col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+      val cv = e.where(col("vec_id") >= 10).select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      cand.join(broadcast(probeClusters), "k")
+        .join(cv, "neighbor_id")
+        .join(broadcast(pv), "probe_id")
+        .withColumn("score",
+          round(expr("vec_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("probe_id"), big(col("rank")).as("rank"),
+          col("neighbor_id"), col("score"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // Product-quantization ANN (Jegou-style PQ with asymmetric distance
     // computation) — the memory-bound serving layout the other sim paths
     // don't cover: vectors stored as 8 one-byte codes (one per 8-dim
@@ -1287,41 +1488,51 @@ object Dedup extends QueryFamily {
     // unchanged). Scale: codebook and probe tables broadcast; encoding
     // is one broadcast join per subspace row; serving never touches the
     // full-width vectors.
-    "q_sim_pq" -> ((s, dir) => {
+    "q_sim_pq" -> ((s, dir) =>
+      pqAdcRanked(s, dir, trained = false).orderBy("probe_id", "rank")),
+
+    // The same ADC pipeline with the codebook the SURVEY row promised:
+    // subspace-wise Lloyd's (one exact-integer round, seeded by the
+    // sample codebook) dropped into the identical encode/serve contract —
+    // nothing downstream of pqCodebook changes.
+    "q_sim_pq_trained" -> ((s, dir) =>
+      pqAdcRanked(s, dir, trained = true).orderBy("probe_id", "rank")),
+
+    // PQ graded through the oracle, not only a spec pin: per probe, how
+    // many of the exact cosine top-5 survive into each codebook's ADC
+    // top-5 — recall@5 as oracle-checked integers, the same contract
+    // q_sim_recall applies to LSH/IVF/MRL. One broadcast cross join for
+    // the exact ranking plus the two (broadcast-only) ADC chains.
+    "q_sim_recall_pq" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
-      val sub = e.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 7), s -> " +
-            "struct(s AS s, slice(fx, s * 8 + 1, 8) AS sv))")).as("x"))
-        .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
-      val cb = sub.where(col("vec_id").between(10, 25))
-        .select((col("vec_id") - 10).as("k"), col("s"), col("sv").as("cent"))
-      val sqd = "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-      val dist = sub.join(broadcast(cb), "s").withColumn("d", expr(sqd))
-      val codes = dist.where(col("vec_id") >= 10)
-        .groupBy("vec_id", "s")
-        .agg(min(struct(col("d"), col("k"))).as("m"))
-        .groupBy("vec_id")
-        .agg(expr("transform(array_sort(collect_list(struct(s, m.k AS k))), " +
-          "x -> x.k)").as("codes"))
-      val dtv = dist.where(col("vec_id") < 10)
-        .groupBy(col("vec_id").as("probe_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(s, k, d))), " +
-          "x -> x.d)").as("dta"))
-      val adc = "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, s) -> " +
-        "acc + element_at(dta, CAST(s * 16 + " +
-        "element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
       val w = Window.partitionBy("probe_id")
-        .orderBy(col("adc_dist"), col("vec_id"))
-      codes.crossJoin(broadcast(dtv))
-        .withColumn("adc_dist", expr(adc))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 5)
-        .select(col("probe_id"), big(col("rank")).as("rank"),
-          col("vec_id").as("neighbor_id"), col("adc_dist"))
-        .orderBy("probe_id", "rank")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+        .crossJoin(broadcast(probes))
+        .withColumn("score",
+          round(expr("vec_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("probe_id", "neighbor_id")
+      val p5 = pqAdcRanked(s, dir, trained = false)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h_s"))
+      val t5 = pqAdcRanked(s, dir, trained = true)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h_t"))
+      exact.join(p5, Seq("probe_id", "neighbor_id"), "left")
+        .join(t5, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("h_s"), lit(0L))).as("pq_hits"),
+          sum(coalesce(col("h_t"), lit(0L))).as("pq_trained_hits"))
+        .orderBy("probe_id")
     }),
 
     // ANN quality gate: recall@5 of the three approximate paths against
@@ -1730,28 +1941,58 @@ object Dedup extends QueryFamily {
       "WHERE p.vec_id < 10) " +
       "WHERE rank <= 3 ORDER BY probe_id, rank"),
 
+    // identical trained-quantizer chain: the shared kmeansAssignCtes end
+    // in (c1 centroids, a2 assignment); probe buckets are the same
+    // integer-distance (d, k) top-2, rescore the same round(·,4) ranking
+    "q_sim_ivf_trained" -> (s"WITH ${TextOps.kmeansAssignCtes}, " +
+      "pc AS (SELECT e.vec_id AS probe_id, c1.k FROM e, c1 WHERE e.vec_id < 10 " +
+      "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+      "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) for i in range(64) ]), c1.k) <= 2), " +
+      "cand AS (SELECT vec_id AS neighbor_id, k FROM a2 WHERE vec_id >= 10), " +
+      "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "scored AS (SELECT pc.probe_id, cand.neighbor_id, " +
+      "round(list_cosine_similarity(p.v, c.v), 4) AS score " +
+      "FROM pc JOIN cand ON pc.k = cand.k " +
+      "JOIN ev p ON p.vec_id = pc.probe_id JOIN ev c ON c.vec_id = cand.neighbor_id), " +
+      "rk AS (SELECT probe_id, neighbor_id, score, CAST(row_number() OVER " +
+      "(PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM scored) " +
+      "SELECT probe_id, rank, neighbor_id, score FROM rk " +
+      "WHERE rank <= 3 ORDER BY probe_id, rank"),
+
     // identical fixed-point/codebook/encode/ADC arithmetic — all-integer,
-    // so no rounding boundary anywhere
-    "q_sim_pq" -> ("WITH e AS (SELECT vec_id, " +
-      "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
-      "FROM embeddings), " +
-      "sub AS (SELECT vec_id, s, fx[s*8+1 : s*8+8] AS sv FROM e, range(8) t(s)), " +
-      "cb AS (SELECT vec_id - 10 AS k, s, sv AS cent FROM sub WHERE vec_id BETWEEN 10 AND 25), " +
-      "dist AS (SELECT c.vec_id, c.s, cb.k, " +
-      "list_sum([ (c.sv[i+1] - cb.cent[i+1]) * (c.sv[i+1] - cb.cent[i+1]) for i in range(8) ]) AS d " +
-      "FROM sub c JOIN cb ON c.s = cb.s), " +
-      "codes AS (SELECT vec_id, s, k AS code FROM dist WHERE vec_id >= 10 " +
-      "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, k) = 1), " +
-      "cvec AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id), " +
-      "dtv AS (SELECT vec_id AS probe_id, list(d ORDER BY s, k) AS dta " +
-      "FROM dist WHERE vec_id < 10 GROUP BY vec_id), " +
-      "scored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
-      "list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) AS adc_dist " +
-      "FROM cvec c, dtv p), " +
-      "rk AS (SELECT probe_id, neighbor_id, adc_dist, CAST(row_number() OVER " +
-      "(PARTITION BY probe_id ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM scored) " +
+    // so no rounding boundary anywhere (the final adc_dist CASTs to
+    // BIGINT: DuckDB's list_sum widens to HUGEINT, the r14 gate miss)
+    "q_sim_pq" -> (s"WITH $pqOracleHead, ${pqOracleChain("", trained = false)} " +
       "SELECT probe_id, rank, neighbor_id, adc_dist FROM rk " +
       "WHERE rank <= 5 ORDER BY probe_id, rank"),
+
+    // identical Lloyd's round (argmin with (d, k) tiebreak, exact-integer
+    // update mean, empty clusters keep their seed) feeding the same chain
+    "q_sim_pq_trained" -> (s"WITH $pqOracleHead, ${pqOracleChain("", trained = true)} " +
+      "SELECT probe_id, rank, neighbor_id, adc_dist FROM rk " +
+      "WHERE rank <= 5 ORDER BY probe_id, rank"),
+
+    // both ADC chains re-derived + the shared exact ranking; hits are
+    // integer counts (CAST: sum(int) is HUGEINT in DuckDB)
+    "q_sim_recall_pq" -> (s"WITH $pqOracleHead, " +
+      s"${pqOracleChain("_s", trained = false)}, " +
+      s"${pqOracleChain("_t", trained = true)}, " +
+      "ex AS (SELECT probe_id, neighbor_id FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk " +
+      "FROM embeddings p, embeddings c WHERE p.vec_id < 10 AND c.vec_id >= 10) " +
+      "WHERE rnk <= 5) " +
+      "SELECT ex.probe_id, count(*) AS n_exact, " +
+      "CAST(sum(CASE WHEN rs.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits, " +
+      "CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_trained_hits " +
+      "FROM ex " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rk_s WHERE rank <= 5) rs " +
+      "ON ex.probe_id = rs.probe_id AND ex.neighbor_id = rs.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rk_t WHERE rank <= 5) rt " +
+      "ON ex.probe_id = rt.probe_id AND ex.neighbor_id = rt.neighbor_id " +
+      "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the
     // identical inlined 4-plane bucket literals; hits are integer counts

@@ -67,6 +67,40 @@ object StreamOps extends QueryFamily {
         .orderBy("wstart", "c_mktsegment")
     }),
 
+    // Watermark late-data accounting — the drop ledger every production
+    // stream publishes (numRowsDroppedByWatermark): how many events the
+    // 2h watermark would discard, per event type. The fixture's events
+    // are globally time-ordered, so arrival disorder is modeled the way
+    // it actually arises: 4 per-shard time-ordered streams (Kafka
+    // partitions; shard = user_id % 4) interleaved into micro-batches of
+    // 5 rows per shard — per-shard order preserved, global order not.
+    // The watermark before batch k is max event time over batches < k
+    // minus the 2h delay, exactly Structured Streaming's rule. Scale:
+    // the per-shard sequence is the source's own partition offset (free
+    // in Kafka; one window shuffle per shard here); the watermark table
+    // is one tiny row per micro-batch (running max over the batch
+    // SUMMARY, broadcast back) — never a global window over events.
+    "q_stream_latedata" -> ((s, dir) => {
+      val wSeq = Window.partitionBy(expr("user_id % 4"))
+        .orderBy(col("ts"), col("event_id"))
+      val b = Tables(s, dir, "events")
+        .withColumn("seq", row_number().over(wSeq) - lit(1))
+        .withColumn("batch", expr("CAST(seq DIV 5 AS BIGINT)"))
+        .select("batch", "ts", "event_type")
+      val wWm = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = b.groupBy("batch").agg(max("ts").as("bmax"))
+        .withColumn("wm", max(col("bmax")).over(wWm) - expr("INTERVAL 2 HOURS"))
+        .select("batch", "wm")
+      b.join(broadcast(wm), "batch")
+        .withColumn("late", col("wm").isNotNull && col("ts") < col("wm"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(!col("late"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("event_type")
+    }),
+
     // Streaming-dedup analog: earliest event per (user, type, minute) —
     // row_number, not dropDuplicates (which keeps an arbitrary row).
     "q_stream_dedup" -> ((s, dir) => {
@@ -103,6 +137,20 @@ object StreamOps extends QueryFamily {
       "SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end, " +
       "count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
       "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"),
+
+    // identical shard/sequence/batch/watermark arithmetic; counts CAST
+    // (DuckDB sums to HUGEINT)
+    "q_stream_latedata" -> ("WITH e AS (SELECT event_id, ts, event_type, " +
+      "row_number() OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id) - 1 AS seq " +
+      "FROM events), " +
+      "b AS (SELECT seq // 5 AS batch, ts, event_type FROM e), " +
+      "bm AS (SELECT batch, max(ts) AS bmax FROM b GROUP BY batch), " +
+      "wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - INTERVAL 2 HOUR AS wm FROM bm) " +
+      "SELECT event_type, count(*) AS n_total, " +
+      "CAST(sum(CASE WHEN wm.wm IS NOT NULL AND b.ts < wm.wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+      "CAST(sum(CASE WHEN wm.wm IS NULL OR b.ts >= wm.wm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+      "FROM b JOIN wm USING (batch) GROUP BY event_type ORDER BY event_type"),
 
     "q_stream_join" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, " +
       "c_mktsegment, count(*) AS n, " +

@@ -504,10 +504,10 @@ object Subqueries extends QueryFamily {
     */
   private val tpch12Sql =
     "SELECT l_returnflag, " +
-      "SUM(CASE WHEN o_orderpriority = '1-URGENT' " +
-      "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count, " +
-      "SUM(CASE WHEN o_orderpriority <> '1-URGENT' " +
-      "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count " +
+      "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' " +
+      "OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' " +
+      "AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
       "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY " +
       "AND l_shipdate >= TIMESTAMP '1997-01-01' " +

@@ -34,7 +34,17 @@ object TextOps extends QueryFamily {
     * update is the posexplode per-(k, dim) sum — one narrow shuffle per
     * iteration, never a vector collect.
     */
-  private[operators] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansPipeline(s, dir)._2
+
+  /** The FINAL centroids as one broadcastable row — `cents` an
+    * array&lt;struct&lt;k, cv&gt;&gt; sorted by k. Exposed so consumers that
+    * need ALL K distances (q_sim_ivf_trained's nprobe probing) see the
+    * exact centroids the shared assignment used. */
+  private[operators] def kmeansCentroidRow(s: SparkSession, dir: String): DataFrame =
+    kmeansPipeline(s, dir)._1
+
+  private def kmeansPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> " +
         "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
@@ -58,7 +68,8 @@ object TextOps extends QueryFamily {
           "p -> p.c)").as("cv"))
     val c0 = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("k"), col("fx").as("cv"))
-    assign(centRow(update(assign(centRow(c0)))))
+    val c1row = centRow(update(assign(centRow(c0))))
+    (c1row, assign(c1row))
   }
 
   /** The BPE base table: corpus word counts with each word rendered as a

@@ -45,19 +45,38 @@ import Dets._
   */
 object Warehouse extends QueryFamily {
 
-  // Keyed on the SparkSession OBJECT, not identityHashCode — see
-  // GraphOps.builtGraphs: a hash collision would make a new session skip
-  // a layout write and read another (possibly stopped) session's state.
-  // SessionMemo evicts stopped/overflow sessions; an evicted entry just
-  // means the (idempotent, overwrite-mode) layout write re-runs.
+  // Keyed per (dir, tag) — NOT per session (r15 fix). These layouts are
+  // a property of the DATA: every session derives byte-identical files
+  // from the same fixtures into the same per-JVM scratch path, so the
+  // session-keyed memo of r13/r14 was both a leak (it held SparkSession
+  // references, motivating SessionMemo's whole cap/evict machinery here)
+  // and a RACE: a second session re-ran the mode=overwrite write into
+  // the shared path while a sibling session's read was mid-scan
+  // (FAILED_READ_FILE.FILE_NOT_EXIST, surfaced by the r15 no-thrash
+  // spec running the layout queries on a fresh session under parallel
+  // suites). Session state this is not: the metastore table
+  // (q_hive_table) and the disk layouts are shared by every session on
+  // the context, and a stopped writer's parquet stays valid. Values are
+  // Unit — the map holds no session reference, so nothing can leak and
+  // no cap is needed.
   private val written =
-    new graft.SessionMemo[(SparkSession, String, String), Unit](_._1)
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Unit]()
 
-  /** Run `body` once per (session, dir, tag); later calls are no-ops.
-    * computeIfAbsent under SessionMemo serializes the one build, same as
-    * the double-checked lock it replaces. */
+  // Observable per-key build counts for the no-thrash spec (r14 verdict
+  // #4: the old clear-all overflow re-ran every layout once the map
+  // crossed the cap). Keyed (not a global counter) so parallel suites'
+  // own first builds can't race the assertion.
+  private[graft] val layoutBuilds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  /** Run `body` once per (dir, tag) per JVM; later calls — from ANY
+    * session — are no-ops. computeIfAbsent serializes the one build,
+    * same as the double-checked lock it replaces. */
   private def once(s: SparkSession, dir: String, tag: String)(body: => Unit): Unit =
-    written.getOrBuild((s, dir, tag))(_ => body)
+    written.computeIfAbsent((dir, tag), _ => {
+      layoutBuilds.merge((dir, tag), 1L, (a, b) => a + b)
+      body
+    })
 
   // Per-JVM root (like GraftSession's metastore dir): `once` memoizes per
   // process, so two concurrent drivers (Verify + Bench, parallel test

@@ -34,4 +34,23 @@ class DedupRecallSpec extends AnyFunSuite {
     // 3 bands of 4 rows sees every pair 2 bands of 4 rows sees
     assert(h123 >= h82, s"12x3 recall $h123 below 8x2's $h82")
   }
+
+  // r14 verdict #5: the near-dup edge set is memoized per (session, dir)
+  // — its three consumers (cluster, retention, recall) must share ONE
+  // pinned build, not re-run candidates+verify apiece. Identity of the
+  // memoized DataFrame across all three runs is the counter: getOrBuild
+  // can only return the same object if no rebuild happened.
+  test("nearDupEdges builds once across cluster/retention/recall") {
+    val s = spark.newSession()
+    SparkEntry.queries("q_dedup_cluster")(s, sf0001).collect()
+    val snap1 = graft.operators.Dedup.edgesMemo.snapshot
+      .collect { case ((ss, d), df) if (ss eq s) && d == sf0001 => df }
+    assert(snap1.size == 1, s"expected one edge-set build, got ${snap1.size}")
+    SparkEntry.queries("q_dedup_retention")(s, sf0001).collect()
+    SparkEntry.queries("q_dedup_recall")(s, sf0001).collect()
+    val snap2 = graft.operators.Dedup.edgesMemo.snapshot
+      .collect { case ((ss, d), df) if (ss eq s) && d == sf0001 => df }
+    assert(snap2.size == 1 && (snap2.head eq snap1.head),
+      "edge set was rebuilt by a later consumer")
+  }
 }

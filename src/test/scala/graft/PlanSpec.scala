@@ -263,6 +263,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
   }
 
+  test("q_sim_pq_trained: the Lloyd's round keeps the broadcast-only shape") {
+    val p = plan("q_sim_pq_trained")
+    // training adds an assignment pass (codebook broadcast onto the
+    // training subvectors) and one narrow (s, k, pos) update shuffle —
+    // encode and serve stay identical to q_sim_pq: codebook broadcast
+    // hash join + probe tables via BroadcastNestedLoopJoin, never a
+    // sort-merge over the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
+  test("q_sim_ivf_trained: probes pick buckets under broadcast centroids; candidates equi-join on k") {
+    val p = plan("q_sim_ivf_trained")
+    // the kmeans assignment + the probe nprobe selection each ride a
+    // 1-row broadcast centroid array
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    // bucket probing must be keyed on the cluster id — an unkeyed
+    // product would be the exhaustive search IVF exists to avoid
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+  }
+
+  test("q_agg_countmin: lookups join the broadcast grid") {
+    val p = plan("q_agg_countmin")
+    // 1024 cells whatever the corpus size — the grid must broadcast onto
+    // the 40 lookup rows, never shuffle-join them
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
   test("q_cluster_kmeans assigns map-side: centroids broadcast, corpus never re-sorted") {
     val p = plan("q_cluster_kmeans")
     // both assignment passes ride a 1-row broadcast centroid array

@@ -58,4 +58,53 @@ class SessionKeyedMemoSpec extends AnyFunSuite {
     assert(capped.getOrBuild(k)(_ => "fresh") == "fresh")
     assert(capped.get(k).contains("fresh"))
   }
+
+  // r14 verdict #4: the cap bounds SESSIONS, not entries — one session
+  // holding more entries than the cap (Warehouse.written: 11 once-tags
+  // vs old cap 8) must never thrash. The old `if (size > cap) clear()`
+  // wholesale-cleared on every access past the cap and re-ran idempotent
+  // layout writes.
+  test("one session's full tag set never rebuilds under the cap") {
+    var builds = 0
+    val memo = new SessionMemo[(org.apache.spark.sql.SparkSession, String), Unit](
+      _._1, cap = 2)
+    val tags = (1 to 11).map(i => s"tag$i")
+    tags.foreach(t => memo.getOrBuild((spark, t))(_ => builds += 1))
+    tags.foreach(t => memo.getOrBuild((spark, t))(_ => builds += 1))
+    assert(builds == 11, s"expected 11 builds (one per tag), got $builds")
+    // churn from clone sessions evicts oldest-touched CLONES, not the
+    // session that keeps getting accessed between them
+    (1 to 5).foreach { i =>
+      memo.getOrBuild((spark.newSession(), s"x$i"))(_ => ())
+      memo.getOrBuild((spark, "tag1"))(_ => builds += 1)
+    }
+    tags.foreach(t => memo.getOrBuild((spark, t))(_ => builds += 1))
+    assert(builds == 11, "clone-session churn evicted the active session's tags")
+  }
+
+  // The Warehouse end-to-end pin (r14 verdict #4 + the r15 race it
+  // exposed): the layout queries run twice on a FRESH session — which
+  // under the old (session, dir, tag) keying re-ran every mode=overwrite
+  // layout write into the shared scratch path (thrash, plus
+  // FAILED_READ_FILE races against parallel readers). Layouts are now
+  // once per (dir, tag) per JVM: no tag this run touches may build more
+  // than once, from any session.
+  test("Warehouse: layout tags build at most once per JVM, any session") {
+    val warehouseKeys = Seq(
+      "q_hive_table", "q_scan_partitioned", "q_scan_zorder", "q_scan_csv",
+      "q_scan_json", "q_scan_binaryfile", "q_sink_compacted", "q_scan_orc",
+      "q_scan_evolution", "q_scan_dpp", "q_join_bucketed")
+    val s = spark.newSession()
+    def runAll(sess: org.apache.spark.sql.SparkSession): Unit =
+      warehouseKeys.foreach(k => SparkEntry.queries(k)(sess, sf0001).collect())
+    runAll(s)
+    runAll(spark.newSession()) // a second fresh session must also be all hits
+    val counts = graft.operators.Warehouse.layoutBuilds.asScala
+      .collect { case ((d, tag), n) if d == sf0001 => tag -> n.longValue }
+      .toMap
+    // all 11 distinct once-tags built (dpp shares "parts" with partitioned)
+    assert(counts.size == 11, s"expected 11 layout tags, got ${counts.keySet}")
+    val rebuilt = counts.filter(_._2 > 1L)
+    assert(rebuilt.isEmpty, s"layouts rebuilt: $rebuilt — memo thrash or session re-keying")
+  }
 }

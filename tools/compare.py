@@ -2,8 +2,14 @@
 """Self-check harness (SURVEY.md §5.2.2): after `sbt "runMain graft.Verify
 <sfDir> <outDir>"`, run each DuckDB oracle on the same fixtures and compare
 against the Spark parquet output — rows, columns (sorted by name, mirroring
-the driver), and values. Exact equality; float near-misses are reported
-separately so rounding discipline can be fixed before the driver's gate.
+the driver), values, AND output types. The driver hashes typed values, so a
+column that DuckDB widens (SUM(INTEGER) -> HUGEINT, AVG -> raw DECIMAL)
+fails its gate even when every value matches — the r12/r14 failure class.
+The type leg DESCRIBEs each oracle in DuckDB and diffs type FAMILIES
+against the Spark output parquet schema (read back through DuckDB), so the
+local gate sees what the driver's hash sees. Exact value equality; float
+near-misses are reported separately so rounding discipline can be fixed
+before the driver's gate.
 
 Usage: python3 tools/compare.py [sfDir] [outDir]
 """
@@ -30,6 +36,49 @@ def values_eq(a, b):
         close = abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
         return False, close
     return a == b, False
+
+
+def type_family(t):
+    """Collapse a DuckDB type name to the family the driver's typed hash
+    distinguishes. HUGEINT and DECIMAL are deliberately NOT folded into
+    int/float — those are exactly the widenings that have failed the gate
+    (r12 raw DECIMAL, r14 HUGEINT)."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return type_family(t[:-2]) + "[]"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    if t == "BLOB":
+        return "binary"
+    return t.lower()
+
+
+def type_mismatches(con, sql, parquet_file):
+    """[(col, spark_family, duckdb_family)] where the oracle's DESCRIBE
+    type family differs from the Spark output parquet's."""
+    exp = con.execute("DESCRIBE " + sql).fetchall()
+    got = con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{parquet_file}')").fetchall()
+    etypes = {r[0]: type_family(r[1]) for r in exp}
+    gtypes = {r[0]: type_family(r[1]) for r in got}
+    return [(c, gtypes[c], etypes[c])
+            for c in sorted(set(etypes) & set(gtypes))
+            if etypes[c] != gtypes[c]]
 
 
 def main(sf_dir, out_dir):
@@ -60,6 +109,17 @@ def main(sf_dir, out_dir):
             continue
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
+            fails.append(name)
+            continue
+        try:
+            tmis = type_mismatches(con, sql, files[0])
+        except Exception as e:
+            print(f"FAIL {name}: type audit error: {e}")
+            fails.append(name)
+            continue
+        if tmis:
+            for c, gt, et in tmis:
+                print(f"FAIL {name} col {c}: spark type {gt} != oracle type {et}")
             fails.append(name)
             continue
         if len(got) != len(exp):
