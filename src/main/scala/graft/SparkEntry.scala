@@ -25,6 +25,7 @@ object SparkEntry {
     operators.TextOps,       // §2.I text analysis + multimodal
     operators.Sampling,      // §2.I reproducible sampling / splits / cleaning pipeline
     operators.Packing,       // §2.I training-batch construction: packing, vocab, novelty
+    operators.Quality,       // §2.I data-quality expectation ledger
     operators.StreamOps,     // §2.J streaming analogs
     operators.Extensibility, // §2.K UDF / UDAF / UDTF
     sync.SyncQueries,        // §3.1 config-driven sync-job orchestration

@@ -180,6 +180,46 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join — conversion attribution, the mirror the
+    // backward pair above can't express: for each click, the FIRST
+    // purchase by the same user STRICTLY after it and within the 6h
+    // attribution window (ties on purchase id). Same sorted-merge
+    // carry shape as q_join_asof, reflected: one user_id shuffle, a
+    // linear per-user pass, `first(purchase) OVER (... CURRENT ROW AND
+    // UNBOUNDED FOLLOWING)` — purchases sort BEFORE clicks at equal
+    // time (kind 0 < 1), so an equal-timestamp purchase is correctly
+    // outside the strict window. The carried purchase is the globally
+    // next one, so the 6h bound is a post-filter: if the NEXT purchase
+    // is already beyond the window, none qualifies. The naive form
+    // (clicks x later purchases, top-1) is the m*n blowup the carry
+    // avoids on hot users.
+    "q_join_asof_forward" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("event_id"), col("ts").as("c_ts"),
+          lit(null).cast("struct<p_id:bigint,p_ts:timestamp_ntz>").as("pur"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("timestamp_ntz").as("c_ts"),
+          struct(col("event_id").as("p_id"), col("ts").as("p_ts")).as("pur"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("pur.p_id").asc_nulls_last)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      p.unionByName(c)
+        .withColumn("nxt", first(col("pur"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .withColumn("hit",
+          col("nxt").isNotNull &&
+            col("nxt.p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("event_id"), col("user_id"),
+          when(col("hit"), col("nxt.p_id")).as("p_id"),
+          when(col("hit"), col("nxt.p_ts")).as("p_ts"),
+          col("hit").as("converted"))
+        .orderBy("event_id")
+    }),
+
     // Salted join: the hot-key escape hatch (SURVEY.md §7.6) as an
     // oracle-checked query — output identical to the plain equi-join.
     // Built on the one tested rewrite, Salting.saltedInnerJoin: the fact
@@ -317,6 +357,21 @@ object Joins extends QueryFamily {
       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
       "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
       "WHERE rn = 1 ORDER BY event_id"),
+
+    // LEFT-join recompute of the forward carry: first purchase strictly
+    // after the click and inside the 6h window, (p_ts, p_id) tiebreak
+    "q_join_asof_forward" -> ("WITH c AS (SELECT event_id, user_id, ts AS c_ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT event_id AS p_id, user_id, ts AS p_ts " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "m AS (SELECT c.event_id, p.p_id, p.p_ts, " +
+      "row_number() OVER (PARTITION BY c.event_id ORDER BY p.p_ts, p.p_id) AS rn " +
+      "FROM c JOIN p ON c.user_id = p.user_id " +
+      "AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 6 HOUR) " +
+      "SELECT c.event_id, c.user_id, m.p_id, m.p_ts, " +
+      "m.p_id IS NOT NULL AS converted " +
+      "FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id) " +
+      "ORDER BY event_id"),
 
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +

@@ -223,6 +223,26 @@ object ScalarFuncs extends QueryFamily {
         big(regexp_count(col("p_name"), lit("[aeiou]+"))).as("n_vowel_runs"),
         regexp_replace(col("p_name"), "[aeiou]{2,}", "*").as("squeezed"))
         .orderBy("p_partkey")),
+
+    // URL parsing — the web-corpus staple (crawl pipelines key dedup and
+    // rate limits on host/path/params): parse_url (codegen'd built-in)
+    // over URLs CONSTRUCTED from fixture fields, so the oracle can
+    // certify the parse as the exact inverse of the construction (the
+    // multimodal_header pattern, in strings). DuckDB has no parse_url —
+    // its oracle rebuilds host/path/params from the same source fields.
+    "q_fn_url" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), expr("CAST(doc_id AS STRING)"),
+          lit("?lang="), col("lang"),
+          lit("&page="), expr("CAST(n_chars % 10 AS STRING)")))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+          expr("CAST(parse_url(url, 'QUERY', 'page') AS BIGINT)").as("q_page"))
+        .orderBy("doc_id")),
   )
 
   def oracles: Map[String, String] = Map(
@@ -236,6 +256,17 @@ object ScalarFuncs extends QueryFamily {
       "CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs, " +
       "regexp_replace(p_name, '[aeiou]{2,}', '*', 'g') AS squeezed " +
       "FROM part ORDER BY p_partkey"),
+
+    // the parse must be the exact inverse of the construction — the
+    // oracle rebuilds every component from the source fields directly
+    "q_fn_url" -> ("SELECT doc_id, " +
+      "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) || " +
+      "'?lang=' || lang || '&page=' || CAST(n_chars % 10 AS VARCHAR) AS url, " +
+      "source || '.example.com' AS host, " +
+      "'/docs/' || CAST(doc_id AS VARCHAR) AS path, " +
+      "lang AS q_lang, " +
+      "CAST(n_chars % 10 AS BIGINT) AS q_page " +
+      "FROM documents ORDER BY doc_id"),
 
     "q_fn_string" -> ("SELECT p_partkey, p_name, upper(p_name) AS up_name, " +
       "lower(p_brand) AS lo_brand, substr(p_name, 1, 5) AS name5, " +
