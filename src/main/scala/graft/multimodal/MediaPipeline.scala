@@ -254,6 +254,82 @@ object MediaPipeline {
       s"SELECT media_id, ${cols.mkString(", ")} FROM b ORDER BY media_id"
   }
 
+  /** Decode-free perceptual-style content fingerprint (the aHash shape)
+    * over each blob's PAYLOAD bytes: the payload splits into 16 equal
+    * byte blocks, each block's mean byte value thresholds against the
+    * whole payload's mean, and the 16 bits pack into one BIGINT. The
+    * media-lake triage pass that needs no codec — near-identical
+    * payloads land at small Hamming distance, and a real pixel aHash
+    * drops into the same block/mean/threshold pipeline once a decoder
+    * exists (decodeFeatures stays the honest stub). ALL-integer: the
+    * mean comparison is cross-multiplied (sum_b·L > total·n_b), so
+    * there is no division anywhere and no rounding boundary; empty
+    * tail blocks (payload < 16 bytes) compare 0 > 0 = false — a stated
+    * rule, not an error.
+    *
+    * Robustness contract, stated honestly: identical payloads collide
+    * exactly, and IN-PLACE byte edits move few bits — but INSERTIONS
+    * shift every later block boundary, so text near-dups (word edits)
+    * scatter. That is the physics of block hashing on byte streams;
+    * pixel grids don't shift under content edits, which is exactly why
+    * the real image aHash needs the decode step this sandbox stubs.
+    */
+  def byteFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = headeredBlobs(spark, sfDir)
+      .selectExpr("media_id", "hex(content) AS h",
+        "CAST(octet_length(content) AS BIGINT) AS nb")
+      .selectExpr("media_id",
+        "CASE WHEN substr(h, 1, 4) = '424D' THEN 'image' ELSE 'audio' END AS kind",
+        // payload starts after the 54-byte BMP / 44-byte WAV header
+        "CASE WHEN substr(h, 1, 4) = '424D' THEN substr(h, 109) ELSE substr(h, 89) END AS ph",
+        "CASE WHEN substr(h, 1, 4) = '424D' THEN nb - 54 ELSE nb - 44 END AS L")
+    val blocks = m
+      .select(col("media_id"), col("kind"), col("L"), col("ph"),
+        explode(expr("sequence(0, 15)")).as("b"))
+      .withColumn("s0", expr("b * L DIV 16"))
+      .withColumn("e0", expr("(b + 1) * L DIV 16"))
+      .withColumn("sum_b", expr("CASE WHEN e0 > s0 THEN " +
+        "aggregate(transform(sequence(s0, e0 - 1), " +
+        "i -> CAST(conv(substr(ph, CAST(i * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("n_b", col("e0") - col("s0"))
+      .drop("ph")
+    val tot = blocks.groupBy("media_id").agg(sum("sum_b").as("total"))
+    blocks.join(tot, "media_id")
+      .groupBy(col("media_id"), col("kind"), col("L"))
+      .agg(sum(when(col("sum_b") * col("L") > col("total") * col("n_b"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("fp"))
+      .select(col("media_id"), col("kind"), col("L").as("n_payload"), col("fp"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[byteFingerprint]]: identical construct, payload
+    * slice, block bounds (integer division), byte sums, and the same
+    * cross-multiplied threshold. */
+  def byteFingerprintOracleSql: String = {
+    val hexExpr = headeredHex("//", "hex(encode(text))")
+    s"WITH blob AS (SELECT doc_id AS media_id, hex(unhex($hexExpr)) AS h " +
+      "FROM (SELECT doc_id, text, octet_length(encode(text)) AS __len FROM documents)), " +
+      "m AS (SELECT media_id, " +
+      "CASE WHEN substr(h, 1, 4) = '424D' THEN 'image' ELSE 'audio' END AS kind, " +
+      "CASE WHEN substr(h, 1, 4) = '424D' THEN substr(h, 109) ELSE substr(h, 89) END AS ph, " +
+      "CASE WHEN substr(h, 1, 4) = '424D' THEN CAST(octet_length(unhex(h)) - 54 AS BIGINT) " +
+      "ELSE CAST(octet_length(unhex(h)) - 44 AS BIGINT) END AS L FROM blob), " +
+      "blk AS (SELECT media_id, kind, L, t.b, (t.b * L) // 16 AS s0, " +
+      "((t.b + 1) * L) // 16 AS e0, ph FROM m, range(16) t(b)), " +
+      "sums AS (SELECT media_id, kind, L, b, e0 - s0 AS n_b, " +
+      "CASE WHEN e0 > s0 THEN CAST(list_sum(" +
+      "[CAST(concat('0x', substr(ph, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT) " +
+      "for i in range(s0, e0)]) AS BIGINT) ELSE 0 END AS sum_b FROM blk), " +
+      "tot AS (SELECT media_id, CAST(sum(sum_b) AS BIGINT) AS total " +
+      "FROM sums GROUP BY media_id) " +
+      "SELECT s.media_id, s.kind, s.L AS n_payload, " +
+      "CAST(sum(CASE WHEN s.sum_b * s.L > t.total * s.n_b " +
+      "THEN 1 << s.b ELSE 0 END) AS BIGINT) AS fp " +
+      "FROM sums s JOIN tot t USING (media_id) " +
+      "GROUP BY s.media_id, s.kind, s.L ORDER BY s.media_id"
+  }
+
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT
     * length at byte 34), WAV fields little-endian — one projection

@@ -525,6 +525,11 @@ object TextOps extends QueryFamily {
     // the oracle re-runs the identical construct+parse through a DuckDB
     // BLOB, and md5 over the canonical hex certifies the round trip
     // byte-for-byte. See multimodal/MediaPipeline.scala.
+    // decode-free aHash-shaped byte fingerprint per blob — see
+    // MediaPipeline.byteFingerprint for the block/threshold contract
+    "q_multimodal_phash" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.byteFingerprint(s, dir)),
+
     "q_multimodal_header" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.headerProfile(s, dir)),
 
@@ -741,6 +746,7 @@ object TextOps extends QueryFamily {
       "to_base64(encode(substr(text, 1, 9))) AS b64_head " +
       "FROM documents ORDER BY doc_id"),
 
+    "q_multimodal_phash" -> graft.multimodal.MediaPipeline.byteFingerprintOracleSql,
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
 

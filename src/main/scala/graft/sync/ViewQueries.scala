@@ -104,6 +104,48 @@ object ViewQueries extends QueryFamily {
       served(s, root, Seq("status", "priority"), withMinMax = true)
     }),
 
+    // SKETCH-state incremental view — the approximate materialized view
+    // a 100 TB pipeline actually keeps for distinct counts: per-key HLL
+    // sketches as BINARY state, each refresh folding a delta's sketches
+    // into the materialized state via hll_union_agg (count-distinct is
+    // NOT summable, so the exact-state machinery above can't maintain
+    // it; the sketch is the published answer — Datasketches HLL, the
+    // q_agg_hllmerge surface as VIEW state). Three date-range deltas
+    // fold through disk (each refresh reads the previous state parquet,
+    // never the prior deltas), and the serve reports the exact count
+    // beside the in-bounds flag — the oracle-checkable contract, since
+    // no SQL engine reproduces another's HLL registers.
+    // IncrementalViewSpec pins the lossless-union claim exactly
+    // (folded estimate == one-shot estimate).
+    "q_view_distinct" -> ((s, dir) => {
+      val root = freshRoot("q_view_distinct", dir)
+      val src = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("ts"))
+      val cuts = Seq("1970-01-01", "2024-01-11", "2024-01-21", "2100-01-01")
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        val delta = src
+          .where(col("ts") >= Dets.tsLit(a) && col("ts") < Dets.tsLit(b))
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val folded =
+          if (i == 0) delta
+          else s.read.parquet(s"$root/v${i - 1}").union(delta)
+            .groupBy("event_type")
+            .agg(expr("hll_union_agg(sk)").as("sk"))
+        folded.write.mode("overwrite").parquet(s"$root/v$i")
+      }
+      val est = s.read.parquet(s"$root/v2")
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_users"))
+      val exact = src.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("view_ok"))
+        .orderBy("event_type")
+    }),
+
     // Signed maintenance: fold everything, then RETRACT the tombstone
     // subset (sign −1). The served state must equal a direct aggregate
     // that never saw the tombstoned rows — count and sum are invertible,
@@ -325,6 +367,13 @@ object ViewQueries extends QueryFamily {
   private val duckTotal = "CAST(o_totalprice AS DECIMAL(12,2))"
 
   def oracles: Map[String, String] = Map(
+    // the q_agg_hllmerge contract: exact count + in-bounds boolean (no
+    // SQL engine reproduces another's HLL registers); the INCREMENTAL
+    // claim (folded == one-shot) is pinned exactly in IncrementalViewSpec
+    "q_view_distinct" -> ("SELECT event_type, " +
+      "count(DISTINCT user_id) AS exact_users, true AS view_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+
     "q_view_incremental" ->
       ("SELECT o_orderstatus AS status, o_orderpriority AS priority, " +
         "count(*) AS n_rows, " +

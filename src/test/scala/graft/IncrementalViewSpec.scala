@@ -268,4 +268,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("refresh"))
   }
+
+  // the q_view_distinct claim the oracle can't see (no SQL engine
+  // reproduces another's HLL registers): folding the corpus in deltas
+  // and unioning the sketches gives the IDENTICAL estimate the one-shot
+  // sketch gives — HLL union is lossless, so sketch state is a valid
+  // incremental-view state
+  test("sketch view: delta-folded HLL union == one-shot sketch, exactly") {
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val oneShot = src.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cuts = Seq("1970-01-01", "2024-01-11", "2024-01-21", "2100-01-01")
+    val deltas = cuts.sliding(2).map { case Seq(a, b) =>
+      src.where(col("ts") >= graft.Dets.tsLit(a) && col("ts") < graft.Dets.tsLit(b))
+        .groupBy("event_type").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    }.toSeq
+    val folded = deltas.reduce(_ union _)
+      .groupBy("event_type").agg(expr("hll_union_agg(sk)").as("sk"))
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == oneShot,
+      s"delta-folded estimates diverged from one-shot: $folded vs $oneShot")
+  }
 }
