@@ -186,6 +186,28 @@ object GraphOps extends QueryFamily {
       r.select(col("id"), col("deg").cast("long").as("deg"), col("pr"))
         .orderBy("id")
     }),
+
+    // Bounded-hop BFS from a deterministic source (the min node id) —
+    // the reachability/radius primitive the other graph keys don't
+    // cover: every node's shortest hop distance <= 3. Layered frontier
+    // expansion: hop k+1 = neighbors of hop k minus everything already
+    // labeled, each pass ONE keyed join + one anti-join on id-only rows
+    // (the scale shape: the frontier moves, the corpus doesn't). Three
+    // unrolled passes, no driver loop state; dists are exact integers.
+    "q_graph_bfs" -> ((s, dir) => {
+      val (sym, _) = symWithDeg(s, dir)
+      val src0 = sym.agg(min(col("src")).as("doc_id"))
+      var visited = src0.withColumn("dist", lit(0L))
+      for (d <- 1 to 3) {
+        val next = visited.where(col("dist") === (d - 1L))
+          .join(sym, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("dist", lit(d.toLong))
+        visited = visited.unionByName(next)
+      }
+      visited.orderBy("dist", "doc_id")
+    }),
   )
 
   private val edgeCte =
@@ -212,6 +234,15 @@ object GraphOps extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_graph_degree" -> (edgeCte +
       " SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg"),
+
+    // recursive min-dist BFS; UNION (not ALL) dedups (id, dist) states so
+    // the dense fixture graph can't path-explode
+    "q_graph_bfs" -> (edgeCte.replace("WITH d AS", "WITH RECURSIVE d AS") + ", " +
+      "r AS (SELECT (SELECT min(src) FROM sym) AS doc_id, 0 AS dist " +
+      "UNION SELECT sym.dst, r.dist + 1 FROM r JOIN sym ON sym.src = r.doc_id " +
+      "WHERE r.dist < 3) " +
+      "SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM r " +
+      "GROUP BY doc_id ORDER BY dist, doc_id"),
 
     "q_graph_triangles" -> ("WITH d AS (SELECT doc_id, lang, " +
       "list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +

@@ -180,6 +180,36 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // Interval-OVERLAP join — two interval SETS, not q_join_range's
+    // point-in-window: session co-presence. Each user's 30-min activity
+    // sessions (the same session_window q_stream_session serves)
+    // overlap-joined against OTHER users' sessions (half-open
+    // a_start < b_end AND b_start < a_end) — "who was online together",
+    // served as per-user-pair concurrent-session counts. Scale recipe:
+    // both interval sets explode into their DAY buckets and equi-join
+    // on the bucket — a pair overlapping near midnight collides in two
+    // buckets, so matches dedup on the natural key BEFORE counting; the
+    // unbounded theta join this replaces pairs every session with every
+    // session before filtering.
+    "q_join_interval" -> ((s, dir) => {
+      val sess = Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"))
+      def bucketed(u: String, st: String, en: String) = sess
+        .select(col("user_id").as(u), col("s_start").as(st), col("s_end").as(en))
+        .withColumn("day", explode(expr(
+          s"sequence(date_trunc('DAY', $st), date_trunc('DAY', $en), INTERVAL 1 DAY)")))
+      bucketed("ua", "a_start", "a_end")
+        .join(bucketed("ub", "b_start", "b_end"), "day")
+        .where(col("ua") < col("ub") &&
+          col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select("ua", "ub", "a_start", "b_start").distinct()
+        .groupBy("ua", "ub")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("ua", "ub")
+    }),
+
     // FORWARD as-of join — conversion attribution, the mirror the
     // backward pair above can't express: for each click, the FIRST
     // purchase by the same user STRICTLY after it and within the 6h
@@ -357,6 +387,23 @@ object Joins extends QueryFamily {
       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
       "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
       "WHERE rn = 1 ORDER BY event_id"),
+
+    // plain overlap self-join over the same gaps-and-islands sessions
+    // the stream_session oracle builds (>= at exactly 30:00 mirrors
+    // session_window's strict-overlap merge rule); no bucketing needed
+    // at oracle scale
+    "q_join_interval" -> ("WITH e AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+      "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS new_s FROM events), " +
+      "sess AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e), " +
+      "s AS (SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end " +
+      "FROM sess GROUP BY user_id, sid) " +
+      "SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_concurrent " +
+      "FROM s a JOIN s b ON a.user_id < b.user_id " +
+      "AND a.s_start < b.s_end AND b.s_start < a.s_end " +
+      "GROUP BY a.user_id, b.user_id ORDER BY ua, ub"),
 
     // LEFT-join recompute of the forward carry: first purchase strictly
     // after the click and inside the 6h window, (p_ts, p_id) tiebreak
