@@ -210,8 +210,11 @@ object GraphOps extends QueryFamily {
     }),
   )
 
-  private val edgeCte =
-    "WITH d AS (SELECT doc_id, lang, " +
+  // body (no WITH keyword) so the plain and RECURSIVE variants are both
+  // built explicitly — string-replacing the prefix would silently no-op
+  // if the leading text ever changed
+  private val edgeCteBody =
+    "d AS (SELECT doc_id, lang, " +
       "list_sort(list_distinct(string_split(text, ' '))) AS toks FROM documents), " +
       "e AS (SELECT a.doc_id AS da, b.doc_id AS db FROM d a " +
       "JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
@@ -220,6 +223,8 @@ object GraphOps extends QueryFamily {
       "UNION ALL SELECT db AS src, da AS dst FROM e), " +
       "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
       "nn AS (SELECT count(*) AS n FROM deg)"
+
+  private val edgeCte = "WITH " + edgeCteBody
 
   // one power iteration as SQL text: prev rank table `rp` → new table
   private def iter(prev: String, next: String): String =
@@ -237,7 +242,7 @@ object GraphOps extends QueryFamily {
 
     // recursive min-dist BFS; UNION (not ALL) dedups (id, dist) states so
     // the dense fixture graph can't path-explode
-    "q_graph_bfs" -> (edgeCte.replace("WITH d AS", "WITH RECURSIVE d AS") + ", " +
+    "q_graph_bfs" -> ("WITH RECURSIVE " + edgeCteBody + ", " +
       "r AS (SELECT (SELECT min(src) FROM sym) AS doc_id, 0 AS dist " +
       "UNION SELECT sym.dst, r.dist + 1 FROM r JOIN sym ON sym.src = r.doc_id " +
       "WHERE r.dist < 3) " +

@@ -152,8 +152,11 @@ object Quality extends QueryFamily {
     // the same IEEE op on the same integers
     "q_quality_drift" -> ("WITH h AS (SELECT event_type, " +
       "least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket, " +
+      // cb tests ts >= split (not ELSE of ts < split) so a NULL ts lands
+      // in NEITHER half on both engines — Spark's when(!is_ref,1)
+      // .otherwise(0) yields 0 for NULL, and ELSE-of-< would yield 1 here
       "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS rb, " +
-      "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cb " +
+      "CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
       "FROM events GROUP BY 1, 2), " +
       "t AS (SELECT event_type, CAST(sum(rb) AS BIGINT) AS n_ref, " +
       "CAST(sum(cb) AS BIGINT) AS n_cur FROM h GROUP BY event_type), " +

@@ -75,7 +75,13 @@ object StreamOps extends QueryFamily {
     // partitions; shard = user_id % 4) interleaved into micro-batches of
     // 5 rows per shard — per-shard order preserved, global order not.
     // The watermark before batch k is max event time over batches < k
-    // minus the 2h delay, exactly Structured Streaming's rule. Scale:
+    // minus the 2h delay — the SEMANTIC watermark rule (the ledger a
+    // user reasons about), deliberately NOT the engine's observed
+    // propagation: StreamLateDataSpec pins empirically that the real
+    // engine filters batch k by stats through batch k-2 (a two-trigger
+    // lag; the k-1 model here predicts 526 drops where the engine drops
+    // 220 — the spec replays the k-2 model and matches
+    // numRowsDroppedByWatermark batch-by-batch). Scale:
     // the per-shard sequence is the source's own partition offset (free
     // in Kafka; one window shuffle per shard here); the watermark table
     // is one tiny row per micro-batch (running max over the batch

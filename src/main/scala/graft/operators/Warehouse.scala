@@ -103,6 +103,16 @@ object Warehouse extends QueryFamily {
     java.nio.file.Paths.get(scratchRoot,
       s"graft_${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
 
+  /** Metastore table names embed the fixture dir, mirroring scratch():
+    * once() is keyed per (dir, tag) but the catalog is JVM-shared, so a
+    * dir-independent table name would let a second fixture dir's build
+    * overwrite the first's table while the first dir's later calls still
+    * hit the memo and silently read the wrong dir's rows. (Dots are the
+    * db.table separator, so the sanitizer here is stricter than
+    * scratch()'s.) */
+  private[graft] def msName(name: String, dir: String): String =
+    s"${name}_${dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase}"
+
   /** The q_sink_compacted before/after layout roots, for the spec that
     * pins the premise (the fragmented layout really is fragmented).
     */
@@ -118,13 +128,14 @@ object Warehouse extends QueryFamily {
     // Hive catalog, read it back via the catalog, aggregate. The write is
     // mode=overwrite so replays are idempotent.
     "q_hive_table" -> ((s, dir) => {
+      val t = s"graft.${msName("orders_ms", dir)}"
       once(s, dir, "hive_orders") {
         s.sql("CREATE DATABASE IF NOT EXISTS graft")
         Tables(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
-          .write.mode("overwrite").saveAsTable("graft.orders_ms")
+          .write.mode("overwrite").saveAsTable(t)
       }
-      s.table("graft.orders_ms")
+      s.table(t)
         .groupBy(big(year(col("o_orderdate"))).as("o_year"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           dbl(sum(money(col("o_totalprice")))).as("sum_price"))
@@ -464,16 +475,17 @@ object Warehouse extends QueryFamily {
     // the co-located bucket layout (not a broadcast) is what removes the
     // shuffles. The only exchange left in the plan is the final agg's.
     "q_join_bucketed" -> ((s, dir) => {
+      val (tOrd, tCus) = (msName("graft_b_orders", dir), msName("graft_b_customer", dir))
       once(s, dir, "buckets") {
         Writers.writeBucketed(
           Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-          "graft_b_orders", 8, Seq("o_custkey"))
+          tOrd, 8, Seq("o_custkey"))
         Writers.writeBucketed(
           Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          "graft_b_customer", 8, Seq("c_custkey"))
+          tCus, 8, Seq("c_custkey"))
       }
-      s.table("graft_b_orders").hint("merge")
-        .join(s.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+      s.table(tOrd).hint("merge")
+        .join(s.table(tCus), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           dbl(sum(money(col("o_totalprice")))).as("sum_price"))
