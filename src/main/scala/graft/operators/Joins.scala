@@ -200,18 +200,7 @@ object Joins extends QueryFamily {
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"))
-      def bucketed(u: String, st: String, en: String) = sess
-        .select(col("user_id").as(u), col("s_start").as(st), col("s_end").as(en))
-        .withColumn("bucket", explode(expr(
-          s"sequence(date_trunc('HOUR', $st), date_trunc('HOUR', $en), INTERVAL 1 HOUR)")))
-      bucketed("ua", "a_start", "a_end")
-        .join(bucketed("ub", "b_start", "b_end"), "bucket")
-        .where(col("ua") < col("ub") &&
-          col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
-          expr("date_trunc('HOUR', greatest(a_start, b_start))") === col("bucket"))
-        .groupBy("ua", "ub")
-        .agg(count(lit(1)).as("n_concurrent"))
-        .orderBy("ua", "ub")
+      intervalOverlapPairs(sess).orderBy("ua", "ub")
     }),
 
     // FORWARD as-of join — conversion attribution, the mirror the
@@ -335,6 +324,34 @@ object Joins extends QueryFamily {
         .orderBy("r_name", "n_name")
     }),
   )
+
+  /** The interval-overlap pair kernel behind q_join_interval, factored so
+    * SkewSpec can drive the SAME code path with a synthetic hot-hour
+    * session set. Input: one interval per row (user_id, s_start, s_end);
+    * output: per user-pair concurrent-interval counts (ua < ub, half-open
+    * overlap). Both sides explode into HOUR buckets and equi-join on the
+    * bucket; a pair colliding in several buckets is counted ONCE by the
+    * ownership rule — only the bucket containing greatest(a_start,
+    * b_start), the overlap's own start, reports it — so there is no
+    * DISTINCT shuffle, just a map-side filter into the final count.
+    * Skew story at 100×: the bucket key can go globally hot (one peak
+    * hour ⇒ n_bucket² candidates in one shuffle partition); the join is a
+    * plain equi-join, so AQE's skew-join split handles it — SkewSpec pins
+    * skew=true firing on this exact helper under test-lowered thresholds,
+    * with pair counts identical to the unsalted run. */
+  private[graft] def intervalOverlapPairs(sess: DataFrame): DataFrame = {
+    def bucketed(u: String, st: String, en: String) = sess
+      .select(col("user_id").as(u), col("s_start").as(st), col("s_end").as(en))
+      .withColumn("bucket", explode(expr(
+        s"sequence(date_trunc('HOUR', $st), date_trunc('HOUR', $en), INTERVAL 1 HOUR)")))
+    bucketed("ua", "a_start", "a_end")
+      .join(bucketed("ub", "b_start", "b_end"), "bucket")
+      .where(col("ua") < col("ub") &&
+        col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
+        expr("date_trunc('HOUR', greatest(a_start, b_start))") === col("bucket"))
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_join_inner" -> ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +

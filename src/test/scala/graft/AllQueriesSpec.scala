@@ -514,4 +514,66 @@ class AllQueriesSpec extends AnyFunSuite {
       assert(math.abs(z) > 3.0 - 1e-9, s"event ${r.getLong(0)}: |z|=$z <= 3")
     }
   }
+
+  test("q_graph_bfs: hop distances equal a scalar BFS replay on the same edge set") {
+    import org.apache.spark.sql.functions._
+    val declared = SparkEntry.queries("q_graph_bfs")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    assert(declared.nonEmpty && declared.values.max >= 1L,
+      "degenerate fixture: BFS never left the source")
+    // brute force on the same threshold-28 edge definition
+    graft.functions.SortedIntersectSize.register(spark)
+    val d = Tables(spark, sf0001, "documents").select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val edges = d.select(col("doc_id").as("da"), col("lang"), col("toks").as("ta"))
+      .join(d.select(col("doc_id").as("db"), col("lang").as("lb"), col("toks").as("tb")),
+        col("lang") === col("lb") && col("da") < col("db"))
+      .where(expr("sorted_intersect_size(ta, tb) >= 28"))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val src = edges.flatMap(e => Seq(e._1, e._2)).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    for (hop <- 1 to 3) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = hop.toLong)
+    }
+    assert(declared == dist.toMap,
+      s"declared=${declared.size} nodes, replay=${dist.size} nodes")
+  }
+
+  test("q_join_interval: pair counts equal a gaps-and-islands + naive overlap replay") {
+    val declared = SparkEntry.queries("q_join_interval")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("ua"), r.getAs[Long]("ub")) ->
+        r.getAs[Long]("n_concurrent")).toMap
+    assert(declared.nonEmpty && declared.values.max >= 2L,
+      "degenerate fixture: no user pair with 2+ concurrent sessions")
+    // scalar sessionization with Spark's session_window merge rule (an
+    // event extends the session while ts < current end = last + 30 min),
+    // then the naive all-pairs half-open overlap count the bucket join
+    // replaces
+    val ev = Tables(spark, sf0001, "events").select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.time.LocalDateTime]("ts")))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sortBy(t => (t.toLocalDate.toEpochDay, t.toLocalTime.toNanoOfDay))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, java.time.LocalDateTime, java.time.LocalDateTime)]()
+      var start = ts.head
+      var end = ts.head.plusMinutes(30)
+      for (t <- ts.tail) {
+        if (t.isBefore(end)) end = t.plusMinutes(30)
+        else { out += ((u, start, end)); start = t; end = t.plusMinutes(30) }
+      }
+      out += ((u, start, end))
+      out.toSeq
+    }
+    val brute = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    for (a <- sessions; b <- sessions
+         if a._1 < b._1 && a._2.isBefore(b._3) && b._2.isBefore(a._3))
+      brute((a._1, b._1)) += 1
+    assert(declared == brute.toMap,
+      s"declared=${declared.size} pairs sum=${declared.values.sum}, " +
+        s"replay=${brute.size} pairs sum=${brute.values.sum}")
+  }
 }

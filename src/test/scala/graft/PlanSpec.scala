@@ -565,6 +565,42 @@ class PlanSpec extends AnyFunSuite {
       s"no calendar cross-join allowed:\n${p.take(1500)}")
   }
 
+  test("q_join_interval: bucket equi-join + ownership filter, no distinct, one events shuffle") {
+    val df = SparkEntry.queries("q_join_interval")(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // never a cartesian/nested-loop pairing of the interval sets
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoopJoin"), fin.take(2500))
+    // the pairing is an EQUI join keyed on the hour bucket, with the
+    // half-open overlap + ownership predicates as residual condition
+    assert("Join \\[bucket".r.findFirstIn(fin).isDefined, fin.take(2500))
+    assert(fin.contains("greatest(a_start"),
+      s"ownership filter must ride the join condition:\n${fin.take(2500)}")
+    // the ownership rule replaced the DISTINCT: exactly one (ua, ub)
+    // aggregate pair (partial+final), no dedup aggregate anywhere else
+    assert("HashAggregate\\(keys=\\[ua".r.findAllIn(fin).size == 2, fin.take(2500))
+    // both exploded sides serve from ONE sessionization of events — the
+    // second side is a ReusedExchange, so the corpus shuffles once
+    assert(fin.contains("ReusedExchange"), fin.take(2500))
+  }
+
+  test("q_graph_bfs: per-hop frontier join + anti-join over pinned id-only rows") {
+    val df = SparkEntry.queries("q_graph_bfs")(spark, sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") &&
+      !fin.contains("BroadcastNestedLoopJoin"), fin.take(2500))
+    // one frontier-minus-visited anti-join per hop (AQE may leave more
+    // anti segments than hops after stage rewrites, never fewer)
+    assert("LeftAnti".r.findAllIn(fin).size >= 3, fin.take(2500))
+    // the corpus doesn't move: every hop joins the SAME pinned
+    // (localCheckpointed) edge blocks, not a re-derived edge set
+    assert(fin.contains("Scan ExistingRDD[src"), fin.take(2500))
+    // frontier rows are id-only: the hop join's output projects one id col
+    assert("Project \\[dst#\\d+L AS doc_id".r.findFirstIn(fin).isDefined, fin.take(2500))
+  }
+
   test("q_scan_zorder pushes both range dimensions into one parquet scan") {
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the user_id bounds there and the ts window via the Filter
