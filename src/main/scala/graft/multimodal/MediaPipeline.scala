@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * pipeline: media as opaque `binary` columns plus typed metadata, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * STUB BOUNDARY: this container ships no image/audio codecs, so
-  * `decodeFeatures` is a clearly-marked deterministic fake (a 16-bin byte
-  * histogram standing in for "decode then embed"). Everything around it —
-  * the schema, the batch shape, partitioning, and the UDF signature
-  * (binary -> float[]) — is the real plumbing a codec drop-in would use.
-  * On a cluster the UDF body would call the codec (or a Pandas/Arrow UDF
-  * batch in PySpark); the plan shape does not change.
+  * DECODE BOUNDARY: image payloads decode for REAL through the JDK's own
+  * `javax.imageio` (the PNG/BMP readers ship with Java 17 — public API,
+  * no network, no native codec), so `decodeFeatures` and the pixel aHash
+  * work on genuine pixels. Payloads no in-JDK codec can read (the audio
+  * family, raw text bytes) fall back to a documented deterministic
+  * 16-bin byte histogram — the schema, batch shape, partitioning, and
+  * UDF signature (binary -> features) are the same plumbing an external
+  * codec drop-in would use; only the fallback body would change.
   *
   * 100 TB notes: binary payloads dominate I/O — keep them in their own
   * parquet column chunk (automatic), filter on metadata columns first so
@@ -23,6 +24,49 @@ import org.apache.spark.sql.functions._
   * load-balanced rather than file-order-balanced.
   */
 object MediaPipeline {
+
+  /** Decoded image surface: integer luma (299R + 587G + 114B — the ITU-R
+    * 601 weights scaled ×1000, never divided) per pixel, row-major
+    * top-down. Integer end to end so decode-derived results hash-match a
+    * pure-arithmetic oracle with no float boundary. */
+  case class Decoded(w: Int, h: Int, luma: Array[Long])
+
+  /** Magic sniff before handing bytes to ImageIO: reader lookup isn't
+    * free, and the opaque-payload families (text/audio bytes) should hit
+    * the histogram fallback without paying it. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'B'.toByte && b(1) == 'M'.toByte) ||
+        (b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+          b(2) == 'N'.toByte && b(3) == 'G'.toByte))
+
+  /** REAL pixel decode via the JDK's ImageIO; null when no reader claims
+    * the payload (corrupt image, or not an image at all). */
+  private def decodeImage(bytes: Array[Byte]): Decoded = {
+    if (!looksLikeImage(bytes)) return null
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val luma = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, luma)
+  }
+
+  /** binary -> (w, h, integer luma grid); the decode stage behind the
+    * pixel aHash. The one UDF in the family — ImageIO is a JVM call, not
+    * an expression — and everything downstream of it is codegen'd array
+    * arithmetic. */
+  val decodeLuma = udf((bytes: Array[Byte]) => decodeImage(bytes))
 
   /** A media table derived deterministically from the documents fixture:
     * content = utf-8 bytes of text, kind alternates image/audio, metadata
@@ -37,12 +81,25 @@ object MediaPipeline {
       col("lang").as("meta_lang"),
       col("source").as("meta_source"))
 
-  /** STUB decode: binary -> 16-bin byte histogram as Array[Float].
-    * Deterministic; replace the body with a real codec to productionize.
-    */
+  /** Feature decode: binary -> normalized 16-bin histogram as
+    * Array[Float]. Image containers the JDK can read (BMP/PNG) decode to
+    * PIXELS and bin by 8-bit luma — a real luminance signature; payloads
+    * with no in-JDK codec keep the deterministic byte histogram this
+    * stage always served (same bins, same normalization), so opaque
+    * families stay stable while images got real. */
   val decodeFeatures = udf((bytes: Array[Byte]) => {
     val bins = new Array[Float](16)
-    if (bytes != null) {
+    val img = decodeImage(bytes)
+    if (img != null) {
+      var i = 0
+      while (i < img.luma.length) {
+        bins((img.luma(i) / 1000L).toInt >> 4) += 1f
+        i += 1
+      }
+      val n = math.max(1, img.luma.length).toFloat
+      var b = 0
+      while (b < 16) { bins(b) /= n; b += 1 }
+    } else if (bytes != null) {
       var i = 0
       while (i < bytes.length) { bins((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
       val n = math.max(1, bytes.length).toFloat
@@ -259,9 +316,9 @@ object MediaPipeline {
     * byte blocks, each block's mean byte value thresholds against the
     * whole payload's mean, and the 16 bits pack into one BIGINT. The
     * media-lake triage pass that needs no codec — near-identical
-    * payloads land at small Hamming distance, and a real pixel aHash
-    * drops into the same block/mean/threshold pipeline once a decoder
-    * exists (decodeFeatures stays the honest stub). ALL-integer: the
+    * payloads land at small Hamming distance, and the REAL pixel aHash
+    * ([[pixelAhash]], via the JDK's own ImageIO decode) runs the same
+    * block/mean/threshold pipeline on genuine pixels. ALL-integer: the
     * mean comparison is cross-multiplied (sum_b·L > total·n_b), so
     * there is no division anywhere and no rounding boundary; empty
     * tail blocks (payload < 16 bytes) compare 0 > 0 = false — a stated
@@ -272,7 +329,7 @@ object MediaPipeline {
     * shift every later block boundary, so text near-dups (word edits)
     * scatter. That is the physics of block hashing on byte streams;
     * pixel grids don't shift under content edits, which is exactly why
-    * the real image aHash needs the decode step this sandbox stubs.
+    * the real image aHash ([[pixelAhash]]) hashes decoded pixels instead.
     */
   def byteFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val m = headeredBlobs(spark, sfDir)
@@ -329,6 +386,118 @@ object MediaPipeline {
       "FROM sums s JOIN tot t USING (media_id) " +
       "GROUP BY s.media_id, s.kind, s.L ORDER BY s.media_id"
   }
+
+  // ---- Real pixel aHash: valid BMPs -> ImageIO decode -> 8x8 block
+  // threshold hash, oracle-checked against the arithmetic pixel grid ----
+
+  private def chan(e: String) = s"($e) % 256"
+
+  /** Genuinely VALID 24-bpp BMPs — not just valid headers: w×h in 8..16
+    * derived from doc_id, per-channel pixel bytes integer formulas of
+    * (doc_id, x, y), rows stored bottom-up with 4-byte padding, file and
+    * image sizes exact. Built from codegen'd hex built-ins like the other
+    * blob families, so construction itself is an engine-checked query
+    * shape; the JDK's own BMP reader decodes these back to the SAME
+    * integer pixel grid (MediaPipelineSpec pins decode == construction
+    * against the formulas, the oracle pins it cross-engine).
+    */
+  def validBmpBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    def le(e: String, n: Int) = leHex(e, n, "DIV")
+    val header = Seq(
+      "'424D'",                       // "BM"
+      le("54 + dlen", 4),             // file size
+      "'00000000'", le("54", 4),      // reserved, pixel offset
+      le("40", 4),                    // DIB header size
+      le("w", 4), le("h", 4),         // dimensions (positive h: bottom-up)
+      le("1", 2), le("24", 2),        // planes, bpp
+      le("0", 4), le("dlen", 4),      // BI_RGB, image size
+      le("2835", 4), le("2835", 4),   // x/y pixels-per-metre
+      le("0", 4), le("0", 4)          // palette sizes
+    ).mkString("concat(", ", ", ")")
+    // bottom-up row order: image row y = h-1 is stored first; pixels are
+    // B,G,R per the format, each channel its own (doc_id, x, y) formula
+    val px = "array_join(transform(sequence(h - 1, CAST(0 AS BIGINT), CAST(-1 AS BIGINT)), y -> " +
+      "concat(array_join(transform(sequence(CAST(0 AS BIGINT), w - 1), x -> concat(" +
+      s"lpad(hex(${chan("doc_id + 7 * x + 13 * y")}), 2, '0'), " +
+      s"lpad(hex(${chan("3 * doc_id + 11 * x + 5 * y")}), 2, '0'), " +
+      s"lpad(hex(${chan("5 * doc_id + 3 * x + 17 * y")}), 2, '0'))), ''), " +
+      "repeat('00', CAST(pad AS INT)))), '')"
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .withColumn("w", expr("8 + doc_id % 9"))
+      .withColumn("h", expr("8 + (doc_id * 3) % 9"))
+      .withColumn("pad", expr("(4 - (w * 3) % 4) % 4"))
+      .withColumn("dlen", expr("(w * 3 + pad) * h"))
+      .selectExpr("doc_id AS media_id",
+        s"unhex(concat($header, $px)) AS content")
+  }
+
+  /** The REAL pixel average-hash over the valid BMPs: decode to the luma
+    * grid (the family's one UDF — ImageIO is a JVM call), then an 8×8
+    * block mean-threshold in pure codegen'd array arithmetic. Pixel x
+    * belongs to block (8x) div w (ditto y/h), so block i covers
+    * x ∈ [(i·w+7) div 8, ((i+1)·w+7) div 8) — the same integer bounds the
+    * oracle's pixel→block assignment inverts; every block is nonempty
+    * because w,h ≥ 8. Bit k (= by·8+bx) sets iff the block's luma sum
+    * cross-multiplies above the global mean (sum_k·w·h > total·n_k — no
+    * division, no rounding boundary), packed into two non-negative
+    * BIGINTs (hi = bits 63..32, lo = 31..0) so neither engine touches the
+    * sign bit. MAP-ONLY end to end: no shuffle until the output ordering,
+    * which is the shape that survives a billion images.
+    */
+  def pixelAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    def bound(idx: String, dim: String) = s"((($idx) * $dim + 7) DIV 8)"
+    val ys = bound("k DIV 8", "h"); val ye = bound("(k DIV 8) + 1", "h")
+    val xs = bound("k % 8", "w"); val xe = bound("(k % 8) + 1", "w")
+    val sumK = s"aggregate(flatten(transform(sequence($ys, $ye - 1), y -> " +
+      s"transform(sequence($xs, $xe - 1), x -> " +
+      "element_at(luma, CAST(y * w + x + 1 AS INT))))), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val nK = s"(($ye) - ($ys)) * (($xe) - ($xs))"
+    validBmpBlobs(spark, sfDir)
+      .withColumn("d", decodeLuma(col("content")))
+      .selectExpr("media_id", "CAST(d.w AS BIGINT) AS w",
+        "CAST(d.h AS BIGINT) AS h", "d.luma AS luma")
+      .withColumn("total", expr("aggregate(luma, CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("np", expr("w * h"))
+      .withColumn("blocks", expr("transform(sequence(0, 63), k -> " +
+        s"named_struct('k', k, 'hot', ($sumK) * np > total * ($nK)))"))
+      .selectExpr("media_id", "w", "h",
+        "aggregate(filter(blocks, b -> b.hot AND b.k >= 32), CAST(0 AS BIGINT), " +
+          "(a, b) -> a + shiftleft(CAST(1 AS BIGINT), CAST(b.k - 32 AS INT))) AS ahash_hi",
+        "aggregate(filter(blocks, b -> b.hot AND b.k < 32), CAST(0 AS BIGINT), " +
+          "(a, b) -> a + shiftleft(CAST(1 AS BIGINT), CAST(b.k AS INT))) AS ahash_lo")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[pixelAhash]] with NO bytes and NO decode: the
+    * pixel grid is arithmetically known from the construction, so the
+    * oracle recomputes the hash from the (doc_id, x, y) formulas — a pass
+    * certifies construct → real ImageIO decode → hash end to end against
+    * ground-truth integers (the multimodal_header pattern, one level
+    * deeper). Same luma weights, same pixel→block floor mapping, same
+    * cross-multiplied threshold, same hi/lo packing.
+    */
+  def ahashOracleSql: String =
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, yy.y AS y, xx.x AS x, " +
+      "299 * ((5 * doc_id + 3 * xx.x + 17 * yy.y) % 256) + " +
+      "587 * ((3 * doc_id + 11 * xx.x + 5 * yy.y) % 256) + " +
+      "114 * ((doc_id + 7 * xx.x + 13 * yy.y) % 256) AS luma " +
+      // DuckDB's range() takes no lateral column args; w,h <= 16 by
+      // construction, so a fixed 16x16 grid filtered per doc is exact
+      "FROM d, range(16) yy(y), range(16) xx(x) " +
+      "WHERE yy.y < d.h AND xx.x < d.w), " +
+      "blk AS (SELECT doc_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx, " +
+      "CAST(sum(luma) AS BIGINT) AS sum_k, count(*) AS n_k " +
+      "FROM g GROUP BY doc_id, w, h, (y * 8) // h, (x * 8) // w), " +
+      "tot AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) AS total FROM g GROUP BY doc_id) " +
+      "SELECT blk.doc_id AS media_id, w, h, " +
+      "CAST(sum(CASE WHEN sum_k * (w * h) > total * n_k AND by * 8 + bx >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(by * 8 + bx - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi, " +
+      "CAST(sum(CASE WHEN sum_k * (w * h) > total * n_k AND by * 8 + bx < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo " +
+      "FROM blk JOIN tot ON blk.doc_id = tot.doc_id " +
+      "GROUP BY blk.doc_id, w, h ORDER BY media_id"
 
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT

@@ -530,6 +530,14 @@ object TextOps extends QueryFamily {
     "q_multimodal_phash" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.byteFingerprint(s, dir)),
 
+    // the REAL pixel aHash: valid 24-bpp BMPs constructed from integer
+    // pixel formulas, decoded through the JDK's own ImageIO, 8x8 block
+    // mean-threshold hash — the oracle recomputes from the arithmetic
+    // pixel grid, so a pass certifies the decode byte-for-byte. See
+    // MediaPipeline.pixelAhash.
+    "q_multimodal_ahash" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pixelAhash(s, dir)),
+
     "q_multimodal_header" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.headerProfile(s, dir)),
 
@@ -747,6 +755,7 @@ object TextOps extends QueryFamily {
       "FROM documents ORDER BY doc_id"),
 
     "q_multimodal_phash" -> graft.multimodal.MediaPipeline.byteFingerprintOracleSql,
+    "q_multimodal_ahash" -> graft.multimodal.MediaPipeline.ahashOracleSql,
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
 

@@ -12,7 +12,7 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(df.count() == 500)
   }
 
-  test("stub decode yields normalized 16-bin histograms") {
+  test("opaque payloads fall back to the normalized 16-bin byte histogram") {
     val feats = MediaPipeline.withFeatures(MediaPipeline.mediaFrame(spark, sf0001))
       .select("features").collect().map(_.getSeq[Float](0))
     assert(feats.forall(_.length == 16))
@@ -29,10 +29,75 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("decode stub is deterministic") {
+  test("decode pipeline is deterministic") {
     val a = MediaPipeline.pipeline(spark, sf0001).collect().map(_.toString).toSeq
     val b = MediaPipeline.pipeline(spark, sf0001).collect().map(_.toString).toSeq
     assert(a == b)
+  }
+
+  test("ImageIO decode inverts the BMP construction: pixel-exact luma") {
+    import org.apache.spark.sql.functions.col
+    // the oracle certifies Spark==DuckDB on the HASH; this certifies the
+    // JDK decoder hands back the exact constructed pixel grid, so the
+    // hash is over real pixels, not a shared construction mistake
+    val rows = MediaPipeline.validBmpBlobs(spark, sf0001)
+      .withColumn("d", MediaPipeline.decodeLuma(col("content")))
+      .selectExpr("media_id", "d.w AS w", "d.h AS h", "d.luma AS luma")
+      .orderBy("media_id").limit(25).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      assert(w == 8 + id % 9 && h == 8 + (id * 3) % 9, r.toString)
+      val luma = r.getSeq[Long](r.fieldIndex("luma"))
+      assert(luma.length == w * h, r.toString)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (id + 7 * x + 13 * y) % 256
+        val g = (3 * id + 11 * x + 5 * y) % 256
+        val rr = (5 * id + 3 * x + 17 * y) % 256
+        assert(luma(y * w + x) == 299 * rr + 587 * g + 114 * b,
+          s"doc $id pixel ($x,$y): decoded ${luma(y * w + x)}")
+      }
+    }
+  }
+
+  test("decodeFeatures serves a REAL luma histogram for decodable images") {
+    import org.apache.spark.sql.functions.col
+    val rows = MediaPipeline.validBmpBlobs(spark, sf0001)
+      .withColumn("f", MediaPipeline.decodeFeatures(col("content")))
+      .orderBy("media_id").limit(10).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = ((8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+      val expect = new Array[Float](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val luma = 299 * ((5 * id + 3 * x + 17 * y) % 256) +
+          587 * ((3 * id + 11 * x + 5 * y) % 256) +
+          114 * ((id + 7 * x + 13 * y) % 256)
+        expect(((luma / 1000).toInt) >> 4) += 1f
+      }
+      for (b <- 0 until 16) expect(b) /= (w * h).toFloat
+      assert(r.getSeq[Float](r.fieldIndex("f")) == expect.toSeq,
+        s"doc $id: luma histogram mismatch")
+    }
+  }
+
+  test("q_multimodal_ahash: hashes are 32-bit-packed, populated, discriminative") {
+    val rows = SparkEntry.queries("q_multimodal_ahash")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val hashes = rows.map(r =>
+      (r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo")))
+    // hi/lo never touch the sign bit and stay within 32 bits
+    assert(hashes.forall { case (hi, lo) =>
+      hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL })
+    // the mean-threshold rule can't set all 64 or zero bits (some block
+    // is above the mean and some below unless the image is flat — the
+    // generated gradients never are)
+    assert(hashes.forall { case (hi, lo) => (hi | lo) != 0 }, "empty hash")
+    assert(hashes.forall { case (hi, lo) =>
+      !(hi == 0xFFFFFFFFL && lo == 0xFFFFFFFFL) }, "saturated hash")
+    // distinct formulas per doc ⇒ hashes spread (not a constant)
+    assert(hashes.toSet.size > 100, s"only ${hashes.toSet.size} distinct hashes")
   }
 
   test("header parse inverts header construction — every field, from bytes") {
