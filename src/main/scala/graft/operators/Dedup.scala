@@ -788,12 +788,138 @@ object Dedup extends QueryFamily {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
-  /** DuckDB mirror of [[pqSubvectors]]: fixed-point vectors e, per-
-    * subspace slices sub, the candidate training set tr. */
+  /** IVFADC (FAISS's IVF+PQ production serving layout): PQ on RESIDUALS
+    * within the trained coarse quantizer. Candidates are assigned to
+    * their q_sim_ivf_trained centroid (the shared TextOps.kmeansAssign),
+    * PQ-encode (vector − centroid) with the q_sim_pq_trained trainer run
+    * on residual subvectors, and each probe searches its nprobe=2
+    * nearest buckets with ADC over residuals — one distance table per
+    * (probe, bucket) since the probe's residual differs per centroid.
+    * The composition is pure reuse: pqCodebook on residual rows,
+    * the kmeans centroid row for bucket selection, the same 8-lookup ADC.
+    * Scale: centroids + residual codebook + probe tables all broadcast;
+    * the candidate↔probe pairing is an EQUI-join on the coarse bucket
+    * (the IVF prune — never a cross like flat PQ's serve), and raising K
+    * bounds per-bucket work exactly as in q_sim_ivf_trained. A candidate
+    * lives in exactly one bucket, so no pair dedups. All-integer
+    * end to end: residuals are integer differences of fixed-point
+    * values, so every distance is an exact integer with (d, id) ties.
+    */
+  private def ivfAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    val av = TextOps.kmeansAssign(s, dir) // (vec_id, fx, k, d)
+    val centRow = TextOps.kmeansCentroidRow(s, dir)
+    val centTbl = centRow.select(explode(col("cents")).as("c"))
+      .select(col("c.k").as("k"), col("c.cv").as("cv"))
+    def subspaces(rcol: String) = expr(
+      s"transform(sequence(0, 7), s -> struct(s AS s, slice($rcol, s * 8 + 1, 8) AS sv))")
+    // candidate residuals, split into 8 subspaces
+    val rsub = av.where(col("vec_id") >= 10)
+      .join(broadcast(centTbl), "k")
+      .select(col("vec_id"), col("k"),
+        expr("zip_with(fx, cv, (a, b) -> a - b)").as("rfx"))
+      .select(col("vec_id"), col("k"), explode(subspaces("rfx")).as("x"))
+      .select(col("vec_id"), col("k"), col("x.s").as("s"), col("x.sv").as("sv"))
+    // the residual codebook: the SAME subspace-wise Lloyd's trainer as
+    // q_sim_pq_trained, fed residual rows (kc to keep the coarse k apart)
+    val rcb = pqCodebook(rsub.select("vec_id", "s", "sv"), trained = true)
+      .withColumnRenamed("k", "kc")
+    val rdist = rsub.join(broadcast(rcb), "s").withColumn("d", expr(pqSqd))
+    val codes = rdist
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("kc"))).as("m"), first(col("k")).as("k"))
+      .groupBy("vec_id")
+      .agg(first(col("k")).as("k"),
+        expr("transform(array_sort(collect_list(struct(s, m.kc AS kc))), " +
+          "x -> x.kc)").as("codes"))
+    // probe side: nprobe=2 nearest coarse buckets, one residual distance
+    // TABLE per (probe, bucket) — the probe's residual depends on the
+    // bucket's own centroid
+    val sqd64 = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val psub = av.where(col("vec_id") < 10)
+      .crossJoin(broadcast(centRow))
+      .select(col("vec_id").as("probe_id"), explode(expr(
+        s"slice(array_sort(transform(cents, c -> struct($sqd64 AS d, c.k AS k, " +
+          "zip_with(fx, c.cv, (a, b) -> a - b) AS rp))), 1, 2)")).as("pcx"))
+      .select(col("probe_id"), col("pcx.k").as("k"), explode(subspaces("pcx.rp")).as("x"))
+      .select(col("probe_id"), col("k"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val ptab = psub.join(broadcast(rcb), "s").withColumn("d", expr(pqSqd))
+      .groupBy("probe_id", "k")
+      .agg(expr("transform(array_sort(collect_list(struct(s, kc, d))), " +
+        "x -> x.d)").as("dta"))
+    val adc = "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, s) -> " +
+      "acc + element_at(dta, CAST(s * 16 + " +
+      "element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(ptab), "k") // the IVF prune: equi-join on the bucket
+      .withColumn("adc_dist", expr(adc))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), big(col("rank")).as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** DuckDB mirror of [[ivfAdcRanked]], assuming fxCte's `e` and the
+    * kmeans chain's `c1`/`a2` are in scope: residual subvectors, the
+    * residual Lloyd's codebook (identical arithmetic to pqOracleChain's
+    * trained branch), per-(probe, bucket) distance tables, the
+    * bucket-equi-joined ADC, ending in rkivf (probe_id, neighbor_id,
+    * adc_dist, rank). */
+  private val ivfpqOracleChain: String =
+    "rcand AS (SELECT a2.vec_id, a2.k, " +
+    "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rfx " +
+    "FROM a2 JOIN e USING (vec_id) JOIN c1 ON a2.k = c1.k " +
+    "WHERE a2.vec_id >= 10), " +
+    "rsub AS (SELECT vec_id, k, s, rfx[s*8+1 : s*8+8] AS sv " +
+    "FROM rcand, range(8) t(s)), " +
+    "rcb0 AS (SELECT vec_id - 10 AS kc, s, sv AS cent FROM rsub " +
+    "WHERE vec_id BETWEEN 10 AND 25), " +
+    "ra1 AS (SELECT t.vec_id, t.s, c.kc, t.sv FROM rsub t " +
+    "JOIN rcb0 c ON t.s = c.s " +
+    "QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY " +
+    "list_sum([ (t.sv[i+1] - c.cent[i+1]) * (t.sv[i+1] - c.cent[i+1]) " +
+    "for i in range(8) ]), c.kc) = 1), " +
+    "rs1 AS (SELECT s, kc, pos, sum(x) AS sx, count(*) AS n FROM " +
+    "(SELECT s, kc, unnest(sv) AS x, generate_subscripts(sv, 1) - 1 AS pos " +
+    "FROM ra1) GROUP BY s, kc, pos), " +
+    "rc1 AS (SELECT s, kc, " +
+    "list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) " +
+    "AS newc FROM rs1 GROUP BY s, kc), " +
+    "rcb AS (SELECT c0x.s, c0x.kc, coalesce(c1x.newc, c0x.cent) AS cent " +
+    "FROM rcb0 c0x LEFT JOIN rc1 c1x ON c0x.s = c1x.s AND c0x.kc = c1x.kc), " +
+    "rdist AS (SELECT r.vec_id, r.k, r.s, cb.kc, " +
+    "list_sum([ (r.sv[i+1] - cb.cent[i+1]) * (r.sv[i+1] - cb.cent[i+1]) " +
+    "for i in range(8) ]) AS d FROM rsub r JOIN rcb cb ON r.s = cb.s), " +
+    "rcvec AS (SELECT vec_id, k, list(kc ORDER BY s) AS codes FROM " +
+    "(SELECT vec_id, k, s, kc FROM rdist " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, kc) = 1) " +
+    "GROUP BY vec_id, k), " +
+    "ppc AS (SELECT e.vec_id AS probe_id, c1.k, " +
+    "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rp FROM e, c1 " +
+    "WHERE e.vec_id < 10 " +
+    "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+    "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) " +
+    "for i in range(64) ]), c1.k) <= 2), " +
+    "psub AS (SELECT probe_id, k, s, rp[s*8+1 : s*8+8] AS sv " +
+    "FROM ppc, range(8) t(s)), " +
+    "pdist AS (SELECT p.probe_id, p.k, p.s, cb.kc, " +
+    "list_sum([ (p.sv[i+1] - cb.cent[i+1]) * (p.sv[i+1] - cb.cent[i+1]) " +
+    "for i in range(8) ]) AS d FROM psub p JOIN rcb cb ON p.s = cb.s), " +
+    "ptab AS (SELECT probe_id, k, list(d ORDER BY s, kc) AS dta " +
+    "FROM pdist GROUP BY probe_id, k), " +
+    "iscored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
+    "CAST(list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) " +
+    "AS BIGINT) AS adc_dist FROM rcvec c JOIN ptab p ON c.k = p.k), " +
+    "rkivf AS (SELECT probe_id, neighbor_id, adc_dist, " +
+    "CAST(row_number() OVER (PARTITION BY probe_id " +
+    "ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM iscored)"
+
+  /** DuckDB mirror of [[pqSubvectors]]: fixed-point vectors e (the
+    * TextOps-shared fxCte), per-subspace slices sub, the candidate
+    * training set tr. */
   private val pqOracleHead: String =
-    "e AS (SELECT vec_id, " +
-    "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
-    "FROM embeddings), " +
+    TextOps.fxCte + ", " +
     "sub AS (SELECT vec_id, s, fx[s*8+1 : s*8+8] AS sv FROM e, range(8) t(s)), " +
     "tr AS (SELECT * FROM sub WHERE vec_id >= 10)"
 
@@ -1498,6 +1624,14 @@ object Dedup extends QueryFamily {
     "q_sim_pq_trained" -> ((s, dir) =>
       pqAdcRanked(s, dir, trained = true).orderBy("probe_id", "rank")),
 
+    // IVFADC — the composition of the two trained halves (FAISS's
+    // production serving layout): the q_sim_ivf_trained coarse quantizer
+    // prunes to nprobe=2 buckets, the q_sim_pq_trained trainer quantizes
+    // RESIDUALS within each bucket, probes serve by ADC over residuals.
+    // See ivfAdcRanked for the shapes that survive a billion vectors.
+    "q_sim_ivfpq" -> ((s, dir) =>
+      ivfAdcRanked(s, dir).orderBy("probe_id", "rank")),
+
     // PQ graded through the oracle, not only a spec pin: per probe, how
     // many of the exact cosine top-5 survive into each codebook's ADC
     // top-5 — recall@5 as oracle-checked integers, the same contract
@@ -1526,12 +1660,16 @@ object Dedup extends QueryFamily {
         .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h_s"))
       val t5 = pqAdcRanked(s, dir, trained = true)
         .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h_t"))
+      val i5 = ivfAdcRanked(s, dir)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h_i"))
       exact.join(p5, Seq("probe_id", "neighbor_id"), "left")
         .join(t5, Seq("probe_id", "neighbor_id"), "left")
+        .join(i5, Seq("probe_id", "neighbor_id"), "left")
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("h_s"), lit(0L))).as("pq_hits"),
-          sum(coalesce(col("h_t"), lit(0L))).as("pq_trained_hits"))
+          sum(coalesce(col("h_t"), lit(0L))).as("pq_trained_hits"),
+          sum(coalesce(col("h_i"), lit(0L))).as("ivfpq_hits"))
         .orderBy("probe_id")
     }),
 
@@ -1972,11 +2110,20 @@ object Dedup extends QueryFamily {
       "SELECT probe_id, rank, neighbor_id, adc_dist FROM rk " +
       "WHERE rank <= 5 ORDER BY probe_id, rank"),
 
+    // identical coarse chain (the shared kmeans CTEs) + the identical
+    // residual Lloyd's trainer + per-(probe, bucket) tables + the
+    // bucket-equi-joined ADC; adc_dist/rank CAST to BIGINT as ever
+    "q_sim_ivfpq" -> (s"WITH ${TextOps.kmeansAssignCtes}, $ivfpqOracleChain " +
+      "SELECT probe_id, rank, neighbor_id, adc_dist FROM rkivf " +
+      "WHERE rank <= 5 ORDER BY probe_id, rank"),
+
     // both ADC chains re-derived + the shared exact ranking; hits are
     // integer counts (CAST: sum(int) is HUGEINT in DuckDB)
     "q_sim_recall_pq" -> (s"WITH $pqOracleHead, " +
+      s"${TextOps.kmeansChainCtes}, " +
       s"${pqOracleChain("_s", trained = false)}, " +
       s"${pqOracleChain("_t", trained = true)}, " +
+      s"$ivfpqOracleChain, " +
       "ex AS (SELECT probe_id, neighbor_id FROM " +
       "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
       "row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
@@ -1986,12 +2133,15 @@ object Dedup extends QueryFamily {
       "WHERE rnk <= 5) " +
       "SELECT ex.probe_id, count(*) AS n_exact, " +
       "CAST(sum(CASE WHEN rs.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_hits, " +
-      "CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_trained_hits " +
+      "CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS pq_trained_hits, " +
+      "CAST(sum(CASE WHEN ri.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivfpq_hits " +
       "FROM ex " +
       "LEFT JOIN (SELECT probe_id, neighbor_id FROM rk_s WHERE rank <= 5) rs " +
       "ON ex.probe_id = rs.probe_id AND ex.neighbor_id = rs.neighbor_id " +
       "LEFT JOIN (SELECT probe_id, neighbor_id FROM rk_t WHERE rank <= 5) rt " +
       "ON ex.probe_id = rt.probe_id AND ex.neighbor_id = rt.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf WHERE rank <= 5) ri " +
+      "ON ex.probe_id = ri.probe_id AND ex.neighbor_id = ri.neighbor_id " +
       "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the

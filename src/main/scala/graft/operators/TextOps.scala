@@ -771,10 +771,17 @@ object TextOps extends QueryFamily {
     * Shared by the q_cluster_kmeans oracle and Dedup's q_dedup_semantic
     * oracle (which joins a2 back to e for the vectors).
     */
-  private[operators] val kmeansAssignCtes: String =
+  /** The fixed-point corpus CTE alone — shared between the kmeans chain
+    * and Dedup's PQ head so a statement composing BOTH (q_sim_ivfpq's
+    * recall grading) defines `e` exactly once. */
+  private[operators] val fxCte: String =
     "e AS (SELECT vec_id, " +
     "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
-    "FROM embeddings), " +
+    "FROM embeddings)"
+
+  /** The kmeans assign/update chain c0..a2, assuming `e` (fxCte) is
+    * already in scope. */
+  private[operators] val kmeansChainCtes: String =
     "c0 AS (SELECT vec_id AS k, fx AS cv FROM e WHERE vec_id < 8), " +
     "a1 AS (SELECT e.vec_id, c0.k, e.fx FROM e, c0 " +
     "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
@@ -788,4 +795,6 @@ object TextOps extends QueryFamily {
     "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) for i in range(64) ]) AS d " +
     "FROM e, c1 " +
     "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d, c1.k) = 1)"
+
+  private[operators] val kmeansAssignCtes: String = fxCte + ", " + kmeansChainCtes
 }

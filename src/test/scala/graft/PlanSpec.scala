@@ -285,6 +285,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
 
+  test("q_sim_ivfpq: residual codebook + probe tables broadcast; serve equi-joins the bucket") {
+    val p = plan("q_sim_ivfpq")
+    // centroids (1-row array) and the residual codebook (128 rows)
+    // broadcast; the serve stage pairs candidates with probe tables via
+    // an EQUI join on the coarse bucket k — IVF's prune, never flat PQ's
+    // declared cross join and never a cartesian
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
+    assert(!p.toLowerCase.contains("sortmergejoin"), p.take(3000))
+  }
+
   test("q_agg_countmin: lookups join the broadcast grid") {
     val p = plan("q_agg_countmin")
     // 1024 cells whatever the corpus size — the grid must broadcast onto

@@ -66,4 +66,19 @@ class SimRecallSpec extends AnyFunSuite {
       s"Lloyd's round made the codebook WORSE: trained $trained < sample $sample")
     assert(sample <= 50 && trained <= 50)
   }
+
+  test("q_sim_recall_pq: IVFADC (residual PQ) recall >= flat trained PQ") {
+    // same code budget (8 one-byte codes per vector) — the residual
+    // quantizer's cells are far smaller than raw-vector cells, which is
+    // why the FAISS layout composes the two stages; measured 15 vs 6 of
+    // 50 at sf0.001, 11 vs 9 at sf0.01. The nprobe=2 prune costs recall
+    // only when an exact neighbor hides in an unprobed bucket, and the
+    // finer cells more than pay for it on this fixture.
+    val rows = SparkEntry.queries("q_sim_recall_pq")(spark, sf0001).collect()
+    val trained = rows.map(_.getLong(3)).sum
+    val ivfpq = rows.map(_.getAs[Long]("ivfpq_hits")).sum
+    assert(ivfpq >= trained,
+      s"IVFADC lost to flat PQ at equal code budget: $ivfpq < $trained")
+    assert(ivfpq <= 50)
+  }
 }
