@@ -60,6 +60,31 @@ object StreamDemo {
       .parquet(s"$workDir/in")
   }
 
+  /** The nightly→continuous migration shape (§2.J meeting §2.L's views):
+    * the SAME watermarked file-source stream maintains an
+    * [[graft.sync.IncrementalView]] through foreachBatch — every
+    * micro-batch folds its raw rows into the per-(event_type, day) state
+    * at O(delta + state) cost, exactly-once under replays via the
+    * batchId ledger committed atomically with the state. The contract a
+    * migration needs: the streamed fold must equal the one-shot batch
+    * aggregate over the same corpus — StreamDemoSpec asserts that
+    * equality (no oracle needed; the equality IS the check). At 100 TB
+    * the stream is Kafka and the view root is the same key-space-sized
+    * state table the nightly job folded into — the query body and the
+    * fold do not change.
+    */
+  def maintainedView(spark: SparkSession, workDir: String, viewRoot: String,
+      ckptDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sync.IncrementalView
+    val st = source(spark, workDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type").as("k"),
+        to_date(col("ts")).cast("string").as("day"),
+        graft.Dets.dec6(col("value")).as("m"))
+    IncrementalView.maintainContinuous(st, viewRoot,
+      IncrementalView.ViewDef(Seq("k", "day"), "m"), ckptDir)
+  }
+
   /** Watermarked tumbling aggregation; late data beyond 1h is dropped once
     * the watermark passes it.
     *

@@ -38,6 +38,32 @@ class StreamDemoSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("foreachBatch-maintained IncrementalView equals the one-shot batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val viewRoot = java.nio.file.Files.createTempDirectory("graft_stream_view").toString
+    graft.sinks.AliasedIndex.deleteRecursively(java.nio.file.Paths.get(viewRoot))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_view_ckpt").toString
+    val q = StreamDemo.maintainedView(spark, work, viewRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the stream replayed 4 file chunks — the fold must have run per batch
+    assert(graft.sync.IncrementalView.lastBatch(viewRoot).exists(_ >= 1L),
+      "view folded in fewer than 2 micro-batches — not a streaming fold")
+    val streamed = graft.sync.IncrementalView.read(spark, viewRoot)
+      .select("k", "day", "mv_n", "mv_s").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3).stripTrailingZeros))).toMap
+    val batch = Tables(spark, sf0001, "events")
+      .groupBy(col("event_type").as("k"),
+        to_date(col("ts").cast("timestamp")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum(Dets.dec6(col("value"))).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3).stripTrailingZeros))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed fold != one-shot aggregate (streamed ${streamed.size} keys, " +
+        s"batch ${batch.size})")
+  }
+
   test("foreachBatch bulk sink delivers every event exactly once; restart adds nothing") {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempDirectory("graft_stream_bulk").toString
