@@ -401,7 +401,11 @@ object MediaPipeline {
     * integer pixel grid (MediaPipelineSpec pins decode == construction
     * against the formulas, the oracle pins it cross-engine).
     */
-  def validBmpBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Valid-BMP hex assembly over a row carrying (w, h, pad, dlen) plus
+    * whatever the channel exprs reference: 54-byte header with exact
+    * size fields, bottom-up rows (image row y = h-1 stored first),
+    * B,G,R per pixel, 4-byte row padding. */
+  private def bmpHex(chanB: String, chanG: String, chanR: String): String = {
     def le(e: String, n: Int) = leHex(e, n, "DIV")
     val header = Seq(
       "'424D'",                       // "BM"
@@ -414,22 +418,29 @@ object MediaPipeline {
       le("2835", 4), le("2835", 4),   // x/y pixels-per-metre
       le("0", 4), le("0", 4)          // palette sizes
     ).mkString("concat(", ", ", ")")
-    // bottom-up row order: image row y = h-1 is stored first; pixels are
-    // B,G,R per the format, each channel its own (doc_id, x, y) formula
     val px = "array_join(transform(sequence(h - 1, CAST(0 AS BIGINT), CAST(-1 AS BIGINT)), y -> " +
       "concat(array_join(transform(sequence(CAST(0 AS BIGINT), w - 1), x -> concat(" +
-      s"lpad(hex(${chan("doc_id + 7 * x + 13 * y")}), 2, '0'), " +
-      s"lpad(hex(${chan("3 * doc_id + 11 * x + 5 * y")}), 2, '0'), " +
-      s"lpad(hex(${chan("5 * doc_id + 3 * x + 17 * y")}), 2, '0'))), ''), " +
+      s"lpad(hex($chanB), 2, '0'), " +
+      s"lpad(hex($chanG), 2, '0'), " +
+      s"lpad(hex($chanR), 2, '0'))), ''), " +
       "repeat('00', CAST(pad AS INT)))), '')"
-    Tables(spark, sfDir, "documents").select(col("doc_id"))
-      .withColumn("w", expr("8 + doc_id % 9"))
-      .withColumn("h", expr("8 + (doc_id * 3) % 9"))
-      .withColumn("pad", expr("(4 - (w * 3) % 4) % 4"))
-      .withColumn("dlen", expr("(w * 3 + pad) * h"))
-      .selectExpr("doc_id AS media_id",
-        s"unhex(concat($header, $px)) AS content")
+    s"concat($header, $px)"
   }
+
+  /** Adds the shared BMP geometry columns (w, h in 8..16 from doc_id,
+    * row padding, pixel-data length) to a frame carrying doc_id. */
+  private def withBmpGeometry(df: DataFrame): DataFrame = df
+    .withColumn("w", expr("8 + doc_id % 9"))
+    .withColumn("h", expr("8 + (doc_id * 3) % 9"))
+    .withColumn("pad", expr("(4 - (w * 3) % 4) % 4"))
+    .withColumn("dlen", expr("(w * 3 + pad) * h"))
+
+  def validBmpBlobs(spark: SparkSession, sfDir: String): DataFrame =
+    withBmpGeometry(Tables(spark, sfDir, "documents").select(col("doc_id")))
+      .selectExpr("doc_id AS media_id",
+        s"unhex(${bmpHex(chan("doc_id + 7 * x + 13 * y"),
+          chan("3 * doc_id + 11 * x + 5 * y"),
+          chan("5 * doc_id + 3 * x + 17 * y"))}) AS content")
 
   /** The REAL pixel average-hash over the valid BMPs: decode to the luma
     * grid (the family's one UDF — ImageIO is a JVM call), then an 8×8
@@ -444,7 +455,10 @@ object MediaPipeline {
     * sign bit. MAP-ONLY end to end: no shuffle until the output ordering,
     * which is the shape that survives a billion images.
     */
-  def pixelAhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The decode + hash stages shared by q_multimodal_ahash and the
+    * perceptual dedup: blobs (media_id, content) → decoded luma grid →
+    * (media_id, w, h, ahash_hi, ahash_lo), unordered. */
+  private def ahashOf(blobs: DataFrame): DataFrame = {
     def bound(idx: String, dim: String) = s"((($idx) * $dim + 7) DIV 8)"
     val ys = bound("k DIV 8", "h"); val ye = bound("(k DIV 8) + 1", "h")
     val xs = bound("k % 8", "w"); val xe = bound("(k % 8) + 1", "w")
@@ -453,7 +467,7 @@ object MediaPipeline {
       "element_at(luma, CAST(y * w + x + 1 AS INT))))), " +
       "CAST(0 AS BIGINT), (a, v) -> a + v)"
     val nK = s"(($ye) - ($ys)) * (($xe) - ($xs))"
-    validBmpBlobs(spark, sfDir)
+    blobs
       .withColumn("d", decodeLuma(col("content")))
       .selectExpr("media_id", "CAST(d.w AS BIGINT) AS w",
         "CAST(d.h AS BIGINT) AS h", "d.luma AS luma")
@@ -466,8 +480,10 @@ object MediaPipeline {
           "(a, b) -> a + shiftleft(CAST(1 AS BIGINT), CAST(b.k - 32 AS INT))) AS ahash_hi",
         "aggregate(filter(blocks, b -> b.hot AND b.k < 32), CAST(0 AS BIGINT), " +
           "(a, b) -> a + shiftleft(CAST(1 AS BIGINT), CAST(b.k AS INT))) AS ahash_lo")
-      .orderBy("media_id")
   }
+
+  def pixelAhash(spark: SparkSession, sfDir: String): DataFrame =
+    ahashOf(validBmpBlobs(spark, sfDir)).orderBy("media_id")
 
   /** DuckDB mirror of [[pixelAhash]] with NO bytes and NO decode: the
     * pixel grid is arithmetically known from the construction, so the
@@ -498,6 +514,137 @@ object MediaPipeline {
       "THEN (CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo " +
       "FROM blk JOIN tot ON blk.doc_id = tot.doc_id " +
       "GROUP BY blk.doc_id, w, h ORDER BY media_id"
+
+  // ---- Perceptual near-dup image dedup: aHash + banded Hamming join ----
+
+  /** Two valid BMPs per document: the original (media_id = 2·doc_id) and
+    * a NEAR-DUPLICATE variant (2·doc_id + 1) — every channel brightened
+    * by +17 (a pure brightness shift: the aHash is PROVABLY invariant,
+    * because adding c to every pixel moves sum_k·np and total·n_k by the
+    * same c·n_k·np), and for doc_id % 3 == 0 additionally +40 on the
+    * left quarter (a LOCAL edit that may flip a few blocks' bits — the
+    * realistic crop/logo-stamp near-dup). Channels ride % 190 so the
+    * brightest variant byte (189+17+40) still fits. */
+  def imageVariantBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val delta = "(CASE WHEN variant = 1 THEN 17 + (CASE WHEN doc_id % 3 = 0 " +
+      "AND x * 4 < w THEN 40 ELSE 0 END) ELSE 0 END)"
+    def ch(f: String) = s"(($f) % 190 + $delta)"
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("array(0, 1)")).as("variant"))
+    withBmpGeometry(base)
+      .selectExpr("doc_id * 2 + variant AS media_id",
+        s"unhex(${bmpHex(ch("doc_id + 7 * x + 13 * y"),
+          ch("3 * doc_id + 11 * x + 5 * y"),
+          ch("5 * doc_id + 3 * x + 17 * y"))}) AS content")
+  }
+
+  /** Near-duplicate IMAGE pairs over real decoded pixels — the
+    * perceptual-dedup pass a multimodal training pipeline runs before
+    * training (the PDQ/aHash production shape): hash every image
+    * ([[ahashOf]], via the real ImageIO decode), split the 64-bit hash
+    * into 4 sixteen-bit BANDS, equi-join on (band index, band value,
+    * width, height) — the dimension columns are the metadata prefilter a
+    * real media pipeline applies first, any pair within Hamming ≤ 3
+    * shares an exact band by pigeonhole, and the brightness twins
+    * collide in all 4 — then verify the full Hamming distance ≤ 4 with
+    * two bit_counts. The radius is deliberately tight: aHash over smooth
+    * synthetic gradients is structurally collision-prone (half-plane bit
+    * patterns recur across documents), and production PDQ-style
+    * pipelines re-verify candidates pixel-level anyway. A pair colliding
+    * in several bands is counted ONCE by the ownership rule (only its
+    * LOWEST shared band reports it — the interval join's no-DISTINCT
+    * trick). Scale: candidates are bounded by band-bucket populations
+    * (never an all-pairs), the join is a plain equi-join AQE can
+    * skew-split, and the verify is two integer popcounts per candidate.
+    */
+  def imageNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    // the localCheckpoint is a PLAN boundary, not a cache hint (the
+    // graph family's passPinner idiom): both self-join sides and every
+    // downstream reference (4 band values per side, the ownership CASE,
+    // the popcounts) must consume ahash_hi/lo as plain COLUMNS of a
+    // materialized 3-column table. Left in the plan, the construct +
+    // decode + 64-block hash expression tree is re-derived per side and
+    // re-inlined per reference, and the optimizer/codegen grinds for
+    // minutes on the multiplied tree. It is also the honest scale shape:
+    // hash once map-side, keep only the per-image hash rows.
+    val hashed = ahashOf(imageVariantBlobs(spark, sfDir))
+      .select("media_id", "w", "h", "ahash_hi", "ahash_lo")
+      .localCheckpoint()
+    val bandArr = "array(" +
+      "struct(0 AS bi, ahash_lo % 65536 AS bv), " +
+      "struct(1 AS bi, ahash_lo DIV 65536 AS bv), " +
+      "struct(2 AS bi, ahash_hi % 65536 AS bv), " +
+      "struct(3 AS bi, ahash_hi DIV 65536 AS bv))"
+    val bands = hashed
+      .select(col("media_id"), col("w"), col("h"),
+        col("ahash_hi"), col("ahash_lo"), explode(expr(bandArr)).as("b"))
+      .select(col("media_id"), col("w"), col("h"),
+        col("ahash_hi"), col("ahash_lo"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.select(col("media_id").as("media_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("w"), col("h"), col("bi"), col("bv"))
+    val b = bands.select(col("media_id").as("media_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("w"), col("h"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv", "w", "h"))
+      .where(col("media_a") < col("media_b"))
+      .where(expr("bi = CASE WHEN lo_a % 65536 = lo_b % 65536 THEN 0 " +
+        "WHEN lo_a DIV 65536 = lo_b DIV 65536 THEN 1 " +
+        "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .where(col("hamming") <= 4)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** DuckDB mirror of [[imageNearDups]] — again NO bytes, NO decode: the
+    * variant pixel grids are arithmetic (base channels % 190 plus the
+    * brightness/local deltas folded into luma as 1000·delta), so the
+    * oracle recomputes hash → bands → lowest-band ownership → popcount
+    * from ground-truth integers. */
+  def imageDedupOracleSql: String =
+    "WITH m AS (SELECT doc_id, v.variant, doc_id * 2 + v.variant AS media_id, " +
+      "8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h " +
+      "FROM documents, (VALUES (0), (1)) v(variant)), " +
+      "g AS (SELECT media_id, w, h, yy.y AS y, xx.x AS x, " +
+      "299 * ((5 * doc_id + 3 * xx.x + 17 * yy.y) % 190) + " +
+      "587 * ((3 * doc_id + 11 * xx.x + 5 * yy.y) % 190) + " +
+      "114 * ((doc_id + 7 * xx.x + 13 * yy.y) % 190) + " +
+      "1000 * (CASE WHEN variant = 1 THEN 17 + (CASE WHEN doc_id % 3 = 0 " +
+      "AND xx.x * 4 < w THEN 40 ELSE 0 END) ELSE 0 END) AS luma " +
+      "FROM m, range(16) yy(y), range(16) xx(x) " +
+      "WHERE yy.y < m.h AND xx.x < m.w), " +
+      "blk AS (SELECT media_id, w, h, (y * 8) // h AS by, (x * 8) // w AS bx, " +
+      "CAST(sum(luma) AS BIGINT) AS sum_k, count(*) AS n_k " +
+      "FROM g GROUP BY media_id, w, h, (y * 8) // h, (x * 8) // w), " +
+      "tot AS (SELECT media_id, CAST(sum(luma) AS BIGINT) AS total " +
+      "FROM g GROUP BY media_id), " +
+      "hsh AS (SELECT blk.media_id, w, h, " +
+      "CAST(sum(CASE WHEN sum_k * (w * h) > total * n_k AND by * 8 + bx >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(by * 8 + bx - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi, " +
+      "CAST(sum(CASE WHEN sum_k * (w * h) > total * n_k AND by * 8 + bx < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(by * 8 + bx AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo " +
+      "FROM blk JOIN tot ON blk.media_id = tot.media_id " +
+      "GROUP BY blk.media_id, w, h), " +
+      "bnd AS (SELECT media_id, w, h, ahash_hi, ahash_lo, b.bi, " +
+      "CASE b.bi WHEN 0 THEN ahash_lo % 65536 WHEN 1 THEN ahash_lo // 65536 " +
+      "WHEN 2 THEN ahash_hi % 65536 ELSE ahash_hi // 65536 END AS bv " +
+      "FROM hsh, (VALUES (0), (1), (2), (3)) b(bi)), " +
+      "p AS (SELECT a.media_id AS media_a, b2.media_id AS media_b, " +
+      "a.ahash_hi AS hi_a, a.ahash_lo AS lo_a, " +
+      "b2.ahash_hi AS hi_b, b2.ahash_lo AS lo_b, a.bi " +
+      "FROM bnd a JOIN bnd b2 ON a.bi = b2.bi AND a.bv = b2.bv " +
+      "AND a.w = b2.w AND a.h = b2.h " +
+      "AND a.media_id < b2.media_id) " +
+      "SELECT media_a, media_b, " +
+      "CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming " +
+      "FROM p WHERE bi = (CASE WHEN lo_a % 65536 = lo_b % 65536 THEN 0 " +
+      "WHEN lo_a // 65536 = lo_b // 65536 THEN 1 " +
+      "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END) " +
+      "AND bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4 " +
+      "ORDER BY media_a, media_b"
 
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT

@@ -538,6 +538,12 @@ object TextOps extends QueryFamily {
     "q_multimodal_ahash" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pixelAhash(s, dir)),
 
+    // perceptual near-dup image dedup over real decoded pixels: aHash ->
+    // 4x16-bit bands -> equi-join -> Hamming<=8 verify, pairs counted
+    // once at their lowest shared band. See MediaPipeline.imageNearDups.
+    "q_dedup_image" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.imageNearDups(s, dir)),
+
     "q_multimodal_header" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.headerProfile(s, dir)),
 
@@ -756,6 +762,7 @@ object TextOps extends QueryFamily {
 
     "q_multimodal_phash" -> graft.multimodal.MediaPipeline.byteFingerprintOracleSql,
     "q_multimodal_ahash" -> graft.multimodal.MediaPipeline.ahashOracleSql,
+    "q_dedup_image" -> graft.multimodal.MediaPipeline.imageDedupOracleSql,
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
 

@@ -82,6 +82,31 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_image: brightness twins ALL found at Hamming 0 (invariance theorem)") {
+    val pairs = SparkEntry.queries("q_dedup_image")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // adding a constant to every pixel moves sum_k·np and total·n_k by
+    // the same c·n_k·np, so the aHash of a brightness-shifted image is
+    // bit-identical: every non-locally-edited twin (doc_id % 3 != 0) MUST
+    // appear at distance exactly 0
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val pureTwins = docs.filter(_ % 3 != 0)
+    pureTwins.foreach { d =>
+      assert(pairs.get((2 * d, 2 * d + 1)).contains(0L),
+        s"brightness twin of doc $d missing or nonzero: ${pairs.get((2 * d, 2 * d + 1))}")
+    }
+    // locally-edited twins may scatter past the radius; the op must still
+    // find SOME of them (the small-edit survivors)
+    val editedFound = docs.filter(_ % 3 == 0)
+      .count(d => pairs.contains((2 * d, 2 * d + 1)))
+    assert(editedFound > 0, "no locally-edited twin survived the radius")
+    // every reported pair is within the radius and correctly ordered
+    assert(pairs.values.forall(h => h >= 0 && h <= 4))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
   test("q_multimodal_ahash: hashes are 32-bit-packed, populated, discriminative") {
     val rows = SparkEntry.queries("q_multimodal_ahash")(spark, sf0001).collect()
     assert(rows.length == 500)
