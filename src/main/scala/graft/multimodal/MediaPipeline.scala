@@ -42,9 +42,33 @@ object MediaPipeline {
 
   /** REAL pixel decode via the JDK's ImageIO; null when no reader claims
     * the payload (corrupt image, or not an image at all). */
+  // ImageIO's default InputStream path spools through a DISK-backed
+  // cache file PER CALL (FileCacheImageInputStream) — a hidden temp-file
+  // create/delete per image that dominates small-blob decode. One static
+  // switch makes it memory-backed; executed once per JVM.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  // ImageIO.read's convenience path walks the service registry for a
+  // reader PER CALL — at millions of small blobs that lookup, not the
+  // pixel work, is the decode cost. ImageReader instances are not
+  // thread-safe, so each executor thread keeps its own BMP/PNG reader
+  // and resets its input per blob.
+  private def threadReader(fmt: String) = ThreadLocal.withInitial[javax.imageio.ImageReader](
+    () => javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+  private val bmpReader = threadReader("bmp")
+  private val pngReader = threadReader("png")
+
   private def decodeImage(bytes: Array[Byte]): Decoded = {
     if (!looksLikeImage(bytes)) return null
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    imageIoNoDiskCache
+    val reader = (if (bytes(0) == 'B'.toByte) bmpReader else pngReader).get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val img =
+      try { reader.setInput(iis); reader.read(0) }
+      catch { case _: javax.imageio.IIOException => null }
+      finally { reader.setInput(null); iis.close() }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val luma = new Array[Long](w * h)

@@ -44,6 +44,17 @@ object TextOps extends QueryFamily {
   private[operators] def kmeansCentroidRow(s: SparkSession, dir: String): DataFrame =
     kmeansPipeline(s, dir)._1
 
+  // The trained 1-row centroid array is memoized + pinned per (session,
+  // dir) — the nearDupEdges pattern: four consumers (q_cluster_kmeans,
+  // q_dedup_semantic, q_sim_ivf_trained, q_sim_ivfpq) share ONE 2-pass
+  // Lloyd's build instead of re-deriving it inside every query DAG (and
+  // inside every broadcast that references the centroid row). The
+  // ASSIGNMENT stays a live plan in each consumer — it is one map-side
+  // broadcast argmin, and pinning it would hide the very shapes PlanSpec
+  // pins.
+  private val builtCentroids =
+    new graft.SessionMemo[(SparkSession, String), DataFrame](_._1)
+
   private def kmeansPipeline(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings").select(col("vec_id"),
       expr("transform(embedding, x -> " +
@@ -66,9 +77,11 @@ object TextOps extends QueryFamily {
         .groupBy("k")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), " +
           "p -> p.c)").as("cv"))
-    val c0 = e.where(col("vec_id") < 8)
-      .select(col("vec_id").as("k"), col("fx").as("cv"))
-    val c1row = centRow(update(assign(centRow(c0))))
+    val c1row = builtCentroids.getOrBuild((s, dir))(_ => {
+      val c0 = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("k"), col("fx").as("cv"))
+      Dedup.passPinner(s)(centRow(update(assign(centRow(c0)))))
+    })
     (c1row, assign(c1row))
   }
 

@@ -306,10 +306,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_cluster_kmeans assigns map-side: centroids broadcast, corpus never re-sorted") {
     val p = plan("q_cluster_kmeans")
-    // both assignment passes ride a 1-row broadcast centroid array
-    // (BroadcastNestedLoopJoin); the only shuffles are the narrow
-    // (k, dim) centroid updates and the final per-k aggregate
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    // the served assignment rides a 1-row broadcast centroid array
+    // (BroadcastNestedLoopJoin); the TRAINING passes run once inside the
+    // memoized centroid build (TextOps.builtCentroids — the nearDupEdges
+    // pattern), so the consumer plan scans the pinned centroid row
+    // instead of re-deriving two Lloyd's iterations per reference
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(3000))
   }
