@@ -243,6 +243,57 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join — both directions at once: for each click, the
+    // purchase by the same user with the smallest |Δt| on EITHER side
+    // (tie → the earlier purchase). Composes the backward and forward
+    // carries over ONE unioned keyed stream: both frames share the same
+    // (t, kind, p_id) partition order, so Spark computes one user_id
+    // shuffle + one sort + a single Window operator evaluating both,
+    // then an integer-microsecond comparison picks the side. The naive
+    // form (clicks × all purchases, global argmin) is the m×n blowup
+    // both carries exist to avoid — it survives only as the oracle.
+    // Determinism: prev carry = max (p_ts, p_id) among p_ts <= c_ts
+    // (equal-time purchases sort before the click and count as Δ=0),
+    // next carry = min (p_ts, p_id) strictly after; |Δ| ties prefer
+    // prev — all integer comparisons, no rounding boundary.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("event_id"), col("ts").as("c_ts"),
+          lit(null).cast("struct<p_id:bigint,p_ts:timestamp_ntz>").as("pur"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("t"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("timestamp_ntz").as("c_ts"),
+          struct(col("event_id").as("p_id"), col("ts").as("p_ts")).as("pur"))
+      // pre-project the purchase-id sort key: two windows extracting
+      // pur.p_id independently get distinct aliases, distinct window
+      // specs, and TWO Window operators — on one shared column the
+      // planner fuses both frames into a single Window pass
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("pid").asc_nulls_last)
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      p.unionByName(c)
+        .withColumn("pid", col("pur.p_id"))
+        .select(col("*"),
+          last(col("pur"), ignoreNulls = true).over(wPrev).as("prev"),
+          first(col("pur"), ignoreNulls = true).over(wNext).as("nxt"))
+        .where(col("kind") === 1)
+        .withColumn("c_us", expr("unix_micros(CAST(c_ts AS TIMESTAMP))"))
+        .withColumn("dp", col("c_us") - expr("unix_micros(CAST(prev.p_ts AS TIMESTAMP))"))
+        .withColumn("dn", expr("unix_micros(CAST(nxt.p_ts AS TIMESTAMP))") - col("c_us"))
+        .withColumn("pick", when(col("prev").isNotNull &&
+            (col("nxt").isNull || col("dp") <= col("dn")), col("prev"))
+          .otherwise(col("nxt")))
+        .select(col("event_id"), col("user_id"),
+          col("pick.p_id").as("p_id"), col("pick.p_ts").as("p_ts"),
+          (expr("unix_micros(CAST(pick.p_ts AS TIMESTAMP))") - col("c_us"))
+            .as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     // Salted join: the hot-key escape hatch (SURVEY.md §7.6) as an
     // oracle-checked query — output identical to the plain equi-join.
     // Built on the one tested rewrite, Salting.saltedInnerJoin: the fact
@@ -439,6 +490,26 @@ object Joins extends QueryFamily {
       "SELECT c.event_id, c.user_id, m.p_id, m.p_ts, " +
       "m.p_id IS NOT NULL AS converted " +
       "FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id) " +
+      "ORDER BY event_id"),
+
+    // the naive all-pairs argmin the two carries avoid, as the oracle:
+    // rank by (|Δ| asc, prev-side first, then the carry's own id rule —
+    // prev takes the LARGEST p_id at equal time (it is a last()-carry),
+    // next the smallest)
+    "q_join_asof_nearest" -> ("WITH c AS (SELECT event_id, user_id, ts AS c_ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT event_id AS p_id, user_id, ts AS p_ts " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "pairs AS (SELECT c.event_id, p.p_id, p.p_ts, " +
+      "epoch_us(p.p_ts) - epoch_us(c.c_ts) AS delta_us, " +
+      "abs(epoch_us(p.p_ts) - epoch_us(c.c_ts)) AS ad, " +
+      "CASE WHEN p.p_ts <= c.c_ts THEN 0 ELSE 1 END AS side " +
+      "FROM c JOIN p ON c.user_id = p.user_id), " +
+      "best AS (SELECT event_id, p_id, p_ts, CAST(delta_us AS BIGINT) AS delta_us, " +
+      "row_number() OVER (PARTITION BY event_id ORDER BY ad, side, " +
+      "CASE WHEN side = 0 THEN -p_id ELSE p_id END) AS rn FROM pairs) " +
+      "SELECT c.event_id, c.user_id, b.p_id, b.p_ts, b.delta_us " +
+      "FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id) " +
       "ORDER BY event_id"),
 
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +

@@ -615,6 +615,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Project \\[dst#\\d+L AS doc_id".r.findFirstIn(fin).isDefined, fin.take(2500))
   }
 
+  test("q_join_asof_nearest: both carries ride ONE shuffle and ONE Window pass") {
+    val df = SparkEntry.queries("q_join_asof_nearest")(spark, sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the backward and forward frames share (partition, order), so they
+    // must land in a single Window operator over a single user_id
+    // exchange — two window passes would double the sort
+    assert("Window \\[".r.findAllIn(fin).size == 1, fin.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(fin).size == 1,
+      fin.take(2500))
+    assert(!fin.contains("Join"), s"nearest as-of must not join:\n${fin.take(2000)}")
+  }
+
   test("q_scan_zorder pushes both range dimensions into one parquet scan") {
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the user_id bounds there and the ts window via the Filter
