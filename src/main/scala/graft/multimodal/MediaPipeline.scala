@@ -72,16 +72,31 @@ object MediaPipeline {
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val luma = new Array[Long](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        luma(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
-          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-        x += 1
+    val raster = img.getRaster
+    if (raster.getNumBands == 3) {
+      // bulk raster read: one getPixels call returns band-ordered
+      // (R,G,B) samples row-major — the per-pixel getRGB path crawls
+      // through SampleModel + ColorModel per call, and at millions of
+      // pixels that bookkeeping IS the decode cost
+      val px = raster.getPixels(0, 0, w, h, null: Array[Int])
+      var i = 0
+      while (i < luma.length) {
+        luma(i) = 299L * px(3 * i) + 587L * px(3 * i + 1) + 114L * px(3 * i + 2)
+        i += 1
       }
-      y += 1
+    } else {
+      // palette/alpha color models: the portable per-pixel path
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          luma(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
     }
     Decoded(w, h, luma)
   }
@@ -91,6 +106,49 @@ object MediaPipeline {
     * an expression — and everything downstream of it is codegen'd array
     * arithmetic. */
   val decodeLuma = udf((bytes: Array[Byte]) => decodeImage(bytes))
+
+  /** Decoded-and-hashed in one pass: (w, h, ahash_hi, ahash_lo). Same
+    * block bounds, threshold, and packing as the SQL hash stage
+    * ([[ahashOf]] — which q_multimodal_ahash keeps demonstrating and the
+    * oracle keeps pinning); fused here because the hash is 8 integer ops
+    * per pixel, and at millions of images the SQL formulation's per-block
+    * array materializations (3 arrays × 64 blocks × row) cost ~25× the
+    * arithmetic. Still the family's ONE UDF — decode+hash share the pass.
+    */
+  case class Hashed(w: Int, h: Int, ahash_hi: Long, ahash_lo: Long)
+
+  private def ahashOfImage(bytes: Array[Byte]): Hashed = {
+    val d = decodeImage(bytes)
+    if (d == null) return null
+    val (w, h) = (d.w, d.h)
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val k = by * 8 + x * 8 / w
+        val v = d.luma(y * w + x)
+        sums(k) += v; counts(k) += 1; total += v
+        x += 1
+      }
+      y += 1
+    }
+    val np = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) * np > total * counts(k)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    Hashed(w, h, hi, lo)
+  }
+
+  val decodeAhash = udf((bytes: Array[Byte]) => ahashOfImage(bytes))
 
   /** A media table derived deterministically from the documents fixture:
     * content = utf-8 bytes of text, kind alternates image/audio, metadata
@@ -565,7 +623,8 @@ object MediaPipeline {
   /** Near-duplicate IMAGE pairs over real decoded pixels — the
     * perceptual-dedup pass a multimodal training pipeline runs before
     * training (the PDQ/aHash production shape): hash every image
-    * ([[ahashOf]], via the real ImageIO decode), split the 64-bit hash
+    * ([[decodeAhash]] — the real ImageIO decode with the hash fused into
+    * the same pass), split the 64-bit hash
     * into 4 sixteen-bit BANDS, equi-join on (band index, band value,
     * width, height) — the dimension columns are the metadata prefilter a
     * real media pipeline applies first, any pair within Hamming ≤ 3
@@ -586,13 +645,16 @@ object MediaPipeline {
     // graph family's passPinner idiom): both self-join sides and every
     // downstream reference (4 band values per side, the ownership CASE,
     // the popcounts) must consume ahash_hi/lo as plain COLUMNS of a
-    // materialized 3-column table. Left in the plan, the construct +
-    // decode + 64-block hash expression tree is re-derived per side and
-    // re-inlined per reference, and the optimizer/codegen grinds for
-    // minutes on the multiplied tree. It is also the honest scale shape:
-    // hash once map-side, keep only the per-image hash rows.
-    val hashed = ahashOf(imageVariantBlobs(spark, sfDir))
-      .select("media_id", "w", "h", "ahash_hi", "ahash_lo")
+    // materialized 5-column table. Left in the plan, the construct +
+    // decode expression tree is re-derived per side and re-inlined per
+    // reference, and the optimizer/codegen grinds for minutes on the
+    // multiplied tree. It is also the honest scale shape: hash once
+    // map-side, keep only the per-image hash rows.
+    val hashed = imageVariantBlobs(spark, sfDir)
+      .withColumn("d", decodeAhash(col("content")))
+      .selectExpr("media_id", "CAST(d.w AS BIGINT) AS w",
+        "CAST(d.h AS BIGINT) AS h", "d.ahash_hi AS ahash_hi",
+        "d.ahash_lo AS ahash_lo")
       .localCheckpoint()
     val bandArr = "array(" +
       "struct(0 AS bi, ahash_lo % 65536 AS bv), " +

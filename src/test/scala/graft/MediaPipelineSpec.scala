@@ -82,6 +82,22 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused UDF hash is bit-identical to the SQL hash formulation") {
+    import org.apache.spark.sql.functions.col
+    // q_dedup_image hashes inside the decode UDF (the SQL formulation's
+    // per-block array materializations cost ~25x the arithmetic at
+    // fleet scale); the two must never drift — same blocks, same
+    // threshold, same packing, pinned over the whole fixture
+    val blobs = MediaPipeline.validBmpBlobs(spark, sf0001)
+    val viaSql = SparkEntry.queries("q_multimodal_ahash")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Long]("ahash_hi"), r.getAs[Long]("ahash_lo")))).toMap
+    val viaUdf = blobs.withColumn("d", MediaPipeline.decodeAhash(col("content")))
+      .selectExpr("media_id", "d.ahash_hi AS hi", "d.ahash_lo AS lo")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaUdf == viaSql)
+  }
+
   test("q_dedup_image: brightness twins ALL found at Hamming 0 (invariance theorem)") {
     val pairs = SparkEntry.queries("q_dedup_image")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
