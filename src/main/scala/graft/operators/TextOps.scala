@@ -330,6 +330,42 @@ object TextOps extends QueryFamily {
         "substr(md5(text), 1, 8) AS content_id")
         .orderBy("doc_id")),
 
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before anything ships: emails, IPv4 literals, and a fixture phone
+    // shape regex-redacted to typed placeholders, served as per-doc
+    // redaction counts plus md5 over the REDACTED text (so a single
+    // byte of divergence in the replacement fails the hash gate). The
+    // corpus carries no organic PII, so the input is deterministically
+    // ENRICHED first (the mediaFrame pattern: synthesize from the
+    // fixture, then process for real) — docs with doc_id % 5 == 4 stay
+    // un-enriched so the zero-redaction branch is exercised too.
+    // Patterns are kept alternation-free and greedy-simple so Java
+    // regex (Spark) and RE2 (DuckDB) match identically. Scale: map-only
+    // regex over the corpus — no shuffle before the output ordering.
+    "q_text_redact" -> ((s, dir) => {
+      val enriched = Tables(s, dir, "documents")
+        .withColumn("full", expr(
+          "CASE WHEN doc_id % 5 = 4 THEN text ELSE concat(text, " +
+            "' contact user', CAST(doc_id AS STRING), '@mail', " +
+            "CAST(doc_id % 7 AS STRING), '.example.com now at ', " +
+            "CAST(10 + doc_id % 100 AS STRING), '.', " +
+            "CAST(doc_id * 3 % 256 AS STRING), '.', " +
+            "CAST(doc_id * 7 % 256 AS STRING), '.', " +
+            "CAST(1 + doc_id % 254 AS STRING), " +
+            "CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', " +
+            "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END) END"))
+      val red = regexp_replace(regexp_replace(regexp_replace(col("full"),
+        lit(redactEmailPat), lit("<EMAIL>")),
+        lit(redactIpPat), lit("<IP>")),
+        lit(redactPhonePat), lit("<PHONE>"))
+      enriched.select(col("doc_id"),
+        regexp_count(col("full"), lit(redactEmailPat)).cast("bigint").as("n_email"),
+        regexp_count(col("full"), lit(redactIpPat)).cast("bigint").as("n_ip"),
+        regexp_count(col("full"), lit(redactPhonePat)).cast("bigint").as("n_phone"),
+        md5(red).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition quality signal (the Gopher-rules "fraction of content in
     // duplicated n-grams" family): per doc, word-bigram multiplicities →
     // top bigram count vs total. Emitted as raw INTEGERS (top_count,
@@ -741,6 +777,31 @@ object TextOps extends QueryFamily {
       "substr(md5(text), 1, 8) AS content_id " +
       "FROM documents ORDER BY doc_id"),
 
+    // identical enrichment string, identical patterns, identical
+    // replace order (email -> ip -> phone); DuckDB regexp_replace needs
+    // the 'g' flag (first-match-only by default) and counts via
+    // len(regexp_extract_all)
+    "q_text_redact" -> ("WITH e AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 5 = 4 THEN text ELSE concat(text, " +
+      "' contact user', CAST(doc_id AS VARCHAR), '@mail', " +
+      "CAST(doc_id % 7 AS VARCHAR), '.example.com now at ', " +
+      "CAST(10 + doc_id % 100 AS VARCHAR), '.', " +
+      "CAST(doc_id * 3 % 256 AS VARCHAR), '.', " +
+      "CAST(doc_id * 7 % 256 AS VARCHAR), '.', " +
+      "CAST(1 + doc_id % 254 AS VARCHAR), " +
+      "CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END) END AS ftext " +
+      "FROM documents) " +
+      "SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(ftext, '$redactEmailPat')) AS BIGINT) AS n_email, " +
+      s"CAST(len(regexp_extract_all(ftext, '$redactIpPat')) AS BIGINT) AS n_ip, " +
+      s"CAST(len(regexp_extract_all(ftext, '$redactPhonePat')) AS BIGINT) AS n_phone, " +
+      s"md5(regexp_replace(regexp_replace(regexp_replace(ftext, " +
+      s"'$redactEmailPat', '<EMAIL>', 'g'), " +
+      s"'$redactIpPat', '<IP>', 'g'), " +
+      s"'$redactPhonePat', '<PHONE>', 'g')) AS red_md5 " +
+      "FROM e ORDER BY doc_id"),
+
     "q_text_repetition" -> ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       "b AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] " +
       "for i in generate_series(1, len(t) - 1)]) AS bg FROM t WHERE len(t) >= 2), " +
@@ -791,6 +852,14 @@ object TextOps extends QueryFamily {
     * Shared by the q_cluster_kmeans oracle and Dedup's q_dedup_semantic
     * oracle (which joins a2 back to e for the vectors).
     */
+  // q_text_redact's patterns, shared verbatim by the Spark column API
+  // (no SQL-literal escaping) and the DuckDB single-quoted literal (no
+  // backslash processing) — one source string, two engines, identical
+  // semantics because the patterns are alternation-free and greedy-simple
+  private val redactEmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val redactIpPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val redactPhonePat = """\+1-555-\d{4}"""
+
   /** The fixed-point corpus CTE alone — shared between the kmeans chain
     * and Dedup's PQ head so a statement composing BOTH (q_sim_ivfpq's
     * recall grading) defines `e` exactly once. */
