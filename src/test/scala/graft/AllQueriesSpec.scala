@@ -515,6 +515,62 @@ class AllQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_redact: placeholders land, clean docs untouched, redaction idempotent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_redact")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("red_md5")))).toMap
+    // enriched docs carry exactly one email + one ip (and a phone for
+    // doc_id % 4 == 0); clean docs (doc_id % 5 == 4) carry none and
+    // their redacted text IS the original text
+    val origMd5 = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, (ne, ni, np, m)) =>
+      if (d % 5 == 4) {
+        assert((ne, ni, np) == ((0L, 0L, 0L)), s"clean doc $d got redactions")
+        assert(m == origMd5(d), s"clean doc $d text changed")
+      } else {
+        assert(ne == 1L && ni == 1L, s"doc $d: emails=$ne ips=$ni")
+        assert(np == (if (d % 4 == 0) 1L else 0L), s"doc $d: phones=$np")
+        assert(m != origMd5(d), s"doc $d not redacted")
+      }
+    }
+    // idempotence: a second redaction pass over already-redacted text
+    // finds nothing (the placeholders match no pattern)
+    assert(!"<EMAIL>".matches(".*@.*") && !"<IP>".exists(_.isDigit))
+  }
+
+  test("q_join_asof_nearest: never farther than the one-sided backward answer") {
+    val nearest = SparkEntry.queries("q_join_asof_nearest")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("delta_us")).map(_.toLong)).toMap
+    // the nearest pick must be at most as far as the backward carry
+    // (purchases at or before the click), for every click that has one —
+    // and both signs must occur (the fixture interleaves purchases)
+    val ev = Tables(spark, sf0001, "events")
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getString(3)))
+    def us(t: java.time.LocalDateTime) =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val purchases: Map[Long, Seq[Long]] = ev.filter(_._4 == "purchase")
+      .groupBy(_._2).map { case (u, rs) => u -> rs.map(r => us(r._3)).toSeq }
+    var neg = 0; var pos = 0
+    ev.filter(_._4 == "click").foreach { case (eid, u, ts, _) =>
+      val d = nearest(eid)
+      val before = purchases.getOrElse(u, Seq.empty).filter(_ <= us(ts))
+      if (before.nonEmpty) {
+        val back = us(ts) - before.max
+        assert(d.isDefined && math.abs(d.get) <= back,
+          s"click $eid: nearest ${d} farther than backward $back")
+      }
+      d.foreach(v => if (v < 0) neg += 1 else pos += 1)
+    }
+    assert(neg > 0 && pos > 0, s"degenerate sign split: neg=$neg pos=$pos")
+  }
+
   test("q_graph_bfs: hop distances equal a scalar BFS replay on the same edge set") {
     import org.apache.spark.sql.functions._
     val declared = SparkEntry.queries("q_graph_bfs")(spark, sf0001).collect()
