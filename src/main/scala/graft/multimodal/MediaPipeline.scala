@@ -567,6 +567,57 @@ object MediaPipeline {
   def pixelAhash(spark: SparkSession, sfDir: String): DataFrame =
     ahashOf(validBmpBlobs(spark, sfDir)).orderBy("media_id")
 
+  /** REAL pixel downscaling — the resize stage that was previously only
+    * the stub-analog histogram re-bin: each decoded image reduces to a
+    * 4×4 block-mean luma thumbnail (the first stage of every thumbnail /
+    * preview / coarse-vision pipeline). Same integer block bounds as the
+    * aHash ((i·dim+3) div 4, nonempty since w,h ≥ 8 > 4); each cell is
+    * the FLOOR of its block's luma sum over its pixel count — exact
+    * integer division, identical cross-engine. Served as a
+    * comma-joined string of the 16 exact integers (row-major) plus
+    * min/max cell — the gate hashes strings and scalars natively.
+    * MAP-ONLY until the output ordering.
+    */
+  def pixelThumb(spark: SparkSession, sfDir: String): DataFrame = {
+    def bound(idx: String, dim: String) = s"((($idx) * $dim + 3) DIV 4)"
+    val ys = bound("k DIV 4", "h"); val ye = bound("(k DIV 4) + 1", "h")
+    val xs = bound("k % 4", "w"); val xe = bound("(k % 4) + 1", "w")
+    val sumK = s"aggregate(flatten(transform(sequence($ys, $ye - 1), y -> " +
+      s"transform(sequence($xs, $xe - 1), x -> " +
+      "element_at(luma, CAST(y * w + x + 1 AS INT))))), " +
+      "CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val nK = s"(($ye) - ($ys)) * (($xe) - ($xs))"
+    validBmpBlobs(spark, sfDir)
+      .withColumn("d", decodeLuma(col("content")))
+      .selectExpr("media_id", "CAST(d.w AS BIGINT) AS w",
+        "CAST(d.h AS BIGINT) AS h", "d.luma AS luma")
+      .withColumn("cells", expr(
+        s"transform(sequence(0, 15), k -> ($sumK) DIV ($nK))"))
+      .selectExpr("media_id", "w", "h",
+        "array_join(transform(cells, c -> CAST(c AS STRING)), ',') AS thumb",
+        "array_min(cells) AS t_min", "array_max(cells) AS t_max")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB mirror of [[pixelThumb]] from the arithmetic pixel grid —
+    * same block mapping ((x·4)//w), same floor division, same CSV join
+    * order; a pass certifies the REAL decode feeds the resize too. */
+  def thumbOracleSql: String =
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, yy.y AS y, xx.x AS x, " +
+      "299 * ((5 * doc_id + 3 * xx.x + 17 * yy.y) % 256) + " +
+      "587 * ((3 * doc_id + 11 * xx.x + 5 * yy.y) % 256) + " +
+      "114 * ((doc_id + 7 * xx.x + 13 * yy.y) % 256) AS luma " +
+      "FROM d, range(16) yy(y), range(16) xx(x) " +
+      "WHERE yy.y < d.h AND xx.x < d.w), " +
+      "blk AS (SELECT doc_id, w, h, (y * 4) // h AS by, (x * 4) // w AS bx, " +
+      "CAST(sum(luma) AS BIGINT) // count(*) AS m " +
+      "FROM g GROUP BY doc_id, w, h, (y * 4) // h, (x * 4) // w) " +
+      "SELECT doc_id AS media_id, w, h, " +
+      "array_to_string(list(CAST(m AS VARCHAR) ORDER BY by * 4 + bx), ',') AS thumb, " +
+      "CAST(min(m) AS BIGINT) AS t_min, CAST(max(m) AS BIGINT) AS t_max " +
+      "FROM blk GROUP BY doc_id, w, h ORDER BY media_id"
+
   /** DuckDB mirror of [[pixelAhash]] with NO bytes and NO decode: the
     * pixel grid is arithmetically known from the construction, so the
     * oracle recomputes the hash from the (doc_id, x, y) formulas — a pass

@@ -593,6 +593,12 @@ object TextOps extends QueryFamily {
     "q_dedup_image" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.imageNearDups(s, dir)),
 
+    // REAL pixel downscaling: 4x4 block-mean luma thumbnails from the
+    // ImageIO decode (exact floor means, served as CSV of 16 integers).
+    // See MediaPipeline.pixelThumb.
+    "q_multimodal_thumb" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pixelThumb(s, dir)),
+
     "q_multimodal_header" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.headerProfile(s, dir)),
 
@@ -837,6 +843,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_phash" -> graft.multimodal.MediaPipeline.byteFingerprintOracleSql,
     "q_multimodal_ahash" -> graft.multimodal.MediaPipeline.ahashOracleSql,
     "q_dedup_image" -> graft.multimodal.MediaPipeline.imageDedupOracleSql,
+    "q_multimodal_thumb" -> graft.multimodal.MediaPipeline.thumbOracleSql,
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
 

@@ -123,6 +123,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("q_multimodal_thumb: cells equal the formula block means, row-major") {
+    val rows = SparkEntry.queries("q_multimodal_thumb")(spark, sf0001)
+      .limit(20).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h) = ((8 + id % 9).toInt, (8 + (id * 3) % 9).toInt)
+      def luma(x: Int, y: Int) =
+        299 * ((5 * id + 3 * x + 17 * y) % 256) +
+          587 * ((3 * id + 11 * x + 5 * y) % 256) +
+          114 * ((id + 7 * x + 13 * y) % 256)
+      val expect = (0 until 16).map { k =>
+        val (bx, by) = (k % 4, k / 4)
+        val xs = (bx * w + 3) / 4; val xe = ((bx + 1) * w + 3) / 4
+        val ys = (by * h + 3) / 4; val ye = ((by + 1) * h + 3) / 4
+        val px = for (y <- ys until ye; x <- xs until xe) yield luma(x, y)
+        px.sum / px.length
+      }
+      assert(r.getAs[String]("thumb") == expect.mkString(","), s"doc $id")
+      assert(r.getAs[Long]("t_min") == expect.min &&
+        r.getAs[Long]("t_max") == expect.max, s"doc $id min/max")
+    }
+  }
+
   test("q_multimodal_ahash: hashes are 32-bit-packed, populated, discriminative") {
     val rows = SparkEntry.queries("q_multimodal_ahash")(spark, sf0001).collect()
     assert(rows.length == 500)
