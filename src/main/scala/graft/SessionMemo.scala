@@ -44,7 +44,17 @@ final class SessionMemo[K, V](
     // injectable for the spec: a genuinely stopped session can't be made
     // in-test without killing the suite-shared SparkContext
     stopped: SparkSession => Boolean = _.sparkContext.isStopped) {
-  private val m = new ConcurrentHashMap[K, V]()
+  // FutureTask-style memo cell: computeIfAbsent inserts only the cheap
+  // holder (the map's bin lock is held for an allocation, not a Spark
+  // job), and the build itself runs under the CELL's lazy-val lock — so
+  // two sessions hashing to the same bin no longer serialize each
+  // other's builds; only callers of the SAME key wait on its build.
+  // A build that throws leaves the lazy val uninitialized (Scala lazy
+  // vals re-run a failed initializer), so retry semantics are preserved;
+  // the retry re-runs the ORIGINAL thunk, which is the contract here —
+  // every caller passes the same builder for a given key.
+  private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
+  private val m = new ConcurrentHashMap[K, Cell]()
   // last-touch tick per session (ConcurrentHashMap keys on .equals, which
   // SparkSession does not override — identity semantics for free)
   private val touched = new ConcurrentHashMap[SparkSession, java.lang.Long]()
@@ -89,20 +99,23 @@ final class SessionMemo[K, V](
     }
   }
 
-  /** Memoized build: at most one build per key runs at a time. */
+  /** Memoized build: at most one build per key runs at a time, and the
+    * build runs outside the map's bin lock (see [[Cell]]). */
   def getOrBuild(k: K)(build: K => V): V = {
     sweep(owner(k))
-    m.computeIfAbsent(k, kk => build(kk))
+    m.computeIfAbsent(k, kk => new Cell(() => build(kk))).value
   }
 
-  def get(k: K): Option[V] = { sweep(owner(k)); Option(m.get(k)) }
+  /** May block while the key's build is in flight — the same visibility a
+    * caller had when the build ran under the bin lock. */
+  def get(k: K): Option[V] = { sweep(owner(k)); Option(m.get(k)).map(_.value) }
 
-  def put(k: K, v: V): Unit = { sweep(owner(k)); m.put(k, v) }
+  def put(k: K, v: V): Unit = { sweep(owner(k)); m.put(k, new Cell(() => v)) }
 
   /** Immutable view — for specs asserting memo contents. */
   private[graft] def snapshot: Map[K, V] = {
     import scala.jdk.CollectionConverters._
-    m.asScala.toMap
+    m.asScala.map { case (k, c) => (k, c.value) }.toMap
   }
 
   private[graft] def liveSize: Int = { sweep(null); m.size }

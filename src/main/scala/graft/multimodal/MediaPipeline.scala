@@ -65,12 +65,21 @@ object MediaPipeline {
     val reader = (if (bytes(0) == 'B'.toByte) bmpReader else pngReader).get()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // NonFatal, not just IIOException: decodeFeatures feeds this arbitrary
+    // opaque payloads, and a blob that happens to start with 'BM' plus
+    // garbage header bytes can drive the BMP reader into runtime errors
+    // (negative array sizes from a garbage height, OOM from a huge
+    // declared width) — a corrupt blob must fall back, never fail the task
     val img =
       try { reader.setInput(iis); reader.read(0) }
-      catch { case _: javax.imageio.IIOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
       finally { reader.setInput(null); iis.close() }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
+    // header-declared dimensions are attacker-controlled in a real lake:
+    // bound the pixel count (64 MP ≫ any fixture) before the Int-typed
+    // allocation, and compute the bound in Long so w*h cannot overflow
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return null
     val luma = new Array[Long](w * h)
     val raster = img.getRaster
     if (raster.getNumBands == 3) {
@@ -782,6 +791,139 @@ object MediaPipeline {
       "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END) " +
       "AND bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4 " +
       "ORDER BY media_a, media_b"
+
+  // ---- Real audio decode: valid 16-bit PCM WAVs -> javax.sound.sampled
+  // decode -> per-window RMS-energy / peak / zero-crossing integers ----
+
+  /** Decoded PCM surface: sample rate, channel count, and the signed
+    * 16-bit samples widened to Int — integer end to end so decode-derived
+    * window stats hash-match a pure-arithmetic oracle (the [[Decoded]]
+    * pattern, replayed for sound). */
+  case class Pcm(rate: Int, channels: Int, samples: Array[Int])
+
+  /** REAL PCM decode via the JDK's own `javax.sound.sampled` (the WAV
+    * parser ships with Java 17 — public API, no network, no native codec;
+    * the exact precedent [[decodeImage]] set for images). Null when the
+    * payload isn't a signed-16-bit PCM WAV the JDK can read — corrupt
+    * blob, wrong encoding, or not audio at all. NonFatal-guarded like the
+    * image path: arbitrary bytes must fall back, never fail the task. */
+  private def decodeWav(bytes: Array[Byte]): Pcm = {
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R'.toByte || bytes(1) != 'I'.toByte ||
+      bytes(2) != 'F'.toByte || bytes(3) != 'F'.toByte) return null
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16) return null
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) { samples(i) = (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff); i += 1 }
+      else
+        while (i < n) { samples(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff); i += 1 }
+      Pcm(fmt.getSampleRate.toInt, fmt.getChannels, samples)
+    } finally in.close()
+  }
+
+  /** binary -> decoded PCM; the audio family's one UDF (AudioSystem is a
+    * JVM codec call, not an expression) — everything downstream is
+    * codegen'd array arithmetic, the [[decodeLuma]] contract for sound. */
+  val decodePcm = udf((bytes: Array[Byte]) => decodeWav(bytes))
+
+  /** Genuinely VALID mono 16-bit PCM WAVs — not just valid headers: n in
+    * 64..192 samples derived from doc_id, each sample a signed integer
+    * formula of (doc_id, i) in -2000..2000, two's-complement
+    * little-endian at the canonical RIFF offsets, chunk sizes exact.
+    * Built from codegen'd hex built-ins like the BMP family, so
+    * construction is itself an engine-checked query shape; the JDK's own
+    * WAV reader decodes these back to the SAME integer sample grid
+    * (MediaPipelineSpec pins decode == construction, the oracle pins it
+    * cross-engine). */
+  def validWavBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    def le(e: String, n: Int) = leHex(e, n, "DIV")
+    val rate = "8000 * (1 + doc_id % 5)"
+    // signed sample -> two's-complement 16-bit -> LE byte pair
+    val u = "(((doc_id * 131 + i * 73) % 4001) - 2000 + 65536) % 65536"
+    val payload = "array_join(transform(sequence(0, CAST(n - 1 AS INT)), i -> " +
+      s"concat(lpad(hex(($u) % 256), 2, '0'), " +
+      s"lpad(hex(($u) DIV 256), 2, '0'))), '')"
+    val wav = Seq(
+      "'52494646'", le("36 + __len", 4),   // "RIFF", chunk size
+      "'57415645'", "'666D7420'",          // "WAVE", "fmt "
+      le("16", 4), le("1", 2), le("1", 2), // fmt size, PCM, mono
+      le(rate, 4), le(s"($rate) * 2", 4),  // sample rate, byte rate
+      le("2", 2), le("16", 2),             // block align, bits
+      "'64617461'", le("__len", 4),        // "data", data length
+      payload).mkString("concat(", ", ", ")")
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .withColumn("n", expr("64 + (doc_id * 7) % 129"))
+      .withColumn("__len", expr("2 * n"))
+      .selectExpr("doc_id AS media_id", s"unhex($wav) AS content")
+  }
+
+  /** Per-window audio profile over the REAL decode: each clip splits into
+    * 4 windows with the aHash family's integer bounds (window k covers
+    * i ∈ [(k·n+3) div 4, ((k+1)·n+3) div 4), nonempty since n ≥ 64), and
+    * each window serves its sample count, energy (Σs² — the RMS integer
+    * core, no sqrt so no float boundary), peak |s|, and zero-crossing
+    * count (sign flips between adjacent samples WITHIN the window). The
+    * VAD/silence-trim/clipping-triage pass every audio training pipeline
+    * runs after decode. MAP-ONLY until the output ordering: decode and
+    * window stats are per-row, no shuffle until the sort — the shape that
+    * survives a billion clips. */
+  def pcmWindows(spark: SparkSession, sfDir: String): DataFrame =
+    validWavBlobs(spark, sfDir)
+      .withColumn("p", decodePcm(col("content")))
+      .selectExpr("media_id", "CAST(p.rate AS BIGINT) AS sample_rate",
+        "CAST(size(p.samples) AS BIGINT) AS n", "p.samples AS sm")
+      .select(col("media_id"), col("sample_rate"), col("n"), col("sm"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(3 AS BIGINT))")).as("win"))
+      .withColumn("ws", expr("(win * n + 3) DIV 4"))
+      .withColumn("we", expr("((win + 1) * n + 3) DIV 4"))
+      .selectExpr("media_id", "sample_rate", "win",
+        "we - ws AS n_win",
+        "aggregate(slice(sm, CAST(ws + 1 AS INT), CAST(we - ws AS INT)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x) AS energy",
+        "CAST(array_max(transform(slice(sm, CAST(ws + 1 AS INT), " +
+          "CAST(we - ws AS INT)), x -> abs(x))) AS BIGINT) AS peak",
+        // crossing at 0-based i (pair i-1, i): element_at is 1-based, so
+        // the pair is (element_at(i), element_at(i + 1)) for i in ws+1..we-1
+        "aggregate(sequence(ws + 1, we - 1), CAST(0 AS BIGINT), (a, i) -> " +
+          "a + (CASE WHEN (element_at(sm, CAST(i AS INT)) < 0) != " +
+          "(element_at(sm, CAST(i + 1 AS INT)) < 0) THEN 1 ELSE 0 END)) AS zcross")
+      .orderBy("media_id", "win")
+
+  /** DuckDB mirror of [[pcmWindows]] with NO bytes and NO decode: the
+    * sample grid is arithmetically known from the construction, so the
+    * oracle recomputes window energy/peak/crossings from the (doc_id, i)
+    * formulas — a pass certifies construct → real javax.sound decode →
+    * window stats end to end against ground-truth integers (the
+    * [[ahashOracleSql]] pattern for audio). Same window floor mapping
+    * ((i·4)//n inverts the (k·n+3)//4 bounds), same in-window-only
+    * crossing rule (i > window start). */
+  def pcmOracleSql: String =
+    "WITH d AS (SELECT doc_id, 8000 * (1 + doc_id % 5) AS rate, " +
+      "64 + (doc_id * 7) % 129 AS n FROM documents), " +
+      "g AS (SELECT doc_id, rate, n, t.i AS i, " +
+      "((doc_id * 131 + t.i * 73) % 4001) - 2000 AS s, " +
+      "CASE WHEN t.i >= 1 THEN ((doc_id * 131 + (t.i - 1) * 73) % 4001) - 2000 END AS sp " +
+      // range() takes no lateral column args; n <= 192 by construction
+      "FROM d, range(192) t(i) WHERE t.i < d.n) " +
+      "SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate, " +
+      "CAST((i * 4) // n AS BIGINT) AS win, " +
+      "CAST(count(*) AS BIGINT) AS n_win, " +
+      "CAST(sum(s * s) AS BIGINT) AS energy, " +
+      "CAST(max(abs(s)) AS BIGINT) AS peak, " +
+      "CAST(sum(CASE WHEN i > (((i * 4) // n) * n + 3) // 4 " +
+      "AND ((sp < 0) != (s < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcross " +
+      "FROM g GROUP BY doc_id, rate, n, (i * 4) // n " +
+      "ORDER BY media_id, win"
 
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT

@@ -588,8 +588,13 @@ object TextOps extends QueryFamily {
       graft.multimodal.MediaPipeline.pixelAhash(s, dir)),
 
     // perceptual near-dup image dedup over real decoded pixels: aHash ->
-    // 4x16-bit bands -> equi-join -> Hamming<=8 verify, pairs counted
-    // once at their lowest shared band. See MediaPipeline.imageNearDups.
+    // 4x16-bit bands -> equi-join -> Hamming<=4 verify, pairs counted
+    // once at their lowest shared band. Recall note: 4 bands of a 64-bit
+    // hash guarantee a shared band only through Hamming 3 (pigeonhole);
+    // a distance-4 pair with one differing bit per band is missed by
+    // BOTH engines identically — a stated candidate-recall bound (the
+    // LSH trade every banded scheme makes), not a correctness gap.
+    // See MediaPipeline.imageNearDups.
     "q_dedup_image" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.imageNearDups(s, dir)),
 
@@ -607,6 +612,15 @@ object TextOps extends QueryFamily {
     // orders parsed from raw bytes at fixed offsets
     "q_multimodal_png" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pngProfile(s, dir)),
+
+    // REAL audio decode: valid mono 16-bit PCM WAVs constructed from
+    // integer sample formulas, decoded through the JDK's own
+    // javax.sound.sampled, per-window energy/peak/zero-crossing integers
+    // — the oracle recomputes from the arithmetic sample grid, so a pass
+    // certifies the PCM decode sample-for-sample. See
+    // MediaPipeline.pcmWindows.
+    "q_multimodal_wave" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pcmWindows(s, dir)),
   )
 
   /** DuckDB mirror of the BPE trainer: the identical word-count base,
@@ -846,6 +860,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_thumb" -> graft.multimodal.MediaPipeline.thumbOracleSql,
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
+    "q_multimodal_wave" -> graft.multimodal.MediaPipeline.pcmOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer
     "q_cluster_kmeans" -> (s"WITH $kmeansAssignCtes " +

@@ -226,6 +226,46 @@ class MediaPipelineSpec extends AnyFunSuite {
       r.getAs[Long]("sample_rate") == 8000 * (1 + r.getAs[Long]("media_id") % 5)))
   }
 
+  test("javax.sound decode inverts the WAV construction: sample-exact PCM") {
+    import org.apache.spark.sql.functions.col
+    // the oracle certifies Spark==DuckDB on the window stats; this
+    // certifies the JDK's WAV reader hands back the exact constructed
+    // sample grid, so the stats are over real decoded PCM, not a shared
+    // construction mistake
+    val rows = MediaPipeline.validWavBlobs(spark, sf0001)
+      .withColumn("p", MediaPipeline.decodePcm(col("content")))
+      .selectExpr("media_id", "p.rate AS rate", "p.channels AS channels",
+        "p.samples AS samples")
+      .orderBy("media_id").limit(25).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("rate") == 8000 * (1 + id % 5), r.toString)
+      assert(r.getAs[Int]("channels") == 1, r.toString)
+      val n = (64 + (id * 7) % 129).toInt
+      val samples = r.getSeq[Int](r.fieldIndex("samples"))
+      assert(samples.length == n, s"doc $id: ${samples.length} != $n samples")
+      for (i <- 0 until n)
+        assert(samples(i) == ((id * 131 + i * 73) % 4001) - 2000,
+          s"doc $id sample $i: decoded ${samples(i)}")
+    }
+  }
+
+  test("decodeWav rejects non-audio payloads (and decodePcm survives garbage)") {
+    import org.apache.spark.sql.functions.col
+    // arbitrary opaque bytes — including a 'RIFF' prefix with a garbage
+    // body — must decode to null, never throw (the NonFatal guard)
+    val out = MediaPipeline.mediaFrame(spark, sf0001).limit(20)
+      .withColumn("p", MediaPipeline.decodePcm(col("content")))
+      .selectExpr("p IS NULL AS isnull").collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(0)))
+    val riffGarbage = spark.range(1)
+      .selectExpr("unhex('52494646FFFFFFFF00112233') AS content")
+      .withColumn("p", MediaPipeline.decodePcm(col("content")))
+      .selectExpr("p IS NULL AS isnull").collect()
+    assert(riffGarbage.head.getBoolean(0))
+  }
+
   test("byte fingerprint: 16-bit range, deterministic, discriminative, in-place robust") {
     def run() = SparkEntry.queries("q_multimodal_phash")(TestSpark.spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
