@@ -495,8 +495,11 @@ object MediaPipeline {
   /** Valid-BMP hex assembly over a row carrying (w, h, pad, dlen) plus
     * whatever the channel exprs reference: 54-byte header with exact
     * size fields, bottom-up rows (image row y = h-1 stored first),
-    * B,G,R per pixel, 4-byte row padding. */
-  private def bmpHex(chanB: String, chanG: String, chanR: String): String = {
+    * B,G,R per pixel, 4-byte row padding. `pixelHex` overrides the
+    * 3-channel assembly (the grayscale family hexes one byte and
+    * repeats it — a third of the per-pixel string churn). */
+  private def bmpHex(chanB: String, chanG: String, chanR: String,
+      pixelHex: String = null): String = {
     def le(e: String, n: Int) = leHex(e, n, "DIV")
     val header = Seq(
       "'424D'",                       // "BM"
@@ -509,11 +512,13 @@ object MediaPipeline {
       le("2835", 4), le("2835", 4),   // x/y pixels-per-metre
       le("0", 4), le("0", 4)          // palette sizes
     ).mkString("concat(", ", ", ")")
-    val px = "array_join(transform(sequence(h - 1, CAST(0 AS BIGINT), CAST(-1 AS BIGINT)), y -> " +
-      "concat(array_join(transform(sequence(CAST(0 AS BIGINT), w - 1), x -> concat(" +
+    val perPixel = if (pixelHex != null) pixelHex else "concat(" +
       s"lpad(hex($chanB), 2, '0'), " +
       s"lpad(hex($chanG), 2, '0'), " +
-      s"lpad(hex($chanR), 2, '0'))), ''), " +
+      s"lpad(hex($chanR), 2, '0'))"
+    val px = "array_join(transform(sequence(h - 1, CAST(0 AS BIGINT), CAST(-1 AS BIGINT)), y -> " +
+      "concat(array_join(transform(sequence(CAST(0 AS BIGINT), w - 1), x -> " +
+      s"$perPixel), ''), " +
       "repeat('00', CAST(pad AS INT)))), '')"
     s"concat($header, $px)"
   }
@@ -791,6 +796,346 @@ object MediaPipeline {
       "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END) " +
       "AND bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4 " +
       "ORDER BY media_a, media_b"
+
+  // ---- DCT pHash + the hash-robustness ledger: which perceptual hash
+  // survives which perturbation, MEASURED as oracle-checked integers ----
+
+  /** cos(k·π/32) × 10000, k = 0..63 — the 16-point DCT-II basis as exact
+    * scaled-integer literals (cos((2x+1)uπ/32) has period 64 in its
+    * integer argument; entries 32..63 are the negations of 0..31). ONE
+    * table, shared verbatim with the DuckDB oracle, so the DCT is exact
+    * integer arithmetic on both engines — no trig at query time. */
+  private val cos64: Array[Long] = {
+    val half = Array[Long](10000, 9952, 9808, 9569, 9239, 8819, 8315,
+      7730, 7071, 6344, 5556, 4714, 3827, 2903, 1951, 980, 0, -980,
+      -1951, -2903, -3827, -4714, -5556, -6344, -7071, -7730, -8315,
+      -8819, -9239, -9569, -9808, -9952)
+    half ++ half.map(-_)
+  }
+
+  private[multimodal] def cos64DuckLiteral: String =
+    cos64.mkString("[", ", ", "]")
+
+  /** Grayscale pixel value for the perceptual-hash family, as a SQL expr
+    * over (doc_id, v, bw, h, x, y) — natural-spectrum content (a
+    * doc-keyed pseudo-random value PER 16×16 CELL of the base geometry,
+    * so every low-frequency DCT coefficient is content-driven — the
+    * regime real images live in) plus small high-frequency noise, with
+    * the perturbation folded in per variant:
+    *   v=0 base; v=1 same content, re-seeded noise (the re-encode /
+    *   sensor-noise near-dup); v=2 two-column crop (content sampled at
+    *   x+2 in BASE geometry, width shrinks by 2); v=3 gamma tone-map
+    *   (g → floor(sqrt(255·g)) — integer-exact monotone nonlinearity).
+    * All % and DIV operands are NONNEGATIVE by construction (Spark DIV
+    * truncates toward zero, DuckDB // floors — they agree only above
+    * zero), and g stays in 62..222 so the byte never wraps. */
+  private def grayExpr: String = {
+    val cx = "((x + (CASE WHEN v = 2 THEN 2 ELSE 0 END)) * 16) DIV bw"
+    val cy = "(y * 16) DIV h"
+    val cell = s"62 + (doc_id * 73 + ($cx) * 149 + ($cy) * 211 + ($cx) * ($cy) * 31) % 121"
+    val noise = "((x * 37 + y * 61 + (doc_id * 13 + " +
+      "(CASE WHEN v = 1 THEN 7 ELSE 0 END)) * 29) % 25) DIV 2"
+    val g0 = s"($cell) + ($noise)"
+    s"CASE WHEN v = 3 THEN CAST(floor(sqrt(CAST(($g0) * 255 AS DOUBLE))) AS BIGINT) ELSE $g0 END"
+  }
+
+  /** [[grayExpr]] replicated in Scala — every op on nonnegative operands
+    * so / == DIV == //; the same IEEE sqrt+floor for the gamma map.
+    * MediaPipelineSpec pins [[perceptualBlobs]] byte-identical to the
+    * SQL-hex construction ([[perceptualBlobsSql]]) over a sample, so the
+    * two formulations cannot drift. */
+  private def grayByte(docId: Long, v: Int, bw: Int, h: Int,
+      x: Int, y: Int): Int = {
+    val xp = x + (if (v == 2) 2 else 0)
+    val cx = (xp * 16) / bw; val cy = (y * 16) / h
+    val cell = 62 + (docId * 73 + cx * 149L + cy * 211L + cx.toLong * cy * 31) % 121
+    val noise = ((x * 37L + y * 61L + (docId * 13 + (if (v == 1) 7 else 0)) * 29) % 25) / 2
+    val g0 = cell + noise
+    (if (v == 3) math.floor(math.sqrt((g0 * 255).toDouble)).toLong else g0).toInt
+  }
+
+  private def grayBmpBytes(docId: Long, v: Int): Array[Byte] = {
+    val bw = (18 + docId % 6).toInt; val h = (16 + (docId * 3) % 8).toInt
+    val w = if (v == 2) bw - 2 else bw
+    val pad = (4 - (w * 3) % 4) % 4
+    val dlen = (w * 3 + pad) * h
+    val out = new Array[Byte](54 + dlen)
+    def le(off: Int, n: Int, value: Long): Unit = {
+      var i = 0
+      while (i < n) { out(off + i) = ((value >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le(2, 4, 54L + dlen); le(10, 4, 54); le(14, 4, 40)
+    le(18, 4, w); le(22, 4, h); le(26, 2, 1); le(28, 2, 24)
+    le(34, 4, dlen); le(38, 4, 2835); le(42, 4, 2835)
+    var p = 54
+    var yy = h - 1
+    while (yy >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = grayByte(docId, v, bw, h, x, yy).toByte
+        out(p) = g; out(p + 1) = g; out(p + 2) = g; p += 3
+        x += 1
+      }
+      p += pad // padding bytes stay zero
+      yy -= 1
+    }
+    out
+  }
+
+  val grayBmp = udf((docId: Long, v: Int) => grayBmpBytes(docId, v))
+
+  /** Valid grayscale 24-bpp BMPs for the perceptual-hash family: base
+    * width 18..23, height 16..23 (≥ 16 so the 16×16 mean grid has no
+    * empty cell), one row per (doc, variant) with media_id = 4·doc_id+v.
+    * `variants = false` constructs only the base images (v = 0).
+    * Assembled by [[grayBmp]] — direct byte assembly: the SQL-hex
+    * formulation ([[perceptualBlobsSql]], spec-pinned byte-identical)
+    * costs ~8 s at sf0.1 in per-pixel string churn; the byte UDF ~0.5 s.
+    * Correctness never rests on the construction path anyway: the oracle
+    * recomputes from the arithmetic grids and the decode must invert
+    * whatever bytes were built. */
+  def perceptualBlobs(spark: SparkSession, sfDir: String,
+      variants: Boolean): DataFrame = {
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"))
+    val withV =
+      if (variants) base.select(col("doc_id"),
+        explode(expr("array(0, 1, 2, 3)")).as("v"))
+      else base.withColumn("v", lit(0))
+    withV.select(expr("doc_id * 4 + v").as("media_id"),
+      grayBmp(col("doc_id"), col("v").cast("int")).as("content"))
+  }
+
+  /** The SQL-hex formulation of the same construction — the
+    * engine-checked query shape the other blob families demonstrate;
+    * kept as the spec's cross-formulation pin (byte-identical to
+    * [[perceptualBlobs]] over the fixture sample). */
+  private[graft] def perceptualBlobsSql(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("array(0, 1, 2, 3)")).as("v"))
+      .withColumn("bw", expr("18 + doc_id % 6"))
+      .withColumn("h", expr("16 + (doc_id * 3) % 8"))
+      .withColumn("w", expr("CASE WHEN v = 2 THEN bw - 2 ELSE bw END"))
+      .withColumn("pad", expr("(4 - (w * 3) % 4) % 4"))
+      .withColumn("dlen", expr("(w * 3 + pad) * h"))
+      .selectExpr("doc_id * 4 + v AS media_id",
+        s"unhex(${bmpHex(null, null, null,
+          s"repeat(lpad(hex($grayExpr), 2, '0'), 3)")}) AS content")
+
+  /** Both perceptual hashes in one decode pass (the [[decodeAhash]]
+    * fusion, one level up): the 8×8 block-mean aHash AND the published
+    * DCT pHash — 16×16 floor block-mean grid, 16-point integer DCT-II,
+    * keep the top-left (low-frequency) 8×8 coefficients, bit k set iff
+    * coefficient k exceeds the UPPER MEDIAN of the 64 (sorted index 32;
+    * exact integer comparisons, no float anywhere). Grayscale pixels
+    * (R=G=B=g) make luma exactly 1000·g. */
+  case class PHashed(w: Int, h: Int, ahash_hi: Long, ahash_lo: Long,
+      phash_hi: Long, phash_lo: Long)
+
+  private def perceptualOf(bytes: Array[Byte]): PHashed = {
+    val d = decodeImage(bytes)
+    if (d == null || d.w < 16 || d.h < 16) return null
+    val (w, h) = (d.w, d.h)
+    val s8 = new Array[Long](64); val c8 = new Array[Long](64)
+    val s16 = new Array[Long](256); val c16 = new Array[Long](256)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val r8 = y * 8 / h * 8; val r16 = y * 16 / h * 16
+      var x = 0
+      while (x < w) {
+        val v = d.luma(y * w + x)
+        val k8 = r8 + x * 8 / w; val k16 = r16 + x * 16 / w
+        s8(k8) += v; c8(k8) += 1; s16(k16) += v; c16(k16) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    val np = w.toLong * h
+    var ahi = 0L; var alo = 0L
+    var k = 0
+    while (k < 64) {
+      if (s8(k) * np > total * c8(k)) {
+        if (k >= 32) ahi |= 1L << (k - 32) else alo |= 1L << k
+      }
+      k += 1
+    }
+    val m = new Array[Long](256)
+    k = 0
+    while (k < 256) { m(k) = s16(k) / c16(k); k += 1 }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var q = 0
+      while (q < 8) {
+        var s = 0L
+        var bx = 0
+        while (bx < 16) {
+          val cu = cos64(((2 * bx + 1) * u) % 64)
+          var by = 0
+          while (by < 16) {
+            s += m(by * 16 + bx) * cu * cos64(((2 * by + 1) * q) % 64)
+            by += 1
+          }
+          bx += 1
+        }
+        coef(u * 8 + q) = s
+        q += 1
+      }
+      u += 1
+    }
+    val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(32)
+    var phi = 0L; var plo = 0L
+    k = 0
+    while (k < 64) {
+      if (coef(k) > med) {
+        if (k >= 32) phi |= 1L << (k - 32) else plo |= 1L << k
+      }
+      k += 1
+    }
+    PHashed(w, h, ahi, alo, phi, plo)
+  }
+
+  val decodePerceptual = udf((bytes: Array[Byte]) => perceptualOf(bytes))
+
+  /** The DCT pHash over the real decode — the industry-standard
+    * perceptual hash (pHash.org / imagehash's phash shape) the
+    * `q_multimodal_phash` row promised: media_id, dims, and the 64
+    * median-thresholded low-frequency DCT bits packed hi/lo. */
+  def pixelDctHash(spark: SparkSession, sfDir: String): DataFrame =
+    perceptualBlobs(spark, sfDir, variants = false)
+      .withColumn("d", decodePerceptual(col("content")))
+      .selectExpr("media_id DIV 4 AS media_id", "CAST(d.w AS BIGINT) AS w",
+        "CAST(d.h AS BIGINT) AS h", "d.phash_hi AS phash_hi",
+        "d.phash_lo AS phash_lo")
+      .orderBy("media_id")
+
+  /** The hash-robustness LEDGER: for each perturbation (re-encode noise,
+    * 2-column crop, gamma tone-map) and each hash family (aHash, DCT
+    * pHash), how many of the doc-pairs (base, perturbed) land within
+    * Hamming 2 / 4 / 8 — the measured, oracle-checked answer to "which
+    * hash survives what", replacing folklore with integers. Measured at
+    * 500 docs: noise 366 vs 300 @≤2, crop 24 vs 7 @≤8, gamma 451 vs 429
+    * @≤2 — the median-DCT dominates on ALL THREE for natural-spectrum
+    * content (every ordering pinned in MediaPipelineSpec), while aHash
+    * keeps the higher base-hash distinctness (497 vs 323 of 500) — the
+    * trade a production pipeline picks per use case. Scale shape: one
+    * decode+hash pass map-side (localCheckpoint as the plan boundary —
+    * the q_dedup_image lesson), one doc_id equi-join, global aggregate
+    * over 6 groups. */
+  def hashRobustness(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = perceptualBlobs(spark, sfDir, variants = true)
+      .withColumn("d", decodePerceptual(col("content")))
+      .selectExpr("media_id DIV 4 AS doc_id", "media_id % 4 AS v",
+        "d.ahash_hi AS a_hi", "d.ahash_lo AS a_lo",
+        "d.phash_hi AS p_hi", "d.phash_lo AS p_lo")
+      .localCheckpoint()
+    val b = hashed.where(col("v") === 0)
+      .select(col("doc_id"), col("a_hi").as("a_hi0"), col("a_lo").as("a_lo0"),
+        col("p_hi").as("p_hi0"), col("p_lo").as("p_lo0"))
+    hashed.where(col("v") > 0).join(b, "doc_id")
+      .selectExpr(
+        "CASE v WHEN 1 THEN 'noise' WHEN 2 THEN 'crop' ELSE 'gamma' END AS perturb",
+        "bit_count(a_hi ^ a_hi0) + bit_count(a_lo ^ a_lo0) AS ham_a",
+        "bit_count(p_hi ^ p_hi0) + bit_count(p_lo ^ p_lo0) AS ham_p")
+      .selectExpr("perturb",
+        "stack(2, 'ahash', ham_a, 'dcthash', ham_p) AS (family, ham)")
+      .groupBy("family", "perturb")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ham") <= 2, 1L).otherwise(0L)).as("hits_le2"),
+        sum(when(col("ham") <= 4, 1L).otherwise(0L)).as("hits_le4"),
+        sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("hits_le8"))
+      .orderBy("family", "perturb")
+  }
+
+  /** Shared oracle CTE chain `... hsh` — (doc_id, v, a_hi, a_lo, p_hi,
+    * p_lo) recomputed from the arithmetic pixel grids with NO bytes and
+    * NO decode (the [[ahashOracleSql]] pattern): same gray formula
+    * ([[grayExpr]] verbatim, DIV→//), same block maps, same integer DCT
+    * via the shared cosine VALUES table, same upper-median rule
+    * (row_number 33 ascending — the value at sorted index 32). */
+  private def perceptualHashCtes(variantsValues: String): String = {
+    val gray = grayExpr.replace(" DIV ", " // ")
+    s"WITH mm AS (SELECT doc_id, vv.v, 18 + doc_id % 6 AS bw, " +
+      "16 + (doc_id * 3) % 8 AS h, " +
+      "CASE WHEN vv.v = 2 THEN 18 + doc_id % 6 - 2 ELSE 18 + doc_id % 6 END AS w " +
+      s"FROM documents, (VALUES $variantsValues) vv(v)), " +
+      "g0 AS (SELECT doc_id, v, bw, h, w, xx.x AS x, yy.y AS y " +
+      "FROM mm, range(23) xx(x), range(23) yy(y) " +
+      "WHERE xx.x < mm.w AND yy.y < mm.h), " +
+      s"g AS (SELECT doc_id, v, bw, h, w, x, y, 1000 * ($gray) AS luma FROM g0), " +
+      "blk8 AS (SELECT doc_id, v, w, h, (y * 8) // h * 8 + (x * 8) // w AS k, " +
+      "CAST(sum(luma) AS BIGINT) AS sk, count(*) AS nk " +
+      "FROM g GROUP BY doc_id, v, w, h, (y * 8) // h * 8 + (x * 8) // w), " +
+      "tot AS (SELECT doc_id, v, CAST(sum(luma) AS BIGINT) AS total " +
+      "FROM g GROUP BY doc_id, v), " +
+      "ah AS (SELECT blk8.doc_id, blk8.v, " +
+      "CAST(sum(CASE WHEN sk * (w * h) > total * nk AND k >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS a_hi, " +
+      "CAST(sum(CASE WHEN sk * (w * h) > total * nk AND k < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS a_lo " +
+      "FROM blk8 JOIN tot ON blk8.doc_id = tot.doc_id AND blk8.v = tot.v " +
+      "GROUP BY blk8.doc_id, blk8.v), " +
+      "blk16 AS (SELECT doc_id, v, (x * 16) // w AS bx, (y * 16) // h AS by, " +
+      "CAST(sum(luma) AS BIGINT) // count(*) AS m " +
+      "FROM g GROUP BY doc_id, v, (x * 16) // w, (y * 16) // h), " +
+      // SEPARABLE 2-D DCT — row pass then column pass (exact integer
+      // sums, so associativity is free): cells×64 single-pass costs 327M
+      // list-indexing rows at sf0.1 (measured 94 s); the two 8-wide
+      // passes cost ~60M. The cosine table lives in a ONE-ROW CTE
+      // cross-joined in (a VALUES-table double join invites a
+      // catastrophic join order; an inline literal re-builds the list
+      // per row — both measured dead ends).
+      s"ctab AS (SELECT $cos64DuckLiteral AS cc), " +
+      "dx AS (SELECT doc_id, v, by, uu.u AS u, " +
+      "CAST(sum(m * cc[((2 * bx + 1) * uu.u) % 64 + 1]) AS BIGINT) AS t " +
+      "FROM blk16, range(8) uu(u), ctab " +
+      "GROUP BY doc_id, v, by, uu.u), " +
+      "dct AS (SELECT doc_id, v, u * 8 + qq.q AS k, " +
+      "CAST(sum(t * cc[((2 * by + 1) * qq.q) % 64 + 1]) AS BIGINT) AS coef " +
+      "FROM dx, range(8) qq(q), ctab " +
+      "GROUP BY doc_id, v, u * 8 + qq.q), " +
+      "rk AS (SELECT doc_id, v, k, coef, " +
+      "row_number() OVER (PARTITION BY doc_id, v ORDER BY coef, k) AS rn " +
+      "FROM dct), " +
+      "md AS (SELECT doc_id, v, coef AS med FROM rk WHERE rn = 33), " +
+      "ph AS (SELECT rk.doc_id, rk.v, " +
+      "CAST(sum(CASE WHEN coef > med AND k >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS p_hi, " +
+      "CAST(sum(CASE WHEN coef > med AND k < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS p_lo " +
+      "FROM rk JOIN md ON rk.doc_id = md.doc_id AND rk.v = md.v " +
+      "GROUP BY rk.doc_id, rk.v), " +
+      "hsh AS (SELECT ah.doc_id, ah.v, a_hi, a_lo, p_hi, p_lo " +
+      "FROM ah JOIN ph ON ah.doc_id = ph.doc_id AND ah.v = ph.v)"
+  }
+
+  def dctHashOracleSql: String =
+    perceptualHashCtes("(0)") +
+      ", dims AS (SELECT doc_id, 18 + doc_id % 6 AS w, " +
+      "16 + (doc_id * 3) % 8 AS h FROM documents) " +
+      "SELECT hsh.doc_id AS media_id, CAST(dims.w AS BIGINT) AS w, " +
+      "CAST(dims.h AS BIGINT) AS h, p_hi AS phash_hi, p_lo AS phash_lo " +
+      "FROM hsh JOIN dims ON hsh.doc_id = dims.doc_id ORDER BY media_id"
+
+  def hashRobustOracleSql: String =
+    perceptualHashCtes("(0), (1), (2), (3)") +
+      ", hams AS (SELECT b.doc_id, " +
+      "CASE o.v WHEN 1 THEN 'noise' WHEN 2 THEN 'crop' ELSE 'gamma' END AS perturb, " +
+      "bit_count(xor(b.a_hi, o.a_hi)) + bit_count(xor(b.a_lo, o.a_lo)) AS ham_a, " +
+      "bit_count(xor(b.p_hi, o.p_hi)) + bit_count(xor(b.p_lo, o.p_lo)) AS ham_p " +
+      "FROM hsh b JOIN hsh o ON b.doc_id = o.doc_id AND b.v = 0 AND o.v > 0), " +
+      "fam AS (SELECT perturb, f.family, " +
+      "CASE f.family WHEN 'ahash' THEN ham_a ELSE ham_p END AS ham " +
+      "FROM hams, (VALUES ('ahash'), ('dcthash')) f(family)) " +
+      "SELECT family, perturb, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits_le2, " +
+      "CAST(sum(CASE WHEN ham <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS hits_le4, " +
+      "CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS hits_le8 " +
+      "FROM fam GROUP BY family, perturb ORDER BY family, perturb"
 
   // ---- Real audio decode: valid 16-bit PCM WAVs -> javax.sound.sampled
   // decode -> per-window RMS-energy / peak / zero-crossing integers ----

@@ -621,6 +621,19 @@ object TextOps extends QueryFamily {
     // MediaPipeline.pcmWindows.
     "q_multimodal_wave" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pcmWindows(s, dir)),
+
+    // the published DCT pHash over the real ImageIO decode: 16x16 block
+    // means -> integer 16-point DCT-II -> top-left 8x8 coefficients ->
+    // upper-median threshold -> 64 bits. See MediaPipeline.pixelDctHash.
+    "q_multimodal_dcthash" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pixelDctHash(s, dir)),
+
+    // the hash-robustness LEDGER: (family, perturbation) -> hits within
+    // Hamming 2/4/8 for aHash vs DCT pHash under re-encode noise, a
+    // 2-column crop, and a gamma tone-map — measured on real decodes,
+    // oracle-checked as integers. See MediaPipeline.hashRobustness.
+    "q_multimodal_hashrobust" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.hashRobustness(s, dir)),
   )
 
   /** DuckDB mirror of the BPE trainer: the identical word-count base,
@@ -861,6 +874,8 @@ object TextOps extends QueryFamily {
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
     "q_multimodal_wave" -> graft.multimodal.MediaPipeline.pcmOracleSql,
+    "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
+    "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer
     "q_cluster_kmeans" -> (s"WITH $kmeansAssignCtes " +

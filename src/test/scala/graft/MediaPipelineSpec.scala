@@ -266,6 +266,56 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(riffGarbage.head.getBoolean(0))
   }
 
+  test("perceptual blob UDF bytes == SQL-hex construction, byte for byte") {
+    import org.apache.spark.sql.functions.col
+    // the hot path assembles BMP bytes in a UDF (the SQL-hex form costs
+    // ~8s at sf0.1 in per-pixel string churn); the two formulations must
+    // never drift — pinned over the whole sf0.001 fixture, all variants
+    def md5s(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("media_id", "md5(content) AS m")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaUdf = md5s(MediaPipeline.perceptualBlobs(spark, sf0001, variants = true))
+    val viaSql = md5s(MediaPipeline.perceptualBlobsSql(spark, sf0001))
+    assert(viaUdf.size == 2000 && viaUdf == viaSql)
+  }
+
+  test("q_multimodal_dcthash: pHash bits well-formed and discriminative") {
+    val rows = SparkEntry.queries("q_multimodal_dcthash")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val hashes = rows.map(r =>
+      (r.getAs[Long]("phash_hi"), r.getAs[Long]("phash_lo")))
+    assert(hashes.forall { case (hi, lo) =>
+      hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL })
+    // the upper-median rule sets at most 31 of 64 bits and (with 64
+    // distinct-enough coefficients) at least a handful
+    assert(hashes.forall { case (hi, lo) =>
+      val n = java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo)
+      n >= 1 && n <= 31
+    })
+    assert(hashes.toSet.size > 250, s"only ${hashes.toSet.size} distinct")
+  }
+
+  test("hash-robustness ledger: median-DCT dominates on all three perturbations") {
+    val rows = SparkEntry.queries("q_multimodal_hashrobust")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("family"), r.getAs[String]("perturb")) ->
+        ((r.getAs[Long]("hits_le2"), r.getAs[Long]("hits_le4"), r.getAs[Long]("hits_le8"),
+          r.getAs[Long]("n_docs")))).toMap
+    assert(rows.size == 6 && rows.values.forall(_._4 == 500))
+    def a(p: String) = rows(("ahash", p)); def d(p: String) = rows(("dcthash", p))
+    // the MEASURED orderings (deterministic integers — exact, not noisy):
+    // re-encode noise: low-freq DCT averages the noise out, aHash's
+    // near-threshold blocks flip (366 vs 300 at <=2)
+    assert(d("noise")._1 > a("noise")._1, s"${d("noise")} !> ${a("noise")}")
+    // 2-column crop scatters both (the honest physics of global hashes
+    // under geometric edits) but pHash keeps 3.4x the survivors at <=8
+    assert(d("crop")._3 > a("crop")._3, s"${d("crop")} !> ${a("crop")}")
+    // gamma tone-map: both strong, pHash ahead at the tight radius
+    assert(d("gamma")._1 > a("gamma")._1, s"${d("gamma")} !> ${a("gamma")}")
+    // and both families fully survive noise/gamma at <=8 (sanity anchor)
+    assert(a("noise")._3 == 500 && d("noise")._3 == 500)
+    assert(a("gamma")._3 == 500 && d("gamma")._3 == 500)
+  }
+
   test("byte fingerprint: 16-bit range, deterministic, discriminative, in-place robust") {
     def run() = SparkEntry.queries("q_multimodal_phash")(TestSpark.spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
