@@ -123,6 +123,38 @@ object Warehouse extends QueryFamily {
     * proof. */
   private[graft] def zorderPath(dir: String): String = scratch("zorder", dir)
 
+  /** The q_scan_manifest layout roots (data, manifest), for
+    * ManifestSkipSpec's pruning proof. */
+  private[graft] def manifestPaths(dir: String): (String, String) =
+    (scratch("mdata", dir), scratch("manifest", dir))
+
+  /** Builds the manifest-tracked layout once per (dir): orders
+    * range-clustered on o_orderkey into 16 files, plus a MANIFEST table
+    * of per-file (min_key, max_key, n_rows) — the Iceberg/Delta
+    * data-skipping shape, persisted beside the data at write time. */
+  private def manifestLayout(s: SparkSession, dir: String): (String, String) = {
+    val (dataPath, manPath) = manifestPaths(dir)
+    once(s, dir, "manifest") {
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dataPath)
+      // the manifest: ONE pass at layout time, O(files) rows — at 100 TB
+      // this is the table maintenance job every lake format runs, and it
+      // is what lets later queries plan without listing or footer-reading
+      // the data files at all
+      s.read.parquet(dataPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manPath)
+    }
+    (dataPath, manPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Real metastore round-trip: register orders in the (Derby-backed)
     // Hive catalog, read it back via the catalog, aggregate. The write is
@@ -190,6 +222,42 @@ object Warehouse extends QueryFamily {
           col("ts") >= tsLit("2024-01-10") && col("ts") < tsLit("2024-01-14"))
         .select("event_id", "user_id", "ts", "event_type", "value")
         .orderBy("event_id")
+    }),
+
+    // FILE-level data skipping via a manifest (the Iceberg/Delta shape,
+    // one level above q_agg_footerstats' row-group pushdown): a range
+    // query consults the O(files) manifest FIRST — the driver-side plan
+    // step every lake format runs — and hands the scan ONLY the files
+    // whose [min_key, max_key] overlaps the band, with an in-query
+    // assertion that pruned files were never listed in the scan's inputs
+    // (the q_scan_zorder proof pattern). The band is derived from the
+    // manifest itself (max key / 10 .. / 5) so the oracle recomputes it
+    // from the table — layout-independent. At 100 TB the manifest read
+    // is KB-scale planning; the data files skipped are the win.
+    "q_scan_manifest" -> ((s, dir) => {
+      val (_, manPath) = manifestLayout(s, dir)
+      val man = s.read.parquet(manPath).collect() // O(files): the plan step
+      val maxKey = man.map(_.getAs[Long]("max_key")).max
+      val (lo, hi) = (maxKey / 10, maxKey / 5)
+      val selected = man.filter(r =>
+        r.getAs[Long]("max_key") >= lo && r.getAs[Long]("min_key") <= hi)
+        .map(_.getAs[String]("file"))
+      require(selected.nonEmpty, "manifest pruned every file — empty band")
+      require(selected.length < man.length,
+        s"manifest pruned nothing: ${selected.length} of ${man.length} files")
+      val df = s.read.parquet(selected.toIndexedSeq: _*)
+        .where(col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_custkey").as("sum_cust"))
+        .orderBy("o_orderpriority")
+      // the skipping proof, in-query: the scan's inputs are a subset of
+      // the manifest-selected files (compare by file name — inputFiles
+      // and input_file_name may differ in URI scheme normalization)
+      val sel = selected.map(_.split('/').last).toSet
+      val scanned = df.inputFiles.map(_.split('/').last).toSet
+      require(scanned.subsetOf(sel),
+        s"scan read past the manifest selection: ${scanned.diff(sel)}")
+      df
     }),
 
     // CSV source: header + explicit schema (never inferSchema — a
@@ -526,6 +594,13 @@ object Warehouse extends QueryFamily {
   def oracles: Map[String, String] = Map(
     // The oracles read the SOURCE parquet: they verify the catalog/layout
     // round-trip changed nothing, not just that an aggregation runs.
+    // layout-independent recompute: same band arithmetic from the table
+    // itself (the manifest's max-of-maxes IS the table max)
+    "q_scan_manifest" -> ("WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders) " +
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
+      "FROM orders, mx WHERE o_orderkey BETWEEN mk // 10 AND mk // 5 " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q_hive_table" -> ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
       "count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
