@@ -816,7 +816,8 @@ object Dedup extends QueryFamily {
     * end to end: residuals are integer differences of fixed-point
     * values, so every distance is an exact integer with (d, id) ties.
     */
-  private def ivfAdcRanked(s: SparkSession, dir: String): DataFrame = {
+  private def ivfAdcRanked(s: SparkSession, dir: String,
+      nprobe: Int = 2): DataFrame = {
     val av = TextOps.kmeansAssign(s, dir) // (vec_id, fx, k, d)
     val centRow = TextOps.kmeansCentroidRow(s, dir)
     val centTbl = centRow.select(explode(col("cents")).as("c"))
@@ -852,7 +853,7 @@ object Dedup extends QueryFamily {
       .crossJoin(broadcast(centRow))
       .select(col("vec_id").as("probe_id"), explode(expr(
         s"slice(array_sort(transform(cents, c -> struct($sqd64 AS d, c.k AS k, " +
-          "zip_with(fx, c.cv, (a, b) -> a - b) AS rp))), 1, 2)")).as("pcx"))
+          s"zip_with(fx, c.cv, (a, b) -> a - b) AS rp))), 1, $nprobe)")).as("pcx"))
       .select(col("probe_id"), col("pcx.k").as("k"), explode(subspaces("pcx.rp")).as("x"))
       .select(col("probe_id"), col("k"), col("x.s").as("s"), col("x.sv").as("sv"))
     val ptab = psub.join(broadcast(rcb), "s").withColumn("d", expr(pqSqd))
@@ -878,7 +879,10 @@ object Dedup extends QueryFamily {
     * trained branch), per-(probe, bucket) distance tables, the
     * bucket-equi-joined ADC, ending in rkivf (probe_id, neighbor_id,
     * adc_dist, rank). */
-  private val ivfpqOracleChain: String =
+  /** The nprobe-INDEPENDENT half: residual subvectors and the trained
+    * residual codebook chain, ending in rcvec (candidate codes) + rcb
+    * (the codebook) — shared by every nprobe instantiation. */
+  private val ivfpqCodebookCtes: String =
     "rcand AS (SELECT a2.vec_id, a2.k, " +
     "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rfx " +
     "FROM a2 JOIN e USING (vec_id) JOIN c1 ON a2.k = c1.k " +
@@ -906,26 +910,37 @@ object Dedup extends QueryFamily {
     "rcvec AS (SELECT vec_id, k, list(kc ORDER BY s) AS codes FROM " +
     "(SELECT vec_id, k, s, kc FROM rdist " +
     "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, kc) = 1) " +
-    "GROUP BY vec_id, k), " +
-    "ppc AS (SELECT e.vec_id AS probe_id, c1.k, " +
+    "GROUP BY vec_id, k)"
+
+  private def ivfpqOracleChain: String =
+    ivfpqCodebookCtes + ", " + ivfpqServeCtes("", 2)
+
+  /** The nprobe-dependent HALF of the IVFADC oracle — probe bucket
+    * selection (QUALIFY ≤ nprobe), per-(probe, bucket) residual distance
+    * tables, the bucket-equi-joined ADC, ranks — with CTE names suffixed
+    * `sfx` so q_sim_recall_curve can run several nprobe settings against
+    * the ONE shared residual codebook chain (rcand..rcvec). Ends in
+    * rkivf&lt;sfx&gt;. */
+  private def ivfpqServeCtes(sfx: String, nprobe: Int): String =
+    s"ppc$sfx AS (SELECT e.vec_id AS probe_id, c1.k, " +
     "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rp FROM e, c1 " +
     "WHERE e.vec_id < 10 " +
     "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
     "list_sum([ (e.fx[i+1] - c1.cv[i+1]) * (e.fx[i+1] - c1.cv[i+1]) " +
-    "for i in range(64) ]), c1.k) <= 2), " +
-    "psub AS (SELECT probe_id, k, s, rp[s*8+1 : s*8+8] AS sv " +
-    "FROM ppc, range(8) t(s)), " +
-    "pdist AS (SELECT p.probe_id, p.k, p.s, cb.kc, " +
+    s"for i in range(64) ]), c1.k) <= $nprobe), " +
+    s"psub$sfx AS (SELECT probe_id, k, s, rp[s*8+1 : s*8+8] AS sv " +
+    s"FROM ppc$sfx, range(8) t(s)), " +
+    s"pdist$sfx AS (SELECT p.probe_id, p.k, p.s, cb.kc, " +
     "list_sum([ (p.sv[i+1] - cb.cent[i+1]) * (p.sv[i+1] - cb.cent[i+1]) " +
-    "for i in range(8) ]) AS d FROM psub p JOIN rcb cb ON p.s = cb.s), " +
-    "ptab AS (SELECT probe_id, k, list(d ORDER BY s, kc) AS dta " +
-    "FROM pdist GROUP BY probe_id, k), " +
-    "iscored AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
+    s"for i in range(8) ]) AS d FROM psub$sfx p JOIN rcb cb ON p.s = cb.s), " +
+    s"ptab$sfx AS (SELECT probe_id, k, list(d ORDER BY s, kc) AS dta " +
+    s"FROM pdist$sfx GROUP BY probe_id, k), " +
+    s"iscored$sfx AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
     "CAST(list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) " +
-    "AS BIGINT) AS adc_dist FROM rcvec c JOIN ptab p ON c.k = p.k), " +
-    "rkivf AS (SELECT probe_id, neighbor_id, adc_dist, " +
+    s"AS BIGINT) AS adc_dist FROM rcvec c JOIN ptab$sfx p ON c.k = p.k), " +
+    s"rkivf$sfx AS (SELECT probe_id, neighbor_id, adc_dist, " +
     "CAST(row_number() OVER (PARTITION BY probe_id " +
-    "ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM iscored)"
+    s"ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM iscored$sfx)"
 
   /** DuckDB mirror of [[pqSubvectors]]: fixed-point vectors e (the
     * TextOps-shared fxCte), per-subspace slices sub, the candidate
@@ -1685,6 +1700,71 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id")
     }),
 
+    // The IVFADC recall/cost CURVE — the knob ledger behind every "set
+    // nprobe" tuning decision: the SAME residual codebook served at
+    // nprobe = 1 / 2 / 4, each point grading TWO things per probe as
+    // oracle-checked integers: (a) cand_npN — how many exact top-5
+    // neighbors even LIVE in the probed buckets (the prune's recall
+    // ceiling; monotone in nprobe by construction, since the bucket set
+    // is a superset), and (b) hits_npN — how many survive the ADC top-5
+    // (end-to-end). The gap between the two columns IS the tuning
+    // lesson: when hits saturate while cand keeps rising (measured
+    // here), the quality ceiling is the PQ quantization, not the prune —
+    // raising nprobe buys nothing and the knob to turn is K*/codebook
+    // bits. Cost scales linearly in nprobe (candidates = probed-bucket
+    // populations). Monotonicity + hits ≤ cand pinned in SimRecallSpec.
+    // One shared trainer (memoized residual codebook), three
+    // broadcast-only serve chains.
+    "q_sim_recall_curve" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+        .crossJoin(broadcast(probes))
+        .withColumn("score",
+          round(expr("vec_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("probe_id", "neighbor_id")
+      val sqd64 = "aggregate(zip_with(fx, c.cv, (a, b) -> (a - b) * (a - b)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val av = TextOps.kmeansAssign(s, dir)
+      val cands = av.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("k"))
+      def candFlag(nprobe: Int, name: String) = cands.join(broadcast(
+        av.where(col("vec_id") < 10)
+          .crossJoin(broadcast(TextOps.kmeansCentroidRow(s, dir)))
+          .select(col("vec_id").as("probe_id"), explode(expr(
+            s"slice(array_sort(transform(cents, c -> struct($sqd64 AS d, " +
+              s"c.k AS k))), 1, $nprobe)")).as("pc"))
+          .select(col("probe_id"), col("pc.k").as("k"))), "k")
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as(name))
+      def adcFlag(nprobe: Int, name: String) = ivfAdcRanked(s, dir, nprobe)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as(name))
+      val keys = Seq("probe_id", "neighbor_id")
+      exact
+        .join(candFlag(1, "c1"), keys, "left").join(adcFlag(1, "h1"), keys, "left")
+        .join(candFlag(2, "c2"), keys, "left").join(adcFlag(2, "h2"), keys, "left")
+        .join(candFlag(4, "c4"), keys, "left").join(adcFlag(4, "h4"), keys, "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("c1"), lit(0L))).as("cand_np1"),
+          sum(coalesce(col("h1"), lit(0L))).as("hits_np1"),
+          sum(coalesce(col("c2"), lit(0L))).as("cand_np2"),
+          sum(coalesce(col("h2"), lit(0L))).as("hits_np2"),
+          sum(coalesce(col("c4"), lit(0L))).as("cand_np4"),
+          sum(coalesce(col("h4"), lit(0L))).as("hits_np4"))
+        .orderBy("probe_id")
+    }),
+
     // ANN quality gate: recall@5 of the three approximate paths against
     // the exact answer, oracle-checked as integer hit counts. For each
     // fixture probe, the exact cosine top-5 (q_sim_topk's ranking) is
@@ -2154,6 +2234,45 @@ object Dedup extends QueryFamily {
       "ON ex.probe_id = rt.probe_id AND ex.neighbor_id = rt.neighbor_id " +
       "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf WHERE rank <= 5) ri " +
       "ON ex.probe_id = ri.probe_id AND ex.neighbor_id = ri.neighbor_id " +
+      "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
+
+    // the curve: ONE shared residual-codebook chain, three suffixed
+    // nprobe serve chains, the shared exact ranking, three left joins
+    "q_sim_recall_curve" -> (s"WITH ${TextOps.kmeansAssignCtes}, " +
+      s"$ivfpqCodebookCtes, " +
+      s"${ivfpqServeCtes("_n1", 1)}, " +
+      s"${ivfpqServeCtes("_n2", 2)}, " +
+      s"${ivfpqServeCtes("_n4", 4)}, " +
+      "ex AS (SELECT probe_id, neighbor_id FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk " +
+      "FROM embeddings p, embeddings c WHERE p.vec_id < 10 AND c.vec_id >= 10) " +
+      "WHERE rnk <= 5) " +
+      "SELECT ex.probe_id, count(*) AS n_exact, " +
+      "CAST(sum(CASE WHEN cd1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cand_np1, " +
+      "CAST(sum(CASE WHEN r1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_np1, " +
+      "CAST(sum(CASE WHEN cd2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cand_np2, " +
+      "CAST(sum(CASE WHEN r2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_np2, " +
+      "CAST(sum(CASE WHEN cd4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS cand_np4, " +
+      "CAST(sum(CASE WHEN r4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_np4 " +
+      "FROM ex " +
+      "LEFT JOIN (SELECT p.probe_id, a2.vec_id AS neighbor_id FROM ppc_n1 p " +
+      "JOIN a2 ON a2.k = p.k WHERE a2.vec_id >= 10) cd1 " +
+      "ON ex.probe_id = cd1.probe_id AND ex.neighbor_id = cd1.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_n1 WHERE rank <= 5) r1 " +
+      "ON ex.probe_id = r1.probe_id AND ex.neighbor_id = r1.neighbor_id " +
+      "LEFT JOIN (SELECT p.probe_id, a2.vec_id AS neighbor_id FROM ppc_n2 p " +
+      "JOIN a2 ON a2.k = p.k WHERE a2.vec_id >= 10) cd2 " +
+      "ON ex.probe_id = cd2.probe_id AND ex.neighbor_id = cd2.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_n2 WHERE rank <= 5) r2 " +
+      "ON ex.probe_id = r2.probe_id AND ex.neighbor_id = r2.neighbor_id " +
+      "LEFT JOIN (SELECT p.probe_id, a2.vec_id AS neighbor_id FROM ppc_n4 p " +
+      "JOIN a2 ON a2.k = p.k WHERE a2.vec_id >= 10) cd4 " +
+      "ON ex.probe_id = cd4.probe_id AND ex.neighbor_id = cd4.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_n4 WHERE rank <= 5) r4 " +
+      "ON ex.probe_id = r4.probe_id AND ex.neighbor_id = r4.neighbor_id " +
       "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the

@@ -30,6 +30,35 @@ class SimRecallSpec extends AnyFunSuite {
     assert(lsh <= 50 && ivf <= 50 && mrl <= 50)
   }
 
+  test("q_sim_recall_curve: candidate recall monotone in nprobe, ADC bounded by it") {
+    val rows = SparkEntry.queries("q_sim_recall_curve")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (c1, h1) = (r.getAs[Long]("cand_np1"), r.getAs[Long]("hits_np1"))
+      val (c2, h2) = (r.getAs[Long]("cand_np2"), r.getAs[Long]("hits_np2"))
+      val (c4, h4) = (r.getAs[Long]("cand_np4"), r.getAs[Long]("hits_np4"))
+      // the prune's recall ceiling is monotone BY CONSTRUCTION: a larger
+      // nprobe probes a superset of buckets
+      assert(c1 <= c2 && c2 <= c4, s"candidate recall not monotone: $r")
+      // an ADC hit is a candidate that also ranked — never more than the
+      // candidates the prune admitted
+      assert(h1 <= c1 && h2 <= c2 && h4 <= c4, s"hits exceed candidates: $r")
+      assert(c4 <= r.getAs[Long]("n_exact"))
+    }
+    // the curve is deterministic (exact integer arithmetic end to end) —
+    // measured at sf0.001: cand 41 -> 43 -> 47 of 50 STRICTLY rising
+    // while ADC hits sit at 15/15/16: the quality ceiling is the PQ
+    // quantization, not the prune. Pin the strict rise and the measured
+    // hit ordering; if these move, the trainer or the prune changed.
+    val (c1s, c4s) = (rows.map(_.getAs[Long]("cand_np1")).sum,
+      rows.map(_.getAs[Long]("cand_np4")).sum)
+    assert(c4s > c1s, s"nprobe=4 did not admit more true neighbors: $c1s -> $c4s")
+    val (h1s, h2s, h4s) = (rows.map(_.getAs[Long]("hits_np1")).sum,
+      rows.map(_.getAs[Long]("hits_np2")).sum,
+      rows.map(_.getAs[Long]("hits_np4")).sum)
+    assert(h1s <= h2s && h2s <= h4s, s"measured hit ordering moved: $h1s/$h2s/$h4s")
+  }
+
   test("q_sim_pq: ADC top-5 keeps a deterministic overlap with the exact top-5") {
     // PQ is a RANKING approximation, not a candidate filter, so its
     // quality gate is top-5 overlap with q_sim_topk rather than a
