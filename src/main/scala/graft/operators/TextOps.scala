@@ -119,6 +119,72 @@ object TextOps extends QueryFamily {
         concat(lit("<"), col("x"), lit("><"), col("y"), lit(">")).as("pat"),
         concat(lit("<"), col("x"), col("y"), lit(">")).as("mrg"))
 
+  /** The unigram-LM trainer's word-count base: distinct corpus words
+    * (whitespace tokens, length 1..24 — SentencePiece's
+    * max_sentencepiece_length analog, and the bound both engines'
+    * substring grids share) with corpus frequency. Heaps-law-sized. */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 24))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Seed unigram vocabulary: every substring of length 1..4 of every
+    * word, frequency-weighted by the word count; single chars always
+    * kept (coverage — the Viterbi can never get stuck), multi-char
+    * pieces need freq >= 2. Cost = round(-ln(freq/total)·1e6) as a
+    * BIGINT — the fixed-point trick that makes the DP exact integer
+    * arithmetic (the ln itself is the one 6-dp-grade IEEE call, the
+    * q_text_logprob determinism law). */
+  private def unigramSeedVocab(words: DataFrame): DataFrame = {
+    val pf = words
+      .select(col("cnt"), explode(expr(
+        "flatten(transform(sequence(0, length(w) - 1), i -> " +
+          "transform(sequence(1, least(4, length(w) - i)), " +
+          "l -> substr(w, i + 1, l))))")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+      .where(expr("length(piece) = 1 OR freq >= 2"))
+    val tot = pf.agg(sum("freq").as("tot"))
+    pf.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        expr("CAST(round(-ln(CAST(freq AS DOUBLE) / tot) * 1000000, 0) AS BIGINT)")
+          .as("cost"))
+  }
+
+  /** Viterbi segmentation of every word under a (piece, cost) vocabulary:
+    * integer min-cost DP over char positions (window = the max piece
+    * length 4), ties broken (cost, backptr) ascending so the LONGEST
+    * piece ending at a position wins — a stated total order the DuckDB
+    * oracle's recursive CTE implements identically. The vocabulary rides
+    * in ONE broadcast map row; the DP and backtrace are codegen'd HOFs
+    * over the word — map-side per distinct word, the corpus is never
+    * touched. Returns (w, cnt, seg, n_pieces, cost). */
+  private def unigramViterbi(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vm = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost")))).as("m"))
+    val big = "CAST(1000000000000 AS BIGINT)"
+    val dp = "aggregate(sequence(1, length(w)), " +
+      "array(struct(CAST(0 AS BIGINT) AS c, -1 AS b)), " +
+      "(acc, j) -> acc || array(array_min(transform(" +
+      "sequence(greatest(0, j - 4), j - 1), " +
+      "i -> struct(element_at(acc, i + 1).c + " +
+      s"coalesce(element_at(m, substr(w, i + 1, j - i)), $big) AS c, " +
+      "i AS b)))))"
+    val bt = "aggregate(sequence(1, length(w)), " +
+      "struct(length(w) AS pos, CAST(array() AS ARRAY<STRING>) AS parts), " +
+      "(st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE " +
+      "struct(element_at(dp, st.pos + 1).b AS pos, " +
+      "concat(array(substr(w, element_at(dp, st.pos + 1).b + 1, " +
+      "st.pos - element_at(dp, st.pos + 1).b)), st.parts) AS parts) END)"
+    words.crossJoin(broadcast(vm))
+      .withColumn("dp", expr(dp))
+      .withColumn("bt", expr(bt))
+      .select(col("w"), col("cnt"),
+        expr("array_join(bt.parts, ' ')").as("seg"),
+        expr("CAST(size(bt.parts) AS BIGINT)").as("n_pieces"),
+        expr("element_at(dp, length(w) + 1).c").as("cost"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer as a generator (explode) + global top-20 token counts.
     "q_text_tokenize" -> ((s, dir) =>
@@ -552,6 +618,53 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM tokenizer (SentencePiece's OTHER production family,
+    // next to the q_text_bpe trainer): seed vocabulary = every substring
+    // of length 1..4 over the word-count table (singles always kept for
+    // coverage; multi-char pieces need weighted freq >= 2), piece cost =
+    // the fixed-point integer round(-ln(freq/total)·1e6), then ONE exact
+    // EM round — E-step: Viterbi-segment every distinct word under the
+    // seed costs (integer DP, ties broken (cost, backptr) so the LONGEST
+    // piece wins — a stated total order both engines implement); M-step:
+    // re-estimate piece frequencies from the weighted segmentation
+    // counts, keep pieces that were used plus all single chars (char
+    // floor +1 — SentencePiece's coverage rule), recost. This key serves
+    // the M-step vocabulary; q_text_unigram_seg serves the E-step
+    // segmentations. Scale: the DP runs over the Heaps-law word-count
+    // table (never the corpus) under a broadcast vocab map — map-side
+    // after the one word-count shuffle.
+    "q_text_unigram" -> ((s, dir) => {
+      val words = unigramWords(s, dir)
+      val seed = unigramSeedVocab(words)
+      val used = unigramViterbi(words, seed)
+        .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("u"))
+      val survivors = seed
+        .select(col("piece"), length(col("piece")).cast("bigint").as("piece_len"))
+        .join(used, Seq("piece"), "left")
+        .withColumn("used_cnt", coalesce(col("u"), lit(0L)))
+        .withColumn("freq", col("used_cnt") +
+          when(col("piece_len") === 1, 1L).otherwise(0L))
+        .where(col("freq") > 0)
+      val tot = survivors.agg(sum("freq").as("ntot"))
+      survivors.crossJoin(broadcast(tot))
+        .select(col("piece"), col("piece_len"), col("used_cnt"),
+          expr("CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT)")
+            .as("cost"))
+        .orderBy("piece")
+    }),
+
+    // The E-step half: per distinct word, the Viterbi segmentation under
+    // the seed unigram model — segmentation string, piece count, and the
+    // exact integer path cost. See q_text_unigram for the model.
+    "q_text_unigram_seg" -> ((s, dir) => {
+      val words = unigramWords(s, dir)
+      unigramViterbi(words, unigramSeedVocab(words))
+        .select(col("w").as("word"), col("cnt"), col("seg"),
+          col("n_pieces"), col("cost"))
+        .orderBy("word")
+    }),
+
     // Binary-column plumbing: encode -> byte length, hexdump head, content
     // hash, base64 "frame sample" — the schema/ops a real media pipeline
     // runs before a decode UDF.
@@ -691,7 +804,66 @@ object TextOps extends QueryFamily {
     "FROM tok JOIN lex USING (w) WHERE length(w) > 0 " +
     "GROUP BY doc_id ORDER BY doc_id"
 
+  /** DuckDB mirror of the unigram-LM trainer through the E-step: word
+    * counts, the substring seed vocabulary with fixed-point costs, and
+    * the Viterbi DP as a RECURSIVE CTE — the working table carries the
+    * growing (costs, backptrs) lists per word, each step extends them by
+    * list_min over the ≤4-piece window ({'c', 'b'} structs compare
+    * lexicographically — the identical (cost, backptr) tie-break), then
+    * a second recursion walks the backptrs into the segmentation. Ends
+    * in `vit` (w, cnt, seg, n_pieces, cost). */
+  private val unigramOracleCtes: String =
+    "w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+    "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0 " +
+    "WHERE len(w) BETWEEN 1 AND 24 GROUP BY w), " +
+    "sub AS (SELECT substr(w, CAST(i + 1 AS INT), CAST(l AS INT)) AS piece, cnt " +
+    "FROM wc, range(24) t(i), range(1, 5) u(l) WHERE i + l <= len(w)), " +
+    "pf AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM sub " +
+    "GROUP BY piece HAVING len(piece) = 1 OR CAST(sum(cnt) AS BIGINT) >= 2), " +
+    "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM pf), " +
+    "vc AS (SELECT piece, freq, " +
+    "CAST(round(-ln(CAST(freq AS DOUBLE) / tot) * 1000000, 0) AS BIGINT) AS cost " +
+    "FROM pf, tot), " +
+    "vm AS (SELECT map(list(piece), list(cost)) AS m FROM vc), " +
+    "dp AS (SELECT w, cnt, 0 AS j, [CAST(0 AS BIGINT)] AS cs, " +
+    "[CAST(-1 AS INT)] AS bs FROM wc " +
+    "UNION ALL SELECT w, cnt, j + 1, " +
+    "list_append(cs, struct_extract(best, 'c')), " +
+    "list_append(bs, struct_extract(best, 'b')) FROM (" +
+    "SELECT w, cnt, j, cs, bs, list_min([{'c': cs[i + 1] + " +
+    "coalesce(m[substr(w, CAST(i + 1 AS INT), CAST(j + 1 - i AS INT))][1], " +
+    "CAST(1000000000000 AS BIGINT)), 'b': CAST(i AS INT)} " +
+    "for i in generate_series(greatest(0, j - 3), j)]) AS best " +
+    "FROM dp, vm WHERE j < len(w))), " +
+    "fin AS (SELECT w, cnt, cs, bs FROM dp WHERE j = len(w)), " +
+    "bt AS (SELECT w, cnt, cs, bs, len(w) AS pos, " +
+    "CAST([] AS VARCHAR[]) AS parts FROM fin " +
+    "UNION ALL SELECT w, cnt, cs, bs, bs[pos + 1] AS pos, " +
+    "list_prepend(substr(w, bs[pos + 1] + 1, pos - bs[pos + 1]), parts) " +
+    "FROM bt WHERE pos > 0), " +
+    "vit AS (SELECT w, cnt, array_to_string(parts, ' ') AS seg, " +
+    "CAST(len(parts) AS BIGINT) AS n_pieces, cs[len(w) + 1] AS cost " +
+    "FROM bt WHERE pos = 0)"
+
   def oracles: Map[String, String] = Map(
+    "q_text_unigram_seg" -> (s"WITH RECURSIVE $unigramOracleCtes " +
+      "SELECT w AS word, cnt, seg, n_pieces, cost FROM vit ORDER BY word"),
+
+    "q_text_unigram" -> (s"WITH RECURSIVE $unigramOracleCtes, " +
+      "used AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM " +
+      "(SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM vit) " +
+      "GROUP BY piece), " +
+      "sv AS (SELECT vc.piece, CAST(len(vc.piece) AS BIGINT) AS piece_len, " +
+      "CAST(coalesce(u.u, 0) AS BIGINT) AS used_cnt, " +
+      "CAST(coalesce(u.u, 0) + (CASE WHEN len(vc.piece) = 1 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS freq " +
+      "FROM vc LEFT JOIN used u ON vc.piece = u.piece), " +
+      "sv2 AS (SELECT * FROM sv WHERE freq > 0), " +
+      "ntot AS (SELECT CAST(sum(freq) AS BIGINT) AS ntot FROM sv2) " +
+      "SELECT piece, piece_len, used_cnt, " +
+      "CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT) AS cost " +
+      "FROM sv2, ntot ORDER BY piece"),
+
     "q_text_bpe" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_text_unigram / q_text_unigram_seg — the unigram-LM tokenizer's one
+  * exact EM round. The oracle certifies cross-engine arithmetic; this
+  * spec pins the STRUCTURAL theorems: segmentations reconstruct their
+  * words exactly, respect the max piece length, price correctly under
+  * the seed model, and the M-step's bookkeeping balances.
+  */
+class UnigramSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val segs =
+    SparkEntry.queries("q_text_unigram_seg")(spark, sf0001).collect()
+  private lazy val vocab =
+    SparkEntry.queries("q_text_unigram")(spark, sf0001).collect()
+
+  test("every Viterbi segmentation reconstructs its word, pieces <= 4 chars") {
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val word = r.getAs[String]("word")
+      val parts = r.getAs[String]("seg").split(' ')
+      assert(parts.mkString == word, s"'$word' segmented to '${r.getAs[String]("seg")}'")
+      assert(parts.forall(p => p.nonEmpty && p.length <= 4), s"bad piece in '$word'")
+      assert(r.getAs[Long]("n_pieces") == parts.length)
+      // the integer path cost of k pieces of a real model is positive
+      assert(r.getAs[Long]("cost") > 0 && r.getAs[Long]("cost") < 1000000000000L,
+        s"'$word' priced through the missing-piece sentinel")
+    }
+  }
+
+  test("Viterbi is optimal: no 2-piece split beats a kept 1-piece segmentation") {
+    // re-derive the seed costs exactly as the trainer does, in Scala,
+    // then check every single-piece word against all its binary splits —
+    // a direct optimality probe independent of both engines' DP code
+    val words = segs.map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    val freq = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, cnt) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      freq(w.substring(i, i + l)) += cnt
+    val kept = freq.filter { case (p, f) => p.length == 1 || f >= 2 }
+    val tot = kept.values.sum.toDouble
+    def cost(p: String): Long = kept.get(p).fold(1000000000000L)(f =>
+      math.round(-math.log(f / tot) * 1000000))
+    segs.filter(_.getAs[Long]("n_pieces") == 1).foreach { r =>
+      val w = r.getAs[String]("word")
+      if (w.length >= 2 && w.length <= 4) {
+        val c1 = r.getAs[Long]("cost")
+        (1 until w.length).foreach { k =>
+          assert(c1 <= cost(w.take(k)) + cost(w.drop(k)),
+            s"'$w' kept whole at $c1 but splitting at $k is cheaper")
+        }
+      }
+    }
+  }
+
+  test("M-step bookkeeping balances: used counts equal the segmentations") {
+    val counted = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    segs.foreach { r =>
+      r.getAs[String]("seg").split(' ').foreach(p =>
+        counted(p) += r.getAs[Long]("cnt"))
+    }
+    val served = vocab.map(r =>
+      r.getAs[String]("piece") -> r.getAs[Long]("used_cnt")).toMap
+    counted.foreach { case (p, c) =>
+      assert(served.get(p).contains(c), s"piece '$p': used $c vs served ${served.get(p)}")
+    }
+    // survivors are exactly: used pieces plus ALL single chars (coverage)
+    val chars = segs.flatMap(_.getAs[String]("word")).toSet
+    chars.foreach(c => assert(served.contains(c.toString), s"char '$c' dropped"))
+    served.foreach { case (p, u) =>
+      assert(u > 0 || p.length == 1, s"unused multi-char piece '$p' survived")
+    }
+  }
+
+  test("the trained model compresses: weighted pieces < weighted chars") {
+    val pieceCount = segs.map(r => r.getAs[Long]("cnt") * r.getAs[Long]("n_pieces")).sum
+    val charCount = segs.map(r => r.getAs[Long]("cnt") * r.getAs[String]("word").length).sum
+    assert(pieceCount < charCount,
+      s"unigram segmentation did not beat char-level: $pieceCount vs $charCount")
+  }
+}
