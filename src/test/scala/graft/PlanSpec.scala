@@ -628,6 +628,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!fin.contains("Join"), s"nearest as-of must not join:\n${fin.take(2000)}")
   }
 
+  test("q_multimodal_wave is map-only: decode + window stats shuffle only to sort") {
+    val p = plan("q_multimodal_wave")
+    // construct -> decode UDF -> explode windows -> array stats are all
+    // per-row; the ONLY exchange is the output ordering's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"audio windows must not hash-shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q_multimodal_hashrobust: one decode pass, one doc_id join, no cartesian") {
+    val df = SparkEntry.queries("q_multimodal_hashrobust")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // base and variant sides both scan the ONE localCheckpointed hash
+    // table; the pairing is a doc_id equi-join (broadcast or shuffled),
+    // never a cartesian, and nothing re-decodes (no BatchEvalPython-ish
+    // UDF nodes past the checkpoint scan)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2500))
+    assert("ExistingRDD|Scan ExistingRDD".r.findAllIn(p).nonEmpty, p.take(2500))
+  }
+
+  test("q_text_unigram_seg: the Viterbi rides ONE 1-row broadcast vocab map") {
+    val p = plan("q_text_unigram_seg")
+    // the word table crossJoins the single-row map frame (declared cross
+    // join => BroadcastNestedLoopJoin); the DP itself is HOF projections,
+    // so the only hash exchanges are the word-count and vocab aggregates
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
+  test("q_scan_manifest scans only the manifest-selected files") {
+    val df = SparkEntry.queries("q_scan_manifest")(spark, sf0001)
+    // the in-query require already certifies inputFiles ⊆ selection;
+    // here pin the magnitude: a 10% key band over 16 range-clustered
+    // files reads at most a quarter of the layout
+    val (dataPath, _) = operators.Warehouse.manifestPaths(sf0001)
+    val all = spark.read.parquet(dataPath).inputFiles.length
+    assert(all == 16, s"expected 16 layout files, got $all")
+    assert(df.inputFiles.length <= 4,
+      s"scan read ${df.inputFiles.length} of $all files")
+  }
+
   test("q_scan_zorder pushes both range dimensions into one parquet scan") {
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the user_id bounds there and the ts window via the Filter
