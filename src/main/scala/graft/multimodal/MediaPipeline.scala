@@ -1270,6 +1270,169 @@ object MediaPipeline {
       "FROM g GROUP BY doc_id, rate, n, (i * 4) // n " +
       "ORDER BY media_id, win"
 
+  // ---- Perceptual near-dup AUDIO dedup: energy-envelope delta-sign
+  // fingerprint over the real PCM decode + banded Hamming join ----
+
+  /** Two valid PCM WAVs per document: the original (media_id = 2·doc_id)
+    * and a NEAR-DUPLICATE variant (2·doc_id + 1) — every sample scaled
+    * by gain 2 (the remaster/normalization near-dup: the envelope
+    * fingerprint is PROVABLY invariant, because every window energy
+    * scales by exactly 4 and the delta signs compare unchanged), and for
+    * doc_id % 3 == 0 additionally +600 on the first eighth of the
+    * samples (the intro-edit local change that may flip a few early
+    * delta bits — the realistic re-cut). Samples stay within ±4600, far
+    * inside 16-bit range. */
+  def audioVariantBlobs(spark: SparkSession, sfDir: String): DataFrame = {
+    def le(e: String, n: Int) = leHex(e, n, "DIV")
+    val rate = "8000 * (1 + doc_id % 5)"
+    val s0 = "(((doc_id * 131 + i * 73) % 4001) - 2000)"
+    val sv = s"CASE WHEN v = 1 THEN 2 * $s0 + " +
+      s"(CASE WHEN doc_id % 3 = 0 AND i * 8 < n THEN 600 ELSE 0 END) " +
+      s"ELSE $s0 END"
+    val u = s"((($sv) + 65536) % 65536)"
+    val payload = "array_join(transform(sequence(0, CAST(n - 1 AS INT)), i -> " +
+      s"concat(lpad(hex(($u) % 256), 2, '0'), " +
+      s"lpad(hex(($u) DIV 256), 2, '0'))), '')"
+    val wav = Seq(
+      "'52494646'", le("36 + __len", 4), "'57415645'", "'666D7420'",
+      le("16", 4), le("1", 2), le("1", 2),
+      le(rate, 4), le(s"($rate) * 2", 4), le("2", 2), le("16", 2),
+      "'64617461'", le("__len", 4), payload).mkString("concat(", ", ", ")")
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("array(0, 1)")).as("v"))
+      .withColumn("n", expr("64 + (doc_id * 7) % 129"))
+      .withColumn("__len", expr("2 * n"))
+      .selectExpr("doc_id * 2 + v AS media_id", s"unhex($wav) AS content")
+  }
+
+  /** Decoded-and-fingerprinted in one pass (the [[decodeAhash]] fusion
+    * for sound): 64 window energies over the real PCM samples (window k
+    * covers i ∈ [(k·n+63) div 64, ((k+1)·n+63) div 64) — nonempty since
+    * n ≥ 64), bit k = E_k > E_{k−1} (bit 0 fixed 0), packed into two
+    * non-negative 32-bit halves. The chromaprint-lite envelope hash: a
+    * global gain change scales every energy by the same factor, so the
+    * delta SIGNS — and the whole fingerprint — are exactly invariant. */
+  case class AudioFp(rate: Int, n: Int, fp_hi: Long, fp_lo: Long)
+
+  private def audioFpOf(bytes: Array[Byte]): AudioFp = {
+    val p = decodeWav(bytes)
+    if (p == null || p.samples.length < 64) return null
+    val n = p.samples.length
+    val e = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      var i = (k * n + 63) / 64
+      val end = ((k + 1) * n + 63) / 64
+      var s = 0L
+      while (i < end) { val v = p.samples(i).toLong; s += v * v; i += 1 }
+      e(k) = s
+      k += 1
+    }
+    var hi = 0L; var lo = 0L
+    k = 1
+    while (k < 64) {
+      if (e(k) > e(k - 1)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    AudioFp(p.rate, n, hi, lo)
+  }
+
+  val decodeAudioFp = udf((bytes: Array[Byte]) => audioFpOf(bytes))
+
+  /** Near-duplicate AUDIO pairs over real decoded PCM — [[imageNearDups]]
+    * replayed for sound: fingerprint every clip (decode + envelope hash
+    * in one UDF pass), split the 64-bit hash into 4 sixteen-bit bands,
+    * equi-join on (band index, band value, sample_rate, n_samples) — the
+    * metadata prefilter — verify full Hamming ≤ 4 with two popcounts,
+    * pairs counted once at their lowest shared band (no DISTINCT). The
+    * same recall bound as the image family: 4 bands guarantee a shared
+    * band through Hamming 3; gain twins collide in all 4 by the
+    * invariance theorem. localCheckpoint is the same PLAN boundary
+    * (construct + decode must not re-inline per self-join side).
+    * Candidates bounded by band-bucket populations — never all-pairs. */
+  def audioNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = audioVariantBlobs(spark, sfDir)
+      .withColumn("d", decodeAudioFp(col("content")))
+      .selectExpr("media_id", "CAST(d.rate AS BIGINT) AS rate",
+        "CAST(d.n AS BIGINT) AS n", "d.fp_hi AS fp_hi", "d.fp_lo AS fp_lo")
+      .localCheckpoint()
+    val bandArr = "array(" +
+      "struct(0 AS bi, fp_lo % 65536 AS bv), " +
+      "struct(1 AS bi, fp_lo DIV 65536 AS bv), " +
+      "struct(2 AS bi, fp_hi % 65536 AS bv), " +
+      "struct(3 AS bi, fp_hi DIV 65536 AS bv))"
+    val bands = hashed
+      .select(col("media_id"), col("rate"), col("n"),
+        col("fp_hi"), col("fp_lo"), explode(expr(bandArr)).as("b"))
+      .select(col("media_id"), col("rate"), col("n"),
+        col("fp_hi"), col("fp_lo"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.select(col("media_id").as("media_a"),
+      col("fp_hi").as("hi_a"), col("fp_lo").as("lo_a"),
+      col("rate"), col("n"), col("bi"), col("bv"))
+    val b = bands.select(col("media_id").as("media_b"),
+      col("fp_hi").as("hi_b"), col("fp_lo").as("lo_b"),
+      col("rate"), col("n"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv", "rate", "n"))
+      .where(col("media_a") < col("media_b"))
+      .where(expr("bi = CASE WHEN lo_a % 65536 = lo_b % 65536 THEN 0 " +
+        "WHEN lo_a DIV 65536 = lo_b DIV 65536 THEN 1 " +
+        "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .where(col("hamming") <= 4)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** DuckDB mirror of [[audioNearDups]] — NO bytes, NO decode: the
+    * variant sample grids are arithmetic, so the oracle recomputes
+    * energies → delta bits → bands → lowest-band ownership → popcount
+    * from ground-truth integers (the [[imageDedupOracleSql]] pattern for
+    * sound; the delta compare reads E_{k−1} via lag over the window
+    * index). */
+  def audioDedupOracleSql: String =
+    "WITH m AS (SELECT doc_id, v.v, doc_id * 2 + v.v AS media_id, " +
+      "8000 * (1 + doc_id % 5) AS rate, 64 + (doc_id * 7) % 129 AS n " +
+      "FROM documents, (VALUES (0), (1)) v(v)), " +
+      "g AS (SELECT media_id, rate, n, t.i AS i, " +
+      "CASE WHEN v = 1 THEN 2 * (((doc_id * 131 + t.i * 73) % 4001) - 2000) + " +
+      "(CASE WHEN doc_id % 3 = 0 AND t.i * 8 < n THEN 600 ELSE 0 END) " +
+      "ELSE ((doc_id * 131 + t.i * 73) % 4001) - 2000 END AS s " +
+      "FROM m, range(192) t(i) WHERE t.i < m.n), " +
+      "e AS (SELECT media_id, rate, n, (i * 64) // n AS k, " +
+      "CAST(sum(s * s) AS BIGINT) AS ek " +
+      "FROM g GROUP BY media_id, rate, n, (i * 64) // n), " +
+      "bits AS (SELECT media_id, rate, n, k, " +
+      "CASE WHEN k >= 1 AND ek > lag(ek) OVER " +
+      "(PARTITION BY media_id ORDER BY k) THEN 1 ELSE 0 END AS bit " +
+      "FROM e), " +
+      "fp AS (SELECT media_id, rate, n, " +
+      "CAST(sum(CASE WHEN bit = 1 AND k >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi, " +
+      "CAST(sum(CASE WHEN bit = 1 AND k < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo " +
+      "FROM bits GROUP BY media_id, rate, n), " +
+      "bnd AS (SELECT media_id, rate, n, fp_hi, fp_lo, b.bi, " +
+      "CASE b.bi WHEN 0 THEN fp_lo % 65536 WHEN 1 THEN fp_lo // 65536 " +
+      "WHEN 2 THEN fp_hi % 65536 ELSE fp_hi // 65536 END AS bv " +
+      "FROM fp, (VALUES (0), (1), (2), (3)) b(bi)), " +
+      "p AS (SELECT a.media_id AS media_a, b2.media_id AS media_b, " +
+      "a.fp_hi AS hi_a, a.fp_lo AS lo_a, " +
+      "b2.fp_hi AS hi_b, b2.fp_lo AS lo_b, a.bi " +
+      "FROM bnd a JOIN bnd b2 ON a.bi = b2.bi AND a.bv = b2.bv " +
+      "AND a.rate = b2.rate AND a.n = b2.n " +
+      "AND a.media_id < b2.media_id) " +
+      "SELECT media_a, media_b, " +
+      "CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming " +
+      "FROM p WHERE bi = (CASE WHEN lo_a % 65536 = lo_b % 65536 THEN 0 " +
+      "WHEN lo_a // 65536 = lo_b // 65536 THEN 1 " +
+      "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END) " +
+      "AND bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4 " +
+      "ORDER BY media_a, media_b"
+
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT
     * length at byte 34), WAV fields little-endian — one projection

@@ -735,6 +735,16 @@ object TextOps extends QueryFamily {
     "q_multimodal_wave" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pcmWindows(s, dir)),
 
+    // perceptual near-dup AUDIO dedup over real decoded PCM: envelope
+    // delta-sign fingerprint -> 4x16-bit bands -> equi-join ->
+    // Hamming<=4 verify, pairs counted once at their lowest shared band
+    // (same recall bound as q_dedup_image: exact through Hamming 3).
+    // Gain twins are a theorem: scaling samples scales every window
+    // energy equally, so delta signs are invariant. See
+    // MediaPipeline.audioNearDups.
+    "q_dedup_audio" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.audioNearDups(s, dir)),
+
     // the published DCT pHash over the real ImageIO decode: 16x16 block
     // means -> integer 16-point DCT-II -> top-left 8x8 coefficients ->
     // upper-median threshold -> 64 bits. See MediaPipeline.pixelDctHash.
@@ -1046,6 +1056,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_header" -> graft.multimodal.MediaPipeline.headerOracleSql,
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
     "q_multimodal_wave" -> graft.multimodal.MediaPipeline.pcmOracleSql,
+    "q_dedup_audio" -> graft.multimodal.MediaPipeline.audioDedupOracleSql,
     "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
     "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
 

@@ -266,6 +266,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(riffGarbage.head.getBoolean(0))
   }
 
+  test("q_dedup_audio: gain twins ALL found at Hamming 0 (invariance theorem)") {
+    val pairs = SparkEntry.queries("q_dedup_audio")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    // scaling every sample by the gain scales every window energy by the
+    // gain squared, so every delta sign — and the whole envelope
+    // fingerprint — is exactly invariant: every non-intro-edited twin
+    // (doc_id % 3 != 0) MUST appear at distance exactly 0
+    val docs = Tables(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    docs.filter(_ % 3 != 0).foreach { d =>
+      assert(pairs.get((2 * d, 2 * d + 1)).contains(0L),
+        s"gain twin of doc $d missing or nonzero: ${pairs.get((2 * d, 2 * d + 1))}")
+    }
+    // intro-edited twins perturb only the first eighth's windows; the op
+    // must still find some of them within the radius
+    val editedFound = docs.filter(_ % 3 == 0)
+      .count(d => pairs.contains((2 * d, 2 * d + 1)))
+    assert(editedFound > 0, "no intro-edited twin survived the radius")
+    assert(pairs.values.forall(h => h >= 0 && h <= 4))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
   test("perceptual blob UDF bytes == SQL-hex construction, byte for byte") {
     import org.apache.spark.sql.functions.col
     // the hot path assembles BMP bytes in a UDF (the SQL-hex form costs
