@@ -1270,6 +1270,116 @@ object MediaPipeline {
       "FROM g GROUP BY doc_id, rate, n, (i * 4) // n " +
       "ORDER BY media_id, win"
 
+  // ---- Video frame pipeline: multi-frame container -> per-frame REAL
+  // decode -> temporal delta profile (scene-cut detection) ----
+
+  /** The "video" container for the frame family: a 4-byte little-endian
+    * frame count followed by 4 concatenated genuinely-valid 24-bpp BMPs
+    * (one per frame). Frame t's pixels drift slightly from t−1 (+5 per
+    * channel per frame), and at the doc's CUT point (frame 1 + doc_id%3)
+    * the content seed jumps by 1000 — a scene change. The frame walk,
+    * decode, and temporal profile all read the BYTES; the construction
+    * is a UDF for the same reason as [[grayBmpBytes]] (per-pixel SQL hex
+    * churn), and the oracle recomputes from the arithmetic grids, which
+    * certifies construct → container walk → per-frame real decode →
+    * temporal arithmetic end to end. */
+  private def videoBytes(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt; val h = (8 + (docId * 3) % 9).toInt
+    val ct = (1 + docId % 3).toInt
+    val pad = (4 - (w * 3) % 4) % 4
+    val dlen = (w * 3 + pad) * h
+    val fsz = 54 + dlen
+    val out = new Array[Byte](4 + 4 * fsz)
+    def le(off: Int, n: Int, value: Long): Unit = {
+      var i = 0
+      while (i < n) { out(off + i) = ((value >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    le(0, 4, 4) // frame count
+    var t = 0
+    while (t < 4) {
+      val o = 4 + t * fsz
+      out(o) = 'B'; out(o + 1) = 'M'
+      le(o + 2, 4, fsz.toLong); le(o + 10, 4, 54); le(o + 14, 4, 40)
+      le(o + 18, 4, w); le(o + 22, 4, h); le(o + 26, 2, 1); le(o + 28, 2, 24)
+      le(o + 34, 4, dlen); le(o + 38, 4, 2835); le(o + 42, 4, 2835)
+      val seed = docId + (if (t >= ct) 1000L else 0L)
+      var p = o + 54
+      var yy = h - 1
+      while (yy >= 0) {
+        var x = 0
+        while (x < w) {
+          out(p) = ((seed + 7 * x + 13 * yy + 5 * t) % 256).toByte
+          out(p + 1) = ((3 * seed + 11 * x + 5 * yy + 5 * t) % 256).toByte
+          out(p + 2) = ((5 * seed + 3 * x + 17 * yy + 5 * t) % 256).toByte
+          p += 3
+          x += 1
+        }
+        p += pad
+        yy -= 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  val videoBlob = udf((docId: Long) => videoBytes(docId))
+
+  /** Per-frame temporal profile over the REAL decode — the
+    * frame-sample/scene-cut pass a video training pipeline runs: parse
+    * the frame count and frame size FROM THE BYTES (the count from the
+    * container header, the size from frame 0's own BMP file-size field),
+    * slice each frame with a binary substring, decode it through ImageIO,
+    * and serve per frame the luma mass and the inter-frame delta energy
+    * Σ|luma_t − luma_{t−1}| — the scene-cut statistic (the cut frame's
+    * delta dwarfs the ±5 drift frames', and MediaPipelineSpec pins
+    * argmax(delta) == the constructed cut for every doc). MAP-ONLY: the
+    * consecutive frame pair decodes in the same row (two slices of the
+    * one blob), so there is no self-join and no window — the shape that
+    * survives a billion clips. */
+  def frameProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .select(col("doc_id").as("media_id"), videoBlob(col("doc_id")).as("content"))
+      // LE frame count (byte 1; <= 255 here) and frame size from frame
+      // 0's BMP header (LE file-size field at container bytes 7..10)
+      .withColumn("nf", expr("CAST(conv(hex(substring(content, 1, 1)), 16, 10) AS INT)"))
+      .withColumn("fh", expr("hex(substring(content, 7, 4))"))
+      .withColumn("fsz", expr("CAST(conv(concat(substr(fh, 7, 2), substr(fh, 5, 2), " +
+        "substr(fh, 3, 2), substr(fh, 1, 2)), 16, 10) AS INT)"))
+      .select(col("media_id"), col("content"), col("fsz"),
+        explode(expr("sequence(0, nf - 1)")).as("f"))
+      .withColumn("d1", decodeLuma(expr("substring(content, 5 + f * fsz, fsz)")))
+      .withColumn("d0", decodeLuma(expr(
+        "CASE WHEN f >= 1 THEN substring(content, 5 + (f - 1) * fsz, fsz) END")))
+      .selectExpr("media_id", "CAST(f AS BIGINT) AS frame",
+        "CAST(d1.w AS BIGINT) AS w", "CAST(d1.h AS BIGINT) AS h",
+        "aggregate(d1.luma, CAST(0 AS BIGINT), (a, v) -> a + v) AS luma_sum",
+        "CASE WHEN f >= 1 THEN aggregate(zip_with(d1.luma, d0.luma, " +
+          "(a, b) -> abs(a - b)), CAST(0 AS BIGINT), (a, v) -> a + v) END AS delta_sum")
+      .orderBy("media_id", "frame")
+
+  /** DuckDB mirror of [[frameProfile]] — NO bytes, NO decode: frame t's
+    * luma grid and frame t−1's are both arithmetic, so the oracle
+    * recomputes luma mass and delta energy from the (doc_id, t, x, y)
+    * formulas directly (no lag needed — the previous frame is just the
+    * formula at t−1). */
+  def frameOracleSql: String = {
+    def luma(t: String) =
+      s"299 * ((5 * (doc_id + (CASE WHEN ($t) >= ct THEN 1000 ELSE 0 END)) + 3 * xx.x + 17 * yy.y + 5 * ($t)) % 256) + " +
+      s"587 * ((3 * (doc_id + (CASE WHEN ($t) >= ct THEN 1000 ELSE 0 END)) + 11 * xx.x + 5 * yy.y + 5 * ($t)) % 256) + " +
+      s"114 * (((doc_id + (CASE WHEN ($t) >= ct THEN 1000 ELSE 0 END)) + 7 * xx.x + 13 * yy.y + 5 * ($t)) % 256)"
+    "WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h, " +
+      "1 + doc_id % 3 AS ct FROM documents), " +
+      "g AS (SELECT doc_id, w, h, ct, t.f AS f, " +
+      s"${luma("t.f")} AS l1, " +
+      s"CASE WHEN t.f >= 1 THEN ${luma("t.f - 1")} END AS l0 " +
+      "FROM d, range(4) t(f), range(16) xx(x), range(16) yy(y) " +
+      "WHERE xx.x < d.w AND yy.y < d.h) " +
+      "SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame, w, h, " +
+      "CAST(sum(l1) AS BIGINT) AS luma_sum, " +
+      "CASE WHEN f >= 1 THEN CAST(sum(abs(l1 - l0)) AS BIGINT) END AS delta_sum " +
+      "FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame"
+  }
+
   // ---- Perceptual near-dup AUDIO dedup: energy-envelope delta-sign
   // fingerprint over the real PCM decode + banded Hamming join ----
 

@@ -735,6 +735,13 @@ object TextOps extends QueryFamily {
     "q_multimodal_wave" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pcmWindows(s, dir)),
 
+    // the VIDEO analog: a multi-frame container walked from the bytes
+    // (frame count + per-frame BMP slices), each frame REALLY decoded
+    // through ImageIO, per-frame luma mass + inter-frame delta energy —
+    // the scene-cut statistic. See MediaPipeline.frameProfile.
+    "q_multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.frameProfile(s, dir)),
+
     // perceptual near-dup AUDIO dedup over real decoded PCM: envelope
     // delta-sign fingerprint -> 4x16-bit bands -> equi-join ->
     // Hamming<=4 verify, pairs counted once at their lowest shared band
@@ -1057,6 +1064,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_png" -> graft.multimodal.MediaPipeline.pngOracleSql,
     "q_multimodal_wave" -> graft.multimodal.MediaPipeline.pcmOracleSql,
     "q_dedup_audio" -> graft.multimodal.MediaPipeline.audioDedupOracleSql,
+    "q_multimodal_frames" -> graft.multimodal.MediaPipeline.frameOracleSql,
     "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
     "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
 

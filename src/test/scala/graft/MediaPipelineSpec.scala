@@ -289,6 +289,23 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("q_multimodal_frames: argmax inter-frame delta detects every constructed cut") {
+    val rows = SparkEntry.queries("q_multimodal_frames")(spark, sf0001).collect()
+    assert(rows.length == 2000, s"expected 500 docs x 4 frames, got ${rows.length}")
+    val byDoc = rows.groupBy(_.getAs[Long]("media_id"))
+    byDoc.foreach { case (id, fr) =>
+      assert(fr.length == 4, s"doc $id: ${fr.length} frames")
+      // frame 0 has no predecessor; frames 1..3 carry the delta
+      assert(fr.count(_.isNullAt(fr.head.fieldIndex("delta_sum"))) == 1)
+      // the scene-change frame's delta (content re-roll, ~85/channel avg)
+      // dwarfs the +-5 drift frames': argmax(delta) IS the constructed cut
+      val cut = fr.filter(!_.isNullAt(fr.head.fieldIndex("delta_sum")))
+        .maxBy(r => (r.getAs[Long]("delta_sum"), -r.getAs[Long]("frame")))
+        .getAs[Long]("frame")
+      assert(cut == 1 + id % 3, s"doc $id: detected cut $cut != ${1 + id % 3}")
+    }
+  }
+
   test("perceptual blob UDF bytes == SQL-hex construction, byte for byte") {
     import org.apache.spark.sql.functions.col
     // the hot path assembles BMP bytes in a UDF (the SQL-hex form costs
