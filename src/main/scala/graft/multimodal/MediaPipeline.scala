@@ -1270,6 +1270,58 @@ object MediaPipeline {
       "FROM g GROUP BY doc_id, rate, n, (i * 4) // n " +
       "ORDER BY media_id, win"
 
+  /** Integer SPECTROGRAM over the real PCM decode — the time-frequency
+    * feature pass between [[pcmWindows]]' time-domain triage and any
+    * audio fingerprint/ML feature (the MFCC precursor): the first 64
+    * decoded samples split into 4 frames of 16, each frame through the
+    * SAME 16-point integer DCT-II basis the image pHash uses ([[cos64]],
+    * cos·10⁴ exact literals shared verbatim with the oracle), serving
+    * per frame the DC coefficient and low/mid/high spectral-band masses
+    * Σ|X_k| — exact integers end to end, no trig and no float at query
+    * time. Everything after the decode UDF is codegen'd HOF arithmetic,
+    * MAP-ONLY until the output ordering (the [[pcmWindows]] shape).
+    * Frames are whole (n ≥ 64 by construction), so no ragged-tail rule
+    * is needed on either engine. */
+  def pcmSpectrogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ct = cos64.mkString("array(", "L, ", "L)")
+    val coef = "transform(sequence(0, 7), k -> aggregate(sequence(0, 15), " +
+      "CAST(0 AS BIGINT), (a, i) -> a + " +
+      "element_at(sm, CAST(frame * 16 + i + 1 AS INT)) * " +
+      s"element_at($ct, CAST(((2 * i + 1) * k) % 64 + 1 AS INT))))"
+    validWavBlobs(spark, sfDir)
+      .withColumn("p", decodePcm(col("content")))
+      .selectExpr("media_id", "slice(p.samples, 1, 64) AS sm")
+      .select(col("media_id"), col("sm"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(3 AS BIGINT))")).as("frame"))
+      .withColumn("coef", expr(coef))
+      .selectExpr("media_id", "frame",
+        "element_at(coef, 1) AS dc",
+        "abs(element_at(coef, 2)) + abs(element_at(coef, 3)) AS band_low",
+        "abs(element_at(coef, 4)) + abs(element_at(coef, 5)) + " +
+          "abs(element_at(coef, 6)) AS band_mid",
+        "abs(element_at(coef, 7)) + abs(element_at(coef, 8)) AS band_high")
+      .orderBy("media_id", "frame")
+  }
+
+  /** DuckDB mirror of [[pcmSpectrogram]] with NO bytes and NO decode:
+    * frame coefficients recomputed from the arithmetic (doc_id, i)
+    * sample formula and the same scaled-cosine table — a pass certifies
+    * construct → real javax.sound decode → integer DCT end to end. */
+  def spectroOracleSql: String =
+    "WITH g AS (SELECT doc_id, t.i // 16 AS frame, t.i % 16 AS j, " +
+      "((doc_id * 131 + t.i * 73) % 4001) - 2000 AS s " +
+      "FROM documents, range(64) t(i)), " +
+      s"ct AS (SELECT $cos64DuckLiteral AS c), " +
+      "coefs AS (SELECT doc_id, frame, k.k AS k, " +
+      "sum(s * c[((2 * j + 1) * k.k) % 64 + 1]) AS v " +
+      "FROM g, range(8) k(k), ct GROUP BY doc_id, frame, k.k) " +
+      "SELECT doc_id AS media_id, CAST(frame AS BIGINT) AS frame, " +
+      "CAST(sum(CASE WHEN k = 0 THEN v END) AS BIGINT) AS dc, " +
+      "CAST(sum(CASE WHEN k IN (1, 2) THEN abs(v) END) AS BIGINT) AS band_low, " +
+      "CAST(sum(CASE WHEN k IN (3, 4, 5) THEN abs(v) END) AS BIGINT) AS band_mid, " +
+      "CAST(sum(CASE WHEN k IN (6, 7) THEN abs(v) END) AS BIGINT) AS band_high " +
+      "FROM coefs GROUP BY doc_id, frame ORDER BY media_id, frame"
+
   // ---- Video frame pipeline: multi-frame container -> per-frame REAL
   // decode -> temporal delta profile (scene-cut detection) ----
 

@@ -665,6 +665,71 @@ object TextOps extends QueryFamily {
         .orderBy("word")
     }),
 
+    // The CONSUMER of the trained unigram LM: per-doc negative
+    // log-likelihood under the tokenizer's own piece model — the
+    // perplexity-style quality/token-budget score every LLM data
+    // pipeline runs over its corpus (CCNet's "LM filter" shape, here
+    // with the exact-integer fixed-point costs of q_text_unigram). The
+    // lexicon (distinct word → best segmentation's piece count + path
+    // cost) is Heaps-law sized and rides a BROADCAST join; the corpus
+    // pass is explode → broadcast-join → one doc_id shuffle — the
+    // q_text_bpe_encode scale shape: the corpus text is never rewritten
+    // and the Viterbi DP never sees it.
+    "q_text_ppl" -> ((s, dir) => {
+      val words = unigramWords(s, dir)
+      val lex = unigramViterbi(words, unigramSeedVocab(words))
+        .select("w", "n_pieces", "cost")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, 24))
+        .join(broadcast(lex), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_pieces"),
+          sum("cost").as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // PMI collocation mining — the association-strength pass of corpus
+    // analysis (the "New York" detector): adjacent lowercased token
+    // pairs, pointwise mutual information ln(P(x,y)/(P(x)P(y))) as the
+    // fixed-point integer round(ln(c_xy·T²/(P·c_x·c_y))·1e6) so both
+    // engines rank on exact integers, top 25 among pairs seen ≥ 5 times.
+    // Scale shape: ONE pair-count shuffle + one token-count shuffle over
+    // the corpus; the unigram counts are Heaps-law sized and join back
+    // onto the pair table BROADCAST twice (x then y); the totals ride a
+    // one-row broadcast. The integer product c_xy·T² is exact well past
+    // this corpus (≤ ~1e16 at sf0.1); at 100 TB the same statistic
+    // moves to log space (ln c_xy + 2·ln T − ln P − ln c_x − ln c_y)
+    // before the fixed-point rounding.
+    "q_text_collocations" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("a"))
+      val uni = toks.select(explode(col("a")).as("t"))
+        .where(length(col("t")) >= 1)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("t_total"))
+      val pairs = toks
+        .select(explode(expr(
+          "CASE WHEN size(a) < 2 THEN " +
+            "CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>) " +
+            "ELSE transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS x, element_at(a, i + 1) AS y)) END"))
+          .as("p"))
+        .where(length(col("p.x")) >= 1 && length(col("p.y")) >= 1)
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+      val pTot = pairs.agg(sum("c_xy").as("p_total"))
+      pairs.where(col("c_xy") >= 5)
+        .join(broadcast(uni.select(col("t").as("x"), col("c").as("c_x"))), "x")
+        .join(broadcast(uni.select(col("t").as("y"), col("c").as("c_y"))), "y")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(pTot))
+        .select(col("x"), col("y"), col("c_xy"),
+          expr("CAST(round(ln(CAST(c_xy * t_total * t_total AS DOUBLE) / " +
+            "(p_total * c_x * c_y)) * 1000000, 0) AS BIGINT)").as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y")).limit(25)
+    }),
+
     // Binary-column plumbing: encode -> byte length, hexdump head, content
     // hash, base64 "frame sample" — the schema/ops a real media pipeline
     // runs before a decode UDF.
@@ -764,6 +829,14 @@ object TextOps extends QueryFamily {
     // oracle-checked as integers. See MediaPipeline.hashRobustness.
     "q_multimodal_hashrobust" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.hashRobustness(s, dir)),
+
+    // integer SPECTROGRAM over the real PCM decode: 4 frames of 16
+    // samples through the shared 16-point integer DCT-II basis, per
+    // frame the DC coefficient + low/mid/high band masses — the
+    // time-frequency feature pass (MFCC precursor) after q_multimodal_
+    // wave's time-domain triage. See MediaPipeline.pcmSpectrogram.
+    "q_multimodal_spectro" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pcmSpectrogram(s, dir)),
   )
 
   /** DuckDB mirror of the BPE trainer: the identical word-count base,
@@ -880,6 +953,32 @@ object TextOps extends QueryFamily {
       "SELECT piece, piece_len, used_cnt, " +
       "CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT) AS cost " +
       "FROM sv2, ntot ORDER BY piece"),
+
+    "q_text_ppl" -> (s"WITH RECURSIVE $unigramOracleCtes, " +
+      "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_pieces) AS BIGINT) AS n_pieces, " +
+      "CAST(sum(cost) AS BIGINT) AS nll " +
+      "FROM dw JOIN vit USING (w) WHERE len(w) BETWEEN 1 AND 24 " +
+      "GROUP BY doc_id ORDER BY doc_id"),
+
+    // adjacency by zipped parallel unnest of the two shifted slices;
+    // same integer product inside ONE ln, same 1e-6 fixed point
+    "q_text_collocations" -> ("WITH toks AS (SELECT " +
+      "string_split(lower(text), ' ') AS a FROM documents), " +
+      "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(a) AS t FROM toks) WHERE len(t) >= 1 GROUP BY t), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM uni), " +
+      "pr AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM " +
+      "(SELECT unnest(a[1:len(a)-1]) AS x, unnest(a[2:len(a)]) AS y FROM toks) " +
+      "WHERE len(x) >= 1 AND len(y) >= 1 GROUP BY x, y), " +
+      "pt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS p_total FROM pr) " +
+      "SELECT x, y, c_xy, " +
+      "CAST(round(ln(CAST(c_xy * t_total * t_total AS DOUBLE) / " +
+      "(p_total * cx.c * cy.c)) * 1000000, 0) AS BIGINT) AS pmi " +
+      "FROM pr, tot, pt, uni cx, uni cy " +
+      "WHERE c_xy >= 5 AND cx.t = pr.x AND cy.t = pr.y " +
+      "ORDER BY pmi DESC, x, y LIMIT 25"),
 
     "q_text_bpe" -> bpeOracle(4),
     "q_text_bpe_encode" -> bpeEncodeOracle(4),
@@ -1067,6 +1166,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_frames" -> graft.multimodal.MediaPipeline.frameOracleSql,
     "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
     "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
+    "q_multimodal_spectro" -> graft.multimodal.MediaPipeline.spectroOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer
     "q_cluster_kmeans" -> (s"WITH $kmeansAssignCtes " +

@@ -128,6 +128,73 @@ object Warehouse extends QueryFamily {
   private[graft] def manifestPaths(dir: String): (String, String) =
     (scratch("mdata", dir), scratch("manifest", dir))
 
+  /** The q_scan_timetravel versioned-table root, for LakeSpec's
+    * file-sharing proof. Layout: `files/b=<bucket>` immutable data dirs
+    * plus `snapshots/v=<N>` manifest-list parquets of (path) rows. */
+  private[graft] def timeTravelRoot(dir: String): String = scratch("ttable", dir)
+
+  /** The q_scan_deletevector layout roots (data, delete vector), for
+    * LakeSpec's merge-on-read proof. */
+  private[graft] def deleteVectorPaths(dir: String): (String, String) =
+    (scratch("pddata", dir), scratch("pddv", dir))
+
+  /** Builds the versioned table once per (dir): orders hash-clustered
+    * into 4 immutable bucket files (o_orderkey % 4), then THREE snapshot
+    * manifests over the SAME files — v0 = buckets {0,1} (initial load),
+    * v1 = all four (an append commit: two new files, v0's untouched),
+    * v2 = v1 minus bucket 1 (a delete commit: METADATA-ONLY — no data
+    * file is rewritten or removed; v0 and v1 stay readable). This is the
+    * Iceberg/Delta snapshot shape: a commit writes a new manifest list
+    * over immutable files, and time travel is choosing which manifest to
+    * plan from. */
+  private def timeTravelLayout(s: SparkSession, dir: String): String = {
+    val root = timeTravelRoot(dir)
+    once(s, dir, "ttable") {
+      import s.implicits._
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 4).as("bucket"))
+      (0 to 3).foreach { b =>
+        base.where(col("bucket") === b).drop("bucket")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/files/b=$b")
+      }
+      def snap(v: Int, buckets: Seq[Int]): Unit =
+        buckets.map(b => s"$root/files/b=$b").toDF("path")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/snapshots/v=$v")
+      snap(0, Seq(0, 1)); snap(1, Seq(0, 1, 2, 3)); snap(2, Seq(0, 2, 3))
+    }
+    root
+  }
+
+  /** Builds the merge-on-read layout once per (dir): orders clustered
+    * into one file per bucket (o_orderkey % 8) with a PERSISTED row
+    * position (row_number within the bucket by o_orderkey — the _pos
+    * column of Iceberg v2 / Delta deletion vectors), plus the delete
+    * vector itself: the positions matched by a DELETE predicate
+    * (o_orderstatus = 'F' AND o_orderkey % 7 = 0), written as KB-scale
+    * (bucket, pos) rows. The data files are never rewritten — at 100 TB
+    * this is the difference between rewriting a TB-scale file to delete
+    * ten rows and writing a KB-scale vector beside it. */
+  private def deleteVectorLayout(s: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val (dataPath, dvPath) = deleteVectorPaths(dir)
+    once(s, dir, "posdel") {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), (col("o_orderkey") % 8).as("bucket"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("bucket").orderBy("o_orderkey")).cast("long"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dataPath)
+      // the DELETE: scan once with the predicate, persist positions only
+      s.read.parquet(dataPath)
+        .where(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0)
+        .select("bucket", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(dvPath)
+    }
+    (dataPath, dvPath)
+  }
+
   /** Builds the manifest-tracked layout once per (dir): orders
     * range-clustered on o_orderkey into 16 files, plus a MANIFEST table
     * of per-file (min_key, max_key, n_rows) — the Iceberg/Delta
@@ -258,6 +325,63 @@ object Warehouse extends QueryFamily {
       require(scanned.subsetOf(sel),
         s"scan read past the manifest selection: ${scanned.diff(sel)}")
       df
+    }),
+
+    // TIME TRAVEL over snapshot manifests (the Iceberg/Delta commit
+    // shape, one level above q_scan_manifest's data skipping): commits
+    // write new MANIFEST LISTS over immutable data files — v0 the
+    // initial load, v1 an append (v0's files untouched), v2 a delete
+    // that is METADATA-ONLY (the dropped file stays on disk; v0/v1 stay
+    // readable). Reading @v = read that manifest (O(files), driver-side
+    // planning like every lake format) and scan exactly its files. The
+    // query serves all three versions' aggregates side by side — the
+    // audit/reproduce-a-training-run read every versioned lake exists
+    // for. In-query assertion: the @v2 scan never touches the deleted
+    // bucket's file (the q_scan_manifest proof pattern). Version
+    // membership is bucket arithmetic (o_orderkey % 4), so the oracle
+    // recomputes each snapshot layout-independently.
+    "q_scan_timetravel" -> ((s, dir) => {
+      val root = timeTravelLayout(s, dir)
+      def readV(v: Int): DataFrame = {
+        val paths = s.read.parquet(s"$root/snapshots/v=$v")
+          .collect().map(_.getString(0)) // O(files): the plan step
+        s.read.parquet(paths.toIndexedSeq: _*)
+      }
+      val v2 = readV(2)
+      require(!v2.inputFiles.exists(_.contains("b=1")),
+        "v2 scan read the deleted bucket's file")
+      val out = (0 to 2).map { v =>
+        (if (v == 2) v2 else readV(v))
+          .agg(count(lit(1)).as("n_orders"),
+            big(count_distinct(col("o_custkey"))).as("n_cust"),
+            dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+          .select(lit(v.toLong).as("version"), col("n_orders"),
+            col("n_cust"), col("sum_price"))
+      }.reduce(_ unionByName _)
+      out.orderBy("version")
+    }),
+
+    // Positional DELETE VECTORS (Iceberg v2 / Delta deletion-vectors
+    // merge-on-read): a DELETE writes the matched (file, pos)
+    // coordinates as a KB-scale vector beside the data instead of
+    // rewriting data files; the scan applies the vector as a BROADCAST
+    // anti-join on the persisted position — O(deleted) state shipped to
+    // every task, data files immutable. At 100 TB: deleting ten rows
+    // from a TB file costs a KB write, and compaction (q_sink_compacted)
+    // eventually folds vectors into rewritten files in quiet windows.
+    // The delete predicate is row arithmetic, so the oracle recomputes
+    // the survivors layout-independently — a pass certifies the
+    // positions addressed exactly the predicate's rows.
+    "q_scan_deletevector" -> ((s, dir) => {
+      val (dataPath, dvPath) = deleteVectorLayout(s, dir)
+      val dv = s.read.parquet(dvPath)
+      s.read.parquet(dataPath)
+        .join(broadcast(dv), Seq("bucket", "pos"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          big(sum(col("o_orderkey") % 7)).as("sum_key_mod"),
+          dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
     }),
 
     // CSV source: header + explicit schema (never inferSchema — a
@@ -601,6 +725,27 @@ object Warehouse extends QueryFamily {
       "CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
       "FROM orders, mx WHERE o_orderkey BETWEEN mk // 10 AND mk // 5 " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // each snapshot recomputed from the bucket arithmetic — the oracle
+    // knows versions as predicates, never as file layouts
+    "q_scan_timetravel" -> ("SELECT v.version, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders, (VALUES (CAST(0 AS BIGINT)), (1), (2)) v(version) " +
+      "WHERE (v.version = 0 AND o_orderkey % 4 IN (0, 1)) " +
+      "OR v.version = 1 " +
+      "OR (v.version = 2 AND o_orderkey % 4 <> 1) " +
+      "GROUP BY v.version ORDER BY v.version"),
+
+    // survivors recomputed from the DELETE predicate directly: the
+    // positional vector must have addressed exactly those rows
+    "q_scan_deletevector" -> ("SELECT o_orderstatus, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(o_orderkey % 7) AS BIGINT) AS sum_key_mod, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
     "q_hive_table" -> ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
       "count(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +

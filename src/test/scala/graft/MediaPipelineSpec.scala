@@ -251,6 +251,34 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_spectro: coefficients are the scalar DCT of the real decode") {
+    // the oracle certifies Spark==DuckDB; this certifies both against a
+    // third, direct scalar evaluation of the same integer DCT — and the
+    // k=0 row is a THEOREM (cos(0)=1 scaled: dc = 10^4 * frame sum)
+    val rows = SparkEntry.queries("q_multimodal_spectro")(spark, sf0001)
+      .limit(80).collect()
+    assert(rows.length == 80)
+    def s(id: Long, i: Int): Long = ((id * 131 + i * 73) % 4001) - 2000
+    def cos(k: Int): Long = {
+      val half = Array[Long](10000, 9952, 9808, 9569, 9239, 8819, 8315,
+        7730, 7071, 6344, 5556, 4714, 3827, 2903, 1951, 980, 0, -980,
+        -1951, -2903, -3827, -4714, -5556, -6344, -7071, -7730, -8315,
+        -8819, -9239, -9569, -9808, -9952)
+      if (k < 32) half(k) else -half(k - 32)
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id"); val f = r.getAs[Long]("frame").toInt
+      def coef(k: Int): Long =
+        (0 until 16).map(i => s(id, f * 16 + i) * cos(((2 * i + 1) * k) % 64)).sum
+      assert(r.getAs[Long]("dc") == coef(0))
+      assert(r.getAs[Long]("dc") == (0 until 16).map(i => s(id, f * 16 + i)).sum * 10000L)
+      assert(r.getAs[Long]("band_low") == math.abs(coef(1)) + math.abs(coef(2)))
+      assert(r.getAs[Long]("band_mid") ==
+        math.abs(coef(3)) + math.abs(coef(4)) + math.abs(coef(5)))
+      assert(r.getAs[Long]("band_high") == math.abs(coef(6)) + math.abs(coef(7)))
+    }
+  }
+
   test("decodeWav rejects non-audio payloads (and decodePcm survives garbage)") {
     import org.apache.spark.sql.functions.col
     // arbitrary opaque bytes — including a 'RIFF' prefix with a garbage

@@ -80,4 +80,48 @@ class UnigramSpec extends AnyFunSuite {
     assert(pieceCount < charCount,
       s"unigram segmentation did not beat char-level: $pieceCount vs $charCount")
   }
+
+  test("q_text_ppl: the LM filter covers every doc and every word (no join loss)") {
+    import org.apache.spark.sql.functions._
+    val ppl = SparkEntry.queries("q_text_ppl")(spark, sf0001).collect()
+    // vocab coverage is a THEOREM (every distinct corpus word of length
+    // 1..24 is in the lexicon), so the broadcast join must be lossless:
+    // per-doc word counts equal the raw tokenization's
+    val raw = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")).between(1, 24))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    assert(ppl.length == raw.size, s"${ppl.length} docs served vs ${raw.size}")
+    ppl.foreach { r =>
+      assert(r.getAs[Long]("n_words") == raw(r.getAs[Long]("doc_id"))) // lossless
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("nll") > 0 && r.getAs[Long]("nll") < 1000000000000L,
+        "a doc priced through the missing-piece sentinel")
+    }
+  }
+
+  test("q_text_collocations: the served PMI is the scalar recompute from raw counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_collocations")(spark, sf0001).collect()
+    assert(rows.length == 25)
+    // pairs form over the RAW split array, then drop empty-token pairs —
+    // the exact adjacency rule both engines implement
+    val toks = Tables(spark, sf0001, "documents")
+      .select(split(lower(col("text")), " ").as("a")).collect()
+      .map(_.getSeq[String](0))
+    val uni = toks.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prs = toks.flatMap(a => a.sliding(2).collect {
+      case Seq(x, y) if x.nonEmpty && y.nonEmpty => (x, y)
+    }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = uni.values.sum; val p = prs.values.sum
+    rows.foreach { r =>
+      val (x, y, cxy) = (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[Long]("c_xy"))
+      assert(cxy >= 5 && prs((x, y)) == cxy, s"('$x','$y') count $cxy vs ${prs.get((x, y))}")
+      val pmi = math.round(math.log(
+        (cxy * t * t).toDouble / (p * uni(x) * uni(y))) * 1e6)
+      assert(r.getAs[Long]("pmi") == pmi, s"('$x','$y') pmi")
+    }
+  }
 }
