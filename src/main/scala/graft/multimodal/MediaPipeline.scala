@@ -1595,6 +1595,220 @@ object MediaPipeline {
       "AND bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 4 " +
       "ORDER BY media_a, media_b"
 
+  // ---- Perceptual near-dup VIDEO dedup: per-frame aHash sequence over
+  // the real container walk + decode, frame-equality candidate join ----
+
+  /** Two videos per document for the dedup family: the original
+    * (media_id = 2·doc_id) and a near-dup variant (2·doc_id + 1) — every
+    * frame's pixels brightness-shifted by +16 (the re-encode/tone twin:
+    * per-frame aHash is PROVABLY invariant, the q_dedup_image theorem
+    * per frame — values stay ≤ 215, no wrap, so the shift is exact),
+    * and for doc_id % 3 == 0 the LAST frame re-rolled (+5000 on the
+    * content seed — the "different outro" edit). Grayscale 24-bpp
+    * frames (luma exactly 1000·g) in the [[videoBytes]] container shape
+    * (4-byte LE frame count + concatenated valid BMPs), w,h ∈ 8..16. */
+  private def videoVariantBytes(docId: Long, v: Int): Array[Byte] = {
+    val w = (8 + docId % 9).toInt; val h = (8 + (docId * 3) % 9).toInt
+    val pad = (4 - (w * 3) % 4) % 4
+    val dlen = (w * 3 + pad) * h
+    val fsz = 54 + dlen
+    val out = new Array[Byte](4 + 4 * fsz)
+    def le(off: Int, n: Int, value: Long): Unit = {
+      var i = 0
+      while (i < n) { out(off + i) = ((value >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    le(0, 4, 4)
+    var t = 0
+    while (t < 4) {
+      val o = 4 + t * fsz
+      out(o) = 'B'; out(o + 1) = 'M'
+      le(o + 2, 4, fsz.toLong); le(o + 10, 4, 54); le(o + 14, 4, 40)
+      le(o + 18, 4, w); le(o + 22, 4, h); le(o + 26, 2, 1); le(o + 28, 2, 24)
+      le(o + 34, 4, dlen); le(o + 38, 4, 2835); le(o + 42, 4, 2835)
+      val base = docId * 59 + t * 17 +
+        (if (v == 1 && t == 3 && docId % 3 == 0) 5000L else 0L)
+      // the (docId DIV 180) slope breaks the mod-180 periodicity of the
+      // affine grid: without it every 180th doc is an EXACT pixel twin
+      // (same content class, same geometry cycle) and the fixture
+      // accidentally carries huge duplicate classes — 278k pairs at
+      // sf0.1 instead of the intended twins (measured before this term)
+      val slope = (docId / 180) * 53
+      var p = o + 54
+      var yy = h - 1
+      while (yy >= 0) {
+        var x = 0
+        while (x < w) {
+          val g = (20 + (base * 73 + slope * (x + yy) + x * 149L + yy * 211L) % 180 +
+            (if (v == 1) 16 else 0)).toByte
+          out(p) = g; out(p + 1) = g; out(p + 2) = g; p += 3
+          x += 1
+        }
+        p += pad
+        yy -= 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  val videoVariantBlob = udf((docId: Long, v: Int) => videoVariantBytes(docId, v))
+
+  def videoVariantBlobs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(expr("array(0, 1)")).as("v"))
+      .select(expr("doc_id * 2 + v").as("media_id"),
+        videoVariantBlob(col("doc_id"), col("v").cast("int")).as("content"))
+
+  /** Walk the container and hash every frame in ONE UDF pass (the
+    * [[decodeAhash]] fusion at the clip level): frame count from the
+    * container header, frame size from frame 0's own BMP file-size
+    * field, each frame sliced and REALLY decoded through ImageIO, each
+    * decode 8×8-block aHashed. Returns per-clip geometry plus the
+    * per-frame hash sequence — the video fingerprint. */
+  case class VideoFp(w: Int, h: Int, nf: Int, hi: Array[Long], lo: Array[Long])
+
+  private def videoFpOf(bytes: Array[Byte]): VideoFp = {
+    if (bytes == null || bytes.length < 66) return null
+    def le(off: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (bytes(off + i) & 0xff); i -= 1 }
+      v
+    }
+    val nf = le(0, 4).toInt
+    if (nf <= 0 || nf > 64) return null
+    val fsz = le(6, 4).toInt // frame 0's BMP file-size field
+    if (fsz < 54 || 4L + nf.toLong * fsz > bytes.length) return null
+    val hi = new Array[Long](nf); val lo = new Array[Long](nf)
+    var w = 0; var h = 0
+    var t = 0
+    while (t < nf) {
+      val d = decodeImage(java.util.Arrays.copyOfRange(bytes, 4 + t * fsz, 4 + (t + 1) * fsz))
+      if (d == null || d.w < 8 || d.h < 8) return null
+      w = d.w; h = d.h
+      val s8 = new Array[Long](64); val c8 = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val r8 = y * 8 / h * 8
+        var x = 0
+        while (x < w) {
+          val v = d.luma(y * w + x)
+          val k = r8 + x * 8 / w
+          s8(k) += v; c8(k) += 1; total += v
+          x += 1
+        }
+        y += 1
+      }
+      val np = w.toLong * h
+      var k = 0
+      while (k < 64) {
+        if (s8(k) * np > total * c8(k)) {
+          if (k >= 32) hi(t) |= 1L << (k - 32) else lo(t) |= 1L << k
+        }
+        k += 1
+      }
+      t += 1
+    }
+    VideoFp(w, h, nf, hi, lo)
+  }
+
+  val decodeVideoFp = udf((bytes: Array[Byte]) => videoFpOf(bytes))
+
+  /** Near-duplicate VIDEO pairs over the real per-frame decode — the
+    * modality triple's third leg ([[imageNearDups]], [[audioNearDups]],
+    * and now clips): candidates are EQUI-JOINS on an identical
+    * (frame index, frame hash) — the brightness twin collides on every
+    * frame by the invariance theorem, the outro-edited twin on frames
+    * 0..2 — plus the (w, h) geometry prefilter; the verify rule is
+    * n_equal_frames ≥ 3 of 4 computed from the carried hash sequences.
+    * Unlike the banded families' pigeonhole bound, this rule's recall
+    * is EXACT: any pair with ≥ 3 equal frames shares an equal frame, so
+    * the equi-join generates it. Pairs are counted once at their lowest
+    * shared equal frame (no DISTINCT); candidates are bounded by
+    * frame-hash bucket populations — never all-pairs. localCheckpoint
+    * is the family's standard plan boundary. */
+  def videoNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = videoVariantBlobs(spark, sfDir)
+      .withColumn("d", decodeVideoFp(col("content")))
+      .selectExpr("media_id", "CAST(d.w AS BIGINT) AS w",
+        "CAST(d.h AS BIGINT) AS h", "d.hi AS hi", "d.lo AS lo")
+      .localCheckpoint()
+    val frames = fp
+      .select(col("media_id"), col("w"), col("h"), col("hi"), col("lo"),
+        explode(expr("sequence(0, 3)")).as("t"))
+      .withColumn("fh", expr("element_at(hi, CAST(t + 1 AS INT))"))
+      .withColumn("fl", expr("element_at(lo, CAST(t + 1 AS INT))"))
+    val a = frames.selectExpr("media_id AS media_a", "w", "h", "t",
+      "fh", "fl", "hi AS hi_a", "lo AS lo_a")
+    val b = frames.selectExpr("media_id AS media_b", "w", "h", "t",
+      "fh", "fl", "hi AS hi_b", "lo AS lo_b")
+    def eq(i: Int) =
+      s"element_at(hi_a, $i) = element_at(hi_b, $i) AND " +
+        s"element_at(lo_a, $i) = element_at(lo_b, $i)"
+    a.join(b, Seq("t", "fh", "fl", "w", "h"))
+      .where(col("media_a") < col("media_b"))
+      .where(expr(s"t = CASE WHEN ${eq(1)} THEN 0 WHEN ${eq(2)} THEN 1 " +
+        s"WHEN ${eq(3)} THEN 2 ELSE 3 END"))
+      .withColumn("n_equal", expr("aggregate(sequence(1, 4), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + (CASE WHEN " +
+        "element_at(hi_a, CAST(i AS INT)) = element_at(hi_b, CAST(i AS INT)) AND " +
+        "element_at(lo_a, CAST(i AS INT)) = element_at(lo_b, CAST(i AS INT)) " +
+        "THEN 1 ELSE 0 END))"))
+      .where(col("n_equal") >= 3)
+      .withColumn("hamming", expr("aggregate(sequence(1, 4), CAST(0 AS BIGINT), " +
+        "(acc, i) -> acc + bit_count(element_at(hi_a, CAST(i AS INT)) ^ " +
+        "element_at(hi_b, CAST(i AS INT))) + " +
+        "bit_count(element_at(lo_a, CAST(i AS INT)) ^ " +
+        "element_at(lo_b, CAST(i AS INT))))"))
+      .select("media_a", "media_b", "n_equal", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** DuckDB mirror of [[videoNearDups]] — NO bytes, NO decode: every
+    * frame's grayscale grid is arithmetic, so the oracle recomputes
+    * block means → aHash bits → per-frame fingerprints, finds candidate
+    * pairs by its own DISTINCT frame-equality join, and re-aggregates
+    * equal-frame counts and total Hamming from the full sequences — an
+    * independent formulation whose result must match the ownership
+    * formulation exactly. */
+  def videoDedupOracleSql: String =
+    "WITH m AS (SELECT doc_id, v.v, doc_id * 2 + v.v AS media_id, " +
+      "8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h " +
+      "FROM documents, (VALUES (0), (1)) v(v)), " +
+      "px AS (SELECT media_id, w, h, t.t AS t, xx.x AS x, yy.y AS y, " +
+      "20 + ((doc_id * 59 + t.t * 17 + (CASE WHEN v = 1 AND t.t = 3 " +
+      "AND doc_id % 3 = 0 THEN 5000 ELSE 0 END)) * 73 " +
+      "+ (doc_id // 180) * 53 * (xx.x + yy.y) " +
+      "+ xx.x * 149 + yy.y * 211) % 180 " +
+      "+ (CASE WHEN v = 1 THEN 16 ELSE 0 END) AS g " +
+      "FROM m, range(4) t(t), range(16) xx(x), range(16) yy(y) " +
+      "WHERE xx.x < m.w AND yy.y < m.h), " +
+      "bl AS (SELECT media_id, w, h, t, ((y * 8) // h) * 8 + (x * 8) // w AS k, " +
+      "CAST(sum(1000 * g) AS BIGINT) AS sk, CAST(count(*) AS BIGINT) AS ck " +
+      "FROM px GROUP BY media_id, w, h, t, ((y * 8) // h) * 8 + (x * 8) // w), " +
+      "tt AS (SELECT media_id, t, CAST(sum(sk) AS BIGINT) AS total " +
+      "FROM bl GROUP BY media_id, t), " +
+      "fp AS (SELECT bl.media_id, w, h, bl.t, " +
+      "CAST(sum(CASE WHEN sk * (w * h) > total * ck AND k >= 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS fh, " +
+      "CAST(sum(CASE WHEN sk * (w * h) > total * ck AND k < 32 " +
+      "THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS fl " +
+      "FROM bl JOIN tt ON bl.media_id = tt.media_id AND bl.t = tt.t " +
+      "GROUP BY bl.media_id, w, h, bl.t), " +
+      "cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b " +
+      "FROM fp a JOIN fp b ON a.t = b.t AND a.fh = b.fh AND a.fl = b.fl " +
+      "AND a.w = b.w AND a.h = b.h AND a.media_id < b.media_id), " +
+      "j AS (SELECT c.media_a, c.media_b, fa.fh AS fha, fa.fl AS fla, " +
+      "fb.fh AS fhb, fb.fl AS flb " +
+      "FROM cand c JOIN fp fa ON fa.media_id = c.media_a " +
+      "JOIN fp fb ON fb.media_id = c.media_b AND fb.t = fa.t), " +
+      "agg AS (SELECT media_a, media_b, " +
+      "CAST(sum(CASE WHEN fha = fhb AND fla = flb THEN 1 ELSE 0 END) AS BIGINT) AS n_equal, " +
+      "CAST(sum(bit_count(xor(fha, fhb)) + bit_count(xor(fla, flb))) AS BIGINT) AS hamming " +
+      "FROM j GROUP BY media_a, media_b) " +
+      "SELECT media_a, media_b, n_equal, hamming FROM agg " +
+      "WHERE n_equal >= 3 ORDER BY media_a, media_b"
+
   /** Parsed projection for the mixed-endianness family: PNG fields read
     * BIG-endian (width/height/depth/color at the IHDR offsets, the IDAT
     * length at byte 34), WAV fields little-endian — one projection

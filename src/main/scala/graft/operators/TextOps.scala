@@ -830,6 +830,15 @@ object TextOps extends QueryFamily {
     "q_multimodal_hashrobust" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.hashRobustness(s, dir)),
 
+    // perceptual near-dup VIDEO dedup — the modality triple's third leg:
+    // per-frame aHash sequence over the real container walk + ImageIO
+    // decode, equi-join candidates on an identical (frame index, frame
+    // hash), verify n_equal_frames >= 3 of 4 — recall EXACT (any such
+    // pair shares an equal frame). Brightness twins collide on every
+    // frame by the q_dedup_image theorem. See MediaPipeline.videoNearDups.
+    "q_dedup_video" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.videoNearDups(s, dir)),
+
     // integer SPECTROGRAM over the real PCM decode: 4 frames of 16
     // samples through the shared 16-point integer DCT-II basis, per
     // frame the DC coefficient + low/mid/high band masses — the
@@ -1167,6 +1176,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
     "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
     "q_multimodal_spectro" -> graft.multimodal.MediaPipeline.spectroOracleSql,
+    "q_dedup_video" -> graft.multimodal.MediaPipeline.videoDedupOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer
     "q_cluster_kmeans" -> (s"WITH $kmeansAssignCtes " +

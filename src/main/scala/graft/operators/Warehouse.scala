@@ -361,6 +361,41 @@ object Warehouse extends QueryFamily {
       out.orderBy("version")
     }),
 
+    // SNAPSHOT DIFF — the incremental-consumer read over the versioned
+    // table (the Delta CDF / Iceberg incremental-scan shape): the delta
+    // between two snapshots is the DIFF OF THEIR MANIFEST LISTS
+    // (O(files), driver-side planning — no data is compared), and the
+    // consumer reads ONLY the added/removed files: v0→v1's appended
+    // buckets serve as inserts, v1→v2's dropped bucket as deletes. At
+    // 100 TB a downstream sync job consuming this never scans the
+    // table — it reads the handful of files the commit touched. The
+    // in-query assertion pins that: the union's scan inputs are exactly
+    // the diffed files. Membership is bucket arithmetic, so the oracle
+    // recomputes both deltas layout-independently.
+    "q_scan_snapshotdiff" -> ((s, dir) => {
+      val root = timeTravelLayout(s, dir)
+      def paths(v: Int): Set[String] =
+        s.read.parquet(s"$root/snapshots/v=$v")
+          .collect().map(_.getString(0)).toSet // O(files): the plan step
+      val (v0, v1, v2) = (paths(0), paths(1), paths(2))
+      def delta(files: Set[String], fromV: Int, toV: Int, change: String) = {
+        require(files.nonEmpty, s"empty manifest diff v$fromV -> v$toV")
+        val df = s.read.parquet(files.toSeq: _*)
+        require(df.inputFiles.forall(f => files.exists(p =>
+          f.contains(p.split('/').last))),
+          s"delta scan read past the manifest diff v$fromV -> v$toV")
+        df.agg(count(lit(1)).as("n_rows"),
+            big(count_distinct(col("o_custkey"))).as("n_cust"),
+            dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+          .select(lit(fromV.toLong).as("from_version"),
+            lit(toV.toLong).as("to_version"), lit(change).as("change"),
+            col("n_rows"), col("n_cust"), col("sum_price"))
+      }
+      delta(v1.diff(v0), 0, 1, "insert")
+        .unionByName(delta(v1.diff(v2), 1, 2, "delete"))
+        .orderBy("from_version")
+    }),
+
     // Positional DELETE VECTORS (Iceberg v2 / Delta deletion-vectors
     // merge-on-read): a DELETE writes the matched (file, pos)
     // coordinates as a KB-scale vector beside the data instead of
@@ -736,6 +771,19 @@ object Warehouse extends QueryFamily {
       "OR v.version = 1 " +
       "OR (v.version = 2 AND o_orderkey % 4 <> 1) " +
       "GROUP BY v.version ORDER BY v.version"),
+
+    // both deltas recomputed from bucket membership — the oracle never
+    // sees files, only the arithmetic the commits were built from
+    "q_scan_snapshotdiff" -> ("SELECT d.from_version, d.to_version, d.change, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders, (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'insert'), " +
+      "(1, 2, 'delete')) d(from_version, to_version, change) " +
+      "WHERE (d.change = 'insert' AND o_orderkey % 4 IN (2, 3)) " +
+      "OR (d.change = 'delete' AND o_orderkey % 4 = 1) " +
+      "GROUP BY d.from_version, d.to_version, d.change " +
+      "ORDER BY d.from_version"),
 
     // survivors recomputed from the DELETE predicate directly: the
     // positional vector must have addressed exactly those rows

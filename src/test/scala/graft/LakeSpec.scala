@@ -50,6 +50,19 @@ class LakeSpec extends AnyFunSuite {
     assert(out(2L) == out(1L) - byBucket(1L))
   }
 
+  test("snapshot diff: the delta read reconciles the versions it bridges") {
+    // the CDF contract: v0 + inserts == v1, v1 - deletes == v2, all in
+    // row counts served by the two reads themselves
+    val tt = SparkEntry.queries("q_scan_timetravel")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_orders")).toMap
+    val d = SparkEntry.queries("q_scan_snapshotdiff")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("change") -> r.getAs[Long]("n_rows")).toMap
+    assert(tt(0L) + d("insert") == tt(1L),
+      s"v0 ${tt(0L)} + inserts ${d("insert")} != v1 ${tt(1L)}")
+    assert(tt(1L) - d("delete") == tt(2L),
+      s"v1 ${tt(1L)} - deletes ${d("delete")} != v2 ${tt(2L)}")
+  }
+
   test("delete vector: one file per bucket, O(deleted) state, broadcast anti-join") {
     val df = SparkEntry.queries("q_scan_deletevector")(spark, sf0001)
     df.collect() // build

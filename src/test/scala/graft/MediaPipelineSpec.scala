@@ -279,6 +279,26 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_video: every brightness twin found; edits keep exactly 3 frames") {
+    val pairs = SparkEntry.queries("q_dedup_video")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        (r.getAs[Long]("n_equal"), r.getAs[Long]("hamming"))).toMap
+    val nDocs = Tables(spark, sf0001, "documents").count()
+    (0L until nDocs).foreach { d =>
+      val got = pairs.get((2 * d, 2 * d + 1))
+      assert(got.isDefined, s"twin pair for doc $d missed")
+      val (nEq, ham) = got.get
+      if (d % 3 == 0) {
+        // outro edit: frames 0..2 exactly equal (invariance theorem),
+        // frame 3 re-rolled — found through the equal prefix
+        assert(nEq == 3, s"doc $d: edited twin served n_equal $nEq")
+        assert(ham > 0, s"doc $d: re-rolled outro hashed identical")
+      } else
+        assert(nEq == 4 && ham == 0,
+          s"doc $d: +16 brightness twin not hash-identical ($nEq, $ham)")
+    }
+  }
+
   test("decodeWav rejects non-audio payloads (and decodePcm survives garbage)") {
     import org.apache.spark.sql.functions.col
     // arbitrary opaque bytes — including a 'RIFF' prefix with a garbage
