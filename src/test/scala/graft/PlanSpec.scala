@@ -672,6 +672,40 @@ class PlanSpec extends AnyFunSuite {
       s"scan read ${df.inputFiles.length} of $all files")
   }
 
+  test("q_multimodal_spectro is map-only: no join, no hash exchange") {
+    // decode + DCT are per-row; the only exchange the plan may carry is
+    // the output ordering's range partitioning
+    val p = plan("q_multimodal_spectro")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("q_text_ppl serves the corpus through a broadcast lexicon join") {
+    // the word -> (n_pieces, cost) lexicon is Heaps-law sized: the
+    // corpus-side join must be broadcast, never a corpus shuffle on the
+    // word (the only SMJ-free shape that survives 100 TB of text)
+    val p = plan("q_text_ppl")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_text_collocations joins unigram counts broadcast, totals one-row") {
+    val p = plan("q_text_collocations")
+    // two broadcast joins (c_x, c_y onto the pair table); the scalar
+    // totals ride one-row IdentityBroadcastMode nested-loop sides
+    assert(p.split("BroadcastHashJoin").length >= 3, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
+  test("q_dedup_video candidates ride the frame-hash equi-join, no cartesian") {
+    val p = plan("q_dedup_video")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
   test("q_scan_zorder pushes both range dimensions into one parquet scan") {
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the user_id bounds there and the ts window via the Filter
