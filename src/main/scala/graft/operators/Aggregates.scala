@@ -450,6 +450,35 @@ object Aggregates extends QueryFamily {
           "lang", "n_docs")
         .orderBy("source", "lang")),
 
+    // Per-group OLS trend (regr_slope's exact-sum formulation): the
+    // value trend per event_type over time — the metric-drift pass of
+    // any monitoring stack. The five sufficient statistics (n, Σx, Σy,
+    // Σxy, Σx²) aggregate as EXACT integers (x = whole hours since a
+    // fixed epoch, y = the 6-dp value scaled to micros through DECIMAL),
+    // so the shuffle is order-independent; the one float boundary is
+    // the final slope division, the same IEEE op sequence in both
+    // engines, served floor-scaled like the BM25 micros. Built-in
+    // regr_slope aggregates doubles in shuffle order — nondeterministic
+    // across engines AND across runs at scale — which is why the
+    // sufficient-statistic form is the one that survives 100 TB.
+    "q_agg_linreg" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val y = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+      Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS x", s"$y AS y")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .withColumn("slope_micros", expr(
+          "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .orderBy("event_type")
+    }),
+
     // Mode (most frequent value) per group, deterministic tiebreak
     // (count desc, then value asc) — two-phase: hash-agg the counts
     // (partial+final, shuffle on both keys), then a per-group top-1
@@ -491,6 +520,22 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // the same exact integer sufficient statistics; the one float op is
+    // the final slope division, mirrored term by term
+    "q_agg_linreg" -> ("WITH e AS (SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS x, " +
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y FROM events), " +
+      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx " +
+      "FROM e GROUP BY event_type) " +
+      "SELECT event_type, n, sx, sy, sxy, sxx, " +
+      "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+      "AS slope_micros FROM s ORDER BY event_type"),
 
     "q_agg_approxdistinct" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +

@@ -104,6 +104,29 @@ object SearchQueries extends QueryFamily {
         InvertedIndex.conjunctive(s, root, Seq("spark", "merge", "window")))
     }),
 
+    // ES terms AGGREGATIONS (facets) over the FULL match set — the
+    // analytics half of every search product: hits for one term come
+    // from the index's term-pruned postings (never a corpus text scan),
+    // then per-field bucket counts over the hits' metadata. The
+    // metadata join on doc_id is the doc-values analog (ES keeps
+    // columnar per-field values beside the postings; here the columnar
+    // store IS the documents parquet, projected to the two facet
+    // fields). Unlike the top-k serve queries, aggs run over ALL
+    // matching docs — the shape that turns a search index into a
+    // dashboard. One stack() unpivot serves both facet fields from a
+    // single join pass.
+    "q_search_facets" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      val hits = InvertedIndex.conjunctive(s, root, Seq("spark"))
+        .select("doc_id")
+      hits.join(Tables(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id")
+        .selectExpr("stack(2, 'lang', lang, 'source', source) AS (facet, val)")
+        .groupBy("facet", "val")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("facet", "val")
+    }),
+
     // Prefix wildcard "s*": capped term expansion against the lexicon
     // (6 fixture terms), then one term-pruned postings aggregation —
     // the Lucene rewrite model, served from the index alone.
@@ -216,6 +239,17 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"),
+
+    // the full-match-set facet recompute: membership from the raw text,
+    // buckets from the same two metadata fields
+    "q_search_facets" ->
+      ("WITH hit AS (SELECT doc_id, lang, source FROM documents " +
+        "WHERE list_contains(string_split(text, ' '), 'spark')), " +
+        "u AS (SELECT 'lang' AS facet, lang AS val, count(*) AS n FROM hit " +
+        "GROUP BY lang " +
+        "UNION ALL SELECT 'source', source, count(*) FROM hit GROUP BY source) " +
+        "SELECT facet, val, CAST(n AS BIGINT) AS n_docs FROM u " +
+        "ORDER BY facet, val"),
 
     "q_search_wildcard" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +

@@ -283,4 +283,27 @@ class SearchSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("already has a committed version"))
   }
+
+  test("facets: hits ride the postings, metadata never reads the corpus text") {
+    val df = SparkEntry.queries("q_search_facets")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the match set comes from the index's term-pruned postings scan
+    // (the segment path; the term filter pushed into it), not a text
+    // scan; the doc-values-analog metadata join projects (doc_id, lang,
+    // source) only — the text column never leaves disk
+    assert(p.contains("seg-") && p.contains("EqualTo(tok,spark)"), p.take(3000))
+    val docScans = p.split('\n').filter(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema"))
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      docScans.mkString("\n"))
+    // and the buckets cover the full match set: totals across each
+    // facet equal a direct corpus recompute of the term's doc count
+    val hits = Tables(spark, TestSpark.sf0001, "documents")
+      .where(org.apache.spark.sql.functions.expr(
+        "array_contains(split(text, ' '), 'spark')")).count()
+    val byFacet = df.collect()
+      .groupBy(_.getAs[String]("facet"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byFacet.values.forall(_ == hits), s"$byFacet vs $hits hits")
+  }
 }
