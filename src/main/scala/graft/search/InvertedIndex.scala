@@ -583,6 +583,17 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
+  /** Every hit's FIRST occurrence position for one term, straight from
+    * the positional postings (the lists are sorted, so element 1 IS the
+    * first occurrence) — the locate half of highlighting: the index
+    * answers WHERE the match is; only the snippet render touches stored
+    * text. Term-pruned postings scan, no text read here. */
+  def firstPositions(spark: SparkSession, root: String,
+      term: String): DataFrame =
+    postings(spark, root).where(col("tok") === term)
+      .select(col("doc_id"),
+        expr("CAST(element_at(positions, 1) AS BIGINT)").as("first_pos"))
+
   /** Positional phrase query `"t1 t2"` from the index alone: explode the
     * two terms' position lists and count adjacent pairs per document.
     * Both sides are term-pruned postings scans (tiny after pushdown);

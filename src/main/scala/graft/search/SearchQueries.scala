@@ -127,6 +127,26 @@ object SearchQueries extends QueryFamily {
         .orderBy("facet", "val")
     }),
 
+    // HIGHLIGHTING — the serve-side snippet render: the index's
+    // positional postings answer WHERE each hit's first match sits
+    // (positions are sorted, element 1 IS the first occurrence — no
+    // text scan to locate), and only the ±2-token snippet render joins
+    // the stored text (the ES stored-fields/_source analog, same
+    // doc-values join shape as q_search_facets). At 100 TB the locate
+    // stays a term-pruned postings scan and the text join touches only
+    // hit docs — never a corpus re-analysis.
+    "q_search_highlight" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      InvertedIndex.firstPositions(s, root, "spark")
+        .join(Tables(s, dir, "documents").select("doc_id", "text"), "doc_id")
+        .withColumn("a", split(col("text"), " "))
+        .selectExpr("doc_id", "first_pos",
+          "array_join(slice(a, CAST(greatest(1, first_pos - 2) AS INT), " +
+            "CAST(least(CAST(size(a) AS BIGINT), first_pos + 2) - " +
+            "greatest(1, first_pos - 2) + 1 AS INT)), ' ') AS snippet")
+        .orderBy("doc_id")
+    }),
+
     // Prefix wildcard "s*": capped term expansion against the lexicon
     // (6 fixture terms), then one term-pruned postings aggregation —
     // the Lucene rewrite model, served from the index alone.
@@ -239,6 +259,18 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"),
+
+    // first occurrence from the raw split (list_position is 1-based,
+    // matching the index's 1-based sorted positions), same snippet slice
+    "q_search_highlight" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), " +
+        "h AS (SELECT doc_id, a, " +
+        "CAST(list_position(a, 'spark') AS BIGINT) AS first_pos " +
+        "FROM d WHERE list_contains(a, 'spark')) " +
+        "SELECT doc_id, first_pos, " +
+        "array_to_string(a[CAST(greatest(1, first_pos - 2) AS INT):" +
+        "CAST(least(len(a), first_pos + 2) AS INT)], ' ') AS snippet " +
+        "FROM h ORDER BY doc_id"),
 
     // the full-match-set facet recompute: membership from the raw text,
     // buckets from the same two metadata fields
