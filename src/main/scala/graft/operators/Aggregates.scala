@@ -479,6 +479,43 @@ object Aggregates extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Welch's two-sample t per segment (finished vs open order prices) —
+    // the A/B-readout pass, built the q_agg_linreg way: per-group
+    // sufficient statistics (n, Σy, Σy²) aggregate as EXACT integers
+    // (y = whole dollars via floor on the exact DECIMAL — decimal→long
+    // CASTS disagree across engines, truncate vs round, so floor is
+    // explicit), then ONE identical IEEE chain for the statistic. Σy²
+    // stays ≤ ~4·10¹⁵ at sf0.1 (dollar scaling is what keeps the exact
+    // path in BIGINT; cents would overflow and force a decimal→double
+    // boundary DuckDB rounds differently past 2^53 — the r12 lesson).
+    "q_agg_ttest" -> ((s, dir) => {
+      val y = "CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT)"
+      val o = Tables(s, dir, "orders"); val c = Tables(s, dir, "customer")
+      val stats = o.join(c, o("o_custkey") === c("c_custkey"))
+        .where(col("o_orderstatus").isin("F", "O"))
+        .selectExpr("c_mktsegment", "o_orderstatus", s"$y AS y")
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(expr("y * y")).as("syy"))
+      val f = stats.where(col("o_orderstatus") === "F")
+        .select(col("c_mktsegment"), col("n").as("n_f"),
+          col("sy").as("sy_f"), col("syy").as("syy_f"))
+      val oo = stats.where(col("o_orderstatus") === "O")
+        .select(col("c_mktsegment").as("seg_o"), col("n").as("n_o"),
+          col("sy").as("sy_o"), col("syy").as("syy_o"))
+      f.join(oo, col("c_mktsegment") === col("seg_o"))
+        .selectExpr("c_mktsegment", "n_f", "n_o",
+          "CAST(floor(CAST(sy_f AS DOUBLE) / CAST(n_f AS DOUBLE) * 1000000.0) AS BIGINT) AS mean_f_micros",
+          "CAST(floor(CAST(sy_o AS DOUBLE) / CAST(n_o AS DOUBLE) * 1000000.0) AS BIGINT) AS mean_o_micros",
+          "CAST(floor((CAST(sy_f AS DOUBLE) / CAST(n_f AS DOUBLE) - " +
+            "CAST(sy_o AS DOUBLE) / CAST(n_o AS DOUBLE)) / " +
+            "sqrt((CAST(syy_f AS DOUBLE) - CAST(sy_f AS DOUBLE) * CAST(sy_f AS DOUBLE) / CAST(n_f AS DOUBLE)) / " +
+            "(CAST(n_f AS DOUBLE) - 1.0) / CAST(n_f AS DOUBLE) + " +
+            "(CAST(syy_o AS DOUBLE) - CAST(sy_o AS DOUBLE) * CAST(sy_o AS DOUBLE) / CAST(n_o AS DOUBLE)) / " +
+            "(CAST(n_o AS DOUBLE) - 1.0) / CAST(n_o AS DOUBLE)) * 1000000.0) AS BIGINT) AS t_micros")
+        .orderBy("c_mktsegment")
+    }),
+
     // Mode (most frequent value) per group, deterministic tiebreak
     // (count desc, then value asc) — two-phase: hash-agg the counts
     // (partial+final, shuffle on both keys), then a per-group top-1
@@ -520,6 +557,29 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical exact sufficient statistics and IEEE chain, mirrored
+    // parenthesis for parenthesis
+    "q_agg_ttest" -> ("WITH j AS (SELECT c_mktsegment, o_orderstatus, " +
+      "CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS y " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "WHERE o_orderstatus IN ('F', 'O')), " +
+      "s AS (SELECT c_mktsegment, o_orderstatus, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(y * y) AS BIGINT) AS syy FROM j " +
+      "GROUP BY c_mktsegment, o_orderstatus) " +
+      "SELECT f.c_mktsegment, f.n AS n_f, o.n AS n_o, " +
+      "CAST(floor(CAST(f.sy AS DOUBLE) / CAST(f.n AS DOUBLE) * 1000000.0) AS BIGINT) AS mean_f_micros, " +
+      "CAST(floor(CAST(o.sy AS DOUBLE) / CAST(o.n AS DOUBLE) * 1000000.0) AS BIGINT) AS mean_o_micros, " +
+      "CAST(floor((CAST(f.sy AS DOUBLE) / CAST(f.n AS DOUBLE) - " +
+      "CAST(o.sy AS DOUBLE) / CAST(o.n AS DOUBLE)) / " +
+      "sqrt((CAST(f.syy AS DOUBLE) - CAST(f.sy AS DOUBLE) * CAST(f.sy AS DOUBLE) / CAST(f.n AS DOUBLE)) / " +
+      "(CAST(f.n AS DOUBLE) - 1.0) / CAST(f.n AS DOUBLE) + " +
+      "(CAST(o.syy AS DOUBLE) - CAST(o.sy AS DOUBLE) * CAST(o.sy AS DOUBLE) / CAST(o.n AS DOUBLE)) / " +
+      "(CAST(o.n AS DOUBLE) - 1.0) / CAST(o.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS t_micros " +
+      "FROM s f JOIN s o ON f.c_mktsegment = o.c_mktsegment " +
+      "AND f.o_orderstatus = 'F' AND o.o_orderstatus = 'O' " +
+      "ORDER BY f.c_mktsegment"),
 
     // the same exact integer sufficient statistics; the one float op is
     // the final slope division, mirrored term by term

@@ -116,9 +116,57 @@ object Quality extends QueryFamily {
             (lit(2.0) * expr("CAST(n_cur * n_ref AS DOUBLE)")) > 0.1).as("drifted"))
         .orderBy("event_type")
     }),
+
+    // The corpus HEALTH REPORT — the one-page summary every dataset
+    // card leads with, composed as ONE scan of documents (every metric
+    // is a conditional sum or sketchless distinct over the same pass;
+    // the token total rides the same scan as a size() — no explode) +
+    // a map-only stack into (metric, value) rows. At 100 TB this is
+    // the publish-gate report: one corpus read, KB-scale output.
+    "q_quality_report" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          big(count_distinct(md5(col("text")))).as("n_distinct_texts"),
+          big(count_distinct(col("lang"))).as("n_langs"),
+          big(count_distinct(col("source"))).as("n_sources"),
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("total_tokens"))
+        .selectExpr("stack(7, " +
+          "'n_docs', n_docs, " +
+          "'n_exact_dup_docs', n_docs - n_distinct_texts, " +
+          "'n_langs', n_langs, " +
+          "'n_sources', n_sources, " +
+          "'n_short_docs', n_short, " +
+          "'total_chars', total_chars, " +
+          "'total_tokens', total_tokens) AS (metric, value)")
+        .orderBy("metric")
+    }),
   )
 
+  private def big(c: org.apache.spark.sql.Column) = c.cast("bigint")
+
   def oracles: Map[String, String] = Map(
+    // same one-pass metrics, same stacked shape
+    "q_quality_report" -> ("WITH a AS (SELECT " +
+      "CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts, " +
+      "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+      "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+      "CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens " +
+      "FROM documents) " +
+      "SELECT metric, value FROM (" +
+      "SELECT 'n_docs' AS metric, n_docs AS value FROM a " +
+      "UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_texts FROM a " +
+      "UNION ALL SELECT 'n_langs', n_langs FROM a " +
+      "UNION ALL SELECT 'n_sources', n_sources FROM a " +
+      "UNION ALL SELECT 'n_short_docs', n_short FROM a " +
+      "UNION ALL SELECT 'total_chars', total_chars FROM a " +
+      "UNION ALL SELECT 'total_tokens', total_tokens FROM a) " +
+      "ORDER BY metric"),
     // identical conditional-sum / anti-join / keyed-join counts; CASTs
     // because DuckDB widens SUM to HUGEINT
     "q_quality_expectations" -> ("WITH li AS (SELECT count(*) AS n, " +

@@ -28,7 +28,53 @@ object Sampling extends QueryFamily {
   private val hSplitDuck =
     "CAST(concat('0x', substr(md5(concat(text, '|split')), 1, 15)) AS BIGINT)"
 
+  /** Greedy k-center (Gonzalez farthest-point) rounds over the
+    * fixed-point embeddings: round r's selection is the global argmax of
+    * min-distance-to-chosen. Each round is ONE distributed job (a
+    * broadcast of ≤ k chosen vectors, a map-side min-of-sqdists, one
+    * top-1) whose O(1) result feeds the next round's broadcast literal —
+    * the k-sequential-argmax structure is inherent to the algorithm, and
+    * k · O(N) with k tiny is the honest distributed cost. Distances are
+    * EXACT BIGINTs (the kmeans fixed-point lattice), ties break on
+    * vec_id — fully deterministic. */
+  private def kcenterRounds(s: SparkSession, dir: String,
+      k: Int): Seq[(Long, Long, Long)] = {
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))").as("fx"))
+      .localCheckpoint() // materialize once; k rounds re-scan this, not parquet
+    val seed = e.orderBy("vec_id").limit(1).collect()(0)
+    var chosen = Vector((0L, seed.getLong(0), 0L))
+    var vecs = Vector(seed.getSeq[Long](1))
+    (1 until k).foreach { r =>
+      val lits = vecs.map(_.mkString("array(", "L,", "L)"))
+        .mkString("array(", ",", ")")
+      val next = e.withColumn("d", expr(
+          s"array_min(transform($lits, c -> " +
+            "aggregate(zip_with(fx, c, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)))"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      chosen :+= ((r.toLong, next.getLong(0), next.getAs[Long]("d")))
+      vecs :+= next.getSeq[Long](1)
+    }
+    chosen
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Greedy k-center coreset selection (the diverse-subset pass of
+    // data curation: Gonzalez's farthest-point traversal, the 2-approx
+    // to the k-center cover): 8 rounds, each selecting the point
+    // farthest from everything chosen so far. Serves (sel_round,
+    // vec_id, d) with d the EXACT integer squared distance to the
+    // prior set at selection time — a strictly positive, non-increasing
+    // radius profile on real data. See kcenterRounds for the scale
+    // shape.
+    "q_sample_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      kcenterRounds(s, dir, 8).toDF("sel_round", "vec_id", "d")
+        .orderBy("sel_round")
+    }),
+
     // Deterministic ~10% sample: hash bucket 0 of 10.
     "q_sample_hash" -> ((s, dir) =>
       Tables(s, dir, "documents")
@@ -265,7 +311,37 @@ object Sampling extends QueryFamily {
       .select("doc_id", "lang", "n_chars", "text")
   }
 
+  /** The k-center chain: one (d, s, ch) CTE triple per round — min
+    * sqdist to the chosen set, top-1 by (d DESC, vec_id), chosen set
+    * grows by one. Same exact-integer lattice as the kmeans oracle. */
+  private def kcenterOracle(k: Int): String = {
+    val sqd = "list_sum([ (a.fx[i+1] - c.fx[i+1]) * (a.fx[i+1] - c.fx[i+1]) " +
+      "for i in range(64) ])"
+    val rounds = (1 until k).map { r =>
+      s"d$r AS (SELECT a.vec_id, a.fx, min($sqd) AS d " +
+        s"FROM e a, ch${r - 1} c GROUP BY a.vec_id, a.fx), " +
+      s"s$r AS (SELECT vec_id, fx, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1), " +
+      s"ch$r AS (SELECT vec_id, fx FROM ch${r - 1} " +
+        s"UNION ALL SELECT vec_id, fx FROM s$r)"
+    }.mkString(", ")
+    val out = (1 until k).map(r =>
+      s"UNION ALL SELECT $r, vec_id, d FROM s$r").mkString(" ")
+    "WITH e AS (SELECT vec_id, " +
+      "[CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS fx " +
+      "FROM embeddings), " +
+      "sel0 AS (SELECT vec_id, fx FROM e " +
+      "WHERE vec_id = (SELECT min(vec_id) FROM e)), " +
+      "ch0 AS (SELECT vec_id, fx FROM sel0), " +
+      rounds + " " +
+      "SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, " +
+      "CAST(d AS BIGINT) AS d FROM (" +
+      s"SELECT 0 AS sel_round, vec_id, 0 AS d FROM sel0 $out) " +
+      "ORDER BY sel_round"
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_sample_kcenter" -> kcenterOracle(8),
+
     "q_sample_hash" -> (s"SELECT doc_id, lang, n_chars FROM documents " +
       s"WHERE $hDuck % 10 = 0 ORDER BY doc_id"),
 

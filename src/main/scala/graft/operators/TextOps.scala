@@ -185,6 +185,29 @@ object TextOps extends QueryFamily {
         expr("element_at(dp, length(w) + 1).c").as("cost"))
   }
 
+  /** The unigram M-step: Viterbi-segment under `seed`, re-estimate piece
+    * frequencies from the weighted segmentation counts, keep used pieces
+    * plus all single chars (char floor +1 — the SentencePiece coverage
+    * rule), recost. Shared by q_text_unigram (serves it) and
+    * q_text_unigram2 (drives round 2's E-step with it). */
+  private def unigramSurvivors(words: DataFrame, seed: DataFrame): DataFrame = {
+    val used = unigramViterbi(words, seed)
+      .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("u"))
+    val survivors = seed
+      .select(col("piece"), length(col("piece")).cast("bigint").as("piece_len"))
+      .join(used, Seq("piece"), "left")
+      .withColumn("used_cnt", coalesce(col("u"), lit(0L)))
+      .withColumn("freq", col("used_cnt") +
+        when(col("piece_len") === 1, 1L).otherwise(0L))
+      .where(col("freq") > 0)
+    val tot = survivors.agg(sum("freq").as("ntot"))
+    survivors.crossJoin(broadcast(tot))
+      .select(col("piece"), col("piece_len"), col("used_cnt"),
+        expr("CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT)")
+          .as("cost"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokenizer as a generator (explode) + global top-20 token counts.
     "q_text_tokenize" -> ((s, dir) =>
@@ -635,23 +658,25 @@ object TextOps extends QueryFamily {
     // after the one word-count shuffle.
     "q_text_unigram" -> ((s, dir) => {
       val words = unigramWords(s, dir)
-      val seed = unigramSeedVocab(words)
-      val used = unigramViterbi(words, seed)
-        .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
-        .groupBy("piece").agg(sum("cnt").as("u"))
-      val survivors = seed
-        .select(col("piece"), length(col("piece")).cast("bigint").as("piece_len"))
-        .join(used, Seq("piece"), "left")
-        .withColumn("used_cnt", coalesce(col("u"), lit(0L)))
-        .withColumn("freq", col("used_cnt") +
-          when(col("piece_len") === 1, 1L).otherwise(0L))
-        .where(col("freq") > 0)
-      val tot = survivors.agg(sum("freq").as("ntot"))
-      survivors.crossJoin(broadcast(tot))
-        .select(col("piece"), col("piece_len"), col("used_cnt"),
-          expr("CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT)")
-            .as("cost"))
+      unigramSurvivors(words, unigramSeedVocab(words))
+        .select("piece", "piece_len", "used_cnt", "cost")
         .orderBy("piece")
+    }),
+
+    // The SECOND EM round — what makes the trainer genuinely iterative
+    // (SentencePiece runs this loop until the vocab budget): the round-1
+    // M-step's pruned, recosted vocabulary drives a fresh E-step Viterbi
+    // over the same word table. Same DP, same tie-break, same broadcast
+    // shape; the vocabulary map is now the SURVIVOR model, so every
+    // piece any segmentation uses is a survivor (pinned in UnigramSpec).
+    "q_text_unigram2" -> ((s, dir) => {
+      val words = unigramWords(s, dir)
+      val vocab2 = unigramSurvivors(words, unigramSeedVocab(words))
+        .select("piece", "cost")
+      unigramViterbi(words, vocab2)
+        .select(col("w").as("word"), col("cnt"), col("seg"),
+          col("n_pieces"), col("cost"))
+        .orderBy("word")
     }),
 
     // The E-step half: per distinct word, the Viterbi segmentation under
@@ -911,6 +936,31 @@ object TextOps extends QueryFamily {
     * lexicographically — the identical (cost, backptr) tie-break), then
     * a second recursion walks the backptrs into the segmentation. Ends
     * in `vit` (w, cnt, seg, n_pieces, cost). */
+  /** One Viterbi DP + backtrace CTE triple over `wc` under vocab map
+    * `$vm`, names suffixed `$sfx` — sfx "" reproduces the original
+    * round-1 chain verbatim; sfx "2" under the survivor map is the
+    * round-2 E-step. */
+  private def viterbiOracleCtes(sfx: String, vm: String): String =
+    s"dp$sfx AS (SELECT w, cnt, 0 AS j, [CAST(0 AS BIGINT)] AS cs, " +
+    "[CAST(-1 AS INT)] AS bs FROM wc " +
+    "UNION ALL SELECT w, cnt, j + 1, " +
+    "list_append(cs, struct_extract(best, 'c')), " +
+    "list_append(bs, struct_extract(best, 'b')) FROM (" +
+    "SELECT w, cnt, j, cs, bs, list_min([{'c': cs[i + 1] + " +
+    "coalesce(m[substr(w, CAST(i + 1 AS INT), CAST(j + 1 - i AS INT))][1], " +
+    "CAST(1000000000000 AS BIGINT)), 'b': CAST(i AS INT)} " +
+    "for i in generate_series(greatest(0, j - 3), j)]) AS best " +
+    s"FROM dp$sfx, $vm WHERE j < len(w))), " +
+    s"fin$sfx AS (SELECT w, cnt, cs, bs FROM dp$sfx WHERE j = len(w)), " +
+    s"bt$sfx AS (SELECT w, cnt, cs, bs, len(w) AS pos, " +
+    s"CAST([] AS VARCHAR[]) AS parts FROM fin$sfx " +
+    "UNION ALL SELECT w, cnt, cs, bs, bs[pos + 1] AS pos, " +
+    "list_prepend(substr(w, bs[pos + 1] + 1, pos - bs[pos + 1]), parts) " +
+    s"FROM bt$sfx WHERE pos > 0), " +
+    s"vit$sfx AS (SELECT w, cnt, array_to_string(parts, ' ') AS seg, " +
+    "CAST(len(parts) AS BIGINT) AS n_pieces, cs[len(w) + 1] AS cost " +
+    s"FROM bt$sfx WHERE pos = 0)"
+
   private val unigramOracleCtes: String =
     "w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
     "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w0 " +
@@ -924,29 +974,33 @@ object TextOps extends QueryFamily {
     "CAST(round(-ln(CAST(freq AS DOUBLE) / tot) * 1000000, 0) AS BIGINT) AS cost " +
     "FROM pf, tot), " +
     "vm AS (SELECT map(list(piece), list(cost)) AS m FROM vc), " +
-    "dp AS (SELECT w, cnt, 0 AS j, [CAST(0 AS BIGINT)] AS cs, " +
-    "[CAST(-1 AS INT)] AS bs FROM wc " +
-    "UNION ALL SELECT w, cnt, j + 1, " +
-    "list_append(cs, struct_extract(best, 'c')), " +
-    "list_append(bs, struct_extract(best, 'b')) FROM (" +
-    "SELECT w, cnt, j, cs, bs, list_min([{'c': cs[i + 1] + " +
-    "coalesce(m[substr(w, CAST(i + 1 AS INT), CAST(j + 1 - i AS INT))][1], " +
-    "CAST(1000000000000 AS BIGINT)), 'b': CAST(i AS INT)} " +
-    "for i in generate_series(greatest(0, j - 3), j)]) AS best " +
-    "FROM dp, vm WHERE j < len(w))), " +
-    "fin AS (SELECT w, cnt, cs, bs FROM dp WHERE j = len(w)), " +
-    "bt AS (SELECT w, cnt, cs, bs, len(w) AS pos, " +
-    "CAST([] AS VARCHAR[]) AS parts FROM fin " +
-    "UNION ALL SELECT w, cnt, cs, bs, bs[pos + 1] AS pos, " +
-    "list_prepend(substr(w, bs[pos + 1] + 1, pos - bs[pos + 1]), parts) " +
-    "FROM bt WHERE pos > 0), " +
-    "vit AS (SELECT w, cnt, array_to_string(parts, ' ') AS seg, " +
-    "CAST(len(parts) AS BIGINT) AS n_pieces, cs[len(w) + 1] AS cost " +
-    "FROM bt WHERE pos = 0)"
+    viterbiOracleCtes("", "vm")
+
+  /** Round-1 chain + the M-step survivor recosting + the round-2 E-step
+    * Viterbi under the survivor map. */
+  private val unigram2OracleCtes: String =
+    unigramOracleCtes + ", " +
+    "used AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM " +
+    "(SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM vit) " +
+    "GROUP BY piece), " +
+    "sv AS (SELECT vc.piece, " +
+    "CAST(coalesce(u.u, 0) + (CASE WHEN len(vc.piece) = 1 THEN 1 ELSE 0 END) " +
+    "AS BIGINT) AS freq " +
+    "FROM vc LEFT JOIN used u ON vc.piece = u.piece), " +
+    "sv2 AS (SELECT * FROM sv WHERE freq > 0), " +
+    "ntot AS (SELECT CAST(sum(freq) AS BIGINT) AS ntot FROM sv2), " +
+    "vc2 AS (SELECT piece, " +
+    "CAST(round(-ln(CAST(freq AS DOUBLE) / ntot) * 1000000, 0) AS BIGINT) AS cost " +
+    "FROM sv2, ntot), " +
+    "vm2 AS (SELECT map(list(piece), list(cost)) AS m FROM vc2), " +
+    viterbiOracleCtes("2", "vm2")
 
   def oracles: Map[String, String] = Map(
     "q_text_unigram_seg" -> (s"WITH RECURSIVE $unigramOracleCtes " +
       "SELECT w AS word, cnt, seg, n_pieces, cost FROM vit ORDER BY word"),
+
+    "q_text_unigram2" -> (s"WITH RECURSIVE $unigram2OracleCtes " +
+      "SELECT w AS word, cnt, seg, n_pieces, cost FROM vit2 ORDER BY word"),
 
     "q_text_unigram" -> (s"WITH RECURSIVE $unigramOracleCtes, " +
       "used AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u FROM " +

@@ -81,6 +81,22 @@ class UnigramSpec extends AnyFunSuite {
       s"unigram segmentation did not beat char-level: $pieceCount vs $charCount")
   }
 
+  test("q_text_unigram2: round-2 segmentations use only survivor pieces") {
+    val segs2 = SparkEntry.queries("q_text_unigram2")(spark, sf0001).collect()
+    val survivors = vocab.map(_.getAs[String]("piece")).toSet
+    assert(segs2.length == segs.length, "round 2 dropped words")
+    segs2.foreach { r =>
+      val word = r.getAs[String]("word")
+      val parts = r.getAs[String]("seg").split(' ')
+      assert(parts.mkString == word, s"'$word' round-2 seg broken")
+      // the round-2 model IS the survivor vocabulary: the DP can only
+      // price paths through it (single-char coverage keeps it total)
+      parts.foreach(p => assert(survivors.contains(p),
+        s"'$word' used non-survivor piece '$p' in round 2"))
+      assert(r.getAs[Long]("cost") > 0 && r.getAs[Long]("cost") < 1000000000000L)
+    }
+  }
+
   test("q_text_ppl: the LM filter covers every doc and every word (no join loss)") {
     import org.apache.spark.sql.functions._
     val ppl = SparkEntry.queries("q_text_ppl")(spark, sf0001).collect()
