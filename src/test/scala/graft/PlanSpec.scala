@@ -706,6 +706,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
   }
 
+  test("q_quality_report is one corpus scan: no join, single aggregation") {
+    val p = plan("q_quality_report")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.split("FileScan").length == 2, p.take(2000)) // exactly one scan
+  }
+
+  test("q_agg_linreg partial-aggregates before its one key exchange") {
+    val p = plan("q_agg_linreg")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_"), p.take(2500))
+  }
+
   test("q_scan_zorder pushes both range dimensions into one parquet scan") {
     // the PushedFilters list is elided in toString past ~100 chars, so
     // assert the user_id bounds there and the ts window via the Filter
