@@ -479,6 +479,33 @@ object Aggregates extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Chi-square independence cells for lang × source over documents —
+    // the "is my corpus mix confounded" audit. Served PER CELL
+    // (observed, expected micros, contribution micros) rather than as
+    // one summed statistic: each cell's float chain is a deterministic
+    // function of exact integers, where a global double SUM would be
+    // shuffle-order-dependent — the same discipline that bans raw
+    // double aggregation everywhere else. Zero cells materialize via
+    // the margins' cross join (both margin tables are tiny broadcasts).
+    "q_agg_chisq" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rl = d.groupBy("lang").agg(count(lit(1)).as("r"))
+      val cs = d.groupBy("source").agg(count(lit(1)).as("c"))
+      val n = d.agg(count(lit(1)).as("n"))
+      broadcast(rl).crossJoin(broadcast(cs)).crossJoin(broadcast(n))
+        .join(obs, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .selectExpr("lang", "source", "o AS n_obs",
+          "CAST(floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / " +
+            "CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS n_exp_micros",
+          "CAST(floor(CAST((o * n - r * c) AS DOUBLE) * " +
+            "CAST((o * n - r * c) AS DOUBLE) / " +
+            "(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
+            "* 1000000.0) AS BIGINT) AS contrib_micros")
+        .orderBy("lang", "source")
+    }),
+
     // Welch's two-sample t per segment (finished vs open order prices) —
     // the A/B-readout pass, built the q_agg_linreg way: per-group
     // sufficient statistics (n, Σy, Σy²) aggregate as EXACT integers
@@ -557,6 +584,23 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // same exact integer margins, same per-cell IEEE chain
+    "q_agg_chisq" -> ("WITH obs AS (SELECT lang, source, " +
+      "CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY lang, source), " +
+      "rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS r FROM documents GROUP BY lang), " +
+      "cs AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) " +
+      "SELECT rl.lang, cs.source, CAST(coalesce(obs.o, 0) AS BIGINT) AS n_obs, " +
+      "CAST(floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / " +
+      "CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS n_exp_micros, " +
+      "CAST(floor(CAST((coalesce(obs.o, 0) * n - r * c) AS DOUBLE) * " +
+      "CAST((coalesce(obs.o, 0) * n - r * c) AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
+      "* 1000000.0) AS BIGINT) AS contrib_micros " +
+      "FROM rl CROSS JOIN cs CROSS JOIN n LEFT JOIN obs " +
+      "ON obs.lang = rl.lang AND obs.source = cs.source " +
+      "ORDER BY rl.lang, cs.source"),
 
     // identical exact sufficient statistics and IEEE chain, mirrored
     // parenthesis for parenthesis

@@ -127,6 +127,22 @@ object SearchQueries extends QueryFamily {
         .orderBy("facet", "val")
     }),
 
+    // AUTOCOMPLETE (the ES completion-suggester shape): top-5
+    // completions of a prefix by document frequency, served from the
+    // LEXICON ALONE — no postings, no corpus; the lexicon is the
+    // O(vocab) artifact every suggest box queries on each keystroke, so
+    // at 100 TB this is a broadcast-sized scan however big the corpus.
+    // Distinct from q_search_wildcard, which expands the prefix and then
+    // retrieves DOCUMENTS; suggest serves the completions themselves.
+    "q_search_suggest" -> ((s, dir) => {
+      val root = sharedIndex(s, dir)
+      fromIndexOnly(
+        InvertedIndex.lexicon(s, root)
+          .where(col("tok").startsWith("s"))
+          .select(col("tok"), col("df"))
+          .orderBy(col("df").desc, col("tok")).limit(5))
+    }),
+
     // HIGHLIGHTING — the serve-side snippet render: the index's
     // positional postings answer WHERE each hit's first match sits
     // (positions are sorted, element 1 IS the first occurrence — no
@@ -259,6 +275,14 @@ object SearchQueries extends QueryFamily {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(tf) AS BIGINT) AS tf_sum FROM post " +
         "GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"),
+
+    // df recomputed from the raw text; same (df DESC, tok) cut
+    "q_search_suggest" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "lex AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM tk WHERE tok LIKE 's%' GROUP BY tok) " +
+        "SELECT tok, df FROM lex ORDER BY df DESC, tok LIMIT 5"),
 
     // first occurrence from the raw split (list_position is 1-based,
     // matching the index's 1-based sorted positions), same snippet slice
