@@ -1661,10 +1661,14 @@ object MediaPipeline {
 
   /** Walk the container and hash every frame in ONE UDF pass (the
     * [[decodeAhash]] fusion at the clip level): frame count from the
-    * container header, frame size from frame 0's own BMP file-size
-    * field, each frame sliced and REALLY decoded through ImageIO, each
-    * decode 8×8-block aHashed. Returns per-clip geometry plus the
-    * per-frame hash sequence — the video fingerprint. */
+    * container header, each frame's size from ITS OWN BMP file-size
+    * field (not frame 0's — a container with heterogeneous frame sizes
+    * would otherwise be silently mis-sliced, the r17 advice), each
+    * slice validated against the 'BM' magic before the real ImageIO
+    * decode, each decode 8×8-block aHashed. Returns per-clip geometry
+    * plus the per-frame hash sequence — the video fingerprint. The
+    * null-drop is reserved for genuinely undecodable inputs (bad
+    * magic, truncated slice, decoder failure). */
   case class VideoFp(w: Int, h: Int, nf: Int, hi: Array[Long], lo: Array[Long])
 
   private def videoFpOf(bytes: Array[Byte]): VideoFp = {
@@ -1676,14 +1680,20 @@ object MediaPipeline {
     }
     val nf = le(0, 4).toInt
     if (nf <= 0 || nf > 64) return null
-    val fsz = le(6, 4).toInt // frame 0's BMP file-size field
-    if (fsz < 54 || 4L + nf.toLong * fsz > bytes.length) return null
     val hi = new Array[Long](nf); val lo = new Array[Long](nf)
     var w = 0; var h = 0
+    var off = 4
     var t = 0
     while (t < nf) {
-      val d = decodeImage(java.util.Arrays.copyOfRange(bytes, 4 + t * fsz, 4 + (t + 1) * fsz))
+      // each slice must carry its own valid BMP header: 'BM' magic at
+      // +0, its own little-endian file-size field at +2
+      if (off + 6 > bytes.length ||
+        bytes(off) != 'B'.toByte || bytes(off + 1) != 'M'.toByte) return null
+      val fsz = le(off + 2, 4).toInt
+      if (fsz < 54 || off.toLong + fsz > bytes.length) return null
+      val d = decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + fsz))
       if (d == null || d.w < 8 || d.h < 8) return null
+      off += fsz
       w = d.w; h = d.h
       val s8 = new Array[Long](64); val c8 = new Array[Long](64)
       var total = 0L

@@ -453,29 +453,42 @@ object Aggregates extends QueryFamily {
     // Per-group OLS trend (regr_slope's exact-sum formulation): the
     // value trend per event_type over time — the metric-drift pass of
     // any monitoring stack. The five sufficient statistics (n, Σx, Σy,
-    // Σxy, Σx²) aggregate as EXACT integers (x = whole hours since a
-    // fixed epoch, y = the 6-dp value scaled to micros through DECIMAL),
-    // so the shuffle is order-independent; the one float boundary is
-    // the final slope division, the same IEEE op sequence in both
-    // engines, served floor-scaled like the BM25 micros. Built-in
-    // regr_slope aggregates doubles in shuffle order — nondeterministic
-    // across engines AND across runs at scale — which is why the
-    // sufficient-statistic form is the one that survives 100 TB.
+    // Σxy, Σx²) aggregate as EXACT integers, so the shuffle is
+    // order-independent; the one float boundary is the final slope
+    // division, the same IEEE op sequence in both engines, served
+    // floor-scaled like the BM25 micros. The slope is shift-invariant
+    // in x, so x is CENTERED per group (x − the group's min hour, a
+    // tiny broadcast join) before the products accumulate: with a raw
+    // hours-since-2000 x (~2.3e5 by 2026) per-row x·y products reach
+    // ~1e14 and Σxy would cross 2^63 at only ~1e5 rows/group — a
+    // silent wrap in non-ANSI Spark vs an error in DuckDB (the r17
+    // advice). Centered, xc ≤ the group's time span in hours, so the
+    // capacity bound is n·span_h·y_max < 2^63 — ~2e7 rows/group at a
+    // 30-day span, through sf100. Past that the accumulators widen to
+    // DECIMAL(38,0) on both engines; the FORM (exact integer sums, one
+    // IEEE chain) is what survives 100 TB, where built-in regr_slope's
+    // shuffle-order double accumulation is nondeterministic across
+    // engines AND across runs.
     "q_agg_linreg" -> ((s, dir) => {
       val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
         "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
       val y = "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
-      Tables(s, dir, "events")
+      val e = Tables(s, dir, "events")
         .selectExpr("event_type", s"$x AS x", s"$y AS y")
+      val mins = e.groupBy("event_type").agg(min("x").as("x0"))
+      e.join(broadcast(mins), "event_type")
+        .selectExpr("event_type", "x0", "x - x0 AS xc", "y")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .agg(min("x0").as("x0"), count(lit(1)).as("n"),
+          sum("xc").as("sx"), sum("y").as("sy"),
+          sum(expr("xc * y")).as("sxy"), sum(expr("xc * xc")).as("sxx"))
         .withColumn("slope_micros", expr(
           "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
             "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
             "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
             "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+        .select("event_type", "x0", "n", "sx", "sy", "sxy", "sxx",
+          "slope_micros")
         .orderBy("event_type")
     }),
 
@@ -487,6 +500,11 @@ object Aggregates extends QueryFamily {
     // shuffle-order-dependent — the same discipline that bans raw
     // double aggregation everywhere else. Zero cells materialize via
     // the margins' cross join (both margin tables are tiny broadcasts).
+    // Each count (o, n, r, c) casts to DOUBLE EXACTLY (counts < 2^53),
+    // and the deviation/denominator products are then identical IEEE
+    // multiplies in both engines — BIGINT products like o·n or n·r·c
+    // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
+    // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
     "q_agg_chisq" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
@@ -499,8 +517,10 @@ object Aggregates extends QueryFamily {
         .selectExpr("lang", "source", "o AS n_obs",
           "CAST(floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / " +
             "CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS n_exp_micros",
-          "CAST(floor(CAST((o * n - r * c) AS DOUBLE) * " +
-            "CAST((o * n - r * c) AS DOUBLE) / " +
+          "CAST(floor((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - " +
+            "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+            "(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - " +
+            "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / " +
             "(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
             "* 1000000.0) AS BIGINT) AS contrib_micros")
         .orderBy("lang", "source")
@@ -594,8 +614,10 @@ object Aggregates extends QueryFamily {
       "SELECT rl.lang, cs.source, CAST(coalesce(obs.o, 0) AS BIGINT) AS n_obs, " +
       "CAST(floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / " +
       "CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS n_exp_micros, " +
-      "CAST(floor(CAST((coalesce(obs.o, 0) * n - r * c) AS DOUBLE) * " +
-      "CAST((coalesce(obs.o, 0) * n - r * c) AS DOUBLE) / " +
+      "CAST(floor((CAST(coalesce(obs.o, 0) AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * " +
+      "(CAST(coalesce(obs.o, 0) AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) " +
       "* 1000000.0) AS BIGINT) AS contrib_micros " +
       "FROM rl CROSS JOIN cs CROSS JOIN n LEFT JOIN obs " +
@@ -625,16 +647,21 @@ object Aggregates extends QueryFamily {
       "AND f.o_orderstatus = 'F' AND o.o_orderstatus = 'O' " +
       "ORDER BY f.c_mktsegment"),
 
-    // the same exact integer sufficient statistics; the one float op is
-    // the final slope division, mirrored term by term
+    // the same exact integer sufficient statistics over the same
+    // per-group-centered x; the one float op is the final slope
+    // division, mirrored term by term
     "q_agg_linreg" -> ("WITH e AS (SELECT event_type, " +
       "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS x, " +
       "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y FROM events), " +
-      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
-      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx " +
-      "FROM e GROUP BY event_type) " +
-      "SELECT event_type, n, sx, sy, sxy, sxx, " +
+      "m AS (SELECT event_type, min(x) AS x0 FROM e GROUP BY event_type), " +
+      "c AS (SELECT e.event_type, x0, x - x0 AS xc, y " +
+      "FROM e JOIN m ON e.event_type = m.event_type), " +
+      "s AS (SELECT event_type, CAST(min(x0) AS BIGINT) AS x0, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(xc * y) AS BIGINT) AS sxy, CAST(sum(xc * xc) AS BIGINT) AS sxx " +
+      "FROM c GROUP BY event_type) " +
+      "SELECT event_type, x0, n, sx, sy, sxy, sxx, " +
       "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
       "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
       "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +

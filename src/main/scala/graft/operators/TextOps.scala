@@ -723,10 +723,15 @@ object TextOps extends QueryFamily {
     // Scale shape: ONE pair-count shuffle + one token-count shuffle over
     // the corpus; the unigram counts are Heaps-law sized and join back
     // onto the pair table BROADCAST twice (x then y); the totals ride a
-    // one-row broadcast. The integer product c_xy·T² is exact well past
-    // this corpus (≤ ~1e16 at sf0.1); at 100 TB the same statistic
-    // moves to log space (ln c_xy + 2·ln T − ln P − ln c_x − ln c_y)
-    // before the fixed-point rounding.
+    // one-row broadcast. Every factor casts to DOUBLE individually
+    // BEFORE the products (each count < 2^53 converts exactly; the
+    // products are then identical IEEE multiplies in both engines) —
+    // a BIGINT denominator P·c_x·c_y would cross 2^63 for stop-word
+    // pairs (c_x, c_y ~ 5% of T) long before the numerator does,
+    // wrapping silently in non-ANSI Spark vs erroring in DuckDB (the
+    // r17 advice). At 100 TB the same statistic moves fully to log
+    // space (ln c_xy + 2·ln T − ln P − ln c_x − ln c_y) before the
+    // fixed-point rounding.
     "q_text_collocations" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(split(lower(col("text")), " ").as("a"))
@@ -750,8 +755,10 @@ object TextOps extends QueryFamily {
         .join(broadcast(uni.select(col("t").as("y"), col("c").as("c_y"))), "y")
         .crossJoin(broadcast(tot)).crossJoin(broadcast(pTot))
         .select(col("x"), col("y"), col("c_xy"),
-          expr("CAST(round(ln(CAST(c_xy * t_total * t_total AS DOUBLE) / " +
-            "(p_total * c_x * c_y)) * 1000000, 0) AS BIGINT)").as("pmi"))
+          expr("CAST(round(ln(CAST(c_xy AS DOUBLE) * CAST(t_total AS DOUBLE) * " +
+            "CAST(t_total AS DOUBLE) / (CAST(p_total AS DOUBLE) * " +
+            "CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000, 0) " +
+            "AS BIGINT)").as("pmi"))
         .orderBy(col("pmi").desc, col("x"), col("y")).limit(25)
     }),
 
@@ -1037,8 +1044,10 @@ object TextOps extends QueryFamily {
       "WHERE len(x) >= 1 AND len(y) >= 1 GROUP BY x, y), " +
       "pt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS p_total FROM pr) " +
       "SELECT x, y, c_xy, " +
-      "CAST(round(ln(CAST(c_xy * t_total * t_total AS DOUBLE) / " +
-      "(p_total * cx.c * cy.c)) * 1000000, 0) AS BIGINT) AS pmi " +
+      "CAST(round(ln(CAST(c_xy AS DOUBLE) * CAST(t_total AS DOUBLE) * " +
+      "CAST(t_total AS DOUBLE) / (CAST(p_total AS DOUBLE) * " +
+      "CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))) * 1000000, 0) " +
+      "AS BIGINT) AS pmi " +
       "FROM pr, tot, pt, uni cx, uni cy " +
       "WHERE c_xy >= 5 AND cx.t = pr.x AND cy.t = pr.y " +
       "ORDER BY pmi DESC, x, y LIMIT 25"),

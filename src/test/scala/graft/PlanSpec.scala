@@ -712,9 +712,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("FileScan").length == 2, p.take(2000)) // exactly one scan
   }
 
-  test("q_agg_linreg partial-aggregates before its one key exchange") {
+  test("q_agg_linreg partial-aggregates; the centering min-join is broadcast") {
+    // r18: x is centered per group (overflow advice), so the plan gains
+    // exactly one JOIN — the tiny per-group min(x) table — and it must
+    // be a BROADCAST, never a shuffled join of the events scan
     val p = plan("q_agg_linreg")
-    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2500))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
     assert(p.contains("partial_count") || p.contains("partial_"), p.take(2500))
   }
 
