@@ -195,6 +195,100 @@ object Warehouse extends QueryFamily {
     (dataPath, dvPath)
   }
 
+  /** The q_lake_compact versioned root, for LakeSpec's compaction
+    * proofs. Layout: `files/b=<bucket>` immutable data dirs (bucket and
+    * pos as in-file columns), `dv/v2` the positional delete vector,
+    * `rw/b=<bucket>` the compaction rewrites, `snapshots/v=<N>`
+    * manifest lists of (path, kind) rows, `filestats` the per-file
+    * (path, md5, n_bytes) recorded at v2-publish time. */
+  private[graft] def dvCompactRoot(dir: String): String = scratch("dvcomp", dir)
+
+  /** Builds the DV-compaction lineage once per (dir) — the close-out of
+    * the lake tier's maintenance loop (what Warehouse's merge-on-read
+    * comment promised): v2 is a MERGE-ON-READ snapshot (8 immutable
+    * bucket files + a positional delete vector, the q_scan_deletevector
+    * shape), and the COMPACTION COMMIT folds the vector into data in a
+    * quiet window: exactly the DV-affected bucket files are rewritten
+    * minus their deleted positions, the v3 manifest references
+    * rewritten + untouched files, and the vector is CLEARED (no delete
+    * entry in v3). The delete predicate (`o_orderstatus = 'F' AND
+    * o_orderkey % 16 < 3`) touches only buckets 0..2 of the %8
+    * clustering, so the commit is a genuine partial rewrite: buckets
+    * 3..7 ride through BY REFERENCE, byte-untouched (filestats records
+    * their md5 at v2-publish so LakeSpec can prove it). Snapshot
+    * isolation holds through the compaction: v2's files are never
+    * rewritten in place (the rewrites land under rw/), so the
+    * merge-on-read snapshot stays readable after the commit. At 100 TB
+    * the rewrite is ONE job partitioned by the affected buckets, each
+    * task streaming one file minus its KB-scale vector slice — the
+    * per-bucket loop here mirrors that task structure at fixture
+    * scale. */
+  private def dvCompactLayout(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val root = dvCompactRoot(dir)
+    once(s, dir, "dvcomp") {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), (col("o_orderkey") % 8).as("bucket"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("bucket").orderBy("o_orderkey")).cast("long"))
+      (0 to 7).foreach { b =>
+        base.where(col("bucket") === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/files/b=$b")
+      }
+      val dataDirs = (0 to 7).map(b => s"$root/files/b=$b")
+      // the DELETE commit: positions only, files untouched — v2 is the
+      // merge-on-read snapshot (data files + the vector)
+      s.read.parquet(dataDirs: _*)
+        .where(col("o_orderstatus") === "F" && col("o_orderkey") % 16 < 3)
+        .select("bucket", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/dv/v2")
+      import s.implicits._
+      (dataDirs.map(p => (p, "data")) :+ (s"$root/dv/v2", "delete"))
+        .toDF("path", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/snapshots/v=2")
+      // record every data file's bytes at v2-publish time, so the
+      // untouched-through-compaction claim is checkable, not asserted
+      import scala.jdk.CollectionConverters._
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val stats = dataDirs.flatMap { d =>
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { f =>
+            val bytes = java.nio.file.Files.readAllBytes(f)
+            md.reset()
+            (f.toString, md.digest(bytes).map("%02x".format(_)).mkString,
+              bytes.length.toLong)
+          }.toList
+        finally ls.close()
+      }
+      stats.toDF("path", "md5", "n_bytes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/filestats")
+      // the COMPACTION commit: rewrite exactly the affected buckets
+      // minus their tombstoned positions; untouched buckets ride into
+      // v3 by reference. The original pos is CARRIED (not re-assigned)
+      // so the rewrite is auditable against the cleared vector.
+      val dv = s.read.parquet(s"$root/dv/v2")
+      val affected = dv.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted // O(buckets): the plan step
+      require(affected.nonEmpty && affected.length < 8,
+        s"compaction fixture must be a partial rewrite, got ${affected.toSeq}")
+      affected.foreach { b =>
+        s.read.parquet(s"$root/files/b=$b")
+          .join(broadcast(dv.where(col("bucket") === b)),
+            Seq("bucket", "pos"), "left_anti")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/rw/b=$b")
+      }
+      val untouched = (0 to 7).filterNot(b => affected.contains(b.toLong))
+      (untouched.map(b => (s"$root/files/b=$b", "data")) ++
+        affected.map(b => (s"$root/rw/b=$b", "data")))
+        .toDF("path", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/snapshots/v=3")
+    }
+    root
+  }
+
   /** Builds the manifest-tracked layout once per (dir): orders
     * range-clustered on o_orderkey into 16 files, plus a MANIFEST table
     * of per-file (min_key, max_key, n_rows) — the Iceberg/Delta
@@ -417,6 +511,55 @@ object Warehouse extends QueryFamily {
           big(sum(col("o_orderkey") % 7)).as("sum_key_mod"),
           dbl(sum(money(col("o_totalprice")))).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // DV COMPACTION COMMIT — the lake maintenance loop's close-out
+    // (r17 verdict #1): v2 serves MERGE-ON-READ (data files + the
+    // positional vector as a broadcast anti-join), v3 serves the
+    // COMPACTED snapshot (rewritten-minus-tombstones + untouched files,
+    // NO vector applied) — side by side, and a pass certifies pre ==
+    // post: the oracle recomputes the survivor aggregates once from the
+    // DELETE predicate and expects them IDENTICAL under both versions.
+    // In-query assertions pin the commit shape: v3 carries no delete
+    // entry (the vector is cleared), the manifests share the untouched
+    // files (a REWRITE swaps files, it does not rewrite the world), and
+    // the v3 scan reads only manifest-listed files. LakeSpec adds the
+    // byte-level proofs (untouched files md5-identical through the
+    // commit, v2 still readable, rewrites tombstone-free).
+    "q_lake_compact" -> ((s, dir) => {
+      val root = dvCompactLayout(s, dir)
+      def manifest(v: Int) = // O(files): the plan step
+        s.read.parquet(s"$root/snapshots/v=$v").collect()
+          .map(r => (r.getAs[String]("path"), r.getAs[String]("kind")))
+      val m2 = manifest(2); val m3 = manifest(3)
+      val data2 = m2.collect { case (p, "data") => p }
+      val dvPaths = m2.collect { case (p, "delete") => p }
+      require(dvPaths.length == 1,
+        s"v2 must carry exactly one delete vector, got ${dvPaths.length}")
+      require(!m3.exists(_._2 == "delete"),
+        "compaction must clear the vector from the v3 manifest")
+      val data3 = m3.map(_._1)
+      val shared = data2.toSet.intersect(data3.toSet)
+      require(shared.nonEmpty && shared.size < data2.length,
+        s"expected a partial file swap: shared ${shared.size} of ${data2.length}")
+      val dv = s.read.parquet(dvPaths.head)
+      val v2 = s.read.parquet(data2.toIndexedSeq: _*)
+        .join(broadcast(dv), Seq("bucket", "pos"), "left_anti")
+      val v3 = s.read.parquet(data3.toIndexedSeq: _*)
+      // the compacted scan never reads past its manifest (the
+      // q_scan_manifest proof pattern; compare by file name)
+      val listed = data3.map(_.split('/').last).toSet
+      require(v3.inputFiles.forall(f => listed.exists(f.contains)),
+        "v3 scan read past the manifest selection")
+      def serve(df: DataFrame, v: Int): DataFrame = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          big(sum(col("o_orderkey") % 7)).as("sum_key_mod"),
+          dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+        .select(lit(v.toLong).as("version"), col("o_orderstatus"),
+          col("n_orders"), col("sum_key_mod"), col("sum_price"))
+      serve(v2, 2).unionByName(serve(v3, 3))
+        .orderBy("version", "o_orderstatus")
     }),
 
     // CSV source: header + explicit schema (never inferSchema — a
@@ -793,6 +936,17 @@ object Warehouse extends QueryFamily {
       "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
       "FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // ONE survivor recompute from the DELETE predicate, expected
+    // IDENTICAL under both versions — pre (merge-on-read) == post
+    // (compacted) is the compaction-correctness contract itself
+    "q_lake_compact" -> ("SELECT v.version, o_orderstatus, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(o_orderkey % 7) AS BIGINT) AS sum_key_mod, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders, (VALUES (CAST(2 AS BIGINT)), (3)) v(version) " +
+      "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 16 < 3) " +
+      "GROUP BY v.version, o_orderstatus ORDER BY v.version, o_orderstatus"),
 
     "q_hive_table" -> ("SELECT year(o_orderdate) AS o_year, o_orderpriority, " +
       "count(*) AS n_orders, " +

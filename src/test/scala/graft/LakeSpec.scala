@@ -89,6 +89,107 @@ class LakeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  // ---- q_lake_compact: the DV compaction commit (r18) ----
+
+  private def compactManifest(root: String, v: Int): Seq[(String, String)] =
+    spark.read.parquet(s"$root/snapshots/v=$v").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[String]("kind"))).toSeq
+
+  test("compaction: untouched files ride through byte-identical") {
+    SparkEntry.queries("q_lake_compact")(spark, sf0001).collect() // build
+    val root = operators.Warehouse.dvCompactRoot(sf0001)
+    val m2 = compactManifest(root, 2); val m3 = compactManifest(root, 3)
+    val shared = m2.collect { case (p, "data") => p }.toSet
+      .intersect(m3.map(_._1).toSet)
+    assert(shared.nonEmpty, "compaction rewrote every file")
+    // filestats recorded each data file's md5 at v2-publish time,
+    // BEFORE the compaction commit; recompute now and compare — the
+    // untouched buckets' bytes must not have moved
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val recorded = spark.read.parquet(s"$root/filestats").collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[String]("md5")).toMap
+    val sharedFiles = recorded.keys.filter(f => shared.exists(f.startsWith))
+    assert(sharedFiles.nonEmpty, "no recorded stats for the shared files")
+    sharedFiles.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      md.reset()
+      val now = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(now == recorded(f), s"$f changed bytes through the compaction")
+    }
+  }
+
+  test("compaction: snapshot isolation — v2 merge-on-read survives the commit") {
+    val served = SparkEntry.queries("q_lake_compact")(spark, sf0001).collect()
+    val root = operators.Warehouse.dvCompactRoot(sf0001)
+    val m2 = compactManifest(root, 2)
+    val dv = spark.read.parquet(m2.collect { case (p, "delete") => p }.head)
+    // re-plan v2 from its own manifest AFTER the compaction commit: the
+    // merge-on-read snapshot must still serve the same survivors
+    val v2Again = spark.read
+      .parquet(m2.collect { case (p, "data") => p }: _*)
+      .join(broadcast(dv), Seq("bucket", "pos"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v2Served = served.filter(_.getAs[Long]("version") == 2L)
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_orders"))
+      .toMap
+    assert(v2Again == v2Served, s"$v2Again != $v2Served")
+  }
+
+  test("compaction: rewritten files carry zero tombstoned positions") {
+    SparkEntry.queries("q_lake_compact")(spark, sf0001).collect() // build
+    val root = operators.Warehouse.dvCompactRoot(sf0001)
+    val m2 = compactManifest(root, 2); val m3 = compactManifest(root, 3)
+    val rewritten = m3.map(_._1).toSet
+      .diff(m2.collect { case (p, "data") => p }.toSet)
+    assert(rewritten.nonEmpty, "v3 added no rewritten files")
+    assert(rewritten.forall(_.contains("/rw/")), s"unexpected adds: $rewritten")
+    val dv = spark.read.parquet(m2.collect { case (p, "delete") => p }.head)
+    // the rewrite carried the ORIGINAL (bucket, pos): joining the
+    // cleared vector back must match nothing
+    val leaked = spark.read.parquet(rewritten.toSeq: _*)
+      .join(broadcast(dv), Seq("bucket", "pos"), "left_semi").count()
+    assert(leaked == 0L, s"$leaked tombstoned positions survived the rewrite")
+    // and the rewrite dropped ONLY tombstones: per affected bucket,
+    // original rows == rewritten rows + vector rows
+    val origByBucket = spark.read
+      .parquet(m2.collect { case (p, "data") => p }: _*)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rwByBucket = spark.read.parquet(rewritten.toSeq: _*)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dvByBucket = dv.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rwByBucket.foreach { case (b, n) =>
+      assert(origByBucket(b) == n + dvByBucket.getOrElse(b, 0L),
+        s"bucket $b: ${origByBucket(b)} orig != $n rewritten + ${dvByBucket.getOrElse(b, 0L)} dv")
+    }
+  }
+
+  test("compaction: the v2 -> v3 diff is a file swap with no logical row delta") {
+    val served = SparkEntry.queries("q_lake_compact")(spark, sf0001).collect()
+    val root = operators.Warehouse.dvCompactRoot(sf0001)
+    val m2 = compactManifest(root, 2); val m3 = compactManifest(root, 3)
+    val d2 = m2.collect { case (p, "data") => p }.toSet
+    val d3 = m3.map(_._1).toSet
+    val removed = d2.diff(d3); val added = d3.diff(d2)
+    // the REWRITE shape: affected originals out, rw files in, the
+    // delete entry cleared, untouched files shared
+    assert(removed.nonEmpty && added.nonEmpty && removed.size == added.size,
+      s"swap mismatch: removed $removed, added $added")
+    assert(removed.forall(_.contains("/files/")) && added.forall(_.contains("/rw/")))
+    assert(m3.forall(_._2 == "data"), "v3 still carries a delete entry")
+    // no logical delta: the SERVED v2 and v3 row sets agree exactly
+    val byVersion = served.groupBy(_.getAs[Long]("version"))
+      .view.mapValues(_.map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("sum_key_mod"),
+        r.getAs[Double]("sum_price"))).toSet).toMap
+    assert(byVersion(2L) == byVersion(3L),
+      "merge-on-read and compacted snapshots diverge")
+  }
+
   test("delete vector is positionally sound: survivors == predicate recompute") {
     val served = SparkEntry.queries("q_scan_deletevector")(spark, sf0001)
       .collect().map(_.toString).toSeq
