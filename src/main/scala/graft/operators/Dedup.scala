@@ -717,9 +717,10 @@ object Dedup extends QueryFamily {
   private val pqSqd = "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), " +
     "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
-  /** The 16-centroid-per-subspace codebook (s, k, cent). trained=false:
-    * the first 16 candidate subvectors as-is (training-free sample
-    * quantizer). trained=true: those seeds refined by one exact-integer
+  /** The ksub-centroid-per-subspace codebook (s, k, cent), 16 (4-bit
+    * codes) unless a caller asks for more. trained=false: the first ksub
+    * candidate subvectors as-is (training-free sample quantizer).
+    * trained=true: those seeds refined by one exact-integer
     * Lloyd's round over the candidate corpus — the same assign/update
     * shape as TextOps.kmeansAssign, run subspace-wise so each 8-dim
     * quantizer trains on its own slice (Jegou PQ's actual trainer).
@@ -729,8 +730,9 @@ object Dedup extends QueryFamily {
     * the update is one narrow (s, k, pos) shuffle — training never
     * collects a vector to the driver.
     */
-  private def pqCodebook(sub: DataFrame, trained: Boolean): DataFrame = {
-    val cb0 = sub.where(col("vec_id").between(10, 25))
+  private def pqCodebook(sub: DataFrame, trained: Boolean,
+      ksub: Int = 16): DataFrame = {
+    val cb0 = sub.where(col("vec_id").between(10, 9 + ksub))
       .select(col("s"), (col("vec_id") - 10).as("k"), col("sv").as("cent"))
     if (!trained) cb0
     else {
@@ -817,7 +819,7 @@ object Dedup extends QueryFamily {
     * values, so every distance is an exact integer with (d, id) ties.
     */
   private def ivfAdcRanked(s: SparkSession, dir: String,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, ksub: Int = 16): DataFrame = {
     val av = TextOps.kmeansAssign(s, dir) // (vec_id, fx, k, d)
     val centRow = TextOps.kmeansCentroidRow(s, dir)
     val centTbl = centRow.select(explode(col("cents")).as("c"))
@@ -833,8 +835,10 @@ object Dedup extends QueryFamily {
       .select(col("vec_id"), col("k"), col("x.s").as("s"), col("x.sv").as("sv"))
     // the residual codebook: the SAME subspace-wise Lloyd's trainer as
     // q_sim_pq_trained, fed residual rows (kc to keep the coarse k apart)
-    val rcb = builtCodebooks.getOrBuild((s, dir, "residual"))(
-        _ => passPinner(s)(pqCodebook(rsub.select("vec_id", "s", "sv"), trained = true)))
+    val rcb = builtCodebooks.getOrBuild(
+        (s, dir, if (ksub == 16) "residual" else s"residual$ksub"))(
+        _ => passPinner(s)(pqCodebook(rsub.select("vec_id", "s", "sv"),
+          trained = true, ksub)))
       .withColumnRenamed("k", "kc")
     val rdist = rsub.join(broadcast(rcb), "s").withColumn("d", expr(pqSqd))
     val codes = rdist
@@ -861,7 +865,7 @@ object Dedup extends QueryFamily {
       .agg(expr("transform(array_sort(collect_list(struct(s, kc, d))), " +
         "x -> x.d)").as("dta"))
     val adc = "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, s) -> " +
-      "acc + element_at(dta, CAST(s * 16 + " +
+      s"acc + element_at(dta, CAST(s * $ksub + " +
       "element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT)))"
     val w = Window.partitionBy("probe_id").orderBy(col("adc_dist"), col("neighbor_id"))
     codes.withColumnRenamed("vec_id", "neighbor_id")
@@ -880,48 +884,60 @@ object Dedup extends QueryFamily {
     * bucket-equi-joined ADC, ending in rkivf (probe_id, neighbor_id,
     * adc_dist, rank). */
   /** The nprobe-INDEPENDENT half: residual subvectors and the trained
-    * residual codebook chain, ending in rcvec (candidate codes) + rcb
-    * (the codebook) — shared by every nprobe instantiation. */
-  private val ivfpqCodebookCtes: String =
-    "rcand AS (SELECT a2.vec_id, a2.k, " +
-    "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rfx " +
-    "FROM a2 JOIN e USING (vec_id) JOIN c1 ON a2.k = c1.k " +
-    "WHERE a2.vec_id >= 10), " +
-    "rsub AS (SELECT vec_id, k, s, rfx[s*8+1 : s*8+8] AS sv " +
-    "FROM rcand, range(8) t(s)), " +
-    "rcb0 AS (SELECT vec_id - 10 AS kc, s, sv AS cent FROM rsub " +
-    "WHERE vec_id BETWEEN 10 AND 25), " +
-    "ra1 AS (SELECT t.vec_id, t.s, c.kc, t.sv FROM rsub t " +
-    "JOIN rcb0 c ON t.s = c.s " +
+    * residual codebook chain, ending in rcvec&lt;sfx&gt; (candidate codes)
+    * + rcb&lt;sfx&gt; (the codebook) — shared by every nprobe
+    * instantiation. `ksub` sizes the codebook (16 = the 4-bit default;
+    * q_sim_pq_bits runs a 256-entry 8-bit variant beside it, so every
+    * CTE name carries the suffix). rcand/rsub are codebook-size
+    * independent, so only the default instantiation emits them; a
+    * suffixed instantiation reuses the default's. */
+  private def ivfpqCodebookCtes(sfx: String = "", ksub: Int = 16): String = {
+    val head = if (sfx.nonEmpty) "" else
+      "rcand AS (SELECT a2.vec_id, a2.k, " +
+      "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rfx " +
+      "FROM a2 JOIN e USING (vec_id) JOIN c1 ON a2.k = c1.k " +
+      "WHERE a2.vec_id >= 10), " +
+      "rsub AS (SELECT vec_id, k, s, rfx[s*8+1 : s*8+8] AS sv " +
+      "FROM rcand, range(8) t(s)), "
+    head +
+    s"rcb0$sfx AS (SELECT vec_id - 10 AS kc, s, sv AS cent FROM rsub " +
+    s"WHERE vec_id BETWEEN 10 AND ${9 + ksub}), " +
+    s"ra1$sfx AS (SELECT t.vec_id, t.s, c.kc, t.sv FROM rsub t " +
+    s"JOIN rcb0$sfx c ON t.s = c.s " +
     "QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.s ORDER BY " +
     "list_sum([ (t.sv[i+1] - c.cent[i+1]) * (t.sv[i+1] - c.cent[i+1]) " +
     "for i in range(8) ]), c.kc) = 1), " +
-    "rs1 AS (SELECT s, kc, pos, sum(x) AS sx, count(*) AS n FROM " +
+    s"rs1$sfx AS (SELECT s, kc, pos, sum(x) AS sx, count(*) AS n FROM " +
     "(SELECT s, kc, unnest(sv) AS x, generate_subscripts(sv, 1) - 1 AS pos " +
-    "FROM ra1) GROUP BY s, kc, pos), " +
-    "rc1 AS (SELECT s, kc, " +
+    s"FROM ra1$sfx) GROUP BY s, kc, pos), " +
+    s"rc1$sfx AS (SELECT s, kc, " +
     "list(CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT) ORDER BY pos) " +
-    "AS newc FROM rs1 GROUP BY s, kc), " +
-    "rcb AS (SELECT c0x.s, c0x.kc, coalesce(c1x.newc, c0x.cent) AS cent " +
-    "FROM rcb0 c0x LEFT JOIN rc1 c1x ON c0x.s = c1x.s AND c0x.kc = c1x.kc), " +
-    "rdist AS (SELECT r.vec_id, r.k, r.s, cb.kc, " +
+    s"AS newc FROM rs1$sfx GROUP BY s, kc), " +
+    s"rcb$sfx AS (SELECT c0x.s, c0x.kc, coalesce(c1x.newc, c0x.cent) AS cent " +
+    s"FROM rcb0$sfx c0x LEFT JOIN rc1$sfx c1x ON c0x.s = c1x.s AND c0x.kc = c1x.kc), " +
+    s"rdist$sfx AS (SELECT r.vec_id, r.k, r.s, cb.kc, " +
     "list_sum([ (r.sv[i+1] - cb.cent[i+1]) * (r.sv[i+1] - cb.cent[i+1]) " +
-    "for i in range(8) ]) AS d FROM rsub r JOIN rcb cb ON r.s = cb.s), " +
-    "rcvec AS (SELECT vec_id, k, list(kc ORDER BY s) AS codes FROM " +
-    "(SELECT vec_id, k, s, kc FROM rdist " +
+    s"for i in range(8) ]) AS d FROM rsub r JOIN rcb$sfx cb ON r.s = cb.s), " +
+    s"rcvec$sfx AS (SELECT vec_id, k, list(kc ORDER BY s) AS codes FROM " +
+    s"(SELECT vec_id, k, s, kc FROM rdist$sfx " +
     "QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, kc) = 1) " +
     "GROUP BY vec_id, k)"
+  }
 
   private def ivfpqOracleChain: String =
-    ivfpqCodebookCtes + ", " + ivfpqServeCtes("", 2)
+    ivfpqCodebookCtes() + ", " + ivfpqServeCtes("", 2)
 
   /** The nprobe-dependent HALF of the IVFADC oracle — probe bucket
     * selection (QUALIFY ≤ nprobe), per-(probe, bucket) residual distance
     * tables, the bucket-equi-joined ADC, ranks — with CTE names suffixed
     * `sfx` so q_sim_recall_curve can run several nprobe settings against
-    * the ONE shared residual codebook chain (rcand..rcvec). Ends in
+    * the ONE shared residual codebook chain (rcand..rcvec). `cbSfx`
+    * selects WHICH codebook chain to serve from (q_sim_pq_bits serves
+    * the 4-bit and 8-bit codebooks side by side) and `ksub` must match
+    * its size — it strides the flattened distance-table lookup. Ends in
     * rkivf&lt;sfx&gt;. */
-  private def ivfpqServeCtes(sfx: String, nprobe: Int): String =
+  private def ivfpqServeCtes(sfx: String, nprobe: Int,
+      cbSfx: String = "", ksub: Int = 16): String =
     s"ppc$sfx AS (SELECT e.vec_id AS probe_id, c1.k, " +
     "[e.fx[i+1] - c1.cv[i+1] for i in range(64)] AS rp FROM e, c1 " +
     "WHERE e.vec_id < 10 " +
@@ -932,12 +948,12 @@ object Dedup extends QueryFamily {
     s"FROM ppc$sfx, range(8) t(s)), " +
     s"pdist$sfx AS (SELECT p.probe_id, p.k, p.s, cb.kc, " +
     "list_sum([ (p.sv[i+1] - cb.cent[i+1]) * (p.sv[i+1] - cb.cent[i+1]) " +
-    s"for i in range(8) ]) AS d FROM psub$sfx p JOIN rcb cb ON p.s = cb.s), " +
+    s"for i in range(8) ]) AS d FROM psub$sfx p JOIN rcb$cbSfx cb ON p.s = cb.s), " +
     s"ptab$sfx AS (SELECT probe_id, k, list(d ORDER BY s, kc) AS dta " +
     s"FROM pdist$sfx GROUP BY probe_id, k), " +
     s"iscored$sfx AS (SELECT p.probe_id, c.vec_id AS neighbor_id, " +
-    "CAST(list_sum([ p.dta[s*16 + c.codes[s+1] + 1] for s in range(8) ]) " +
-    s"AS BIGINT) AS adc_dist FROM rcvec c JOIN ptab$sfx p ON c.k = p.k), " +
+    s"CAST(list_sum([ p.dta[s*$ksub + c.codes[s+1] + 1] for s in range(8) ]) " +
+    s"AS BIGINT) AS adc_dist FROM rcvec$cbSfx c JOIN ptab$sfx p ON c.k = p.k), " +
     s"rkivf$sfx AS (SELECT probe_id, neighbor_id, adc_dist, " +
     "CAST(row_number() OVER (PARTITION BY probe_id " +
     s"ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank FROM iscored$sfx)"
@@ -1765,6 +1781,53 @@ object Dedup extends QueryFamily {
         .orderBy("probe_id")
     }),
 
+    // The CODEBOOK-BITS point q_sim_recall_curve's saturation argues
+    // for (r17 verdict #3): the curve measured ADC hits flat at 11
+    // while prune candidates rose 38→42→46, concluding "the knob is
+    // codebook bits, not nprobe" — this key SERVES that conclusion as
+    // a measured comparison instead of an inference. The SAME IVFADC
+    // chain (same coarse quantizer, same nprobe=2, same residual
+    // Lloyd's trainer) run with the 16-entry 4-bit codebook beside a
+    // 256-entry 8-bit one, graded per probe against the exact cosine
+    // top-5 — recall@5 as oracle-checked integers, closing the tuning
+    // loop the way q_dedup_recall closed the bands question.
+    // SimRecallSpec pins hits_8bit ≥ hits_4bit. Scale: an 8-bit
+    // codebook is 8×256 rows — still a broadcast; per-candidate serve
+    // cost is IDENTICAL (8 table lookups either way; only the
+    // broadcast table is 16× wider), which is exactly why codebook
+    // bits is the knob that buys recall without touching serve cost.
+    "q_sim_pq_bits" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val exact = e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+        .crossJoin(broadcast(probes))
+        .withColumn("score",
+          round(expr("vec_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select("probe_id", "neighbor_id")
+      val keys = Seq("probe_id", "neighbor_id")
+      val b4 = ivfAdcRanked(s, dir, nprobe = 2, ksub = 16)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h4"))
+      val b8 = ivfAdcRanked(s, dir, nprobe = 2, ksub = 256)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("h8"))
+      exact.join(b4, keys, "left").join(b8, keys, "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("h4"), lit(0L))).as("hits_4bit"),
+          sum(coalesce(col("h8"), lit(0L))).as("hits_8bit"))
+        .orderBy("probe_id")
+    }),
+
     // ANN quality gate: recall@5 of the three approximate paths against
     // the exact answer, oracle-checked as integer hit counts. For each
     // fixture probe, the exact cosine top-5 (q_sim_topk's ranking) is
@@ -2239,7 +2302,7 @@ object Dedup extends QueryFamily {
     // the curve: ONE shared residual-codebook chain, three suffixed
     // nprobe serve chains, the shared exact ranking, three left joins
     "q_sim_recall_curve" -> (s"WITH ${TextOps.kmeansAssignCtes}, " +
-      s"$ivfpqCodebookCtes, " +
+      s"${ivfpqCodebookCtes()}, " +
       s"${ivfpqServeCtes("_n1", 1)}, " +
       s"${ivfpqServeCtes("_n2", 2)}, " +
       s"${ivfpqServeCtes("_n4", 4)}, " +
@@ -2273,6 +2336,31 @@ object Dedup extends QueryFamily {
       "ON ex.probe_id = cd4.probe_id AND ex.neighbor_id = cd4.neighbor_id " +
       "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_n4 WHERE rank <= 5) r4 " +
       "ON ex.probe_id = r4.probe_id AND ex.neighbor_id = r4.neighbor_id " +
+      "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
+
+    // both codebook chains re-derived (the shared rcand/rsub residual
+    // rows, then a 16- and a 256-seed Lloyd's round), two suffixed
+    // serve chains with matching table strides, the shared exact ranking
+    "q_sim_pq_bits" -> (s"WITH ${TextOps.kmeansAssignCtes}, " +
+      s"${ivfpqCodebookCtes()}, " +
+      s"${ivfpqCodebookCtes("_b8", 256)}, " +
+      s"${ivfpqServeCtes("_k4", 2)}, " +
+      s"${ivfpqServeCtes("_k8", 2, "_b8", 256)}, " +
+      "ex AS (SELECT probe_id, neighbor_id FROM " +
+      "(SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY p.vec_id ORDER BY " +
+      "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rnk " +
+      "FROM embeddings p, embeddings c WHERE p.vec_id < 10 AND c.vec_id >= 10) " +
+      "WHERE rnk <= 5) " +
+      "SELECT ex.probe_id, count(*) AS n_exact, " +
+      "CAST(sum(CASE WHEN r4.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_4bit, " +
+      "CAST(sum(CASE WHEN r8.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_8bit " +
+      "FROM ex " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_k4 WHERE rank <= 5) r4 " +
+      "ON ex.probe_id = r4.probe_id AND ex.neighbor_id = r4.neighbor_id " +
+      "LEFT JOIN (SELECT probe_id, neighbor_id FROM rkivf_k8 WHERE rank <= 5) r8 " +
+      "ON ex.probe_id = r8.probe_id AND ex.neighbor_id = r8.neighbor_id " +
       "GROUP BY ex.probe_id ORDER BY ex.probe_id"),
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the

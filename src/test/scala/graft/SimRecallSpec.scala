@@ -110,4 +110,25 @@ class SimRecallSpec extends AnyFunSuite {
       s"IVFADC lost to flat PQ at equal code budget: $ivfpq < $trained")
     assert(ivfpq <= 50)
   }
+
+  // r17 verdict task 3: q_sim_recall_curve's saturation argued "the
+  // knob is codebook bits, not nprobe"; q_sim_pq_bits serves the
+  // measured point. The pin is on the AGGREGATE (15 vs 19 of 50 at
+  // sf0.001; 11 vs 20 at sf0.01; 8 vs 18 at sf0.1 — the 8-bit codebook
+  // roughly DOUBLES ADC recall where nprobe bought nothing), not per
+  // probe: a finer codebook shifts every ADC estimate, and on one
+  // probe of the sf0.001 fixture (probe 6: 3 -> 2) the coarse
+  // codebook's quantization error happened to FAVOR an exact neighbor
+  // — real quantizer behavior, stated rather than hidden.
+  test("q_sim_pq_bits: the 8-bit codebook beats 4-bit in aggregate ADC recall") {
+    val rows = SparkEntry.queries("q_sim_pq_bits")(spark, sf0001).collect()
+    assert(rows.length == 10, s"expected one row per probe, got ${rows.length}")
+    assert(rows.forall(_.getAs[Long]("n_exact") == 5L))
+    val h4 = rows.map(_.getAs[Long]("hits_4bit")).sum
+    val h8 = rows.map(_.getAs[Long]("hits_8bit")).sum
+    assert(h4 >= 2, s"4-bit ADC recall collapsed: $h4/50")
+    assert(h8 > h4,
+      s"8-bit codebook did not buy recall: $h8 <= $h4 — the curve's lesson broke")
+    assert(h8 <= 50)
+  }
 }
