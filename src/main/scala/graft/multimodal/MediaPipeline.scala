@@ -1322,6 +1322,100 @@ object MediaPipeline {
       "CAST(sum(CASE WHEN k IN (6, 7) THEN abs(v) END) AS BIGINT) AS band_high " +
       "FROM coefs GROUP BY doc_id, frame ORDER BY media_id, frame"
 
+  /** The toy-scale mel filterbank for [[pcmMfcc]]: 4 triangular filters
+    * over spectral bins k = 1..7 (DC excluded, the published rule) with
+    * centers 1, 2, 4, 7 — the standard mel construction (each filter's
+    * edges are its neighbors' centers, log-spaced) evaluated on the
+    * 8-bin grid and scaled by 6 so every weight is an EXACT integer.
+    * One (m, k, w) list shared verbatim with the DuckDB oracle, the
+    * [[cos64]] discipline applied to the filterbank. */
+  private val melWeights: Seq[(Int, Int, Int)] = Seq(
+    (0, 1, 6),
+    (1, 2, 6), (1, 3, 3),
+    (2, 3, 3), (2, 4, 6), (2, 5, 4), (2, 6, 2),
+    (3, 5, 2), (3, 6, 4), (3, 7, 6))
+
+  /** MFCC over the real PCM decode — the published audio-ML feature
+    * chain completed ([[pcmSpectrogram]]'s stated next stage): per
+    * frame, (1) the 8-bin integer DCT-II spectrum (the spectrogram's
+    * own coefficients, same shared [[cos64]] table), (2) mel energies
+    * E_m = Σ_k w_mk·|X_k| through the exact-integer [[melWeights]]
+    * filterbank, (3) log compression as the fixed-point 6-dp law
+    * round(ln(1 + E_m)·10⁶) (q_text_logprob's determinism precedent;
+    * the +1 floor keeps a silent filter finite on both engines), and
+    * (4) the final 4-point DCT over the log-mel vector — angle
+    * π(2m+1)j/8 = 4·(2m+1)j · (π/32), so the SAME cos64 table serves
+    * the decorrelating transform with zero new literals. Everything
+    * after the decode UDF is codegen'd HOF arithmetic, MAP-ONLY until
+    * the output ordering; serve cost per clip is 8·16 + 10 + 4·4
+    * multiplies — the shape that survives a billion clips. Both the
+    * mel energies (exact integers) and the cepstral coefficients
+    * (integers after the one rounded-ln boundary) are served, so the
+    * oracle certifies the filterbank and the full chain separately. */
+  def pcmMfcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ct = cos64.mkString("array(", "L, ", "L)")
+    val coef = "transform(sequence(0, 7), k -> aggregate(sequence(0, 15), " +
+      "CAST(0 AS BIGINT), (a, i) -> a + " +
+      "element_at(sm, CAST(frame * 16 + i + 1 AS INT)) * " +
+      s"element_at($ct, CAST(((2 * i + 1) * k) % 64 + 1 AS INT))))"
+    def mel(m: Int): String = melWeights.collect { case (`m`, k, w) =>
+      s"$w * abs(element_at(coef, ${k + 1}))" }.mkString(" + ")
+    def mfcc(j: Int): String = (0 to 3).map { m =>
+      s"lm$m * element_at($ct, CAST(${(4 * (2 * m + 1) * j) % 64} + 1 AS INT))"
+    }.mkString(" + ")
+    validWavBlobs(spark, sfDir)
+      .withColumn("p", decodePcm(col("content")))
+      .selectExpr("media_id", "slice(p.samples, 1, 64) AS sm")
+      .select(col("media_id"), col("sm"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(3 AS BIGINT))")).as("frame"))
+      .withColumn("coef", expr(coef))
+      .selectExpr(Seq("media_id", "frame") ++
+        (0 to 3).map(m => s"${mel(m)} AS mel$m"): _*)
+      .selectExpr(Seq("media_id", "frame") ++
+        (0 to 3).map(m => s"mel$m") ++
+        (0 to 3).map(m =>
+          s"CAST(round(ln(1.0D + mel$m) * 1000000, 0) AS BIGINT) AS lm$m"): _*)
+      .selectExpr(Seq("media_id", "frame") ++
+        (0 to 3).map(m => s"mel$m") ++
+        (0 to 3).map(j => s"CAST(${mfcc(j)} AS BIGINT) AS mfcc$j"): _*)
+      .orderBy("media_id", "frame")
+  }
+
+  /** DuckDB mirror of [[pcmMfcc]] with NO bytes and NO decode: spectrum,
+    * filterbank, rounded ln, and the cepstral DCT recomputed from the
+    * arithmetic (doc_id, i) sample grid, the same melWeights rows and
+    * the same cos64 table. */
+  def mfccOracleSql: String = {
+    val wvals = melWeights.map { case (m, k, w) => s"($m, $k, $w)" }
+      .mkString(", ")
+    "WITH g AS (SELECT doc_id, t.i // 16 AS frame, t.i % 16 AS j, " +
+      "((doc_id * 131 + t.i * 73) % 4001) - 2000 AS s " +
+      "FROM documents, range(64) t(i)), " +
+      s"ct AS (SELECT $cos64DuckLiteral AS c), " +
+      "coefs AS (SELECT doc_id, frame, k.k AS k, " +
+      "sum(s * c[((2 * j + 1) * k.k) % 64 + 1]) AS v " +
+      "FROM g, range(8) k(k), ct GROUP BY doc_id, frame, k.k), " +
+      s"mel AS (SELECT doc_id, frame, w.m, " +
+      "CAST(sum(w.w * abs(c.v)) AS BIGINT) AS e " +
+      s"FROM coefs c JOIN (VALUES $wvals) w(m, k, w) ON c.k = w.k " +
+      "GROUP BY doc_id, frame, w.m), " +
+      "lm AS (SELECT doc_id, frame, m, e, " +
+      "CAST(round(ln(1.0 + e) * 1000000, 0) AS BIGINT) AS lme FROM mel), " +
+      "mf AS (SELECT doc_id, frame, j.j AS j, " +
+      "CAST(sum(lme * ct.c[(4 * (2 * m + 1) * j.j) % 64 + 1]) AS BIGINT) AS v " +
+      "FROM lm, range(4) j(j), ct GROUP BY doc_id, frame, j.j) " +
+      "SELECT lm.doc_id AS media_id, CAST(lm.frame AS BIGINT) AS frame, " +
+      (0 to 3).map(m =>
+        s"CAST(sum(CASE WHEN lm.m = $m THEN lm.e END) AS BIGINT) AS mel$m, ")
+        .mkString +
+      (0 to 3).map(j =>
+        s"CAST(sum(CASE WHEN mf.j = $j THEN mf.v END) AS BIGINT) AS mfcc$j")
+        .mkString(", ") +
+      " FROM lm JOIN mf ON lm.doc_id = mf.doc_id AND lm.frame = mf.frame " +
+      "AND lm.m = mf.j " +
+      "GROUP BY lm.doc_id, lm.frame ORDER BY media_id, frame"
+  }
+
   // ---- Video frame pipeline: multi-frame container -> per-frame REAL
   // decode -> temporal delta profile (scene-cut detection) ----
 

@@ -878,6 +878,13 @@ object TextOps extends QueryFamily {
     // wave's time-domain triage. See MediaPipeline.pcmSpectrogram.
     "q_multimodal_spectro" -> ((s, dir) =>
       graft.multimodal.MediaPipeline.pcmSpectrogram(s, dir)),
+
+    // MFCC — the audio feature chain's published next stage over the
+    // real decode: spectrogram bins -> exact-integer mel filterbank ->
+    // fixed-point 6-dp ln -> cepstral DCT, every stage on the shared
+    // cosine table / integer-weight discipline. See MediaPipeline.pcmMfcc.
+    "q_multimodal_mfcc" -> ((s, dir) =>
+      graft.multimodal.MediaPipeline.pcmMfcc(s, dir)),
   )
 
   /** DuckDB mirror of the BPE trainer: the identical word-count base,
@@ -1239,6 +1246,7 @@ object TextOps extends QueryFamily {
     "q_multimodal_dcthash" -> graft.multimodal.MediaPipeline.dctHashOracleSql,
     "q_multimodal_hashrobust" -> graft.multimodal.MediaPipeline.hashRobustOracleSql,
     "q_multimodal_spectro" -> graft.multimodal.MediaPipeline.spectroOracleSql,
+    "q_multimodal_mfcc" -> graft.multimodal.MediaPipeline.mfccOracleSql,
     "q_dedup_video" -> graft.multimodal.MediaPipeline.videoDedupOracleSql,
 
     // identical fixed-point/assign/update arithmetic, all-integer

@@ -279,6 +279,44 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_mfcc: one frame re-derived scalar-side through all four stages") {
+    // spectrum -> integer mel filterbank -> rounded ln -> cepstral DCT,
+    // each stage recomputed directly in Scala for the first 20 frames;
+    // the j=0 cepstral row is a THEOREM: cos(0)=1 scaled, so
+    // mfcc0 = 10^4 * sum of the log-mel vector
+    val rows = SparkEntry.queries("q_multimodal_mfcc")(spark, sf0001)
+      .limit(20).collect()
+    assert(rows.length == 20)
+    def s(id: Long, i: Int): Long = ((id * 131 + i * 73) % 4001) - 2000
+    def cos(k: Int): Long = {
+      val half = Array[Long](10000, 9952, 9808, 9569, 9239, 8819, 8315,
+        7730, 7071, 6344, 5556, 4714, 3827, 2903, 1951, 980, 0, -980,
+        -1951, -2903, -3827, -4714, -5556, -6344, -7071, -7730, -8315,
+        -8819, -9239, -9569, -9808, -9952)
+      if (k < 32) half(k) else -half(k - 32)
+    }
+    val weights = Map(
+      0 -> Seq(1 -> 6L),
+      1 -> Seq(2 -> 6L, 3 -> 3L),
+      2 -> Seq(3 -> 3L, 4 -> 6L, 5 -> 4L, 6 -> 2L),
+      3 -> Seq(5 -> 2L, 6 -> 4L, 7 -> 6L))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id"); val f = r.getAs[Long]("frame").toInt
+      def coef(k: Int): Long =
+        (0 until 16).map(i => s(id, f * 16 + i) * cos(((2 * i + 1) * k) % 64)).sum
+      val mel = (0 to 3).map(m =>
+        weights(m).map { case (k, w) => w * math.abs(coef(k)) }.sum)
+      (0 to 3).foreach(m => assert(r.getAs[Long](s"mel$m") == mel(m),
+        s"doc $id frame $f mel$m"))
+      val lm = mel.map(e => math.round(math.log(1.0 + e) * 1000000))
+      def mfcc(j: Int): Long =
+        (0 to 3).map(m => lm(m) * cos((4 * (2 * m + 1) * j) % 64)).sum
+      (0 to 3).foreach(j => assert(r.getAs[Long](s"mfcc$j") == mfcc(j),
+        s"doc $id frame $f mfcc$j"))
+      assert(r.getAs[Long]("mfcc0") == lm.sum * 10000L)
+    }
+  }
+
   test("q_dedup_video: every brightness twin found; edits keep exactly 3 frames") {
     val pairs = SparkEntry.queries("q_dedup_video")(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
