@@ -135,9 +135,49 @@ class UnigramSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (x, y, cxy) = (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[Long]("c_xy"))
       assert(cxy >= 5 && prs((x, y)) == cxy, s"('$x','$y') count $cxy vs ${prs.get((x, y))}")
+      // factor-wise double products — the r18 overflow-hardened form
+      // the query computes (each count converts exactly below 2^53)
       val pmi = math.round(math.log(
-        (cxy * t * t).toDouble / (p * uni(x) * uni(y))) * 1e6)
+        cxy.toDouble * t.toDouble * t.toDouble /
+          (p.toDouble * uni(x).toDouble * uni(y).toDouble)) * 1e6)
       assert(r.getAs[Long]("pmi") == pmi, s"('$x','$y') pmi")
     }
+  }
+
+  test("q_text_unigram_budget: monotone vocab under the budget; rounds reconstruct") {
+    val rows = SparkEntry.queries("q_text_unigram_budget")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 4)
+    val out = rows.map(_.getAs[Long]("vocab_out"))
+    val chars = rows.map(_.getAs[Long]("chars_out"))
+    // the budget rule: every round's output holds all single chars plus
+    // at most 16 multi-char pieces, and the sequence never grows
+    rows.indices.foreach { i =>
+      assert(out(i) <= chars(i) + 16, s"round ${i + 1}: ${out(i)} > ${chars(i)} + 16")
+      if (i > 0) {
+        assert(out(i) <= out(i - 1), s"vocab grew at round ${i + 1}")
+        // model-in of round r is model-out of round r-1
+        assert(rows(i).getAs[Long]("vocab_in") == out(i - 1))
+      }
+    }
+    // the budget BITES on round 1 (the seed survivors exceed it) and the
+    // chain reaches a fixed point (stable vocab fingerprint) by round 4
+    assert(rows(0).getAs[Long]("vocab_in") > out(0), "round 1 pruned nothing")
+    assert(rows(2).getAs[Long]("sum_cost_out") == rows(3).getAs[Long]("sum_cost_out"),
+      "no fixed point by round 4")
+    // reconstruction at every round: each round's E-step segmentations
+    // concatenate back to their words, under that round's own model
+    import org.apache.spark.sql.functions.{col, explode, expr, split}
+    operators.TextOps.unigramBudgetChain(spark, sf0001).zipWithIndex
+      .foreach { case ((vin, vit, _), i) =>
+        val bad = vit.where(expr("replace(seg, ' ', '') != w")).count()
+        assert(bad == 0L, s"round ${i + 1}: $bad words fail to reconstruct")
+        // and every piece any segmentation uses is priced by the ROUND'S
+        // INPUT model (the E-step can only spend pieces the model holds)
+        val missing = vit
+          .select(explode(split(col("seg"), " ")).as("piece"))
+          .join(vin.select("piece"), Seq("piece"), "left_anti").count()
+        assert(missing == 0L, s"round ${i + 1}: $missing unpriced pieces used")
+      }
   }
 }
