@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** The streaming→lake bridge (r18 verdict #2): an append-commit lake
+  * table — snapshot manifest lists over immutable data files, the
+  * q_scan_timetravel commit shape — maintained by a Structured
+  * Streaming foreachBatch loop under an EXACTLY-ONCE batch ledger (the
+  * [[graft.search.InvertedIndex.appendBatch]] precedent, replayed for
+  * the commit tier), plus the CDF consumer that reads each commit as
+  * the DIFF OF ITS MANIFESTS — no data compare, O(files) planning.
+  *
+  * Layout:
+  * {{{
+  *   root/files/f-NNNNN/            one immutable parquet dir per commit
+  *   root/snapshots/v-NNNNN/
+  *     manifest/                    parquet: (path) — the full file list
+  *     batch                        text: highest stream batchId folded
+  *     _commit                      marker, written LAST — the publish
+  * }}}
+  *
+  * Exactly-once: foreachBatch is at-least-once — a crash between the
+  * snapshot publish and the checkpoint commit replays the same batchId
+  * with the same rows, and a second commit of them would double every
+  * downstream aggregate. The ledger lives INSIDE the snapshot the
+  * `_commit` marker publishes: a replay whose commit already published
+  * reads its own batchId back and is skipped; one whose commit didn't
+  * finds no `_commit` marker, resolves the OLD snapshot, and re-runs —
+  * its crashed attempt's files are unreferenced orphans. Either way the
+  * batch lands exactly once. The ledger is CARRIED by later un-batched
+  * commits (a nightly load interleaving with the stream), so a replay
+  * after maintenance is still skipped.
+  *
+  * 100 TB: this is the Delta/Iceberg streaming-sink contract — the
+  * stream is Kafka, the manifest write is the format's transaction-log
+  * commit (whose txn/appId field IS this ledger), and the CDF consumer
+  * is an incremental downstream job that never rescans the table.
+  */
+object LakeBridge {
+
+  private def snapRoot(root: String) = Paths.get(root, "snapshots")
+
+  private def snapDir(root: String, v: Int) =
+    snapRoot(root).resolve(f"v-$v%05d")
+
+  /** Committed snapshot versions, ascending — a version exists only
+    * once its `_commit` marker does (the atomic publish). */
+  def versions(root: String): Seq[Int] = {
+    val sr = snapRoot(root)
+    if (!Files.exists(sr)) Seq.empty
+    else {
+      val ls = Files.list(sr)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v-") &&
+          Files.exists(p.resolve("_commit")))
+        .map(_.getFileName.toString.drop(2).toInt).toList.sorted
+      finally ls.close()
+    }
+  }
+
+  def currentVersion(root: String): Option[Int] = versions(root).lastOption
+
+  /** The highest stream batchId folded into snapshot `v`. */
+  private def ledger(root: String, v: Int): Option[Long] = {
+    val p = snapDir(root, v).resolve("batch")
+    if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
+  }
+
+  /** Snapshot v's full file list — the O(files) plan step. */
+  def manifest(spark: SparkSession, root: String, v: Int): Seq[String] =
+    spark.read.parquet(snapDir(root, v).resolve("manifest").toString)
+      .collect().map(_.getString(0)).toSeq
+
+  /** One append COMMIT: write the rows as a new immutable file dir,
+    * publish a snapshot whose manifest is the previous list plus the
+    * new dir, ledger inside, `_commit` marker last. Returns false (and
+    * writes nothing) when `batchId` is already covered by the current
+    * snapshot's ledger — the exactly-once skip. Empty batches are
+    * skipped without a commit (nothing to fold; replaying them is
+    * harmless by construction). */
+  def appendCommit(spark: SparkSession, root: String, rows: DataFrame,
+      batchId: Option[Long] = None): Boolean = {
+    val cur = currentVersion(root)
+    val done = batchId.exists(b =>
+      cur.flatMap(v => ledger(root, v)).exists(_ >= b))
+    if (done || rows.isEmpty) return false
+    val next = cur.fold(1)(_ + 1)
+    val dataDir = Paths.get(root, "files", f"f-$next%05d").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(dataDir)
+    val prevPaths = cur.map(v => manifest(spark, root, v)).getOrElse(Seq.empty)
+    import spark.implicits._
+    val sd = snapDir(root, next)
+    (prevPaths :+ dataDir).toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(sd.resolve("manifest").toString)
+    // carry the highest ledger forward across un-batched commits
+    val carried = batchId.orElse(cur.flatMap(v => ledger(root, v)))
+    carried.foreach(b =>
+      Files.write(sd.resolve("batch"), b.toString.getBytes("UTF-8")))
+    Files.write(sd.resolve("_commit"), Array.emptyByteArray)
+    true
+  }
+
+  /** Read a snapshot (current unless `v` given): plan from its
+    * manifest, scan exactly its files. */
+  def read(spark: SparkSession, root: String, v: Option[Int] = None): DataFrame = {
+    val ver = v.orElse(currentVersion(root)).getOrElse(
+      sys.error(s"no committed snapshot at $root"))
+    spark.read.parquet(manifest(spark, root, ver): _*)
+  }
+
+  /** The CDF consumer: every commit's delta as (version, DataFrame over
+    * ONLY the files that commit added) — the manifest diff, never a
+    * table scan. An incremental downstream job folds these in order. */
+  def commitDiffs(spark: SparkSession, root: String): Seq[(Int, DataFrame)] = {
+    val vs = versions(root)
+    vs.zip(None +: vs.init.map(Some(_))).map { case (v, prevV) =>
+      val prev = prevV.map(p => manifest(spark, root, p).toSet)
+        .getOrElse(Set.empty[String])
+      val added = manifest(spark, root, v).filterNot(prev)
+      require(added.nonEmpty, s"commit v$v added no files")
+      (v, spark.read.parquet(added: _*))
+    }
+  }
+
+  /** Continuous lake maintenance: every micro-batch appends one commit
+    * through the exactly-once ledger. */
+  def maintainContinuous(stream: DataFrame, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming, "maintainContinuous needs a streaming DataFrame")
+    stream.writeStream
+      .queryName(s"graft-lake-${Paths.get(root).getFileName}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendCommit(batch.sparkSession, root, batch, Some(batchId))
+        ()
+      }
+      .start()
+  }
+}

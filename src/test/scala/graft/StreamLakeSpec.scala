@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.LakeBridge
+
+/** The streaming→lake bridge (r18): micro-batch append commits through
+  * the exactly-once ledger must converge to the one-shot load, survive
+  * a stop/restart on the same checkpoint, skip replays instead of
+  * double-committing, and serve every commit to the CDF consumer whose
+  * summed deltas reconcile with the final snapshot — the
+  * ContinuousIndexSpec contract, replayed for the commit tier.
+  */
+class StreamLakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def docRows: Seq[(Long, String)] =
+    Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("streamed commits equal the one-shot load, across a restart") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("graft_lake")
+    val ckpt = tmp("graft_lake_ckpt")
+    val rows = docRows
+    val slices = rows.grouped((rows.size + 3) / 4).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q1 = LakeBridge.maintainContinuous(df, root, ckpt)
+    try {
+      for (s <- slices.take(2)) { input.addData(s: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    // restart from the same checkpoint: the remaining slices continue
+    // from the committed offset, batch numbering intact
+    val q2 = LakeBridge.maintainContinuous(df, root, ckpt)
+    try {
+      for (s <- slices.drop(2)) { input.addData(s: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+
+    val streamed = LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val oneShot = Tables(spark, sf0001, "documents").select("doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed == oneShot, "streamed lake diverges from the one-shot load")
+    // one commit per non-empty micro-batch, each over immutable files:
+    // every earlier manifest is a prefix of the final one
+    val vs = LakeBridge.versions(root)
+    assert(vs.size >= slices.size, s"expected >= ${slices.size} commits, got $vs")
+    val finalM = LakeBridge.manifest(spark, root, vs.last).toSet
+    vs.init.foreach { v =>
+      val m = LakeBridge.manifest(spark, root, v).toSet
+      assert(m.subsetOf(finalM), s"v$v references files the final snapshot lost")
+    }
+  }
+
+  test("a replayed commit is skipped by the ledger, not re-appended") {
+    val root = tmp("graft_lake_replay")
+    val d = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    assert(LakeBridge.appendCommit(spark, root, d.where("doc_id % 2 = 0"), Some(0L)))
+    assert(LakeBridge.appendCommit(spark, root, d.where("doc_id % 2 = 1"), Some(1L)))
+    val before = LakeBridge.read(spark, root).count()
+    // at-least-once delivery re-runs batch 1 with the same rows
+    assert(!LakeBridge.appendCommit(spark, root, d.where("doc_id % 2 = 1"), Some(1L)),
+      "replay must be skipped")
+    assert(LakeBridge.read(spark, root).count() == before, "replay changed the table")
+    // the ledger survives an interleaved un-batched (nightly) commit
+    assert(LakeBridge.appendCommit(spark, root,
+      d.select((col("doc_id") + 1000000).as("doc_id"), col("text")).limit(10), None))
+    assert(!LakeBridge.appendCommit(spark, root, d.where("doc_id % 2 = 1"), Some(1L)),
+      "ledger lost through the nightly commit — replay re-admitted")
+  }
+
+  test("the CDF consumer's summed deltas equal the final snapshot") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp("graft_lake_cdf")
+    val ckpt = tmp("graft_lake_cdf_ckpt")
+    val rows = docRows
+    val slices = rows.grouped((rows.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = LakeBridge.maintainContinuous(input.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      for (s <- slices) { input.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val diffs = LakeBridge.commitDiffs(spark, root)
+    assert(diffs.size == LakeBridge.versions(root).size)
+    // each delta reads ONLY its commit's added files (the manifest-diff
+    // contract: no table scan), and the folded deltas reconcile exactly
+    diffs.foreach { case (v, df) =>
+      val prevFiles = LakeBridge.versions(root).filter(_ < v).lastOption
+        .map(p => LakeBridge.manifest(spark, root, p).toSet).getOrElse(Set.empty)
+      assert(!df.inputFiles.exists(f => prevFiles.exists(f.contains)),
+        s"commit v$v delta rescanned pre-existing files")
+    }
+    val summed = diffs.map(_._2.count()).sum
+    assert(summed == LakeBridge.read(spark, root).count(),
+      "summed commit deltas diverge from the final snapshot")
+    val union = diffs.map(_._2).reduce(_ unionByName _)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val snapshot = LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(union == snapshot, "commit deltas do not rebuild the snapshot")
+  }
+}
