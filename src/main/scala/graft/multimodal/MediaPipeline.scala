@@ -721,6 +721,19 @@ object MediaPipeline {
         "CAST(d.h AS BIGINT) AS h", "d.ahash_hi AS ahash_hi",
         "d.ahash_lo AS ahash_lo")
       .localCheckpoint()
+    bandedHammingPairs(hashed).orderBy("media_a", "media_b")
+  }
+
+  /** The banded-Hamming join KERNEL over a hashed table (media_id, w,
+    * h, ahash_hi, ahash_lo) — factored so SkewSpec can drive it with a
+    * pathological corpus: the one 100 TB hazard of every banded scheme
+    * is a HOT BAND (a monochrome-heavy corpus piles into one (band,
+    * value) bucket and candidate volume there is n²). The bucket join
+    * is a plain equi-join, so the production answer is AQE's skew-join
+    * split — SkewSpec pins skew=true firing on a synthetic hot band
+    * with pair counts unchanged (the q_join_interval precedent). */
+  private[graft] def bandedHammingPairs(hashed: DataFrame,
+      radius: Int = 4): DataFrame = {
     val bandArr = "array(" +
       "struct(0 AS bi, ahash_lo % 65536 AS bv), " +
       "struct(1 AS bi, ahash_lo DIV 65536 AS bv), " +
@@ -745,9 +758,8 @@ object MediaPipeline {
         "WHEN hi_a % 65536 = hi_b % 65536 THEN 2 ELSE 3 END"))
       .withColumn("hamming",
         expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
-      .where(col("hamming") <= 4)
+      .where(col("hamming") <= radius)
       .select("media_a", "media_b", "hamming")
-      .orderBy("media_a", "media_b")
   }
 
   /** DuckDB mirror of [[imageNearDups]] — again NO bytes, NO decode: the

@@ -73,6 +73,64 @@ class SkewSpec extends AnyFunSuite {
     assert(spread == 8, s"hot key only hit $spread of 8 salt buckets")
   }
 
+  // A monochrome-heavy corpus is the banded media-dedup family's skew
+  // shape: thousands of near-identical images share ONE (band, value)
+  // bucket, and candidate volume there is n². This drives the image
+  // dedup's own factored kernel (MediaPipeline.bandedHammingPairs) with
+  // a synthetic hot band and pins both halves: AQE's skew split fires
+  // on the bucket equi-join, and the split changes no pair count.
+  test("banded Hamming join: AQE splits a hot band; pair counts unchanged") {
+    // 2500 "monochrome" images share band 0 (lo % 65536 = 0xABCD) in
+    // quintets of identical full hashes (Hamming 0 — the verified
+    // dups), with the upper bits varying per quintet so cross-quintet
+    // candidates mostly fail the radius; + 500 spread images whose
+    // band values scatter. w/h constant so the bucket key is the band
+    // alone.
+    def hashed = spark.range(0, 3000).selectExpr(
+      "id AS media_id", "CAST(16 AS BIGINT) AS w", "CAST(16 AS BIGINT) AS h",
+      "CASE WHEN id < 2500 THEN CAST((id DIV 5) * 2654435761 AS BIGINT) " +
+        "ELSE CAST(id * 40503 AS BIGINT) END AS ahash_hi",
+      "CASE WHEN id < 2500 THEN CAST(43981 + ((id DIV 5) % 65536) * 65536 AS BIGINT) " +
+        "ELSE CAST(id + (id % 65536) * 65536 AS BIGINT) END AS ahash_lo")
+    def checksum(df: org.apache.spark.sql.DataFrame) = {
+      val agg = df.agg(count(lit(1)).as("pairs"), sum("hamming").as("sum_ham"),
+        sum(col("media_a") * 31 + col("media_b")).as("chk"))
+      val row = agg.collect().head
+      (row, agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    }
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (splitSum, p) = checksum(
+        graft.multimodal.MediaPipeline.bandedHammingPairs(hashed))
+      assert(p.contains("skew=true"),
+        s"hot-band partition did not split:\n${p.take(3000)}")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (plainSum, _) = checksum(
+        graft.multimodal.MediaPipeline.bandedHammingPairs(hashed))
+      assert(splitSum == plainSum, s"split=$splitSum plain=$plainSum")
+      // the quintet structure guarantees the verified-dup floor:
+      // 2500/5 quintets x C(5,2) = 5000 Hamming-0 pairs at least
+      assert(splitSum.getAs[Long]("pairs") >= 5000L,
+        s"fixture produced too few verified pairs: $splitSum")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   // A globally hot HOUR is q_join_interval's skew shape at 100×: every
   // session in the peak hour lands in ONE bucket partition and candidate
   // volume there is n_bucket². The production answer is AQE's skew-join
