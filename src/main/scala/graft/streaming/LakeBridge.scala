@@ -124,6 +124,66 @@ object LakeBridge {
     }
   }
 
+  /** COMPACTION commit — the small-files maintenance op a long stream
+    * needs (each micro-batch is one file; an uncompacted stream pays
+    * per-file listing/open costs at serve time — the
+    * [[graft.search.InvertedIndex.compact]] contract for the lake):
+    * rewrite the current snapshot's rows as ONE file dir and publish a
+    * manifest naming only it. Readers in flight keep the old snapshot
+    * (its files are untouched until [[vacuum]] retires them past the
+    * retention window); the ledger carries so stream replays stay
+    * skipped through maintenance. */
+  def compactCommit(spark: SparkSession, root: String): Int = {
+    val cur = currentVersion(spark, root)
+    val next = cur + 1
+    val dataDir = Paths.get(root, "files", f"f-$next%05d").toString
+    read(spark, root).coalesce(1).write.mode("overwrite").parquet(dataDir)
+    import spark.implicits._
+    val sd = snapDir(root, next)
+    Seq(dataDir).toDF("path").coalesce(1)
+      .write.mode("overwrite").parquet(sd.resolve("manifest").toString)
+    ledger(root, cur).foreach(b =>
+      Files.write(sd.resolve("batch"), b.toString.getBytes("UTF-8")))
+    Files.write(sd.resolve("_commit"), Array.emptyByteArray)
+    next
+  }
+
+  private def currentVersion(spark: SparkSession, root: String): Int =
+    currentVersion(root).getOrElse(sys.error(s"no committed snapshot at $root"))
+
+  /** VACUUM with snapshot retention — the lifecycle's last op (commit →
+    * compact → vacuum): drop every snapshot older than the `keep` most
+    * recent, then delete data-file dirs no kept manifest references.
+    * Returns (snapshots dropped, file dirs deleted). Retention is the
+    * safety contract: a reader planning from a kept snapshot never
+    * loses a file mid-scan, because only files EXCLUSIVE to dropped
+    * snapshots are deleted — the same grace the inverted index's
+    * two-version AliasedIndex gives in-flight readers. The ledger is
+    * unaffected: it rides the kept current snapshot. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): (Int, Int) = {
+    require(keep >= 1, s"vacuum must keep at least one snapshot, got $keep")
+    val vs = versions(root)
+    val (dropped, kept) = vs.splitAt(math.max(0, vs.size - keep))
+    val referenced = kept.flatMap(v => manifest(spark, root, v)).toSet
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    val orphaned = dropped.flatMap(v => manifest(spark, root, v))
+      .distinct.filterNot(referenced)
+    // order matters for crash safety: retire the snapshots FIRST (the
+    // `_commit` marker, then the dir) so a crash mid-vacuum never
+    // leaves a resolvable snapshot referencing deleted files
+    dropped.foreach { v =>
+      Files.deleteIfExists(snapDir(root, v).resolve("_commit"))
+      rmTree(snapDir(root, v))
+    }
+    orphaned.foreach(d => rmTree(Paths.get(d)))
+    (dropped.size, orphaned.size)
+  }
+
   /** Continuous lake maintenance: every micro-batch appends one commit
     * through the exactly-once ledger. */
   def maintainContinuous(stream: DataFrame, root: String,

@@ -680,6 +680,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("q_multimodal_mfcc is map-only: no join, no hash exchange") {
+    // spectrum -> filterbank -> ln -> cepstral DCT are all per-row HOF
+    // arithmetic after the decode UDF — the spectro shape carried
+    // through two more stages
+    val p = plan("q_multimodal_mfcc")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
+
+  test("q_lake_compact: the merge-on-read leg applies its vector broadcast") {
+    // v2 = data anti-join the KB-scale vector (BroadcastHashJoin
+    // LeftAnti, the q_scan_deletevector plan); v3 = a bare scan of the
+    // compacted manifest — so the WHOLE query carries exactly one join
+    // and no shuffled one
+    val p = plan("q_lake_compact")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2500))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
   test("q_text_ppl serves the corpus through a broadcast lexicon join") {
     // the word -> (n_pieces, cost) lexicon is Heaps-law sized: the
     // corpus-side join must be broadcast, never a corpus shuffle on the

@@ -80,6 +80,44 @@ class StreamLakeSpec extends AnyFunSuite {
       "ledger lost through the nightly commit — replay re-admitted")
   }
 
+  test("compact + vacuum: snapshots retire, only exclusive files are reclaimed") {
+    val root = tmp("graft_lake_vac")
+    val d = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    (0 to 3).foreach(b => assert(LakeBridge.appendCommit(spark, root,
+      d.where(s"doc_id % 4 = $b"), Some(b.toLong))))
+    val before = LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+
+    // append lineage shares every file: a retention vacuum drops old
+    // snapshots but must delete NOTHING (nothing is exclusive to them)
+    val (drop1, del1) = LakeBridge.vacuum(spark, root, keep = 2)
+    assert(drop1 == 2 && del1 == 0, s"append lineage lost files: ($drop1, $del1)")
+    assert(LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before)
+
+    // compaction rewrites the world into one file; the pre-compaction
+    // snapshot stays readable (retention) until vacuum retires it, and
+    // THEN the small micro-batch files are reclaimed
+    val cv = LakeBridge.compactCommit(spark, root)
+    val compacted = LakeBridge.manifest(spark, root, cv)
+    assert(compacted.size == 1, s"compaction kept ${compacted.size} files")
+    assert(LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before,
+      "compaction changed the rows")
+    val (drop2, del2) = LakeBridge.vacuum(spark, root, keep = 1)
+    assert(drop2 == 2, s"expected the 2 pre-compaction snapshots dropped: $drop2")
+    assert(del2 == 4, s"expected the 4 micro-batch dirs reclaimed: $del2")
+    assert(LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq == before,
+      "vacuum changed the current snapshot's rows")
+    compacted.foreach(p => assert(
+      Files.exists(java.nio.file.Paths.get(p)), s"kept file $p deleted"))
+    // the ledger rode compaction AND vacuum: the last folded batch
+    // still skips
+    assert(!LakeBridge.appendCommit(spark, root, d.limit(5), Some(3L)),
+      "maintenance lost the ledger — replay re-admitted")
+  }
+
   test("the CDF consumer's summed deltas equal the final snapshot") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
