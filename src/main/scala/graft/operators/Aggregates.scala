@@ -505,6 +505,38 @@ object Aggregates extends QueryFamily {
     // multiplies in both engines — BIGINT products like o·n or n·r·c
     // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
     // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
+    // Shannon entropy of the language mix per source — the
+    // diversity/concentration audit beside q_agg_chisq's independence
+    // cells (a crawl source collapsing to one language is the
+    // data-mix drift every corpus dashboard watches). Discipline:
+    // each cell's −p·ln p term is a deterministic function of the two
+    // exact integers (cnt, total), rounded to micros PER CELL, and
+    // the per-source entropy is then an exact INTEGER sum of those
+    // micros — order-independent across the shuffle, where a raw
+    // double Σ −p·ln p would be shuffle-order nondeterministic (the
+    // q_agg_linreg/ttest law applied to an information measure). Also
+    // serves the exact integer max-entropy denominator ln(n_langs)
+    // micros so the consumer can form the normalized evenness without
+    // another pass. Both margins are Heaps-small; one (source, lang)
+    // count shuffle, the totals ride a broadcast.
+    "q_agg_entropy" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val c = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      val t = c.groupBy("source").agg(sum("cnt").as("total"),
+        count(lit(1)).as("n_langs"))
+      c.join(broadcast(t), "source")
+        .withColumn("term_micros", expr(
+          "CAST(round(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * " +
+            "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000, 0) " +
+            "AS BIGINT)"))
+        .groupBy("source")
+        .agg(min("total").as("n_docs"), min("n_langs").as("n_langs"),
+          sum("term_micros").as("entropy_micros"),
+          min(expr("CAST(round(ln(CAST(n_langs AS DOUBLE)) * 1000000, 0) " +
+            "AS BIGINT)")).as("max_entropy_micros"))
+        .orderBy("source")
+    }),
+
     "q_agg_chisq" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
@@ -604,6 +636,20 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical per-cell fixed-point terms, identical integer sum
+    "q_agg_entropy" -> ("WITH c AS (SELECT source, lang, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source, lang), " +
+      "t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total, " +
+      "CAST(count(*) AS BIGINT) AS n_langs FROM c GROUP BY source) " +
+      "SELECT c.source, min(total) AS n_docs, min(n_langs) AS n_langs, " +
+      "CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * " +
+      "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000, 0) " +
+      "AS BIGINT)) AS BIGINT) AS entropy_micros, " +
+      "CAST(min(CAST(round(ln(CAST(n_langs AS DOUBLE)) * 1000000, 0) " +
+      "AS BIGINT)) AS BIGINT) AS max_entropy_micros " +
+      "FROM c JOIN t ON c.source = t.source " +
+      "GROUP BY c.source ORDER BY c.source"),
 
     // same exact integer margins, same per-cell IEEE chain
     "q_agg_chisq" -> ("WITH obs AS (SELECT lang, source, " +

@@ -195,6 +195,81 @@ object Warehouse extends QueryFamily {
     (dataPath, dvPath)
   }
 
+  /** The q_scan_bloomskip index root, for BloomSkipSpec. */
+  private[graft] def bloomIndexPath(dir: String): String =
+    scratch("bloomidx", dir)
+
+  /** The bloom positions expression, shared by the index BUILD and the
+    * PROBE so they cannot drift: k = 3 positions in an m = 2¹⁷-bit
+    * (16 KB — the Parquet bloom ballpark) filter via Kirsch–Mitzenmacher
+    * double hashing (h1 + i·h2 mod m, h2 forced nonzero via the
+    * Mersenne prime 2¹⁷−1) over Spark's deterministic xxhash64; sized
+    * for the largest fixture's ~7k keys/file (load ~0.15, fpp ~0.3% —
+    * the first cut at 2¹³ bits saturated at sf0.1 and pruned nothing,
+    * a measured failure). The
+    * oracle never reproduces this — the bloom is PLANNING state; the
+    * value correctness leg is the final aggregate, which the driver
+    * hash-matches, so a false NEGATIVE (a skipped file that held a
+    * matching row) fails the gate by construction. */
+  private val bloomPosExpr: String =
+    "transform(sequence(0, 2), i -> pmod(" +
+      "pmod(xxhash64(o_custkey), 131072) + " +
+      "i * (pmod(xxhash64(o_custkey, 1), 131071) + 1), 131072))"
+
+  /** Builds the per-file BLOOM INDEX once per (dir) over the
+    * q_scan_manifest 16-file layout: one 2¹⁷-bit filter per data file
+    * over its o_custkey set, stored as O(files × 2048) (file, word,
+    * bits) rows (sparse: only nonzero words materialize) beside the data — the Delta/Parquet bloom-filter-index
+    * shape for point lookups on a column the clustering does NOT serve
+    * (the files are range-clustered on o_orderkey; o_custkey min/max
+    * spans everything, so footer stats prune nothing and the bloom is
+    * the only file-skipping signal). */
+  private def bloomIndexLayout(s: SparkSession, dir: String): (String, String) = {
+    val (dataPath, _) = manifestLayout(s, dir)
+    val idxPath = bloomIndexPath(dir)
+    once(s, dir, "bloomidx") {
+      s.read.parquet(dataPath)
+        .select(input_file_name().as("file"), col("o_custkey"))
+        .distinct()
+        .select(col("file"), explode(expr(bloomPosExpr)).as("p"))
+        .groupBy(col("file"), expr("p DIV 64").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))")
+          .as("bits"))
+        .coalesce(1).write.mode("overwrite").parquet(idxPath)
+    }
+    (dataPath, idxPath)
+  }
+
+  /** The bloom PLAN step, factored for BloomSkipSpec: derive the 3
+    * rarest probe custkeys, probe every file's bloom, return
+    * (probe keys, selected files, total files). All driver-side reads
+    * are O(files × words) or 3 rows. */
+  private[graft] def bloomPlan(s: SparkSession,
+      dir: String): (Seq[Long], Seq[String], Int) = {
+    val (dataPath, idxPath) = bloomIndexLayout(s, dir)
+    val keys = s.read.parquet(dataPath)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("o_custkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq // 3 rows: the plan step
+    import s.implicits._
+    val probePos = keys.toDF("o_custkey")
+      .select(col("o_custkey"), expr(bloomPosExpr).as("ps"))
+      .collect().map(r => r.getSeq[Long](1)).toSeq
+    val blooms = s.read.parquet(idxPath).collect() // O(files x 2048)
+      .groupBy(_.getAs[String]("file"))
+      .view.mapValues { rows =>
+        val a = new Array[Long](2048)
+        rows.foreach(r => a(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
+        a
+      }.toMap
+    def mayContain(bits: Array[Long], ps: Seq[Long]): Boolean =
+      ps.forall(p => ((bits((p / 64).toInt) >> (p % 64)) & 1L) == 1L)
+    val selected = blooms.collect {
+      case (f, bits) if probePos.exists(mayContain(bits, _)) => f
+    }.toSeq.sorted
+    (keys, selected, blooms.size)
+  }
+
   /** The q_lake_compact versioned root, for LakeSpec's compaction
     * proofs. Layout: `files/b=<bucket>` immutable data dirs (bucket and
     * pos as in-file columns), `dv/v2` the positional delete vector,
@@ -418,6 +493,38 @@ object Warehouse extends QueryFamily {
       val scanned = df.inputFiles.map(_.split('/').last).toSet
       require(scanned.subsetOf(sel),
         s"scan read past the manifest selection: ${scanned.diff(sel)}")
+      df
+    }),
+
+    // FILE-level BLOOM skipping — the point-lookup complement of
+    // q_scan_manifest's min/max bands: the files are range-clustered
+    // on o_orderkey, so for an o_custkey lookup every file's min/max
+    // covers the probe and zone maps prune NOTHING — the per-file
+    // bloom is the only skipping signal (the Delta/Parquet
+    // bloom-filter-index shape). Probe keys are the 3 RAREST custkeys
+    // ((order count, key) ascending — derived from the data, so the
+    // oracle recomputes them layout-independently); a file is read
+    // only if some probe key has ALL its k=3 bloom bits set. No false
+    // negatives by construction (every key's bits were OR-ed in), so
+    // the driver's hash-match of the final aggregates certifies no
+    // skipped file held a matching row; false positives only cost
+    // reads, and the in-query selectivity require pins that skipping
+    // actually HAPPENED. At 100 TB this is a KB-scale index read
+    // deciding which of thousands of files a needle lookup touches.
+    "q_scan_bloomskip" -> ((s, dir) => {
+      val (keys, selected, total) = bloomPlan(s, dir)
+      require(selected.nonEmpty, "bloom skipped every file — lost the needle")
+      require(selected.length < total,
+        s"bloom pruned nothing: ${selected.length} of $total files")
+      val df = s.read.parquet(selected: _*)
+        .where(col("o_custkey").isin(keys: _*))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(money(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_custkey")
+      val sel = selected.map(_.split('/').last).toSet
+      require(df.inputFiles.map(_.split('/').last).forall(sel.contains),
+        "scan read past the bloom selection")
       df
     }),
 
@@ -903,6 +1010,17 @@ object Warehouse extends QueryFamily {
       "CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
       "FROM orders, mx WHERE o_orderkey BETWEEN mk // 10 AND mk // 5 " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // the probe keys and their aggregates recomputed from the data
+    // alone — the oracle never sees files or blooms; a hash-match
+    // certifies the skipping lost no row (no false negatives)
+    "q_scan_bloomskip" -> ("WITH cn AS (SELECT o_custkey, count(*) AS n " +
+      "FROM orders GROUP BY o_custkey), " +
+      "rare AS (SELECT o_custkey FROM cn ORDER BY n, o_custkey LIMIT 3) " +
+      "SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price " +
+      "FROM orders o JOIN rare r ON o.o_custkey = r.o_custkey " +
+      "GROUP BY o.o_custkey ORDER BY o.o_custkey"),
+
     // each snapshot recomputed from the bucket arithmetic — the oracle
     // knows versions as predicates, never as file layouts
     "q_scan_timetravel" -> ("SELECT v.version, " +
