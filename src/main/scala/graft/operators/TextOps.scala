@@ -804,6 +804,52 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // RAKE keyword extraction (Rose et al. 2010's published algorithm)
+    // — the multi-word keyphrase pass beside q_text_collocations' PMI
+    // pairs: candidate phrases are maximal runs of non-stopword tokens
+    // (stopwords = the global top-10 tokens by (cnt DESC, token) — the
+    // q_text_quality rule, data-derived so both engines share it
+    // without a shipped lexicon), each member word accumulates
+    // freq += 1 and degree += phrase length, word score =
+    // degree/freq served as the EXACT integer degree·10⁶ DIV freq (no
+    // float anywhere — the whole score chain is integer arithmetic),
+    // and a phrase scores the sum of its members. A phrase's score
+    // depends only on its member words' GLOBAL stats, so repeated
+    // phrases collapse to one row with an occurrence count. Scale:
+    // one pos-explode pass, the stopword set and the Heaps-law word
+    // score table ride broadcasts, the phrase grouping shuffles on
+    // (doc, phrase) — never the corpus against itself; the per-doc
+    // position window is bounded by document length.
+    "q_text_rake" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "t")))
+        .where(length(col("t")) >= 1)
+      val stop = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(10)
+        .select(col("t"), lit(1L).as("is_stop"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val members = toks.join(broadcast(stop), Seq("t"), "left")
+        .withColumn("stop", coalesce(col("is_stop"), lit(0L)))
+        .withColumn("pid", sum("stop").over(wDoc))
+        .where(col("stop") === 0)
+        .select("doc_id", "pid", "pos", "t")
+      val wPhrase = Window.partitionBy("doc_id", "pid")
+      val withLen = members.withColumn("plen", count(lit(1)).over(wPhrase))
+      val wscore = withLen.groupBy("t")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+        .selectExpr("t", "degree * 1000000 DIV freq AS wscore")
+      withLen.join(broadcast(wscore), "t")
+        .groupBy("doc_id", "pid")
+        .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(pos, t))), x -> x.t), ' ')").as("phrase"),
+          count(lit(1)).as("n_words"), sum("wscore").as("score_micros"))
+        .groupBy("phrase")
+        .agg(min("n_words").as("n_words"), count(lit(1)).as("n_occ"),
+          min("score_micros").as("score_micros"))
+        .orderBy(col("score_micros").desc, col("phrase")).limit(20)
+    }),
+
     // PMI collocation mining — the association-strength pass of corpus
     // analysis (the "New York" detector): adjacent lowercased token
     // pairs, pointwise mutual information ln(P(x,y)/(P(x)P(y))) as the
@@ -1201,6 +1247,36 @@ object TextOps extends QueryFamily {
 
     // adjacency by zipped parallel unnest of the two shifted slices;
     // same integer product inside ONE ln, same 1e-6 fixed point
+    // identical stopword rule, phrase segmentation, and all-integer
+    // degree/freq scoring; integer division truncates identically
+    // (both operands positive)
+    "q_text_rake" -> ("WITH tk AS (SELECT doc_id, " +
+      "generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS t FROM " +
+      "(SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents)), " +
+      "tk1 AS (SELECT * FROM tk WHERE len(t) >= 1), " +
+      "stop AS (SELECT t FROM (SELECT t, count(*) AS cnt FROM tk1 " +
+      "GROUP BY t ORDER BY cnt DESC, t LIMIT 10)), " +
+      "mk AS (SELECT tk1.doc_id, tk1.pos, tk1.t, " +
+      "CASE WHEN s.t IS NULL THEN 0 ELSE 1 END AS stop " +
+      "FROM tk1 LEFT JOIN stop s ON tk1.t = s.t), " +
+      "pid AS (SELECT doc_id, pos, t, stop, " +
+      "sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM mk), " +
+      "mem AS (SELECT doc_id, pid, pos, t, " +
+      "count(*) OVER (PARTITION BY doc_id, pid) AS plen " +
+      "FROM pid WHERE stop = 0), " +
+      "ws AS (SELECT t, CAST(sum(plen) AS BIGINT) * 1000000 // " +
+      "CAST(count(*) AS BIGINT) AS wscore FROM mem GROUP BY t), " +
+      "ph AS (SELECT doc_id, pid, " +
+      "array_to_string(list(mem.t ORDER BY pos), ' ') AS phrase, " +
+      "CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(wscore) AS BIGINT) AS score_micros " +
+      "FROM mem JOIN ws ON mem.t = ws.t GROUP BY doc_id, pid) " +
+      "SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words, " +
+      "CAST(count(*) AS BIGINT) AS n_occ, " +
+      "CAST(min(score_micros) AS BIGINT) AS score_micros " +
+      "FROM ph GROUP BY phrase " +
+      "ORDER BY score_micros DESC, phrase LIMIT 20"),
+
     "q_text_collocations" -> ("WITH toks AS (SELECT " +
       "string_split(lower(text), ' ') AS a FROM documents), " +
       "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM " +

@@ -144,6 +144,47 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_rake: the served phrases are the scalar RAKE recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_rake")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(split(lower(col("text")), " ").as("a")).collect()
+      .map(_.getSeq[String](0).filter(_.nonEmpty))
+    val cnt = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val stop = cnt.toSeq.sortBy { case (t, n) => (-n, t) }.take(10).map(_._1).toSet
+    // phrases: maximal non-stopword runs per doc
+    val phrases: Seq[Seq[String]] = docs.toIndexedSeq.flatMap { a =>
+      val out = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      a.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) { out += cur.toSeq; cur = scala.collection.mutable.Buffer() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val degree = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    phrases.foreach(p => p.foreach { t => freq(t) += 1; degree(t) += p.length })
+    def wscore(t: String): Long = degree(t) * 1000000L / freq(t)
+    val byText = phrases.groupBy(_.mkString(" "))
+    rows.foreach { r =>
+      val ph = r.getAs[String]("phrase")
+      val occ = byText.getOrElse(ph, Seq.empty)
+      assert(occ.nonEmpty, s"served phrase '$ph' not found in the corpus")
+      assert(r.getAs[Long]("n_occ") == occ.size.toLong, s"'$ph' n_occ")
+      assert(r.getAs[Long]("n_words") == occ.head.length.toLong, s"'$ph' n_words")
+      assert(r.getAs[Long]("score_micros") == occ.head.map(wscore(_)).sum, s"'$ph' score")
+    }
+    // and the cut is the true top: no unserved phrase outscores the 20th
+    val served = rows.map(_.getAs[String]("phrase")).toSet
+    val floor = rows.last.getAs[Long]("score_micros")
+    val best = byText.collect { case (ph, occ) if !served(ph) =>
+      occ.head.map(wscore(_)).sum }.maxOption.getOrElse(0L)
+    assert(best <= floor, s"unserved phrase outscores the served floor: $best > $floor")
+  }
+
   test("q_text_unigram_budget: monotone vocab under the budget; rounds reconstruct") {
     val rows = SparkEntry.queries("q_text_unigram_budget")(spark, sf0001)
       .collect().sortBy(_.getAs[Long]("round"))
