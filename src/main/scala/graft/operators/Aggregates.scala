@@ -505,6 +505,37 @@ object Aggregates extends QueryFamily {
     // multiplies in both engines — BIGINT products like o·n or n·r·c
     // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
     // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
+    // Gini coefficient of order value per market segment — the
+    // concentration audit beside q_agg_entropy's diversity (is revenue
+    // dominated by a few whale orders?): the exact-rank formulation
+    // G = (2·Σ i·y_(i) − (n+1)·Σy) / (n·Σy) over cents-exact values
+    // with a stated (y, o_orderkey) total order for the rank. The two
+    // Σ terms and both num/den are EXACT BIGINTs (bounded ~1e16 at
+    // sf0.1 — inside int64 with headroom); the one float boundary is
+    // the final division, int64→double conversions being correctly
+    // rounded in both engines (the q_agg_linreg chain discipline).
+    // ONE shuffle on the segment + the per-segment rank window; at
+    // 100 TB the rank-weighted sum is the standard two-pass (histogram
+    // or sort) Gini, same exact-integer form.
+    "q_agg_gini" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders"); val c = Tables(s, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("y"), col("o_orderkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("y"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(expr("i * y")).as("siy"))
+        .selectExpr("c_mktsegment", "n", "sy",
+          "CAST(floor((2.0D * CAST(siy AS DOUBLE) - " +
+            "(CAST(n AS DOUBLE) + 1.0D) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(n AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000.0D) " +
+            "AS BIGINT) AS gini_micros")
+        .orderBy("c_mktsegment")
+    }),
+
     // Shannon entropy of the language mix per source — the
     // diversity/concentration audit beside q_agg_chisq's independence
     // cells (a crawl source collapsing to one language is the
@@ -636,6 +667,21 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical exact-rank sums, identical one-division IEEE chain
+    "q_agg_gini" -> ("WITH j AS (SELECT c_mktsegment, o_orderkey, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "rk AS (SELECT c_mktsegment, y, CAST(row_number() OVER " +
+      "(PARTITION BY c_mktsegment ORDER BY y, o_orderkey) AS BIGINT) AS i " +
+      "FROM j) " +
+      "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(floor((2.0 * CAST(CAST(sum(i * y) AS BIGINT) AS DOUBLE) - " +
+      "(CAST(count(*) AS DOUBLE) + 1.0) * CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) / " +
+      "(CAST(count(*) AS DOUBLE) * CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS gini_micros " +
+      "FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     // identical per-cell fixed-point terms, identical integer sum
     "q_agg_entropy" -> ("WITH c AS (SELECT source, lang, " +

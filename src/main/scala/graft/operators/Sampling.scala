@@ -172,6 +172,52 @@ object Sampling extends QueryFamily {
     // per-lang count table is O(#langs) rows — aggregated once, broadcast
     // back — and acceptance is a pure map-side predicate on the content
     // hash; no row-scale shuffle beyond the final stats groupBy.
+    // Neyman-allocated stratified sampling — the survey-statistics
+    // upgrade of q_sample_stratified's proportional rates: a fixed 10%
+    // total budget is allocated across strata ∝ N_h·σ_h (high-variance
+    // strata earn more of the budget — the allocation that minimizes
+    // the estimator's variance, Neyman 1934). σ_h comes from the
+    // EXACT integer sufficient statistics (n, Σy, Σy²) over
+    // floor-scaled value millis (millis is what keeps Σy² inside
+    // int64 at scale — the q_agg_ttest dollar-scaling lesson), then
+    // ONE identical IEEE chain (÷, sqrt, ×, floor) produces each
+    // stratum's rate_ppm in both engines; membership is the md5
+    // hash-threshold rule every sampling key shares (seeded by
+    // event_id, so the draw is reproducible row identity, never
+    // rand()). O(#strata) stats, broadcast rates, map-side acceptance.
+    "q_sample_neyman" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("y", expr(
+          "CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000) AS BIGINT)"))
+      val st = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("sd", expr(
+          "sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0D)))"))
+        // each stratum weight N_h·σ_h rounds to micros BEFORE the
+        // global sum, so Σw is an exact INTEGER sum — order-independent
+        // at any stratum count, never a shuffle-order double fold
+        .withColumn("w_micros", expr(
+          "CAST(round(CAST(n AS DOUBLE) * sd * 1000000.0D, 0) AS BIGINT)"))
+      val rates = st.crossJoin(broadcast(
+          st.agg(sum("n").as("n_total"), sum("w_micros").as("sw_micros"))))
+        .withColumn("rate_ppm", least(lit(1000000L), expr(
+          "CAST(floor(CAST(n_total DIV 10 AS DOUBLE) * " +
+            "CAST(w_micros AS DOUBLE) / CAST(sw_micros AS DOUBLE) / " +
+            "CAST(n AS DOUBLE) * 1000000.0D) AS BIGINT)")))
+        .select("event_type", "n", "rate_ppm")
+      val h = "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+      ev.withColumn("h", expr(h))
+        .join(broadcast(rates), "event_type")
+        .where(pmod(col("h"), lit(1000000L)) < col("rate_ppm"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_rows"), max("rate_ppm").as("rate_ppm"),
+          count(lit(1)).as("n_sampled"), sum("y").as("sum_y_sampled"))
+        .orderBy("event_type")
+    }),
+
     "q_sample_mixture" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
@@ -377,6 +423,34 @@ object Sampling extends QueryFamily {
       s"FROM documents WHERE $hDuck % 100 < " +
       "(CASE WHEN lang = 'en' THEN 50 ELSE 10 END) " +
       "GROUP BY lang, source ORDER BY lang, source"),
+
+    // identical exact sufficient statistics, identical IEEE sd/rate
+    // chain, identical fixed-point micro-weight sum and hash rule
+    "q_sample_neyman" -> ("WITH e AS (SELECT event_type, event_id, " +
+      "CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000) AS BIGINT) AS y " +
+      "FROM events), " +
+      "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy " +
+      "FROM e GROUP BY event_type), " +
+      "sd AS (SELECT *, sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sdv FROM st), " +
+      "wm AS (SELECT *, CAST(round(CAST(n AS DOUBLE) * sdv * 1000000.0, 0) " +
+      "AS BIGINT) AS w_micros FROM sd), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+      "CAST(sum(w_micros) AS BIGINT) AS sw_micros FROM wm), " +
+      "r AS (SELECT event_type, n, CAST(LEAST(1000000, " +
+      "CAST(floor(CAST(n_total // 10 AS DOUBLE) * " +
+      "CAST(w_micros AS DOUBLE) / CAST(sw_micros AS DOUBLE) / " +
+      "CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS rate_ppm " +
+      "FROM wm, t) " +
+      "SELECT e.event_type, max(r.n) AS n_rows, max(r.rate_ppm) AS rate_ppm, " +
+      "CAST(count(*) AS BIGINT) AS n_sampled, " +
+      "CAST(sum(e.y) AS BIGINT) AS sum_y_sampled " +
+      "FROM e JOIN r ON e.event_type = r.event_type " +
+      "WHERE CAST(concat('0x', substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15)) " +
+      "AS BIGINT) % 1000000 < r.rate_ppm " +
+      "GROUP BY e.event_type ORDER BY e.event_type"),
 
     "q_sample_mixture" -> ("WITH c AS (SELECT lang, count(*) AS cnt " +
       "FROM documents GROUP BY lang), " +
