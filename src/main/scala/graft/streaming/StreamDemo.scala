@@ -173,6 +173,62 @@ object StreamDemo {
     spark.table("stream_sessions").as[SessionOut]
   }
 
+  /** The SAME 30-minute-gap sessionization through Spark 4's
+    * `transformWithState` — the arbitrary-state API that supersedes
+    * `flatMapGroupsWithState` (typed named state handles, timers, TTL,
+    * and schema evolution of state). The processor holds ONE
+    * ValueState[SessionState] per user and applies the identical
+    * extend-or-emit rule, so the output must match [[sessions]]
+    * row-for-row — StreamDemoSpec pins the three-way agreement
+    * (transformWithState == flatMapGroupsWithState == batch
+    * session_window): three independent implementations, one answer.
+    * transformWithState REQUIRES the RocksDB state store provider (the
+    * 100 TB state backend [[windowedCounts]] demos); the conf is set
+    * for this query and restored. */
+  def sessionsTws(spark: SparkSession, workDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val ds = source(spark, workDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+      .as[Ev]
+    class SessionProc extends StatefulProcessor[Long, Ev, SessionOut] {
+      @transient private var st: ValueState[SessionState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[SessionState]("session",
+          org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      override def handleInputRows(userId: Long, rows: Iterator[Ev],
+          timers: TimerValues): Iterator[SessionOut] = {
+        var cur = if (st.exists) st.get else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          cur match {
+            case null =>
+              cur = SessionState(e.ts_us, e.ts_us, 1)
+            case s if e.ts_us - s.last < gapUs =>
+              cur = SessionState(s.start, e.ts_us, s.n + 1)
+            case s =>
+              out += SessionOut(userId, s.start, s.last + gapUs, s.n)
+              cur = SessionState(e.ts_us, e.ts_us, 1)
+          }
+        }
+        if (cur != null) st.update(cur)
+        out.iterator
+      }
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = ds.groupByKey(_.user_id)
+        .transformWithState(new SessionProc, TimeMode.None(), OutputMode.Append())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_sessions_tws").start()
+      q.processAllAvailable(); q.stop()
+      spark.table("stream_sessions_tws").as[SessionOut]
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** True stream-STREAM interval join (the §2.J shape the stream-static
     * enrichment can't show): clicks joined to later purchases by the same
     * user within six hours. Both sides are watermarked, and the join

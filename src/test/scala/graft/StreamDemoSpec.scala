@@ -181,4 +181,19 @@ class StreamDemoSpec extends AnyFunSuite {
     assert(streamClosed.exceptAll(batchClosed).isEmpty &&
       batchClosed.exceptAll(streamClosed).isEmpty)
   }
+
+  test("transformWithState sessions match flatMapGroupsWithState row-for-row") {
+    // Spark 4's arbitrary-state API against the classic one: identical
+    // extend-or-emit rule, identical output — three independent
+    // implementations (tws, fmgws, batch session_window) one answer.
+    // transformWithState runs on the RocksDB provider (it requires it),
+    // so this doubles as a second RocksDB-backend leg.
+    val tws = StreamDemo.sessionsTws(spark, work)
+      .collect().map(_.toString).sorted.toSeq
+    val fmgws = StreamDemo.sessions(spark, work)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tws.nonEmpty, "transformWithState emitted no closed sessions")
+    assert(tws == fmgws,
+      s"APIs diverge: tws ${tws.size} rows vs fmgws ${fmgws.size}")
+  }
 }
