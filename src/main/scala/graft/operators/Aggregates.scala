@@ -505,6 +505,36 @@ object Aggregates extends QueryFamily {
     // multiplies in both engines — BIGINT products like o·n or n·r·c
     // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
     // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
+    // Pearson correlation per group via the exact-sufficient-statistic
+    // form (the corr() analog of q_agg_linreg's regr_slope): quantity
+    // vs extendedprice per return flag, six exact integer statistics
+    // (n, Σx, Σy, Σxy, Σx², Σy²) — x = the whole-unit quantity, y =
+    // FLOOR-scaled whole dollars (dollars is what keeps Σy² inside
+    // int64 at scale, the q_agg_ttest lesson; cents would overflow at
+    // sf0.1's 600k-row groups) — then ONE IEEE chain for the
+    // coefficient. Built-in corr() aggregates doubles in shuffle
+    // order: nondeterministic across engines and runs; this form is
+    // the one that survives 100 TB.
+    "q_agg_corr" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "CAST(l_quantity AS BIGINT) AS x",
+          "CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT) AS y")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"))
+        .withColumn("corr_micros", expr(
+          "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0D) " +
+            "AS BIGINT)"))
+        .orderBy("l_returnflag")
+    }),
+
     // Gini coefficient of order value per market segment — the
     // concentration audit beside q_agg_entropy's diversity (is revenue
     // dominated by a few whale orders?): the exact-rank formulation
@@ -667,6 +697,25 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical six exact statistics, identical IEEE chain
+    "q_agg_corr" -> ("WITH b AS (SELECT l_returnflag, " +
+      "CAST(l_quantity AS BIGINT) AS x, " +
+      "CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))) AS BIGINT) AS y " +
+      "FROM lineitem), " +
+      "s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+      "CAST(sum(y * y) AS BIGINT) AS syy FROM b GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, sx, sy, sxy, sxx, syy, " +
+      "CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0) " +
+      "AS BIGINT) AS corr_micros " +
+      "FROM s ORDER BY l_returnflag"),
 
     // identical exact-rank sums, identical one-division IEEE chain
     "q_agg_gini" -> ("WITH j AS (SELECT c_mktsegment, o_orderkey, " +

@@ -192,6 +192,44 @@ object TimeSeries extends QueryFamily {
     // order-independent); cusum_k = S_k - k·S_n/n is evaluated in
     // doubles with identical operation order in both engines, so the
     // |cusum| ranking — and therefore the argmax day — is identical.
+    // Theil–Sen robust trend per event type — the outlier-immune
+    // complement of q_agg_linreg's OLS slope (one spiked hour drags an
+    // OLS fit; the MEDIAN of pairwise slopes shrugs it off — the
+    // published robust-regression classic): hourly value sums (exact
+    // micros), every ordered hour pair's slope as the EXACT integer
+    // Δv·10⁶ DIV Δt (both engines truncate toward zero — NO float
+    // anywhere in this key), and the lower median selected by rank
+    // (ties share a value, so the pick is deterministic without a
+    // tiebreak column). Scale: the pair join is per-GROUP n_hours² —
+    // the honest Theil–Sen cost, bounded by the series length (720
+    // hours here), never corpus²; at 100 TB a long series moves to
+    // the sampled or repeated-median variant, same serving shape.
+    "q_ts_theilsen" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val hourly = Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS t",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type", "t").agg(sum("v").as("v"))
+      val meta = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"))
+      val slopes = hourly.selectExpr("event_type", "t AS ta", "v AS va")
+        .join(hourly.selectExpr("event_type", "t AS tb", "v AS vb"),
+          Seq("event_type"))
+        .where(col("tb") > col("ta"))
+        .selectExpr("event_type", "(vb - va) * 1000000 DIV (tb - ta) AS slope")
+      val wRank = Window.partitionBy("event_type").orderBy("slope")
+      val wAll = Window.partitionBy("event_type")
+      slopes
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .where(col("rn") === expr("(m + 1) DIV 2"))
+        .join(broadcast(meta), "event_type")
+        .select(col("event_type"), col("n_hours"), col("m").as("n_pairs"),
+          col("slope").as("theil_slope_micros"))
+        .orderBy("event_type")
+    }),
+
     "q_ts_changepoint" -> ((s, dir) => {
       val daily = Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -276,6 +314,28 @@ object TimeSeries extends QueryFamily {
 
   def oracles: Map[String, String] = Map(
     "q_ts_ewma" -> ewmaOracle,
+
+    // identical hourly sums, identical exact-integer pair slopes
+    // (// and DIV truncate toward zero identically), identical
+    // lower-median rank pick
+    "q_ts_theilsen" -> ("WITH h AS (SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS t, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) " +
+      "AS BIGINT) AS v FROM events GROUP BY event_type, t), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours " +
+      "FROM h GROUP BY event_type), " +
+      "sl AS (SELECT a.event_type, " +
+      "(b.v - a.v) * 1000000 // (b.t - a.t) AS slope " +
+      "FROM h a JOIN h b ON a.event_type = b.event_type AND b.t > a.t), " +
+      "rk AS (SELECT event_type, slope, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope) " +
+      "AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mm " +
+      "FROM sl) " +
+      "SELECT rk.event_type, m.n_hours, rk.mm AS n_pairs, " +
+      "rk.slope AS theil_slope_micros " +
+      "FROM rk JOIN m ON rk.event_type = m.event_type " +
+      "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
 
     "q_ts_cohort" -> ("""
       WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
