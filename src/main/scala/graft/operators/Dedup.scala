@@ -1094,6 +1094,54 @@ object Dedup extends QueryFamily {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // CONTENT-DEFINED CHUNKING dedup (the LBFS/Venti storage-dedup
+    // classic, basic-CDC form) — the shift-robust sibling of
+    // q_dedup_substring's fingerprint pairs: chunk boundaries are
+    // DATA-DEFINED (a cut wherever the rolling k=16-gram hash ≡ 0
+    // mod 64, expected ~64-char chunks), so inserting a byte early in
+    // a document moves ONE boundary instead of re-aligning every
+    // fixed-size block — identical content after the edit re-chunks
+    // identically and dedups. Served as the per-language storage
+    // ledger (chunks, distinct chunks, bytes total vs unique — the
+    // dedup-savings numbers a chunk store reports). Scale shape: the
+    // gram explode is map-side and drops 63/64 of positions at the
+    // filter BEFORE any shuffle; text is NOT carried through the
+    // explode — the KB-scale cut table joins back to the corpus once;
+    // chunk identity is md5 so the distinct shuffle moves hashes, not
+    // chunk bodies. The min/max-chunk-size guards of production CDC
+    // are a sequential refinement both engines would apply identically
+    // — stated, not implemented (basic CDC is the published baseline).
+    "q_dedup_cdc" -> ((s, dir) => {
+      graft.functions.RollingKgramHash.register(s)
+      val (k, d) = (16, 64)
+      val docs = Tables(s, dir, "documents")
+        .where(length(col("text")) >= k)
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).as("n"))
+      val cuts = docs
+        .select(col("doc_id"),
+          posexplode(expr(s"rolling_kgram_hash(text, $k)")).as(Seq("pos", "h")))
+        .where(col("pos") > 0 && col("h") % d === 0)
+        .select(col("doc_id"), col("pos"))
+      val ends = cuts.unionByName(
+        docs.select(col("doc_id"), col("n").cast("int").as("pos")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val chunks = ends
+        .withColumn("start", lag(col("pos"), 1, 0).over(w))
+        .join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr("md5(substr(text, start + 1, pos - start))").as("fp"),
+          (col("pos") - col("start")).cast("long").as("clen"))
+      chunks.groupBy("lang", "fp")
+        .agg(count(lit(1)).as("copies"), min("clen").as("clen"))
+        .groupBy("lang")
+        .agg(sum("copies").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(expr("copies * clen")).as("bytes_total"),
+          sum("clen").as("bytes_unique"))
+        .orderBy("lang")
+    }),
+
     // Near-dup pairs: token-set Jaccard >= 0.8 inside (lang, n_chars/50)
     // blocks. Candidates from the adaptive generator (candidatePairs:
     // prefix filtering on Zipfian vocab, size-pruned block join on
@@ -2070,6 +2118,30 @@ object Dedup extends QueryFamily {
       "FROM k a JOIN k b ON a.lang = b.lang AND a.h = b.h " +
       "AND a.doc_id < b.doc_id " +
       "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b"),
+
+    // identical gram hash, identical 0-mod-64 cut rule, identical
+    // lag-window chunking and md5 identity
+    "q_dedup_cdc" -> ("WITH g AS (SELECT doc_id, lang, text, " +
+      "CAST(length(text) AS BIGINT) AS n FROM documents " +
+      "WHERE length(text) >= 16), " +
+      "hs AS (SELECT doc_id, t.i AS pos, " +
+      s"${rollDuck("substr(text, CAST(t.i + 1 AS INT), 16)", 16)} AS h " +
+      "FROM g, range(1, 1024) t(i) WHERE t.i <= n - 16), " + // docs <= ~600 chars
+      "cuts AS (SELECT doc_id, pos FROM hs WHERE h % 64 = 0 " +
+      "UNION ALL SELECT doc_id, n AS pos FROM g), " +
+      "ch AS (SELECT c.doc_id, g.lang, " +
+      "md5(substr(g.text, CAST(c.start + 1 AS INT), CAST(c.pos - c.start AS INT))) AS fp, " +
+      "CAST(c.pos - c.start AS BIGINT) AS clen FROM " +
+      "(SELECT doc_id, pos, lag(pos, 1, 0) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS start FROM cuts) c " +
+      "JOIN g ON c.doc_id = g.doc_id), " +
+      "fpg AS (SELECT lang, fp, CAST(count(*) AS BIGINT) AS copies, " +
+      "CAST(min(clen) AS BIGINT) AS clen FROM ch GROUP BY lang, fp) " +
+      "SELECT lang, CAST(sum(copies) AS BIGINT) AS n_chunks, " +
+      "CAST(count(*) AS BIGINT) AS n_distinct_chunks, " +
+      "CAST(sum(copies * clen) AS BIGINT) AS bytes_total, " +
+      "CAST(sum(clen) AS BIGINT) AS bytes_unique " +
+      "FROM fpg GROUP BY lang ORDER BY lang"),
 
     "q_dedup_near" -> ("WITH d AS (SELECT doc_id, lang, n_chars // 50 AS bucket, " +
       "list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
