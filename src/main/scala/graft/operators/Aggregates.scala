@@ -505,6 +505,52 @@ object Aggregates extends QueryFamily {
     // multiplies in both engines — BIGINT products like o·n or n·r·c
     // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
     // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
+    // Two-sample Kolmogorov–Smirnov distance between event types'
+    // value distributions — the distribution-drift test beside
+    // q_agg_ttest's mean test (a mean can hold still while the shape
+    // drifts; KS catches it). ENTIRELY exact integers: at each
+    // distinct value (micros grid), the ECDF gap |F₁−F₂| compares as
+    // the cross-multiplied |c₁·n₂ − c₂·n₁| (no division until the one
+    // served scaling), the max is an integer max, and D_micros =
+    // maxgap·10⁶ DIV (n₁·n₂) is an integer floor division — a
+    // statistic with NO float boundary at all, which not even the
+    // linreg family achieves. One union + one value-order window per
+    // pair; served for the three click-vs-X pairs. Bounds: the gap
+    // compare c·n holds in int64 to ~9e8 rows/type; the served ·10⁶
+    // scaling to ~3e6 rows/type — past that the SAME integer statistic
+    // widens to DECIMAL(38,0) on both engines (never to doubles).
+    // (The per-pair ECDF merge is a single value-ordered cumulative
+    // window — one sorted scan of the DISTINCT-value grid, which is
+    // the algorithm's inherent shape; at 100 TB it range-partitions on
+    // v with per-partition partial counts folded in a second tiny
+    // pass, the standard distributed-ECDF move.)
+    "q_agg_ks" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .selectExpr("event_type",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      def side(t: String, flag: String) = ev.where(col("event_type") === t)
+        .groupBy("v").agg(count(lit(1)).as(flag))
+      def ksRow(other: String): DataFrame = {
+        val merged = side("click", "c1")
+          .join(side(other, "c2"), Seq("v"), "full")
+          .na.fill(0L, Seq("c1", "c2"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        merged
+          .withColumn("f1", sum("c1").over(w))
+          .withColumn("f2", sum("c2").over(w))
+          .crossJoin(broadcast(merged.agg(
+            sum("c1").as("n1"), sum("c2").as("n2"))))
+          .agg(min("n1").as("n1"), min("n2").as("n2"),
+            max(expr("abs(f1 * n2 - f2 * n1)")).as("max_gap"))
+          .selectExpr(s"'$other' AS vs", "n1", "n2", "max_gap",
+            "max_gap * 1000000 DIV (n1 * n2) AS d_micros")
+      }
+      Seq("purchase", "signup", "view").map(ksRow)
+        .reduce(_ unionByName _).orderBy("vs")
+    }),
+
     // Pearson correlation per group via the exact-sufficient-statistic
     // form (the corr() analog of q_agg_linreg's regr_slope): quantity
     // vs extendedprice per return flag, six exact integer statistics
@@ -697,6 +743,33 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical ECDF grid, identical cross-multiplied integer gaps
+    "q_agg_ks" -> ("WITH ev AS (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v FROM events), " +
+      "pr AS (SELECT * FROM (VALUES ('purchase'), ('signup'), ('view')) p(other)), " +
+      "c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM ev " +
+      "WHERE event_type = 'click' GROUP BY v), " +
+      "c2 AS (SELECT pr.other, v, CAST(count(*) AS BIGINT) AS c2 " +
+      "FROM ev JOIN pr ON ev.event_type = pr.other GROUP BY pr.other, v), " +
+      "grid AS (SELECT pr.other, g.v, coalesce(c1.c1, 0) AS c1, " +
+      "coalesce(c2.c2, 0) AS c2 FROM pr " +
+      "JOIN (SELECT DISTINCT other, v FROM " +
+      "(SELECT pr2.other, c1.v FROM c1, pr pr2 " +
+      "UNION ALL SELECT other, v FROM c2)) g ON g.other = pr.other " +
+      "LEFT JOIN c1 ON c1.v = g.v " +
+      "LEFT JOIN c2 ON c2.other = g.other AND c2.v = g.v), " +
+      "cum AS (SELECT other, v, " +
+      "sum(c1) OVER (PARTITION BY other ORDER BY v) AS f1, " +
+      "sum(c2) OVER (PARTITION BY other ORDER BY v) AS f2 FROM grid), " +
+      "tot AS (SELECT other, CAST(sum(c1) AS BIGINT) AS n1, " +
+      "CAST(sum(c2) AS BIGINT) AS n2 FROM grid GROUP BY other) " +
+      "SELECT cum.other AS vs, min(n1) AS n1, min(n2) AS n2, " +
+      "CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS max_gap, " +
+      "CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) * 1000000 // " +
+      "(min(n1) * min(n2)) AS d_micros " +
+      "FROM cum JOIN tot ON cum.other = tot.other " +
+      "GROUP BY cum.other ORDER BY vs"),
 
     // identical six exact statistics, identical IEEE chain
     "q_agg_corr" -> ("WITH b AS (SELECT l_returnflag, " +

@@ -52,6 +52,27 @@ object SearchQueries extends QueryFamily {
       })
 
   /** The serve-side contract: answered from index artifacts only. */
+  /** The BM25 oracle's CTE chain through per-(doc, term) scores `sc` —
+    * shared by q_search_bm25 (the plain top-20) and q_search_hybrid
+    * (the RRF text leg), so the two cannot drift. */
+  private val bm25OracleCtes: String =
+    "d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
+    "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+    "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
+    "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
+    "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
+    "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2), " +
+    "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
+    "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
+    "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
+    "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
+    "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
+    "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
+    "* 1000000.0) AS BIGINT) AS s_micros " +
+    "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
+    "JOIN lex l ON p.tok = l.tok)"
+
   private def fromIndexOnly(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.executedPlan.toString
     require(!plan.contains("documents.parquet"),
@@ -78,6 +99,46 @@ object SearchQueries extends QueryFamily {
       val root = sharedIndex(s, dir)
       fromIndexOnly(
         InvertedIndex.bm25(s, root, Seq("spark", "merge", "window"), 20))
+    }),
+
+    // HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the published fusion behind every modern lexical+vector serving
+    // stack): the BM25 top-20 (the index's own serve path) fused with
+    // the embedding cosine top-20 (the q_sim_topk ranking, probe
+    // vec_id 0) by RRF score Σ 10⁶ DIV (60 + rank) — k = 60 is the
+    // paper's constant, and the fold is EXACT integers (rank is the
+    // only input), so fusion has no float boundary at all. Docs in one
+    // leg only carry that leg's term (absent rank served as 0). Both
+    // legs are top-k cuts (20 rows each): the fusion is driver-scale
+    // work at ANY corpus size — the whole point of fusing RANKS
+    // instead of trying to calibrate heterogeneous scores.
+    "q_search_hybrid" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val root = sharedIndex(s, dir)
+      val wBm = org.apache.spark.sql.expressions.Window.orderBy(col("score_micros").desc, col("doc_id"))
+      val bm = InvertedIndex.bm25(s, root, Seq("spark", "merge", "window"), 20)
+        .select(col("doc_id"), row_number().over(wBm).cast("long").as("bm25_rank"))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+      val probe = e.where(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("norm").as("pnorm"))
+      val wVec = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("vec_id"))
+      val vec = e.where(col("vec_id") >= 10)
+        .crossJoin(broadcast(probe))
+        .withColumn("score",
+          round(expr("vec_dot(pv, v)") / (col("pnorm") * col("norm")), 4))
+        .withColumn("vec_rank", row_number().over(wVec).cast("long"))
+        .where(col("vec_rank") <= 20)
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      bm.join(vec, Seq("doc_id"), "full")
+        .na.fill(0L, Seq("bm25_rank", "vec_rank"))
+        .withColumn("rrf_micros", expr(
+          "(CASE WHEN bm25_rank > 0 THEN 1000000 DIV (60 + bm25_rank) " +
+            "ELSE 0 END) + " +
+            "(CASE WHEN vec_rank > 0 THEN 1000000 DIV (60 + vec_rank) " +
+            "ELSE 0 END)"))
+        .orderBy(col("rrf_micros").desc, col("doc_id")).limit(10)
     }),
 
     // Positional phrase query "merge batch": adjacent-position counts per
@@ -247,25 +308,35 @@ object SearchQueries extends QueryFamily {
     // identical IEEE op sequence as InvertedIndex.bm25 — see its scaladoc;
     // every parenthesis mirrors the Column expression
     "q_search_bm25" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d), " +
-        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(sum(dl) AS BIGINT) AS total_tokens FROM ds), " +
-        "tk AS (SELECT doc_id, unnest(t) AS tok FROM d), " +
-        "post AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tk " +
-        "WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2), " +
-        "lex AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY tok), " +
-        "sc AS (SELECT p.doc_id, CAST(floor(((((CAST(g.n_docs AS DOUBLE) - " +
-        "CAST(l.df AS DOUBLE)) + 0.5) / (CAST(l.df AS DOUBLE) + 0.5)) * " +
-        "((CAST(p.tf AS DOUBLE) * 2.2) / (CAST(p.tf AS DOUBLE) + 1.2 * " +
-        "(0.25 + (0.75 * CAST(ds.dl AS DOUBLE)) / " +
-        "(CAST(g.total_tokens AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) " +
-        "* 1000000.0) AS BIGINT) AS s_micros " +
-        "FROM post p JOIN ds USING (doc_id) CROSS JOIN g " +
-        "JOIN lex l ON p.tok = l.tok) " +
+      (s"WITH $bm25OracleCtes " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
         "CAST(sum(s_micros) AS BIGINT) AS score_micros " +
         "FROM sc GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20"),
+
+    // the identical BM25 chain cut to a ranked top-20, the identical
+    // cosine ranking (round(·,4) + id), and the published RRF fold as
+    // exact integers
+    "q_search_hybrid" ->
+      (s"WITH $bm25OracleCtes, " +
+        "bm20 AS (SELECT doc_id, CAST(sum(s_micros) AS BIGINT) AS score_micros " +
+        "FROM sc GROUP BY doc_id ORDER BY score_micros DESC, doc_id LIMIT 20), " +
+        "bmrk AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY score_micros DESC, doc_id) AS BIGINT) AS bm25_rank FROM bm20), " +
+        "vec AS (SELECT c.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), " +
+        "CAST(c.embedding AS DOUBLE[])), 4) AS score " +
+        "FROM embeddings p, embeddings c WHERE p.vec_id = 0 AND c.vec_id >= 10), " +
+        "vrk AS (SELECT doc_id, CAST(row_number() OVER " +
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS vec_rank FROM vec " +
+        "QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20) " +
+        "SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, " +
+        "coalesce(b.bm25_rank, 0) AS bm25_rank, " +
+        "coalesce(v.vec_rank, 0) AS vec_rank, " +
+        "(CASE WHEN b.bm25_rank IS NOT NULL THEN 1000000 // (60 + b.bm25_rank) " +
+        "ELSE 0 END) + (CASE WHEN v.vec_rank IS NOT NULL THEN " +
+        "1000000 // (60 + v.vec_rank) ELSE 0 END) AS rrf_micros " +
+        "FROM bmrk b FULL JOIN vrk v ON b.doc_id = v.doc_id " +
+        "ORDER BY rrf_micros DESC, doc_id LIMIT 10"),
 
     "q_search_and" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
