@@ -505,6 +505,32 @@ object Aggregates extends QueryFamily {
     // multiplies in both engines — BIGINT products like o·n or n·r·c
     // would cross 2^63 once n exceeds ~3e9 docs, wrapping silently in
     // non-ANSI Spark vs erroring in DuckDB (the r17 advice).
+    // Benford first-digit audit over order values — the classic
+    // fabricated-data / unit-mix screen (a synthetic generator or a
+    // currency mixup shifts the leading-digit law visibly): observed
+    // counts per leading digit as exact integers, observed share as
+    // the exact obs·10⁶ DIV total, Benford's expectation
+    // round(log10(1+1/d)·10⁶) per digit (nine fixed ln calls — the
+    // 6-dp law), and the signed deviation. TPC-H prices are uniform-ish
+    // (NOT Benford) — the audit's point is measuring the deviation,
+    // not asserting conformance.
+    "q_agg_benford" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .selectExpr(
+          "CAST(substr(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) " +
+            "AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(
+          Tables(s, dir, "orders").agg(count(lit(1)).as("total"))))
+        .selectExpr("digit", "n_obs",
+          "n_obs * 1000000 DIV total AS obs_ppm",
+          "CAST(round(log10(1.0D + 1.0D / digit) * 1000000, 0) AS BIGINT) " +
+            "AS benford_ppm",
+          "n_obs * 1000000 DIV total - " +
+            "CAST(round(log10(1.0D + 1.0D / digit) * 1000000, 0) AS BIGINT) " +
+            "AS dev_ppm")
+        .orderBy("digit")),
+
     // Two-sample Kolmogorov–Smirnov distance between event types'
     // value distributions — the distribution-drift test beside
     // q_agg_ttest's mean test (a mean can hold still while the shape
@@ -743,6 +769,19 @@ object Aggregates extends QueryFamily {
     "q_agg_bitmap" -> ("SELECT event_type, " +
       "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // identical digit extraction, integer shares, fixed-point law
+    "q_agg_benford" -> ("WITH d AS (SELECT CAST(substr(CAST(" +
+      "CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) " +
+      "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders), " +
+      "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d " +
+      "GROUP BY digit), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d) " +
+      "SELECT digit, n_obs, n_obs * 1000000 // total AS obs_ppm, " +
+      "CAST(round(log10(1.0 + 1.0 / digit) * 1000000, 0) AS BIGINT) AS benford_ppm, " +
+      "n_obs * 1000000 // total - " +
+      "CAST(round(log10(1.0 + 1.0 / digit) * 1000000, 0) AS BIGINT) AS dev_ppm " +
+      "FROM c, t ORDER BY digit"),
 
     // identical ECDF grid, identical cross-multiplied integer gaps
     "q_agg_ks" -> ("WITH ev AS (SELECT event_type, " +

@@ -162,6 +162,42 @@ object Joins extends QueryFamily {
         .orderBy("event_id")
     }),
 
+    // As-of with a TOLERANCE bound (pandas merge_asof's `tolerance`,
+    // the feature-store staleness rule): the carried order only counts
+    // if it is at most 7 days older than the event — a stale feature
+    // is served as NULL rather than silently used (the
+    // training-serving-skew guard every feature store enforces). Same
+    // one-shuffle union + carry-forward shape as q_join_asof; the
+    // bound is a POST-carry filter on the carried timestamp, so it
+    // adds zero plan structure. Serves matched/stale as a nullable
+    // match plus a flag, with per-event determinism from the same
+    // tie rules.
+    "q_join_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+          col("event_id"), col("ts"),
+          lit(null).cast("struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>").as("ord"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("event_id"),
+          lit(null).cast("timestamp_ntz").as("ts"),
+          struct(col("o_orderkey"), col("o_orderdate")).as("ord"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("ord.o_orderkey").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(ev)
+        .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .withColumn("fresh", col("asof").isNotNull &&
+          expr("ts <= asof.o_orderdate + INTERVAL 7 DAYS"))
+        .select(col("event_id"), col("user_id"),
+          when(col("fresh"), col("asof.o_orderkey")).as("o_orderkey"),
+          when(col("fresh"), col("asof.o_orderdate")).as("o_orderdate"),
+          col("fresh"))
+        .orderBy("event_id")
+    }),
+
     // The SAME as-of join through the NATIVE operator (graft.plans
     // .AsOfJoin: logical node → planner strategy → physical two-pointer
     // merge): each side shuffles once on its own key and sorts within
@@ -451,6 +487,22 @@ object Joins extends QueryFamily {
       "(SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, " +
       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
       "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) " +
+      "WHERE rn = 1 ORDER BY event_id"),
+
+    // the same backward recompute with the staleness bound applied to
+    // the WINNER (not the candidate set — a stale best match nulls,
+    // it does not fall back to an older one, exactly the carry-forward
+    // semantics)
+    "q_join_asof_tolerance" -> ("SELECT event_id, user_id, " +
+      "CASE WHEN fresh THEN o_orderkey END AS o_orderkey, " +
+      "CASE WHEN fresh THEN o_orderdate END AS o_orderdate, fresh FROM " +
+      "(SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, " +
+      "(o.o_orderkey IS NOT NULL AND " +
+      "e.ts <= o.o_orderdate + INTERVAL 7 DAY) AS fresh, " +
+      "row_number() OVER (PARTITION BY e.event_id " +
+      "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+      "FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey " +
+      "AND o.o_orderdate <= e.ts) " +
       "WHERE rn = 1 ORDER BY event_id"),
 
     // identical recompute — the native operator must match it exactly
