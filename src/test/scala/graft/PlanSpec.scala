@@ -689,6 +689,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
 
+  test("q_text_rake serves word scores broadcast; the corpus never self-joins") {
+    // the stopword set and the Heaps-law word-score table are the only
+    // join partners, both broadcast — a shuffled join would put the
+    // corpus against a corpus-derived table at 100 TB
+    val p = plan("q_text_rake")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2500))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
+  test("q_agg_ks: ECDF pairs are joins on the value grid, no cartesian") {
+    val p = plan("q_agg_ks")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("Join FullOuter"), p.take(2500))
+  }
+
+  test("q_dedup_cdc: cut positions shuffle, the corpus text does not explode-shuffle") {
+    // the gram explode + 1/64 filter happen MAP-side; only the narrow
+    // (doc_id, pos) cut table and the final md5 fingerprints shuffle
+    val p = plan("q_dedup_cdc")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2500)) // the posexplode
+  }
+
   test("q_lake_compact: the merge-on-read leg applies its vector broadcast") {
     // v2 = data anti-join the KB-scale vector (BroadcastHashJoin
     // LeftAnti, the q_scan_deletevector plan); v3 = a bare scan of the
