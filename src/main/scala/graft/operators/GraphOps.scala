@@ -187,6 +187,36 @@ object GraphOps extends QueryFamily {
         .orderBy("id")
     }),
 
+    // Degree ASSORTATIVITY (Newman 2002) — do hub documents link to
+    // hubs (boilerplate families cluster) or to the periphery? The
+    // Pearson correlation of endpoint degrees over the symmetrized
+    // edge list, in the q_agg_corr exact-sufficient-statistic form:
+    // six integer sums over (deg_src, deg_dst) edge rows (symmetry
+    // makes Σx = Σy and Σx² = Σy², so the standard undirected formula
+    // falls out of the generic chain unchanged), one IEEE boundary.
+    // One broadcast deg join per endpoint; degrees are fixture-small
+    // integers so every sum is far inside int64.
+    "q_graph_assortativity" -> ((s, dir) => {
+      val (sym, deg) = symWithDeg(s, dir)
+      sym
+        .join(broadcast(deg.select(col("src"), col("deg").as("dx"))), "src")
+        .join(broadcast(deg.select(col("src").as("dst"), col("deg").as("dy"))),
+          "dst")
+        .agg(count(lit(1)).as("n_edges"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(expr("dx * dy")).as("sxy"),
+          sum(expr("dx * dx")).as("sxx"), sum(expr("dy * dy")).as("syy"))
+        .withColumn("r_micros", expr(
+          "CAST(floor((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+            "sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0D) " +
+            "AS BIGINT)"))
+        .select("n_edges", "sx", "sxy", "r_micros")
+    }),
+
     // Bounded-hop BFS from a deterministic source (the min node id) —
     // the reachability/radius primitive the other graph keys don't
     // cover: every node's shortest hop distance <= 3. Layered frontier
@@ -239,6 +269,25 @@ object GraphOps extends QueryFamily {
   def oracles: Map[String, String] = Map(
     "q_graph_degree" -> (edgeCte +
       " SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg"),
+
+    // identical six sums over the same symmetric edge rows, identical
+    // IEEE chain
+    "q_graph_assortativity" -> (edgeCte + ", " +
+      "ed AS (SELECT d1.deg AS dx, d2.deg AS dy FROM sym " +
+      "JOIN deg d1 ON sym.src = d1.src JOIN deg d2 ON sym.dst = d2.src), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+      "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, " +
+      "CAST(sum(dx * dy) AS BIGINT) AS sxy, " +
+      "CAST(sum(dx * dx) AS BIGINT) AS sxx, " +
+      "CAST(sum(dy * dy) AS BIGINT) AS syy FROM ed) " +
+      "SELECT n_edges, sx, sxy, " +
+      "CAST(floor((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0) " +
+      "AS BIGINT) AS r_micros FROM s"),
 
     // recursive min-dist BFS; UNION (not ALL) dedups (id, dist) states so
     // the dense fixture graph can't path-explode

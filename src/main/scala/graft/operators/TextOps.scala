@@ -804,6 +804,42 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Zipf rank–frequency exponent per language — the law half the
+    // repo's scale comments lean on ("Heaps-law vocab", "Zipfian
+    // prefix filter"), now MEASURED instead of assumed: token counts
+    // ranked (cnt DESC, token), both axes taken to the fixed-point
+    // 6-dp ln grid (exact integers after the one rounded-ln boundary
+    // each — the q_text_logprob law), then the q_agg_linreg
+    // exact-sufficient-statistic OLS slope in log–log space. The
+    // served slope_micros ≈ −10⁶·s where s is the Zipf exponent; a
+    // drift toward 0 flags a degenerate (uniform, synthetic-looking)
+    // token mix — which this fixture deliberately has, and the number
+    // states it. One token-count shuffle; the ranked table is
+    // vocabulary-sized.
+    "q_text_zipf" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("t"))
+        .where(length(col("t")) >= 1)
+        .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("t"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .selectExpr("lang",
+          "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x",
+          "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .withColumn("slope_micros", expr(
+          "CAST(floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "(CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0D) " +
+            "AS BIGINT)"))
+        .select("lang", "n_vocab", "sx", "sy", "slope_micros")
+        .orderBy("lang")
+    }),
+
     // RAKE keyword extraction (Rose et al. 2010's published algorithm)
     // — the multi-word keyphrase pass beside q_text_collocations' PMI
     // pairs: candidate phrases are maximal runs of non-stopword tokens
@@ -1247,6 +1283,29 @@ object TextOps extends QueryFamily {
 
     // adjacency by zipped parallel unnest of the two shifted slices;
     // same integer product inside ONE ln, same 1e-6 fixed point
+    // identical ranked grid, identical fixed-point lns, identical
+    // OLS chain
+    "q_text_zipf" -> ("WITH c AS (SELECT lang, t, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT lang, unnest(string_split(lower(text), ' ')) AS t " +
+      "FROM documents) WHERE len(t) >= 1 GROUP BY lang, t), " +
+      "r AS (SELECT lang, CAST(row_number() OVER (PARTITION BY lang " +
+      "ORDER BY cnt DESC, t) AS BIGINT) AS rank, cnt FROM c), " +
+      "xy AS (SELECT lang, " +
+      "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x, " +
+      "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y " +
+      "FROM r), " +
+      "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx " +
+      "FROM xy GROUP BY lang) " +
+      "SELECT lang, n_vocab, sx, sy, " +
+      "CAST(floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS slope_micros FROM s ORDER BY lang"),
+
     // identical stopword rule, phrase segmentation, and all-integer
     // degree/freq scoring; integer division truncates identically
     // (both operands positive)
