@@ -554,13 +554,21 @@ object Aggregates extends QueryFamily {
     // round(log10(1+1/d)·10⁶) per digit (nine fixed ln calls — the
     // 6-dp law), and the signed deviation. TPC-H prices are uniform-ish
     // (NOT Benford) — the audit's point is measuring the deviation,
-    // not asserting conformance.
+    // not asserting conformance. All nine digits materialize via a
+    // 9-row spine left-joined to the observed counts (the q_agg_chisq
+    // zero-cell discipline): a digit with ZERO observations is exactly
+    // the strongest deviation (dev_ppm = −benford_ppm) and must not
+    // vanish from the audit.
     "q_agg_benford" -> ((s, dir) =>
-      Tables(s, dir, "orders")
-        .selectExpr(
-          "CAST(substr(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) " +
-            "AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
-        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      s.range(1, 10).selectExpr("id AS digit")
+        .join(Tables(s, dir, "orders")
+          .selectExpr(
+            "CAST(substr(CAST(CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) " +
+              "AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+          .groupBy("digit").agg(count(lit(1)).as("n_obs_raw")),
+          Seq("digit"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs_raw"), lit(0L)))
+        .drop("n_obs_raw")
         .crossJoin(broadcast(
           Tables(s, dir, "orders").agg(count(lit(1)).as("total"))))
         .selectExpr("digit", "n_obs",
@@ -586,27 +594,49 @@ object Aggregates extends QueryFamily {
     // compare c·n holds in int64 to ~9e8 rows/type; the served ·10⁶
     // scaling to ~3e6 rows/type — past that the SAME integer statistic
     // widens to DECIMAL(38,0) on both engines (never to doubles).
-    // (The per-pair ECDF merge is a single value-ordered cumulative
-    // window — one sorted scan of the DISTINCT-value grid, which is
-    // the algorithm's inherent shape; at 100 TB it range-partitions on
-    // v with per-partition partial counts folded in a second tiny
-    // pass, the standard distributed-ECDF move.)
+    // The per-pair ECDF merge runs as the DISTRIBUTED-ECDF plan (the
+    // r18 comment's prescription, now the code): the distinct-value
+    // grid buckets by a deterministic integer range rule (min/max ride
+    // a one-row broadcast), per-bucket partial prefix sums accumulate
+    // under a bkt-PARTITIONED window (parallel; the grid never passes
+    // through one partition), and the fold offsets come from a second
+    // window over the 32 per-bucket TOTALS — the tiny pass. The
+    // statistic is bit-identical to a global sorted scan (prefix sums
+    // are associative), so the oracle's plain cumulative window
+    // certifies it; PlanSpec pins that no value-ordered global
+    // window survives in the physical plan.
     "q_agg_ks" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .selectExpr("event_type",
           "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
       def side(t: String, flag: String) = ev.where(col("event_type") === t)
         .groupBy("v").agg(count(lit(1)).as(flag))
+      val nBkt = 32
       def ksRow(other: String): DataFrame = {
         val merged = side("click", "c1")
           .join(side(other, "c2"), Seq("v"), "full")
           .na.fill(0L, Seq("c1", "c2"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        // division-only range rule (never a product of the value span —
+        // (v−vlo)·nBkt would overflow for wide micros grids): bucket
+        // width = span DIV nBkt + 1, bkt = offset DIV width ∈ [0, nBkt]
+        val bucketed = merged
+          .crossJoin(broadcast(merged.agg(min("v").as("vlo"), max("v").as("vhi"))))
+          .withColumn("bkt", expr(
+            s"CAST((v - vlo) DIV ((vhi - vlo) DIV $nBkt + 1) AS INT)"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("bkt").orderBy("v")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        merged
-          .withColumn("f1", sum("c1").over(w))
-          .withColumn("f2", sum("c2").over(w))
+        val wOff = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offs = bucketed.groupBy("bkt")
+          .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+          .select(col("bkt"),
+            coalesce(sum("b1").over(wOff), lit(0L)).as("o1"),
+            coalesce(sum("b2").over(wOff), lit(0L)).as("o2"))
+        bucketed.join(broadcast(offs), "bkt")
+          .withColumn("f1", sum("c1").over(wIn) + col("o1"))
+          .withColumn("f2", sum("c2").over(wIn) + col("o2"))
           .crossJoin(broadcast(merged.agg(
             sum("c1").as("n1"), sum("c2").as("n2"))))
           .agg(min("n1").as("n1"), min("n2").as("n2"),
@@ -840,8 +870,11 @@ object Aggregates extends QueryFamily {
     "q_agg_benford" -> ("WITH d AS (SELECT CAST(substr(CAST(" +
       "CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) " +
       "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders), " +
-      "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d " +
+      "sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit), " +
+      "c0 AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d " +
       "GROUP BY digit), " +
+      "c AS (SELECT sp.digit, coalesce(c0.n_obs, CAST(0 AS BIGINT)) AS n_obs " +
+      "FROM sp LEFT JOIN c0 USING (digit)), " +
       "t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d) " +
       "SELECT digit, n_obs, n_obs * 1000000 // total AS obs_ppm, " +
       "CAST(round(log10(1.0 + 1.0 / digit) * 1000000, 0) AS BIGINT) AS benford_ppm, " +

@@ -734,6 +734,14 @@ object Dedup extends QueryFamily {
       ksub: Int = 16): DataFrame = {
     val cb0 = sub.where(col("vec_id").between(10, 9 + ksub))
       .select(col("s"), (col("vec_id") - 10).as("k"), col("sv").as("cent"))
+    // fail LOUDLY on a fixture too small to seed ksub centroids — the
+    // ADC lookup strides s·ksub into the flattened distance table, so
+    // a short codebook would otherwise surface as an out-of-range
+    // element_at deep in the serve path (r18 advice)
+    val nSeed = cb0.select("k").distinct().count()
+    require(nSeed == ksub,
+      s"PQ codebook needs $ksub seed vectors (vec_id 10..${9 + ksub}); " +
+        s"fixture seeds only $nSeed — candidate corpus too small")
     if (!trained) cb0
     else {
       val tr = sub.where(col("vec_id") >= 10)
@@ -2124,9 +2132,14 @@ object Dedup extends QueryFamily {
     "q_dedup_cdc" -> ("WITH g AS (SELECT doc_id, lang, text, " +
       "CAST(length(text) AS BIGINT) AS n FROM documents " +
       "WHERE length(text) >= 16), " +
-      "hs AS (SELECT doc_id, t.i AS pos, " +
-      s"${rollDuck("substr(text, CAST(t.i + 1 AS INT), 16)", 16)} AS h " +
-      "FROM g, range(1, 1024) t(i) WHERE t.i <= n - 16), " + // docs <= ~600 chars
+      // the gram-position spine derives per-doc from the data (the
+      // q_dedup_substring list-range idiom), not a guessed constant —
+      // a longer-doc fixture cannot silently lose cut points past a
+      // hard-coded bound, and the spine is O(Σ doc length), never
+      // O(docs × max length)
+      "hs AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+      s"${rollDuck("substr(text, CAST(i + 1 AS INT), 16)", 16)} AS h " +
+      "FROM (SELECT doc_id, text, unnest(range(1, n - 15)) AS i FROM g)), " +
       "cuts AS (SELECT doc_id, pos FROM hs WHERE h % 64 = 0 " +
       "UNION ALL SELECT doc_id, n AS pos FROM g), " +
       "ch AS (SELECT c.doc_id, g.lang, " +

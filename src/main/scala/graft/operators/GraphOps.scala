@@ -78,7 +78,7 @@ object GraphOps extends QueryFamily {
     * Warehouse layouts: graph CONSTRUCTION is layout work, both queries
     * here (and repeated bench runs) serve from the same pinned edge set.
     */
-  private def symWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def symWithDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     builtGraphs.getOrBuild((s, dir))(_ => {
       val pin = Dedup.passPinner(s)
       val e = pin(edges(s, dir))

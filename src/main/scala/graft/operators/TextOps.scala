@@ -814,27 +814,45 @@ object TextOps extends QueryFamily {
     // served slope_micros ≈ −10⁶·s where s is the Zipf exponent; a
     // drift toward 0 flags a degenerate (uniform, synthetic-looking)
     // token mix — which this fixture deliberately has, and the number
-    // states it. One token-count shuffle; the ranked table is
-    // vocabulary-sized.
+    // states it. The slope is shift-invariant, so both axes are
+    // CENTERED per lang by their truncated integer means (mx = Σx DIV
+    // n; a tiny broadcast join — min-centering, the q_agg_linreg
+    // move, is a no-op here because ln(rank 1) = 0 pins min x at 0):
+    // uncentered, Σx² accumulates per-row x² ≈ 2e14 at rank 10⁶ and
+    // crosses 2⁶³ at only ~5e4 vocab rows — a silent wrap in non-ANSI
+    // Spark vs HUGEINT in DuckDB (the r17/r18 advice class). Centered,
+    // Σxc² ≈ n·Var(ln rank)·10¹² ≈ n·10¹² (Var(ln U) ≤ 1), so the
+    // capacity bound is ~5e6 vocab rows per language — past any
+    // natural-language vocabulary; past that the accumulators widen to
+    // DECIMAL(38,0) on both engines. Two vocabulary-sized aggregations
+    // + one token-count shuffle; the per-lang means ride a broadcast.
     "q_text_zipf" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
         .select(col("lang"), explode(split(lower(col("text")), " ")).as("t"))
         .where(length(col("t")) >= 1)
         .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("t"))
-      counts.withColumn("rank", row_number().over(w).cast("long"))
+      val xy = counts.withColumn("rank", row_number().over(w).cast("long"))
         .selectExpr("lang",
           "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x",
           "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y")
+      val means = xy.groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"), sum("x").as("sx"), sum("y").as("sy"))
+        .selectExpr("lang", "n_vocab", "sx", "sy",
+          "sx DIV n_vocab AS mx", "sy DIV n_vocab AS my")
+      xy.join(broadcast(means), "lang")
+        .selectExpr("lang", "n_vocab", "sx", "sy",
+          "x - mx AS xc", "y - my AS yc")
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_vocab"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .agg(min("n_vocab").as("n_vocab"), min("sx").as("sx"),
+          min("sy").as("sy"),
+          sum("xc").as("sxc"), sum("yc").as("syc"),
+          sum(expr("xc * yc")).as("sxy"), sum(expr("xc * xc")).as("sxx"))
         .withColumn("slope_micros", expr(
           "CAST(floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+            "CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE)) / " +
             "(CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0D) " +
+            "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0D) " +
             "AS BIGINT)"))
         .select("lang", "n_vocab", "sx", "sy", "slope_micros")
         .orderBy("lang")
@@ -894,15 +912,17 @@ object TextOps extends QueryFamily {
     // Scale shape: ONE pair-count shuffle + one token-count shuffle over
     // the corpus; the unigram counts are Heaps-law sized and join back
     // onto the pair table BROADCAST twice (x then y); the totals ride a
-    // one-row broadcast. Every factor casts to DOUBLE individually
-    // BEFORE the products (each count < 2^53 converts exactly; the
-    // products are then identical IEEE multiplies in both engines) —
-    // a BIGINT denominator P·c_x·c_y would cross 2^63 for stop-word
-    // pairs (c_x, c_y ~ 5% of T) long before the numerator does,
-    // wrapping silently in non-ANSI Spark vs erroring in DuckDB (the
-    // r17 advice). At 100 TB the same statistic moves fully to log
-    // space (ln c_xy + 2·ln T − ln P − ln c_x − ln c_y) before the
-    // fixed-point rounding.
+    // one-row broadcast. The statistic runs FULLY IN LOG SPACE (the r18
+    // comment's 100 TB prescription, now the code): each factor takes
+    // ONE rounded fixed-point ln (the 6-dp law — an exact integer after
+    // the one correctly-rounded boundary per count), and PMI is the
+    // exact INTEGER sum ln(c_xy) + 2·ln(T) − ln(P) − ln(c_x) − ln(c_y)
+    // on that grid — no product chain at all, so no count magnitude can
+    // overflow anything at any corpus size (the factor-double form this
+    // replaces was bounded by double exactness at 2^53 per count; the
+    // BIGINT product form before THAT wrapped at stop-word pairs).
+    // UnigramSpec pins the scalar recompute AND that the log-space
+    // ranking agrees with the factor-double ranking on the fixture.
     "q_text_collocations" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(split(lower(col("text")), " ").as("a"))
@@ -921,15 +941,16 @@ object TextOps extends QueryFamily {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).as("c_xy"))
       val pTot = pairs.agg(sum("c_xy").as("p_total"))
+      def lnGrid(c: String) =
+        s"CAST(round(ln(CAST($c AS DOUBLE)) * 1000000, 0) AS BIGINT)"
       pairs.where(col("c_xy") >= 5)
         .join(broadcast(uni.select(col("t").as("x"), col("c").as("c_x"))), "x")
         .join(broadcast(uni.select(col("t").as("y"), col("c").as("c_y"))), "y")
         .crossJoin(broadcast(tot)).crossJoin(broadcast(pTot))
         .select(col("x"), col("y"), col("c_xy"),
-          expr("CAST(round(ln(CAST(c_xy AS DOUBLE) * CAST(t_total AS DOUBLE) * " +
-            "CAST(t_total AS DOUBLE) / (CAST(p_total AS DOUBLE) * " +
-            "CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000, 0) " +
-            "AS BIGINT)").as("pmi"))
+          expr(s"${lnGrid("c_xy")} + 2 * ${lnGrid("t_total")} - " +
+            s"${lnGrid("p_total")} - ${lnGrid("c_x")} - ${lnGrid("c_y")}")
+            .as("pmi"))
         .orderBy(col("pmi").desc, col("x"), col("y")).limit(25)
     }),
 
@@ -1281,10 +1302,9 @@ object TextOps extends QueryFamily {
       "FROM dw JOIN vit USING (w) WHERE len(w) BETWEEN 1 AND 24 " +
       "GROUP BY doc_id ORDER BY doc_id"),
 
-    // adjacency by zipped parallel unnest of the two shifted slices;
-    // same integer product inside ONE ln, same 1e-6 fixed point
     // identical ranked grid, identical fixed-point lns, identical
-    // OLS chain
+    // truncated-mean centering (both axes >= 0 so // = DIV), identical
+    // OLS chain over the centered sums
     "q_text_zipf" -> ("WITH c AS (SELECT lang, t, " +
       "CAST(count(*) AS BIGINT) AS cnt FROM " +
       "(SELECT lang, unnest(string_split(lower(text), ' ')) AS t " +
@@ -1295,16 +1315,23 @@ object TextOps extends QueryFamily {
       "CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x, " +
       "CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y " +
       "FROM r), " +
-      "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab, " +
-      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
-      "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx " +
-      "FROM xy GROUP BY lang) " +
+      "m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy " +
+      "FROM xy GROUP BY lang), " +
+      "m2 AS (SELECT lang, n_vocab, sx, sy, " +
+      "sx // n_vocab AS mx, sy // n_vocab AS my FROM m), " +
+      "s AS (SELECT xy.lang, CAST(sum(x - mx) AS BIGINT) AS sxc, " +
+      "CAST(sum(y - my) AS BIGINT) AS syc, " +
+      "CAST(sum((x - mx) * (y - my)) AS BIGINT) AS sxy, " +
+      "CAST(sum((x - mx) * (x - mx)) AS BIGINT) AS sxx " +
+      "FROM xy JOIN m2 USING (lang) GROUP BY xy.lang) " +
       "SELECT lang, n_vocab, sx, sy, " +
       "CAST(floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
-      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE)) / " +
       "(CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
-      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) " +
-      "AS BIGINT) AS slope_micros FROM s ORDER BY lang"),
+      "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS slope_micros FROM s JOIN m2 USING (lang) " +
+      "ORDER BY lang"),
 
     // identical stopword rule, phrase segmentation, and all-integer
     // degree/freq scoring; integer division truncates identically
@@ -1345,11 +1372,13 @@ object TextOps extends QueryFamily {
       "(SELECT unnest(a[1:len(a)-1]) AS x, unnest(a[2:len(a)]) AS y FROM toks) " +
       "WHERE len(x) >= 1 AND len(y) >= 1 GROUP BY x, y), " +
       "pt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS p_total FROM pr) " +
+      // identical 6-dp ln grid per factor, identical integer sum
       "SELECT x, y, c_xy, " +
-      "CAST(round(ln(CAST(c_xy AS DOUBLE) * CAST(t_total AS DOUBLE) * " +
-      "CAST(t_total AS DOUBLE) / (CAST(p_total AS DOUBLE) * " +
-      "CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))) * 1000000, 0) " +
-      "AS BIGINT) AS pmi " +
+      "CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1000000, 0) AS BIGINT) + " +
+      "2 * CAST(round(ln(CAST(t_total AS DOUBLE)) * 1000000, 0) AS BIGINT) - " +
+      "CAST(round(ln(CAST(p_total AS DOUBLE)) * 1000000, 0) AS BIGINT) - " +
+      "CAST(round(ln(CAST(cx.c AS DOUBLE)) * 1000000, 0) AS BIGINT) - " +
+      "CAST(round(ln(CAST(cy.c AS DOUBLE)) * 1000000, 0) AS BIGINT) AS pmi " +
       "FROM pr, tot, pt, uni cx, uni cy " +
       "WHERE c_xy >= 5 AND cx.t = pr.x AND cy.t = pr.y " +
       "ORDER BY pmi DESC, x, y LIMIT 25"),

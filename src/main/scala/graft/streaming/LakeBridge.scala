@@ -68,6 +68,17 @@ object LakeBridge {
     if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
   }
 
+  /** Commit kind: "append" (the commit's added files are a ROW delta —
+    * Delta/Iceberg dataChange=true) vs "rewrite" (compaction — the
+    * added file re-states existing rows and carries NO row delta;
+    * dataChange=false). A CDF consumer folding diffs must skip
+    * rewrites or it double-counts the whole table across a compaction
+    * (r18 advice). Missing marker (pre-r19 layouts) reads as append. */
+  def commitKind(root: String, v: Int): String = {
+    val p = snapDir(root, v).resolve("kind")
+    if (Files.exists(p)) Files.readString(p).trim else "append"
+  }
+
   /** Snapshot v's full file list — the O(files) plan step. */
   def manifest(spark: SparkSession, root: String, v: Int): Seq[String] =
     spark.read.parquet(snapDir(root, v).resolve("manifest").toString)
@@ -98,6 +109,7 @@ object LakeBridge {
     val carried = batchId.orElse(cur.flatMap(v => ledger(root, v)))
     carried.foreach(b =>
       Files.write(sd.resolve("batch"), b.toString.getBytes("UTF-8")))
+    Files.write(sd.resolve("kind"), "append".getBytes("UTF-8"))
     Files.write(sd.resolve("_commit"), Array.emptyByteArray)
     true
   }
@@ -110,18 +122,25 @@ object LakeBridge {
     spark.read.parquet(manifest(spark, root, ver): _*)
   }
 
-  /** The CDF consumer: every commit's delta as (version, DataFrame over
-    * ONLY the files that commit added) — the manifest diff, never a
-    * table scan. An incremental downstream job folds these in order. */
+  /** The CDF consumer: every ROW-DELTA commit's delta as (version,
+    * DataFrame over ONLY the files that commit added) — the manifest
+    * diff, never a table scan. An incremental downstream job folds
+    * these in order. Rewrite commits (compaction) are SKIPPED: their
+    * added file re-states rows earlier commits already delivered
+    * (dataChange=false in Delta/Iceberg terms), so folding it would
+    * double-count the entire table (r18 advice; pinned across a
+    * compact in StreamLakeSpec). */
   def commitDiffs(spark: SparkSession, root: String): Seq[(Int, DataFrame)] = {
     val vs = versions(root)
-    vs.zip(None +: vs.init.map(Some(_))).map { case (v, prevV) =>
-      val prev = prevV.map(p => manifest(spark, root, p).toSet)
-        .getOrElse(Set.empty[String])
-      val added = manifest(spark, root, v).filterNot(prev)
-      require(added.nonEmpty, s"commit v$v added no files")
-      (v, spark.read.parquet(added: _*))
-    }
+    vs.zip(None +: vs.init.map(Some(_)))
+      .filter { case (v, _) => commitKind(root, v) == "append" }
+      .map { case (v, prevV) =>
+        val prev = prevV.map(p => manifest(spark, root, p).toSet)
+          .getOrElse(Set.empty[String])
+        val added = manifest(spark, root, v).filterNot(prev)
+        require(added.nonEmpty, s"commit v$v added no files")
+        (v, spark.read.parquet(added: _*))
+      }
   }
 
   /** COMPACTION commit — the small-files maintenance op a long stream
@@ -144,6 +163,7 @@ object LakeBridge {
       .write.mode("overwrite").parquet(sd.resolve("manifest").toString)
     ledger(root, cur).foreach(b =>
       Files.write(sd.resolve("batch"), b.toString.getBytes("UTF-8")))
+    Files.write(sd.resolve("kind"), "rewrite".getBytes("UTF-8"))
     Files.write(sd.resolve("_commit"), Array.emptyByteArray)
     next
   }

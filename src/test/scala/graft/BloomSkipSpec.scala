@@ -16,7 +16,12 @@ class BloomSkipSpec extends AnyFunSuite {
   test("no false negatives: every file truly holding a probe key is selected") {
     SparkEntry.queries("q_scan_bloomskip")(spark, sf0001).collect() // build
     val (keys, selected, total) = operators.Warehouse.bloomPlan(spark, sf0001)
-    assert(keys.length == 3 && keys == keys.sorted.distinct.sorted || keys.length == 3)
+    assert(keys.length == 3)
+    // keys arrive in (count ASC, key) rarity order — the deterministic
+    // plan pick — so pin distinctness, not numeric order (the r18
+    // advice found the old `a && b || a` assert vacuous; de-morganing
+    // it surfaced that numeric-sortedness was never the contract)
+    assert(keys.distinct == keys, s"duplicate probe keys: $keys")
     val (dataPath, _) = operators.Warehouse.manifestPaths(sf0001)
     // ground truth: which files actually hold the probe keys
     val truth = spark.read.parquet(dataPath)

@@ -628,6 +628,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!fin.contains("Join"), s"nearest as-of must not join:\n${fin.take(2000)}")
   }
 
+  test("q_agg_ks: distributed ECDF — no global value-ordered window over the grid") {
+    val df = SparkEntry.queries("q_agg_ks")(spark, sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the row-scale prefix sums run under bkt-PARTITIONED windows
+    assert("windowspecdefinition\\(bkt#\\d+, v#\\d+L ASC".r.findFirstIn(fin).isDefined,
+      s"expected a bkt-partitioned value window:\n${fin.take(2500)}")
+    // and the grid NEVER passes through a single-partition value sort —
+    // the only unpartitioned window is over the ~32 bucket totals
+    assert("windowspecdefinition\\(v#\\d+L ASC".r.findFirstIn(fin).isEmpty,
+      s"global value-ordered window survived — the 100 TB killer:\n${fin.take(2500)}")
+    assert(!fin.contains("CartesianProduct"), fin.take(2000))
+  }
+
   test("q_multimodal_wave is map-only: decode + window stats shuffle only to sort") {
     val p = plan("q_multimodal_wave")
     // construct -> decode UDF -> explode windows -> array stats are all

@@ -150,4 +150,30 @@ class StreamLakeSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(union == snapshot, "commit deltas do not rebuild the snapshot")
   }
+
+  test("CDF across a compaction: rewrite commits carry no row delta (r18 advice)") {
+    val root = tmp("graft_lake_cdf_compact")
+    val d = Tables(spark, sf0001, "documents").select("doc_id", "text")
+    (0 to 2).foreach(b => assert(LakeBridge.appendCommit(spark, root,
+      d.where(s"doc_id % 3 = $b"), Some(b.toLong))))
+    val cv = LakeBridge.compactCommit(spark, root)
+    assert(LakeBridge.commitKind(root, cv) == "rewrite")
+    // a post-compaction append still deltas against the compacted manifest
+    assert(LakeBridge.appendCommit(spark, root,
+      d.select((col("doc_id") + 1000000).as("doc_id"), col("text")).limit(7), Some(3L)))
+
+    val diffs = LakeBridge.commitDiffs(spark, root)
+    // 5 commits, 4 of them row deltas — the rewrite is SKIPPED, not
+    // folded (folding it would double-count the whole pre-compact table)
+    assert(LakeBridge.versions(root).size == 5)
+    assert(diffs.map(_._1) == Seq(1, 2, 3, 5), s"wrong delta commits: ${diffs.map(_._1)}")
+    val summed = diffs.map(_._2.count()).sum
+    assert(summed == LakeBridge.read(spark, root).count(),
+      "deltas across the compaction double- or under-count")
+    val union = diffs.map(_._2).reduce(_ unionByName _)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val snapshot = LakeBridge.read(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(union == snapshot, "folded deltas diverge across the compaction")
+  }
 }
