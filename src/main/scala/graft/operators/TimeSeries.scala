@@ -230,6 +230,54 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // SAMPLED Theil–Sen — the long-series variant the exact key's
+    // comment prescribes, now served beside it. The thinning is
+    // ENDPOINT-hashed, not pair-hashed: each hour takes ONE md5 bucket
+    // b(t) = md5(event_type:t) mod 4 (O(n) hashes — a per-pair hash
+    // was measured costing as much as the sort it saves), and a pair
+    // survives iff (b(ta) + b(tb)) mod 4 = 0 — for any fixed left
+    // bucket exactly one right bucket qualifies, so the kept fraction
+    // is 1/4 by construction and the pair predicate is two integer
+    // adds. What sampling buys at scale is the shuffle+sort of the
+    // pair-slope stream (the rank median's real cost, 4× lighter);
+    // the honest cost story is SERVED: n_pairs_exact = n·(n−1)/2
+    // (arithmetic — the full quadratic never materializes here) vs
+    // n_pairs_sampled. Enumeration stays map-side n² within each
+    // group — the form's floor; a series too long even for that moves
+    // to harsher endpoint thinning, same serving shape.
+    // TimeSeriesSpec pins the sampled median's rank position in the
+    // exact slope distribution on the fixture.
+    "q_ts_theilsen_sampled" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val hourly = Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS t",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type", "t").agg(sum("v").as("v"))
+        .withColumn("bk", expr("CAST(conv(substr(md5(concat(event_type, " +
+          "':', CAST(t AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"))
+      val meta = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"))
+      val slopes = hourly.selectExpr("event_type", "t AS ta", "v AS va", "bk AS bka")
+        .join(hourly.selectExpr("event_type", "t AS tb", "v AS vb", "bk AS bkb"),
+          Seq("event_type"))
+        .where(col("tb") > col("ta"))
+        .where(expr("(bka + bkb) % 4 = 0"))
+        .selectExpr("event_type", "(vb - va) * 1000000 DIV (tb - ta) AS slope")
+      val wRank = Window.partitionBy("event_type").orderBy("slope")
+      val wAll = Window.partitionBy("event_type")
+      slopes
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .where(col("rn") === expr("(m + 1) DIV 2"))
+        .join(broadcast(meta), "event_type")
+        .selectExpr("event_type", "n_hours",
+          "n_hours * (n_hours - 1) DIV 2 AS n_pairs_exact",
+          "m AS n_pairs_sampled",
+          "slope AS theil_sampled_micros")
+        .orderBy("event_type")
+    }),
+
     "q_ts_changepoint" -> ((s, dir) => {
       val daily = Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -334,6 +382,32 @@ object TimeSeries extends QueryFamily {
       "FROM sl) " +
       "SELECT rk.event_type, m.n_hours, rk.mm AS n_pairs, " +
       "rk.slope AS theil_slope_micros " +
+      "FROM rk JOIN m ON rk.event_type = m.event_type " +
+      "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
+
+    // identical hourly grid, identical per-ENDPOINT md5 bucket +
+    // (bka+bkb) mod 4 pair rule, identical integer slope + rank pick
+    "q_ts_theilsen_sampled" -> ("WITH h AS (SELECT event_type, t, v, " +
+      "CAST(concat('0x', substr(md5(concat(event_type, ':', " +
+      "CAST(t AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS bk FROM " +
+      "(SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS t, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) " +
+      "AS BIGINT) AS v FROM events GROUP BY event_type, t)), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours " +
+      "FROM h GROUP BY event_type), " +
+      "sl AS (SELECT a.event_type, " +
+      "(b.v - a.v) * 1000000 // (b.t - a.t) AS slope " +
+      "FROM h a JOIN h b ON a.event_type = b.event_type AND b.t > a.t " +
+      "WHERE (a.bk + b.bk) % 4 = 0), " +
+      "rk AS (SELECT event_type, slope, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope) " +
+      "AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mm " +
+      "FROM sl) " +
+      "SELECT rk.event_type, m.n_hours, " +
+      "m.n_hours * (m.n_hours - 1) // 2 AS n_pairs_exact, " +
+      "rk.mm AS n_pairs_sampled, rk.slope AS theil_sampled_micros " +
       "FROM rk JOIN m ON rk.event_type = m.event_type " +
       "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
 

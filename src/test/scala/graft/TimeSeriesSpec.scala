@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_ts_theilsen_sampled (r19) — the hash-sampled Theil–Sen variant.
+  * The oracle pins the cross-engine arithmetic; this spec pins the
+  * ESTIMATOR claims: the sampled median is re-derivable scalar-side
+  * (same md5 rule, same rank pick), the sampling really thins the
+  * pair stream to ~1/4, and the sampled median sits near the exact
+  * pairwise-slope median — within the stated rank tolerance.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_ts_theilsen_sampled: scalar re-derivation + rank tolerance vs the exact median") {
+    val rows = SparkEntry.queries("q_ts_theilsen_sampled")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+
+    // the shared hourly grid (engine-built; the sampling and median
+    // logic under test re-derives scalar-side from it)
+    val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+      "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+    val hourly = Tables(spark, sf0001, "events")
+      .selectExpr("event_type", s"$x AS t",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      .groupBy("event_type", "t").agg(sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3)).sortBy(_._1)).toMap
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(et: String, t: Long): Long = {
+      val hex = md.digest(s"$et:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4
+    }
+    def kept(et: String, ta: Long, tb: Long): Boolean =
+      (bucket(et, ta) + bucket(et, tb)) % 4 == 0
+    def lowerMedian(s: Seq[Long]): Long = s.sorted.apply((s.length + 1) / 2 - 1)
+
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val hs = hourly(et)
+      val n = hs.length.toLong
+      assert(r.getAs[Long]("n_hours") == n, s"$et n_hours")
+      assert(r.getAs[Long]("n_pairs_exact") == n * (n - 1) / 2, s"$et n_pairs_exact")
+
+      val allSlopes = for {
+        i <- hs.indices; j <- (i + 1) until hs.length
+      } yield ((hs(j)._2 - hs(i)._2) * 1000000L / (hs(j)._1 - hs(i)._1),
+        kept(et, hs(i)._1, hs(j)._1))
+      val sampled = allSlopes.collect { case (sl, true) => sl }
+      assert(r.getAs[Long]("n_pairs_sampled") == sampled.length.toLong,
+        s"$et sampled count ${sampled.length} vs served")
+      // the md5 rule is an unbiased 1/4 thinning, not a degenerate cut
+      val frac = sampled.length.toDouble / allSlopes.length
+      assert(frac > 0.15 && frac < 0.35, s"$et sampling fraction $frac")
+
+      val servedMedian = r.getAs[Long]("theil_sampled_micros")
+      assert(lowerMedian(sampled) == servedMedian, s"$et sampled median")
+      // rank tolerance: the sampled median lands within ±0.10 of the
+      // exact distribution's median rank — the estimator claim
+      val exactSorted = allSlopes.map(_._1).sorted
+      val pos = exactSorted.count(_ < servedMedian).toDouble / exactSorted.length
+      assert(pos > 0.40 && pos < 0.60,
+        s"$et sampled median at exact-rank $pos — outside the stated tolerance")
+      // and it is genuinely close to the exact pick in value order
+      val exactMedian = lowerMedian(exactSorted)
+      assert(servedMedian == exactMedian ||
+        math.abs(pos - 0.5) < 0.10, s"$et drifted: $servedMedian vs $exactMedian")
+    }
+  }
+}
