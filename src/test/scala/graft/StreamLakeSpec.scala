@@ -176,4 +176,46 @@ class StreamLakeSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(union == snapshot, "folded deltas diverge across the compaction")
   }
+
+  test("lake-fed incremental sync converges to the one-shot index across restart + compaction") {
+    import graft.sync._
+    val root = tmp("graft_lake_sync")
+    val idx = tmp("graft_lake_sync_idx")
+    val oneShotIdx = tmp("graft_lake_sync_oneshot")
+    val job = SyncJob("docs_lake", SyncSource.Table("documents"),
+      idCol = "doc_id",
+      fields = Seq(DocField("doc_id", "doc_id", quoted = false),
+        DocField("lang", "lang", quoted = true),
+        DocField("text", "text", quoted = true)),
+      shards = 4, batchSize = 200)
+    val d = Tables(spark, sf0001, "documents").select("doc_id", "lang", "text")
+
+    // two stream commits, then the first sync leg
+    assert(LakeBridge.appendCommit(spark, root, d.where("doc_id % 3 = 0"), Some(0L)))
+    assert(LakeBridge.appendCommit(spark, root, d.where("doc_id % 3 = 1"), Some(1L)))
+    assert(LakeBridge.syncCommits(spark, root, job, idx) == Seq(1, 2))
+    // RESTART with nothing new: the sync ledger skips everything
+    assert(LakeBridge.syncCommits(spark, root, job, idx).isEmpty,
+      "restart redelivered already-synced commits")
+
+    // more lake life: one append, a compaction, another append
+    assert(LakeBridge.appendCommit(spark, root, d.where("doc_id % 3 = 2"), Some(2L)))
+    LakeBridge.compactCommit(spark, root)
+    assert(LakeBridge.appendCommit(spark, root,
+      d.select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text"))
+        .limit(9), Some(3L)))
+    // the resumed sync delivers ONLY the two new row deltas — the
+    // rewrite commit (v4) must not redeliver the whole table
+    assert(LakeBridge.syncCommits(spark, root, job, idx) == Seq(3, 5),
+      "compaction leaked into the sync stream")
+
+    // convergence: the generation-folded incremental index equals a
+    // one-shot delivery of the final snapshot
+    SyncRunner.runOn(LakeBridge.read(spark, root), job,
+      graft.sinks.FileBulkClient(oneShotIdx))
+    val incr = graft.sinks.Writers.foldState(idx)
+    val oneShot = graft.sinks.Writers.foldState(oneShotIdx)
+    assert(incr.nonEmpty && incr == oneShot,
+      s"lake-fed sync diverged from the one-shot index: ${incr.size} vs ${oneShot.size} docs")
+  }
 }
