@@ -25,6 +25,40 @@ object Aggregates extends QueryFamily {
   private def revenue = money(col("l_extendedprice")) *
     frac(lit(1.0) - col("l_discount"))
 
+  /** Distributed-ECDF prefix sums over a distinct-value grid `merged`
+    * (one row per v, exact count columns `counts`): bucket v by a
+    * division-only deterministic range rule (min/max ride a one-row
+    * broadcast; width = span DIV nBkt + 1, so no product of the span
+    * can overflow), accumulate per-bucket partial prefix sums under a
+    * bkt-PARTITIONED window (parallel — the grid never passes through
+    * one partition), and fold the offsets from a second window over
+    * the ≤ nBkt+1 per-bucket TOTALS — the tiny pass. Adds `f_<c>`
+    * running totals per count column; bit-identical to a global sorted
+    * scan (prefix sums are associative), which is what lets the
+    * oracles certify consumers with a plain cumulative window. Shared
+    * by q_agg_ks and q_agg_mannwhitney; PlanSpec pins that no global
+    * value-ordered window survives in either plan.
+    */
+  private def distributedPrefix(merged: DataFrame, counts: Seq[String],
+      nBkt: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = merged
+      .crossJoin(broadcast(merged.agg(min("v").as("vlo"), max("v").as("vhi"))))
+      .withColumn("bkt", expr(
+        s"CAST((v - vlo) DIV ((vhi - vlo) DIV $nBkt + 1) AS INT)"))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bSums = counts.map(c => sum(c).as(s"b_$c"))
+    val offs = bucketed.groupBy("bkt").agg(bSums.head, bSums.tail: _*)
+      .select(col("bkt") +: counts.map(c =>
+        coalesce(sum(s"b_$c").over(wOff), lit(0L)).as(s"o_$c")): _*)
+    counts.foldLeft(bucketed.join(broadcast(offs), "bkt")) { (df, c) =>
+      df.withColumn(s"f_$c", sum(c).over(wIn) + col(s"o_$c"))
+    }
+  }
+
   /** Shared ROLLUP/CUBE body — identical text runs in Spark SQL and (with
     * the grouping-set clause swapped in) in the DuckDB oracle.
     */
@@ -611,32 +645,12 @@ object Aggregates extends QueryFamily {
           "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
       def side(t: String, flag: String) = ev.where(col("event_type") === t)
         .groupBy("v").agg(count(lit(1)).as(flag))
-      val nBkt = 32
       def ksRow(other: String): DataFrame = {
         val merged = side("click", "c1")
           .join(side(other, "c2"), Seq("v"), "full")
           .na.fill(0L, Seq("c1", "c2"))
-        // division-only range rule (never a product of the value span —
-        // (v−vlo)·nBkt would overflow for wide micros grids): bucket
-        // width = span DIV nBkt + 1, bkt = offset DIV width ∈ [0, nBkt]
-        val bucketed = merged
-          .crossJoin(broadcast(merged.agg(min("v").as("vlo"), max("v").as("vhi"))))
-          .withColumn("bkt", expr(
-            s"CAST((v - vlo) DIV ((vhi - vlo) DIV $nBkt + 1) AS INT)"))
-        val wIn = org.apache.spark.sql.expressions.Window
-          .partitionBy("bkt").orderBy("v")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val wOff = org.apache.spark.sql.expressions.Window.orderBy("bkt")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val offs = bucketed.groupBy("bkt")
-          .agg(sum("c1").as("b1"), sum("c2").as("b2"))
-          .select(col("bkt"),
-            coalesce(sum("b1").over(wOff), lit(0L)).as("o1"),
-            coalesce(sum("b2").over(wOff), lit(0L)).as("o2"))
-        bucketed.join(broadcast(offs), "bkt")
-          .withColumn("f1", sum("c1").over(wIn) + col("o1"))
-          .withColumn("f2", sum("c2").over(wIn) + col("o2"))
+        distributedPrefix(merged, Seq("c1", "c2"))
+          .withColumnRenamed("f_c1", "f1").withColumnRenamed("f_c2", "f2")
           .crossJoin(broadcast(merged.agg(
             sum("c1").as("n1"), sum("c2").as("n2"))))
           .agg(min("n1").as("n1"), min("n2").as("n2"),
@@ -645,6 +659,57 @@ object Aggregates extends QueryFamily {
             "max_gap * 1000000 DIV (n1 * n2) AS d_micros")
       }
       Seq("purchase", "signup", "view").map(ksRow)
+        .reduce(_ unionByName _).orderBy("vs")
+    }),
+
+    // Mann–Whitney U (Wilcoxon rank-sum) per pair — the nonparametric
+    // location test beside q_agg_ttest's parametric mean test and
+    // q_agg_ks's shape test: does one event type's value distribution
+    // sit systematically above another's? ENTIRELY exact integers up
+    // to the one served z chain: on the pooled distinct-value grid,
+    // tied values take the average rank, carried as TWICE-average-rank
+    // 2F − c + 1 (an exact integer — F the pooled running count
+    // through v, c the pooled tie size), so 2R₁ = Σ c₁·(2F − c + 1)
+    // and 2U₁ = 2R₁ − n₁(n₁+1) are exact; the tie correction
+    // Σ(t³ − t) is an exact integer sum (t³ holds in int64 to
+    // t ≈ 2e6 ties per value — past that it widens to DECIMAL(38,0)
+    // on both engines). The served z uses the normal approximation
+    // with tie-corrected variance — one IEEE chain over the exact
+    // integers, floor-scaled micros. Same distributed-ECDF plan as
+    // q_agg_ks (shared helper, PlanSpec-pinned); MannWhitneySpec pins
+    // the scalar re-derivation and the rank-sum conservation theorem
+    // 2R₁ + 2R₂ = n(n+1)·... (both sides' twice-rank-sums total
+    // 2·n(n+1)/2).
+    "q_agg_mannwhitney" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .selectExpr("event_type",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      def side(t: String, flag: String) = ev.where(col("event_type") === t)
+        .groupBy("v").agg(count(lit(1)).as(flag))
+      def mwRow(other: String): DataFrame = {
+        val merged = side("click", "c1")
+          .join(side(other, "c2"), Seq("v"), "full")
+          .na.fill(0L, Seq("c1", "c2"))
+          .withColumn("c", expr("c1 + c2"))
+        distributedPrefix(merged, Seq("c"))
+          .withColumn("rank2", expr("2 * f_c - c + 1"))
+          .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(expr("c1 * rank2")).as("r1x2"),
+            sum(expr("c * (c * c - 1)")).as("tie3"))
+          .selectExpr(s"'$other' AS vs", "n1", "n2",
+            "r1x2 - n1 * (n1 + 1) AS u1x2", "tie3")
+          .selectExpr("vs", "n1", "n2", "u1x2", "tie3",
+            // z = (U1 − n1·n2/2) / sqrt(n1·n2/12·((n+1) − tie3/(n·(n−1))))
+            // computed as (2U1 − n1n2) / (2σ): every count casts to
+            // DOUBLE exactly below 2^53, then one shared IEEE chain
+            "CAST(floor((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * " +
+              "CAST(n2 AS DOUBLE)) / (2.0D * sqrt(" +
+              "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0D * " +
+              "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / " +
+              "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) " +
+              "* 1000000.0D) AS BIGINT) AS z_micros")
+      }
+      Seq("purchase", "signup", "view").map(mwRow)
         .reduce(_ unionByName _).orderBy("vs")
     }),
 
@@ -908,6 +973,37 @@ object Aggregates extends QueryFamily {
       "(min(n1) * min(n2)) AS d_micros " +
       "FROM cum JOIN tot ON cum.other = tot.other " +
       "GROUP BY cum.other ORDER BY vs"),
+
+    // identical pooled grid, identical twice-average-rank integers,
+    // identical tie correction, identical one-chain z
+    "q_agg_mannwhitney" -> ("WITH ev AS (SELECT event_type, " +
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v FROM events), " +
+      "pr AS (SELECT * FROM (VALUES ('purchase'), ('signup'), ('view')) p(other)), " +
+      "c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM ev " +
+      "WHERE event_type = 'click' GROUP BY v), " +
+      "c2 AS (SELECT pr.other, v, CAST(count(*) AS BIGINT) AS c2 " +
+      "FROM ev JOIN pr ON ev.event_type = pr.other GROUP BY pr.other, v), " +
+      "grid AS (SELECT pr.other, g.v, coalesce(c1.c1, 0) AS c1, " +
+      "coalesce(c2.c2, 0) AS c2 FROM pr " +
+      "JOIN (SELECT DISTINCT other, v FROM " +
+      "(SELECT pr2.other, c1.v FROM c1, pr pr2 " +
+      "UNION ALL SELECT other, v FROM c2)) g ON g.other = pr.other " +
+      "LEFT JOIN c1 ON c1.v = g.v " +
+      "LEFT JOIN c2 ON c2.other = g.other AND c2.v = g.v), " +
+      "cum AS (SELECT other, v, c1, c1 + c2 AS c, " +
+      "sum(c1 + c2) OVER (PARTITION BY other ORDER BY v) AS f FROM grid), " +
+      "st AS (SELECT other, CAST(sum(c1) AS BIGINT) AS n1, " +
+      "CAST(sum(c - c1) AS BIGINT) AS n2, " +
+      "CAST(sum(c1 * (2 * f - c + 1)) AS BIGINT) AS r1x2, " +
+      "CAST(sum(c * (c * c - 1)) AS BIGINT) AS tie3 FROM cum GROUP BY other), " +
+      "st2 AS (SELECT other, n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2, tie3 FROM st) " +
+      "SELECT other AS vs, n1, n2, u1x2, tie3, " +
+      "CAST(floor((CAST(u1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * " +
+      "CAST(n2 AS DOUBLE)) / (2.0 * sqrt(" +
+      "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) " +
+      "* 1000000.0) AS BIGINT) AS z_micros FROM st2 ORDER BY vs"),
 
     // identical six exact statistics, identical IEEE chain
     "q_agg_corr" -> ("WITH b AS (SELECT l_returnflag, " +

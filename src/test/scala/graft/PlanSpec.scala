@@ -642,6 +642,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!fin.contains("CartesianProduct"), fin.take(2000))
   }
 
+  test("q_agg_mannwhitney: the shared distributed-ECDF shape — no global value window") {
+    val df = SparkEntry.queries("q_agg_mannwhitney")(spark, sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("windowspecdefinition\\(bkt#\\d+, v#\\d+L ASC".r.findFirstIn(fin).isDefined,
+      s"expected a bkt-partitioned value window:\n${fin.take(2500)}")
+    assert("windowspecdefinition\\(v#\\d+L ASC".r.findFirstIn(fin).isEmpty,
+      s"global value-ordered window survived:\n${fin.take(2500)}")
+    assert(!fin.contains("CartesianProduct"), fin.take(2000))
+  }
+
   test("q_multimodal_wave is map-only: decode + window stats shuffle only to sort") {
     val p = plan("q_multimodal_wave")
     // construct -> decode UDF -> explode windows -> array stats are all
