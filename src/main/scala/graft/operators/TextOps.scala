@@ -858,6 +858,63 @@ object TextOps extends QueryFamily {
         .orderBy("lang")
     }),
 
+    // Heaps'-law vocab-growth exponent per language — the OTHER law
+    // the repo's scale comments lean on ("Heaps-law-sized vocab table
+    // rides a broadcast"), measured like q_text_zipf measured Zipf:
+    // V(N) ≈ K·N^β, so β is the centered log–log OLS slope over the
+    // per-doc growth curve. Every point is exact: docs order by
+    // doc_id, N(d) = running token count and V(d) = running count of
+    // FIRST-SEEN tokens (each token's min doc_id — one Heaps-law-sized
+    // aggregation), both prefix sums of integers, then the one rounded
+    // 6-dp ln per axis and the q_agg_linreg centered chain (Σxc² ≈
+    // n_docs·10¹² — int64 to ~5e6 docs/lang, then DECIMAL(38,0) on
+    // both engines). β ≈ 1 flags the degenerate synthetic mix exactly
+    // as zipf's slope ≈ 0 does — the two laws are duals and the
+    // fixture states both. The growth windows partition per lang; a
+    // single dominant lang at 100 TB buckets its doc timeline exactly
+    // like distributedPrefix buckets the KS value grid.
+    "q_text_heaps" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("t"))
+        .where(length(col("t")) >= 1)
+      val perDoc = toks.groupBy("lang", "doc_id")
+        .agg(count(lit(1)).as("n_tok"))
+      val firstSeen = toks.groupBy("lang", "t").agg(min("doc_id").as("doc_id"))
+        .groupBy("lang", "doc_id").agg(count(lit(1)).as("v_new"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val xy = perDoc.join(firstSeen, Seq("lang", "doc_id"), "left")
+        .na.fill(0L, Seq("v_new"))
+        .withColumn("nn", sum("n_tok").over(w))
+        .withColumn("vv", sum("v_new").over(w))
+        .selectExpr("lang",
+          "CAST(round(ln(CAST(nn AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x",
+          "CAST(round(ln(CAST(vv AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y")
+      val tot = perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .join(firstSeen.groupBy("lang").agg(sum("v_new").as("vocab")), "lang")
+      val means = xy.groupBy("lang")
+        .agg(count(lit(1)).as("n_pts"), sum("x").as("sx"), sum("y").as("sy"))
+        .selectExpr("lang", "n_pts", "sx DIV n_pts AS mx", "sy DIV n_pts AS my")
+      xy.join(broadcast(means), "lang")
+        .selectExpr("lang", "n_pts", "x - mx AS xc", "y - my AS yc")
+        .groupBy("lang")
+        .agg(min("n_pts").as("n_pts"),
+          sum("xc").as("sxc"), sum("yc").as("syc"),
+          sum(expr("xc * yc")).as("sxy"), sum(expr("xc * xc")).as("sxx"))
+        .where(col("sxx") > 0) // a 1-doc lang has no growth curve
+        .withColumn("beta_micros", expr(
+          "CAST(floor((CAST(n_pts AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+            "CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE)) / " +
+            "(CAST(n_pts AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0D) " +
+            "AS BIGINT)"))
+        .join(broadcast(tot), "lang")
+        .select("lang", "n_docs", "n_tokens", "vocab", "beta_micros")
+        .orderBy("lang")
+    }),
+
     // RAKE keyword extraction (Rose et al. 2010's published algorithm)
     // — the multi-word keyphrase pass beside q_text_collocations' PMI
     // pairs: candidate phrases are maximal runs of non-stopword tokens
@@ -1332,6 +1389,50 @@ object TextOps extends QueryFamily {
       "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
       "AS BIGINT) AS slope_micros FROM s JOIN m2 USING (lang) " +
       "ORDER BY lang"),
+
+    // identical growth grid (prefix sums of exact integers), identical
+    // fixed-point lns, identical truncated-mean centering + OLS chain
+    "q_text_heaps" -> ("WITH tk AS (SELECT lang, doc_id, t FROM " +
+      "(SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS t " +
+      "FROM documents) WHERE len(t) >= 1), " +
+      "pd AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_tok " +
+      "FROM tk GROUP BY lang, doc_id), " +
+      "fs AS (SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS v_new FROM " +
+      "(SELECT lang, t, min(doc_id) AS doc_id FROM tk GROUP BY lang, t) " +
+      "GROUP BY lang, doc_id), " +
+      "pt AS (SELECT pd.lang, pd.doc_id, pd.n_tok, " +
+      "coalesce(fs.v_new, CAST(0 AS BIGINT)) AS v_new FROM pd " +
+      "LEFT JOIN fs ON pd.lang = fs.lang AND pd.doc_id = fs.doc_id), " +
+      "cum AS (SELECT lang, " +
+      "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS nn, " +
+      "CAST(sum(v_new) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS vv " +
+      "FROM pt), " +
+      "xy AS (SELECT lang, " +
+      "CAST(round(ln(CAST(nn AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x, " +
+      "CAST(round(ln(CAST(vv AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y " +
+      "FROM cum), " +
+      "m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pts, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy " +
+      "FROM xy GROUP BY lang), " +
+      "m2 AS (SELECT lang, n_pts, sx // n_pts AS mx, sy // n_pts AS my FROM m), " +
+      "st AS (SELECT xy.lang, CAST(sum(x - mx) AS BIGINT) AS sxc, " +
+      "CAST(sum(y - my) AS BIGINT) AS syc, " +
+      "CAST(sum((x - mx) * (y - my)) AS BIGINT) AS sxy, " +
+      "CAST(sum((x - mx) * (x - mx)) AS BIGINT) AS sxx " +
+      "FROM xy JOIN m2 USING (lang) GROUP BY xy.lang), " +
+      "tot AS (SELECT pd.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM pd GROUP BY pd.lang), " +
+      "voc AS (SELECT lang, CAST(sum(v_new) AS BIGINT) AS vocab " +
+      "FROM fs GROUP BY lang) " +
+      "SELECT st.lang, tot.n_docs, tot.n_tokens, voc.vocab, " +
+      "CAST(floor((CAST(n_pts AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE)) / " +
+      "(CAST(n_pts AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS beta_micros " +
+      "FROM st JOIN m2 ON st.lang = m2.lang " +
+      "JOIN tot ON st.lang = tot.lang JOIN voc ON st.lang = voc.lang " +
+      "WHERE sxx > 0 ORDER BY st.lang"),
 
     // identical stopword rule, phrase segmentation, and all-integer
     // degree/freq scoring; integer division truncates identically

@@ -194,6 +194,50 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_heaps: scalar growth-curve re-derivation through the centered chain") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_heaps")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val mine = docs.filter(_._1 == lang).sortBy(_._2)
+        .map { case (_, id, text) =>
+          (id, text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq) }
+        .filter(_._2.nonEmpty)
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong, s"$lang n_docs")
+      // the growth curve: running tokens vs running first-seen vocab
+      val seen = collection.mutable.Set[String]()
+      var nn = 0L
+      val xy = mine.map { case (_, ts) =>
+        nn += ts.length
+        ts.foreach(seen.add)
+        (math.round(math.log(nn.toDouble) * 1e6),
+          math.round(math.log(seen.size.toDouble) * 1e6))
+      }
+      assert(r.getAs[Long]("n_tokens") == nn && r.getAs[Long]("vocab") == seen.size.toLong,
+        s"$lang totals")
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val (mx, my) = (sx / n, sy / n)
+      var (sxc, syc, sxyC, sxxC) = (0L, 0L, 0L, 0L)
+      xy.foreach { case (x, y) =>
+        sxc += x - mx; syc += y - my
+        sxyC += (x - mx) * (y - my); sxxC += (x - mx) * (x - mx) }
+      val beta = math.floor(
+        (n.toDouble * sxyC.toDouble - sxc.toDouble * syc.toDouble) /
+          (n.toDouble * sxxC.toDouble - sxc.toDouble * sxc.toDouble) *
+          1000000.0).toLong
+      assert(r.getAs[Long]("beta_micros") == beta, s"$lang beta")
+      // Heaps' exponent lives in (0, 1] for any corpus where vocab
+      // grows no faster than tokens; β → 1 flags the same degenerate
+      // synthetic mix zipf's slope → 0 does
+      assert(beta > 0 && beta <= 1000000L, s"$lang beta out of (0, 1]: $beta")
+    }
+  }
+
   test("q_text_zipf plan: the per-lang means ride a broadcast centering join") {
     val df = SparkEntry.queries("q_text_zipf")(spark, sf0001)
     df.collect()
