@@ -230,6 +230,39 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Median absolute deviation of the hourly series per event type —
+    // the robust SPREAD beside q_ts_theilsen's robust trend (stddev
+    // triples on one spiked hour; MAD shrugs it off — the classic
+    // robust-scale estimator): the lower median of v by deterministic
+    // rank pick, then the lower median of |v − med|, NO float anywhere
+    // (the q_agg_ks "no IEEE boundary at all" class). Two rank windows
+    // partitioned per event_type (series-bounded, never corpus-wide);
+    // the per-type medians ride a broadcast back onto the hourly grid.
+    "q_ts_mad" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val hourly = Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS t",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type", "t").agg(sum("v").as("v"))
+      val wV = Window.partitionBy("event_type").orderBy("v")
+      val wA = Window.partitionBy("event_type")
+      val med = hourly
+        .withColumn("rn", row_number().over(wV))
+        .withColumn("m", count(lit(1)).over(wA))
+        .where(col("rn") === expr("(m + 1) DIV 2"))
+        .select(col("event_type"), col("v").as("med"), col("m").as("n_hours"))
+      val wD = Window.partitionBy("event_type").orderBy("d")
+      hourly.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("v") - col("med")))
+        .withColumn("rn", row_number().over(wD))
+        .withColumn("m2", count(lit(1)).over(wA))
+        .where(col("rn") === expr("(m2 + 1) DIV 2"))
+        .select(col("event_type"), col("n_hours"),
+          col("med").as("median_micros"), col("d").as("mad_micros"))
+        .orderBy("event_type")
+    }),
+
     // SAMPLED Theil–Sen — the long-series variant the exact key's
     // comment prescribes, now served beside it. The thinning is
     // ENDPOINT-hashed, not pair-hashed: each hour takes ONE md5 bucket
@@ -384,6 +417,25 @@ object TimeSeries extends QueryFamily {
       "rk.slope AS theil_slope_micros " +
       "FROM rk JOIN m ON rk.event_type = m.event_type " +
       "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
+
+    // identical hourly grid, identical lower-median rank picks, all
+    // integers — no float boundary at all
+    "q_ts_mad" -> ("WITH h AS (SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS t, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) " +
+      "AS BIGINT) AS v FROM events GROUP BY event_type, t), " +
+      "rk AS (SELECT event_type, v, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m FROM h), " +
+      "md AS (SELECT event_type, v AS med, m AS n_hours FROM rk " +
+      "WHERE rn = (m + 1) // 2), " +
+      "dv AS (SELECT h.event_type, md.n_hours, md.med, abs(h.v - md.med) AS d " +
+      "FROM h JOIN md ON h.event_type = md.event_type), " +
+      "rk2 AS (SELECT event_type, n_hours, med, d, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m FROM dv) " +
+      "SELECT event_type, n_hours, med AS median_micros, d AS mad_micros " +
+      "FROM rk2 WHERE rn = (m + 1) // 2 ORDER BY event_type"),
 
     // identical hourly grid, identical per-ENDPOINT md5 bucket +
     // (bka+bkb) mod 4 pair rule, identical integer slope + rank pick

@@ -13,6 +13,32 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeSeriesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q_ts_mad: scalar re-derivation + the defining half-mass property") {
+    val rows = SparkEntry.queries("q_ts_mad")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+      "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+    val hourly = Tables(spark, sf0001, "events")
+      .selectExpr("event_type", s"$x AS t",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      .groupBy("event_type", "t").agg(sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def lowerMedian(s: Seq[Long]): Long = s.sorted.apply((s.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      val vs = hourly(r.getString(0)).toSeq
+      assert(r.getAs[Long]("n_hours") == vs.length.toLong)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(r.getAs[Long]("median_micros") == med, s"${r.getString(0)} median")
+      assert(r.getAs[Long]("mad_micros") == mad, s"${r.getString(0)} mad")
+      // the defining property: at least half the series lies within
+      // [med − mad, med + mad]
+      val within = vs.count(v => math.abs(v - med) <= mad)
+      assert(2 * within >= vs.length, s"${r.getString(0)} half-mass broken")
+    }
+  }
+
   test("q_ts_theilsen_sampled: scalar re-derivation + rank tolerance vs the exact median") {
     val rows = SparkEntry.queries("q_ts_theilsen_sampled")(spark, sf0001)
       .collect()
