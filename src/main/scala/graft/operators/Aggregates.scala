@@ -614,6 +614,38 @@ object Aggregates extends QueryFamily {
             "AS dev_ppm")
         .orderBy("digit")),
 
+    // Herfindahl–Hirschman concentration of supplier revenue per
+    // nation — the market-concentration audit (antitrust's published
+    // index, and the data-pipeline question "is one source dominating
+    // this slice"): HHI = Σᵢ shareᵢ². Per-supplier revenue sums as
+    // EXACT decimal cents then floors to whole dollars (the q_agg_corr
+    // lesson: dollars keep the squares small), so total_dollars and
+    // sum_sq = Σ dollarsᵢ² are exact integers (int64 to ~3e9 dollars
+    // per supplier); the served hhi_ppm is one IEEE chain over them —
+    // int64→double conversion is correctly rounded identically in both
+    // engines even past 2^53. The supplier→nation attach is two tiny
+    // broadcasts; the only corpus-scale work is one lineitem groupBy.
+    "q_agg_hhi" -> ((s, dir) => {
+      val perSupp = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(sum(revenue).as("rev"))
+        .selectExpr("l_suppkey", "CAST(floor(rev) AS BIGINT) AS dollars")
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      perSupp
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("dollars").as("total_dollars"),
+          sum(expr("dollars * dollars")).as("sum_sq"))
+        .selectExpr("n_name", "n_suppliers", "total_dollars", "sum_sq",
+          "CAST(floor(CAST(sum_sq AS DOUBLE) / (CAST(total_dollars AS DOUBLE) " +
+            "* CAST(total_dollars AS DOUBLE)) * 1000000.0D) AS BIGINT) AS hhi_ppm")
+        .orderBy("n_name")
+    }),
+
     // Two-sample Kolmogorov–Smirnov distance between event types'
     // value distributions — the distribution-drift test beside
     // q_agg_ttest's mean test (a mean can hold still while the shape
@@ -1004,6 +1036,23 @@ object Aggregates extends QueryFamily {
       "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / " +
       "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) " +
       "* 1000000.0) AS BIGINT) AS z_micros FROM st2 ORDER BY vs"),
+
+    // identical floored per-supplier dollars, exact integer sums,
+    // identical one-chain ppm
+    "q_agg_hhi" -> ("WITH ps AS (SELECT l_suppkey, " +
+      "CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1.0 - l_discount AS DECIMAL(4,2)))) AS BIGINT) AS dollars " +
+      "FROM lineitem GROUP BY l_suppkey) " +
+      "SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers, " +
+      "CAST(sum(dollars) AS BIGINT) AS total_dollars, " +
+      "CAST(sum(dollars * dollars) AS BIGINT) AS sum_sq, " +
+      "CAST(floor(CAST(CAST(sum(dollars * dollars) AS BIGINT) AS DOUBLE) / " +
+      "(CAST(CAST(sum(dollars) AS BIGINT) AS DOUBLE) * " +
+      "CAST(CAST(sum(dollars) AS BIGINT) AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS hhi_ppm " +
+      "FROM ps JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "GROUP BY n_name ORDER BY n_name"),
 
     // identical six exact statistics, identical IEEE chain
     "q_agg_corr" -> ("WITH b AS (SELECT l_returnflag, " +
