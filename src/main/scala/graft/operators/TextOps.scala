@@ -469,6 +469,45 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    // the Chen & Goodman 1998 formulation — THE published n-gram
+    // smoother) beside q_text_bigramlm's add-k baseline: P(w2|w1) =
+    // (c(w1,w2) − D)/c(w1) + λ(w1)·P_cont(w2) with fixed D = 0.75,
+    // λ(w1) = D·N1+(w1,·)/c(w1), P_cont(w2) = N1+(·,w2)/N1+(··). The
+    // five inputs are EXACT integers (bigram count, context total,
+    // distinct followers, distinct preceders, distinct bigram types);
+    // the served probability is one shared IEEE chain, floor-scaled.
+    // The (c − D) clamp never binds (counts ≥ 1 > D), stated not
+    // computed. Scale: ONE bigram-count shuffle; the context /
+    // continuation tables are Heaps-law-sized groupBys of the bigram
+    // TYPE table and join back broadcast. UnigramSpec pins the scalar
+    // recompute AND the normalization theorem Σ_w2 P(w2|w1) = 1.
+    "q_text_kneserney" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("t"))
+      val bi = t.where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .where(length(col("w1")) >= 1 && length(col("w2")) >= 1)
+      val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val ctx = cb.groupBy("w1")
+        .agg(sum("cnt2").as("c1"), count(lit(1)).as("n_follow"))
+      val cont = cb.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+      val nb = cb.agg(count(lit(1)).as("n_bigram_types"))
+      cb.join(broadcast(ctx), "w1").join(broadcast(cont), "w2")
+        .crossJoin(broadcast(nb))
+        .selectExpr("w1", "w2", "cnt2", "c1", "n_follow", "n_prec",
+          "n_bigram_types",
+          "CAST(floor(((CAST(cnt2 AS DOUBLE) - 0.75D) / CAST(c1 AS DOUBLE) + " +
+            "0.75D * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+            "CAST(n_prec AS DOUBLE) / CAST(n_bigram_types AS DOUBLE)) " +
+            "* 1000000.0D) AS BIGINT) AS pkn_micros")
+        .orderBy(col("cnt2").desc, col("w1"), col("w2")).limit(20)
+    }),
+
     // Document fingerprinting: order-sensitive position-weighted hash
     // (a rolling-hash analog that stays exact in 64-bit), plus an md5
     // prefix as the content id.
@@ -1389,6 +1428,28 @@ object TextOps extends QueryFamily {
       "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
       "AS BIGINT) AS slope_micros FROM s JOIN m2 USING (lang) " +
       "ORDER BY lang"),
+
+    // identical exact count inputs (bigram, context, follower,
+    // preceder, type totals), identical fixed-D IEEE chain
+    "q_text_kneserney" -> ("WITH t AS (SELECT " +
+      "string_split(lower(text), ' ') AS t FROM documents), " +
+      "bi AS (SELECT x AS w1, y AS w2 FROM " +
+      "(SELECT unnest(t[1:len(t)-1]) AS x, unnest(t[2:len(t)]) AS y " +
+      "FROM t WHERE len(t) >= 2) WHERE len(x) >= 1 AND len(y) >= 1), " +
+      "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 " +
+      "FROM bi GROUP BY w1, w2), " +
+      "ctx AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS c1, " +
+      "CAST(count(*) AS BIGINT) AS n_follow FROM cb GROUP BY w1), " +
+      "cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec " +
+      "FROM cb GROUP BY w2), " +
+      "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM cb) " +
+      "SELECT w1, w2, cnt2, c1, n_follow, n_prec, n_bigram_types, " +
+      "CAST(floor(((CAST(cnt2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) + " +
+      "0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+      "CAST(n_prec AS DOUBLE) / CAST(n_bigram_types AS DOUBLE)) " +
+      "* 1000000.0) AS BIGINT) AS pkn_micros " +
+      "FROM cb JOIN ctx USING (w1) JOIN cont USING (w2), nb " +
+      "ORDER BY cnt2 DESC, w1, w2 LIMIT 20"),
 
     // identical growth grid (prefix sums of exact integers), identical
     // fixed-point lns, identical truncated-mean centering + OLS chain

@@ -194,6 +194,50 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_kneserney: scalar recompute + the normalization theorem") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_kneserney")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val toks = Tables(spark, sf0001, "documents")
+      .select(split(lower(col("text")), " ").as("a")).collect()
+      .map(_.getSeq[String](0))
+    val bigrams = toks.filter(_.length >= 2).flatMap(a => a.sliding(2).collect {
+      case Seq(x, y) if x.nonEmpty && y.nonEmpty => (x, y)
+    }).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ctx = bigrams.toSeq.groupBy(_._1._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.length.toLong) }.toMap // (c1, n_follow)
+    val cont = bigrams.toSeq.groupBy(_._1._2).view
+      .mapValues(_.length.toLong).toMap // n_prec
+    val nb = bigrams.size.toLong
+    val D = 0.75
+    def pkn(w1: String, w2: String): Double = {
+      val (c1, nf) = ctx(w1)
+      (bigrams((w1, w2)).toDouble - D) / c1.toDouble +
+        D * nf.toDouble / c1.toDouble * cont(w2).toDouble / nb.toDouble
+    }
+    rows.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("cnt2") == bigrams((w1, w2)), s"($w1,$w2) count")
+      assert(r.getAs[Long]("c1") == ctx(w1)._1 &&
+        r.getAs[Long]("n_follow") == ctx(w1)._2, s"($w1) context stats")
+      assert(r.getAs[Long]("n_prec") == cont(w2) &&
+        r.getAs[Long]("n_bigram_types") == nb, s"($w2) continuation stats")
+      assert(r.getAs[Long]("pkn_micros") ==
+        math.floor(pkn(w1, w2) * 1e6).toLong, s"($w1,$w2) pkn chain")
+    }
+    // THE Kneser–Ney theorem: for any context, the smoothed mass over
+    // the full continuation vocabulary sums to exactly 1 — discounted
+    // observed mass + λ(w1)·Σ P_cont = (c1 − D·nf)/c1 + D·nf/c1
+    rows.map(_.getString(0)).distinct.take(5).foreach { w1 =>
+      val (c1, nf) = ctx(w1)
+      val observed = bigrams.collect {
+        case ((`w1`, w2), c) => (c.toDouble - D) / c1.toDouble }.sum
+      val lambda = D * nf.toDouble / c1.toDouble
+      val total = observed + lambda * cont.values.map(_.toDouble / nb.toDouble).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"'$w1' mass $total != 1")
+    }
+  }
+
   test("q_text_heaps: scalar growth-curve re-derivation through the centered chain") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_text_heaps")(spark, sf0001).collect()
