@@ -83,6 +83,36 @@ object Sampling extends QueryFamily {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
+    // Weighted sampling WITHOUT replacement, probability proportional
+    // to size (Efraimidis–Spirakis 2006 — THE published ppswor
+    // algorithm, in its exponential-race form): each doc draws a
+    // deterministic md5 uniform u ∈ {1..10⁹}/10⁹ (salted independent
+    // of the membership hash), its race key is Exp(w) = −ln(u)/w =
+    // (ln 10⁹ − ln u)/w with w = n_chars, and the k SMALLEST keys are
+    // the sample — longer docs win proportionally more races. The two
+    // lns land on the 6-dp fixed-point grid (exact integers), so the
+    // key is ONE IEEE division of exact ints — bit-identical sort keys
+    // in both engines, doc_id tiebreak. Top-k = TakeOrderedAndProject
+    // (per-partition heaps, never a global sort), deterministic under
+    // retries, and nested in k like the uniform reservoir.
+    // SamplingSpec pins the scalar replay and the PPS property (the
+    // sample's mean weight exceeds the corpus mean).
+    "q_sample_ppswor" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("u_num", expr(
+          "CAST(conv(substr(md5(concat(text, '|pps')), 1, 15), 16, 10) " +
+            "AS BIGINT) % 1000000000 + 1"))
+        .withColumn("lnu", expr(
+          "CAST(round(ln(CAST(u_num AS DOUBLE)) * 1000000, 0) AS BIGINT)"))
+        .withColumn("key", expr(
+          "CAST(CAST(round(ln(1000000000.0D) * 1000000, 0) AS BIGINT) - lnu " +
+            "AS DOUBLE) / CAST(n_chars AS DOUBLE)"))
+        .orderBy(col("key"), col("doc_id"))
+        .limit(100)
+        .selectExpr("doc_id", "lang", "n_chars", "u_num",
+          "CAST(floor(key * 1000000.0D) AS BIGINT) AS key_micros")
+        .orderBy("doc_id")),
+
     // Fixed-SIZE uniform sample — "give me exactly 100 docs" (eval sets,
     // spot-check panels), where a rate-based sample's size varies with
     // the corpus. Distributed reservoir-equivalent: the k smallest
@@ -394,6 +424,19 @@ object Sampling extends QueryFamily {
     "q_sample_reservoir" -> ("SELECT doc_id, lang, source, n_chars FROM " +
       s"(SELECT doc_id, lang, source, n_chars FROM documents " +
       s"ORDER BY $hDuck, doc_id LIMIT 100) ORDER BY doc_id"),
+
+    // identical salted uniform, identical fixed-point lns, identical
+    // one-division race keys
+    "q_sample_ppswor" -> ("SELECT doc_id, lang, n_chars, u_num, " +
+      "CAST(floor(key * 1000000.0) AS BIGINT) AS key_micros FROM " +
+      "(SELECT doc_id, lang, n_chars, u_num, " +
+      "CAST(CAST(round(ln(1000000000.0) * 1000000, 0) AS BIGINT) - " +
+      "CAST(round(ln(CAST(u_num AS DOUBLE)) * 1000000, 0) AS BIGINT) " +
+      "AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key FROM " +
+      "(SELECT doc_id, lang, n_chars, " +
+      "CAST(concat('0x', substr(md5(concat(text, '|pps')), 1, 15)) AS BIGINT) " +
+      "% 1000000000 + 1 AS u_num FROM documents) " +
+      "ORDER BY key, doc_id LIMIT 100) ORDER BY doc_id"),
 
     "q_pipeline_eval" ->
       (s"WITH d AS (SELECT doc_id, lang, n_chars, text, " +
