@@ -469,6 +469,58 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Jensen–Shannon divergence between language unigram distributions
+    // — the corpus-mix drift measure (symmetric, bounded, defined on
+    // disjoint supports where KL blows up): JSD(P‖Q) = ½Σp·ln(p/m) +
+    // ½Σq·ln(q/m), m = (p+q)/2. The float hazard is the Σ — a global
+    // double sum is shuffle-order-dependent — so the ratio moves to
+    // INTEGER arguments first: p/m = 2·cₐ·T_b/(cₐ·T_b + c_b·Tₐ), both
+    // sides exact BIGINTs (products hold in int64 to ~10⁷ count ×
+    // 10¹¹ tokens), each takes ONE rounded 6-dp ln, and the per-term
+    // contribution cₐ·Δₐ is an exact INTEGER that sums
+    // order-independently (|Σ| ≤ Tₐ·|Δ|max — int64 to ~10¹¹
+    // tokens/lang). The served jsd_micros is one final IEEE chain over
+    // the two integer sums. Absent terms contribute 0 from their side
+    // naturally (cₐ = 0 ⇒ no a-term), which is exactly why JSD and not
+    // KL is the drift metric. One vocab-sized full join per pair;
+    // totals ride one-row broadcasts. UnigramSpec pins the scalar
+    // recompute, symmetry, and the 0 ≤ JSD ≤ ln 2 bound.
+    "q_text_jsd" -> ((s, dir) => {
+      val uni = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("t"))
+        .where(length(col("t")) >= 1)
+        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      def side(l: String, cn: String) = uni.where(col("lang") === l)
+        .select(col("t"), col("c").as(cn))
+      def tot(l: String, tn: String) = uni.where(col("lang") === l)
+        .agg(sum("c").as(tn))
+      val lnG = (a: String) =>
+        s"CAST(round(ln(CAST($a AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+      def pair(other: String): DataFrame =
+        side("en", "ca").join(side(other, "cb"), Seq("t"), "full")
+          .na.fill(0L, Seq("ca", "cb"))
+          .crossJoin(broadcast(tot("en", "ta")))
+          .crossJoin(broadcast(tot(other, "tb")))
+          .withColumn("mix", expr("ca * tb + cb * ta"))
+          .withColumn("da", expr(
+            s"CASE WHEN ca > 0 THEN ${lnG("2 * ca * tb")} - ${lnG("mix")} " +
+              "ELSE CAST(0 AS BIGINT) END"))
+          .withColumn("db", expr(
+            s"CASE WHEN cb > 0 THEN ${lnG("2 * cb * ta")} - ${lnG("mix")} " +
+              "ELSE CAST(0 AS BIGINT) END"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_vocab_union"),
+            min("ta").as("ta"), min("tb").as("tb"),
+            sum(expr("ca * da")).as("sum_a"), sum(expr("cb * db")).as("sum_b"))
+          .selectExpr(s"'$other' AS vs", "n_vocab_union", "ta", "tb",
+            "sum_a", "sum_b",
+            "CAST(floor(CAST(sum_a AS DOUBLE) / (2.0D * CAST(ta AS DOUBLE)) + " +
+              "CAST(sum_b AS DOUBLE) / (2.0D * CAST(tb AS DOUBLE))) " +
+              "AS BIGINT) AS jsd_micros")
+      Seq("de", "es", "fr", "zh").map(pair)
+        .reduce(_ unionByName _).orderBy("vs")
+    }),
+
     // Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
     // the Chen & Goodman 1998 formulation — THE published n-gram
     // smoother) beside q_text_bigramlm's add-k baseline: P(w2|w1) =
@@ -1428,6 +1480,45 @@ object TextOps extends QueryFamily {
       "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
       "AS BIGINT) AS slope_micros FROM s JOIN m2 USING (lang) " +
       "ORDER BY lang"),
+
+    // identical integer-rational ratios into the 6-dp ln grid,
+    // identical exact integer contribution sums, one final IEEE chain
+    "q_text_jsd" -> {
+      def lnG(a: String) =
+        s"CAST(round(ln(CAST($a AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+      "WITH uni AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT lang, unnest(string_split(lower(text), ' ')) AS t " +
+      "FROM documents) WHERE len(t) >= 1 GROUP BY lang, t), " +
+      "pr AS (SELECT * FROM (VALUES ('de'), ('es'), ('fr'), ('zh')) p(vs)), " +
+      "en AS (SELECT t, c AS ca FROM uni WHERE lang = 'en'), " +
+      "ot AS (SELECT lang AS vs, t, c AS cb FROM uni " +
+      "WHERE lang IN ('de', 'es', 'fr', 'zh')), " +
+      "tta AS (SELECT CAST(sum(c) AS BIGINT) AS ta FROM uni WHERE lang = 'en'), " +
+      "ttb AS (SELECT lang AS vs, CAST(sum(c) AS BIGINT) AS tb FROM uni " +
+      "WHERE lang IN ('de', 'es', 'fr', 'zh') GROUP BY lang), " +
+      "grid AS (SELECT pr.vs, g.t, coalesce(en.ca, CAST(0 AS BIGINT)) AS ca, " +
+      "coalesce(ot.cb, CAST(0 AS BIGINT)) AS cb FROM pr " +
+      "JOIN (SELECT DISTINCT vs, t FROM " +
+      "(SELECT p2.vs, en.t FROM en, pr p2 UNION ALL SELECT vs, t FROM ot)) g " +
+      "ON g.vs = pr.vs " +
+      "LEFT JOIN en ON en.t = g.t " +
+      "LEFT JOIN ot ON ot.vs = g.vs AND ot.t = g.t), " +
+      "term AS (SELECT grid.vs, ca, cb, ta, tb, ca * tb + cb * ta AS mix " +
+      "FROM grid CROSS JOIN tta JOIN ttb ON grid.vs = ttb.vs), " +
+      "d AS (SELECT vs, ta, tb, " +
+      s"CASE WHEN ca > 0 THEN ca * (${lnG("2 * ca * tb")} - ${lnG("mix")}) " +
+      "ELSE CAST(0 AS BIGINT) END AS cda, " +
+      s"CASE WHEN cb > 0 THEN cb * (${lnG("2 * cb * ta")} - ${lnG("mix")}) " +
+      "ELSE CAST(0 AS BIGINT) END AS cdb FROM term) " +
+      "SELECT vs, CAST(count(*) AS BIGINT) AS n_vocab_union, " +
+      "min(ta) AS ta, min(tb) AS tb, " +
+      "CAST(sum(cda) AS BIGINT) AS sum_a, CAST(sum(cdb) AS BIGINT) AS sum_b, " +
+      "CAST(floor(CAST(CAST(sum(cda) AS BIGINT) AS DOUBLE) / " +
+      "(2.0 * CAST(min(ta) AS DOUBLE)) + " +
+      "CAST(CAST(sum(cdb) AS BIGINT) AS DOUBLE) / " +
+      "(2.0 * CAST(min(tb) AS DOUBLE))) AS BIGINT) AS jsd_micros " +
+      "FROM d GROUP BY vs ORDER BY vs"
+    },
 
     // identical exact count inputs (bigram, context, follower,
     // preceder, type totals), identical fixed-D IEEE chain

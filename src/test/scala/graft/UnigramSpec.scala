@@ -194,6 +194,45 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_jsd: scalar recompute, symmetry, and the ln 2 bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_jsd")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("de", "es", "fr", "zh"))
+    val uni = Tables(spark, sf0001, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("t"))
+      .where(length(col("t")) >= 1)
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    def lnG(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    def counts(l: String) = uni.collect { case ((`l`, t), c) => t -> c }.toMap
+    val en = counts("en"); val ta = en.values.sum
+    rows.foreach { r =>
+      val other = counts(r.getString(0)); val tb = other.values.sum
+      assert(r.getAs[Long]("ta") == ta && r.getAs[Long]("tb") == tb)
+      val vocab = (en.keySet ++ other.keySet).toSeq
+      assert(r.getAs[Long]("n_vocab_union") == vocab.length.toLong)
+      var (sumA, sumB) = (0L, 0L)
+      vocab.foreach { t =>
+        val ca = en.getOrElse(t, 0L); val cb = other.getOrElse(t, 0L)
+        val mix = ca * tb + cb * ta
+        if (ca > 0) sumA += ca * (lnG(2 * ca * tb) - lnG(mix))
+        if (cb > 0) sumB += cb * (lnG(2 * cb * ta) - lnG(mix))
+      }
+      assert(r.getAs[Long]("sum_a") == sumA && r.getAs[Long]("sum_b") == sumB,
+        s"${r.getString(0)} integer contribution sums drifted")
+      val jsd = math.floor(sumA.toDouble / (2.0 * ta.toDouble) +
+        sumB.toDouble / (2.0 * tb.toDouble)).toLong
+      assert(r.getAs[Long]("jsd_micros") == jsd, s"${r.getString(0)} jsd chain")
+      // bounds: 0 ≤ JSD ≤ ln 2 (±2 micro fixed-point slack), and the
+      // formula is en↔other symmetric — swapping the roles swaps
+      // (sum_a, ta) with (sum_b, tb) and serves the same number
+      assert(jsd >= -2 && jsd <= 693150, s"${r.getString(0)} out of [0, ln2]: $jsd")
+      val swapped = math.floor(sumB.toDouble / (2.0 * tb.toDouble) +
+        sumA.toDouble / (2.0 * ta.toDouble)).toLong
+      assert(swapped == jsd, s"${r.getString(0)} asymmetric")
+    }
+  }
+
   test("q_text_kneserney: scalar recompute + the normalization theorem") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_text_kneserney")(spark, sf0001).collect()
