@@ -614,6 +614,61 @@ object Aggregates extends QueryFamily {
             "AS dev_ppm")
         .orderBy("digit")),
 
+    // Poisson bootstrap confidence interval for the per-type mean —
+    // THE published uncertainty technique for massive data (resampling
+    // n rows with replacement is impossible in one pass; Poisson(1)
+    // per-row weights are exchangeable with multinomial resampling and
+    // need NO second pass): 32 replicates, each row's replicate weight
+    // drawn DETERMINISTICALLY by inverse-CDF of Poisson(1) over the
+    // md5(event_id:r) uniform on the 10⁹ grid — the five thresholds
+    // are e⁻¹ cumulative masses (published constants, 9-digit
+    // fixed-point, attributed: 0.367879441, 0.735758882, 0.919698603,
+    // 0.981011843, 0.996340153), so both engines draw identical
+    // integer weights and the whole bootstrap is replayable. Each
+    // replicate mean is exact integer sums + one IEEE division; the
+    // CI is the deterministic rank pick over the 32 replicate means
+    // (ranks 2 and 31 ≈ the 5–95% band). Scale: ONE map pass — the
+    // 32× explode is map-side, partial aggs combine, nothing shuffles
+    // but (type, replicate) cells. AggStatsSpec pins the scalar
+    // replay and lo ≤ point ≤ hi.
+    "q_agg_bootstrap" -> ((s, dir) => {
+      val b = 32
+      val rep = Tables(s, dir, "events")
+        .selectExpr("event_type", "event_id",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .select(col("event_type"), col("event_id"), col("v"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("r"))
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':', " +
+            "CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000000"))
+        .withColumn("w", expr(
+          "CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1 " +
+            "WHEN u < 919698603 THEN 2 WHEN u < 981011843 THEN 3 " +
+            "WHEN u < 996340153 THEN 4 ELSE 5 END"))
+        .groupBy("event_type", "r")
+        .agg(sum(expr("w * v")).as("sv"), sum("w").as("sw"))
+        .withColumn("mean_r", expr(
+          "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT)"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("mean_r"), col("r"))
+      val point = Tables(s, dir, "events")
+        .selectExpr("event_type",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)")
+            .as("mean_micros"))
+      rep.withColumn("rn", row_number().over(wRank))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_replicates"),
+          min(when(col("rn") === 2, col("mean_r"))).as("boot_lo_micros"),
+          min(when(col("rn") === b - 1, col("mean_r"))).as("boot_hi_micros"))
+        .join(broadcast(point), "event_type")
+        .select("event_type", "n", "n_replicates", "mean_micros",
+          "boot_lo_micros", "boot_hi_micros")
+        .orderBy("event_type")
+    }),
+
     // Herfindahl–Hirschman concentration of supplier revenue per
     // nation — the market-concentration audit (antitrust's published
     // index, and the data-pipeline question "is one source dominating
@@ -1036,6 +1091,37 @@ object Aggregates extends QueryFamily {
       "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / " +
       "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) " +
       "* 1000000.0) AS BIGINT) AS z_micros FROM st2 ORDER BY vs"),
+
+    // identical md5 uniforms, identical e^-1 inverse-CDF thresholds,
+    // identical replicate means + rank picks
+    "q_agg_bootstrap" -> ("WITH ev AS (SELECT event_type, event_id, " +
+      "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v FROM events), " +
+      "rep AS (SELECT event_type, t.r, v, " +
+      "CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':', " +
+      "CAST(t.r AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000000 AS u " +
+      "FROM ev, range(32) t(r)), " +
+      "wt AS (SELECT event_type, r, v, " +
+      "CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1 " +
+      "WHEN u < 919698603 THEN 2 WHEN u < 981011843 THEN 3 " +
+      "WHEN u < 996340153 THEN 4 ELSE 5 END AS w FROM rep), " +
+      "mr AS (SELECT event_type, r, CAST(sum(w * v) AS BIGINT) AS sv, " +
+      "CAST(sum(w) AS BIGINT) AS sw FROM wt GROUP BY event_type, r), " +
+      "m2 AS (SELECT event_type, r, " +
+      "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) " +
+      "AS mean_r FROM mr), " +
+      "rk AS (SELECT event_type, mean_r, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY mean_r, r) AS rn " +
+      "FROM m2), " +
+      "ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_replicates, " +
+      "min(CASE WHEN rn = 2 THEN mean_r END) AS boot_lo_micros, " +
+      "min(CASE WHEN rn = 31 THEN mean_r END) AS boot_hi_micros " +
+      "FROM rk GROUP BY event_type), " +
+      "pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*)) " +
+      "AS BIGINT) AS mean_micros FROM ev GROUP BY event_type) " +
+      "SELECT ci.event_type, n, n_replicates, mean_micros, " +
+      "boot_lo_micros, boot_hi_micros FROM ci JOIN pt USING (event_type) " +
+      "ORDER BY event_type"),
 
     // identical floored per-supplier dollars, exact integer sums,
     // identical one-chain ppm
