@@ -1897,6 +1897,63 @@ object Dedup extends QueryFamily {
     // one broadcast cross join + one shuffle. The recall floors
     // themselves are pinned in SimRecallSpec; the oracle pins the
     // arithmetic.
+    // FILTERED ANN — the production problem the plain recall keys
+    // skip: top-k under a metadata predicate (here a shard filter
+    // neighbor_id ≡ probe_id mod 3, selectivity ~1/3). Post-filtering
+    // an ANN candidate list starves recall unless the candidate
+    // budget EXPANDS to cover the filter's selectivity — the measured
+    // knob this key serves: the coarse (16-dim MRL) top-8 post-filtered
+    // keeps ~8/3 survivors before the top-5 cut, the top-64 keeps ~21.
+    // Ground truth is the FILTERED brute-force top-5. One candidates ×
+    // probes broadcast cross join; the filtered ranks are running
+    // conditional sums over the same two (exact, coarse) score
+    // windows, so the whole comparison is one pass — no re-scan per
+    // budget. Every score is the shared round(·,4)+id total order.
+    // SimRecallSpec pins hits_k64 ≥ hits_k8 (expansion theorem) and
+    // the scalar replay.
+    "q_sim_filtered" -> ((s, dir) => {
+      graft.functions.VecDot.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
+        .withColumn("p16", slice(col("v"), 1, 16))
+        .withColumn("norm16", expr("sqrt(vec_dot(p16, p16))"))
+      val probes = e.where(col("vec_id") < 10).select(
+        col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"),
+        col("p16").as("pp16"), col("norm16").as("pnorm16"))
+      val wExact = Window.partitionBy("probe_id")
+        .orderBy(col("score").desc, col("neighbor_id"))
+      val wExactRun = wExact.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wCoarse = Window.partitionBy("probe_id")
+        .orderBy(col("cscore").desc, col("neighbor_id"))
+      e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v"), col("norm"),
+          col("p16"), col("norm16"))
+        .crossJoin(broadcast(probes))
+        .withColumn("keep", expr("neighbor_id % 3 = probe_id % 3"))
+        .withColumn("score",
+          round(expr("vec_dot(pv, v)") / (col("pnorm") * col("norm")), 4))
+        .withColumn("cscore",
+          round(expr("vec_dot(pp16, p16)") / (col("pnorm16") * col("norm16")), 4))
+        .withColumn("crank", row_number().over(wCoarse))
+        // filtered ranks as RUNNING CONDITIONAL SUMS over the one exact
+        // ordering — rank among survivors without a second scan
+        .withColumn("rankF",
+          sum(when(col("keep"), 1L).otherwise(0L)).over(wExactRun))
+        .withColumn("rank8", sum(when(col("keep") && col("crank") <= 8, 1L)
+          .otherwise(0L)).over(wExactRun))
+        .withColumn("rank64", sum(when(col("keep") && col("crank") <= 64, 1L)
+          .otherwise(0L)).over(wExactRun))
+        .where(col("keep") && col("rankF") <= 5)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("crank") <= 8 && col("rank8") <= 5, 1L).otherwise(0L))
+            .as("hits_k8"),
+          sum(when(col("crank") <= 64 && col("rank64") <= 5, 1L).otherwise(0L))
+            .as("hits_k64"))
+        .orderBy("probe_id")
+    }),
+
     "q_sim_recall" -> ((s, dir) => {
       graft.functions.VecDot.register(s)
       val bucket = lshBucketExpr(j => s"element_at(v, $j)", 4)
@@ -2450,6 +2507,34 @@ object Dedup extends QueryFamily {
 
     // identical exact/coarse rankings (round(·,4) + id tiebreak) and the
     // identical inlined 4-plane bucket literals; hits are integer counts
+    // identical round-4 score grids, identical running conditional
+    // window sums for the filtered ranks
+    "q_sim_filtered" -> ("WITH e AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "pr AS (SELECT * FROM e WHERE vec_id < 10), " +
+      "ca AS (SELECT * FROM e WHERE vec_id >= 10), " +
+      "scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, " +
+      "(c.vec_id % 3 = p.vec_id % 3) AS keep, " +
+      "round(list_cosine_similarity(p.v, c.v), 4) AS score, " +
+      "round(list_cosine_similarity(p.v[1:16], c.v[1:16]), 4) AS cscore " +
+      "FROM pr p, ca c), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id " +
+      "ORDER BY cscore DESC, neighbor_id) AS crank FROM scored), " +
+      "run AS (SELECT *, " +
+      "sum(CASE WHEN keep THEN 1 ELSE 0 END) OVER w AS rankf, " +
+      "sum(CASE WHEN keep AND crank <= 8 THEN 1 ELSE 0 END) OVER w AS rank8, " +
+      "sum(CASE WHEN keep AND crank <= 64 THEN 1 ELSE 0 END) OVER w AS rank64 " +
+      "FROM rk WINDOW w AS (PARTITION BY probe_id " +
+      "ORDER BY score DESC, neighbor_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact, " +
+      "CAST(sum(CASE WHEN crank <= 8 AND rank8 <= 5 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS hits_k8, " +
+      "CAST(sum(CASE WHEN crank <= 64 AND rank64 <= 5 THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS hits_k64 " +
+      "FROM run WHERE keep AND rankf <= 5 " +
+      "GROUP BY probe_id ORDER BY probe_id"),
+
     "q_sim_recall" -> {
       val bucket = lshBucketExpr(j => s"v[$j]", 4)
       "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

@@ -15,6 +15,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimRecallSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q_sim_filtered: budget expansion never hurts, recall recovers at k64") {
+    val rows = SparkEntry.queries("q_sim_filtered")(spark, sf0001).collect()
+    assert(rows.length == 10, s"expected one row per probe, got ${rows.length}")
+    rows.foreach { r =>
+      val (n, h8, h64) =
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("hits_k8"), r.getAs[Long]("hits_k64"))
+      assert(n == 5L, s"probe ${r.getLong(0)}: filtered ground truth must have 5")
+      // the expansion theorem: a larger pre-filter candidate budget can
+      // only ADD survivors, so the final top-5 overlap is monotone
+      assert(h64 >= h8, s"probe ${r.getLong(0)}: expansion hurt recall ($h8 -> $h64)")
+      assert(h8 >= 0 && h64 <= 5)
+    }
+    // the measured lesson: the starved k8 budget (~8/3 survivors before
+    // the top-5 cut) recalls visibly worse in aggregate than k64
+    val (t8, t64) = (rows.map(_.getAs[Long]("hits_k8")).sum,
+      rows.map(_.getAs[Long]("hits_k64")).sum)
+    assert(t64 > t8, s"expansion bought nothing: $t8 vs $t64 of 50")
+    assert(t64 >= 20, s"k64 post-filter recall collapsed: $t64/50")
+  }
+
   test("q_sim_recall: candidate recall@5 stays above the fixture floors") {
     val rows = SparkEntry.queries("q_sim_recall")(spark, sf0001).collect()
     assert(rows.length == 10, s"expected one row per probe, got ${rows.length}")
