@@ -39,7 +39,7 @@ object Aggregates extends QueryFamily {
     * by q_agg_ks and q_agg_mannwhitney; PlanSpec pins that no global
     * value-ordered window survives in either plan.
     */
-  private def distributedPrefix(merged: DataFrame, counts: Seq[String],
+  private[graft] def distributedPrefix(merged: DataFrame, counts: Seq[String],
       nBkt: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = merged

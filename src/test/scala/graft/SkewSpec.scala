@@ -184,4 +184,34 @@ class SkewSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("distributedPrefix survives a pathologically clustered value grid") {
+    import spark.implicits._
+    // 50k distinct values jammed into 0.1% of the range (one bucket's
+    // span) + 3 far outliers that stretch the min/max rule — the worst
+    // case for RANGE bucketing: nearly the whole grid lands in bucket 0
+    val vals = (0L until 50000L).map(v => (v, 1L, 2L)) ++
+      Seq((5_000_000_000L, 7L, 0L), (9_000_000_000L, 0L, 3L),
+        (9_999_999_999L, 1L, 1L))
+    val merged = vals.toDF("v", "c1", "c2")
+    val out = graft.operators.Aggregates
+      .distributedPrefix(merged, Seq("c1", "c2"))
+      .select("v", "bkt", "f_c1", "f_c2")
+      .orderBy("v").collect()
+    // correctness is UNCONDITIONAL: prefix sums equal a sequential scan
+    var (e1, e2) = (0L, 0L)
+    vals.sortBy(_._1).zip(out).foreach { case ((v, c1, c2), row) =>
+      e1 += c1; e2 += c2
+      assert(row.getLong(0) == v)
+      assert(row.getLong(2) == e1 && row.getLong(3) == e2,
+        s"prefix drifted at v=$v: (${row.getLong(2)}, ${row.getLong(3)}) vs ($e1, $e2)")
+    }
+    // and the clustering really did degenerate the bucketing (the
+    // honest cost statement: a clustered grid serializes into one
+    // bucket's window; balance needs quantile buckets, correctness
+    // doesn't) — the outliers still land elsewhere
+    val byBkt = out.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(byBkt.getOrElse(0, 0) == 50000, s"expected the cluster in bucket 0: $byBkt")
+    assert(byBkt.size >= 2, "outliers failed to stretch the range")
+  }
 }
