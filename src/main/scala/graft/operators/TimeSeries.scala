@@ -230,6 +230,46 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Mann–Kendall trend TEST per event type — the significance
+    // companion of q_ts_theilsen's trend ESTIMATE (the published pair:
+    // Sen's slope sizes the trend, Kendall's S decides it exists):
+    // S = Σ_{i<j} sign(v_j − v_i) over time-ordered hour pairs — an
+    // EXACT integer; the tie-corrected variance 18·Var(S) =
+    // n(n−1)(2n+5) − Σt(t−1)(2t+5) is an exact integer too (int64 to
+    // n ≈ 1.6e6 hours, stated); the served z applies the standard
+    // continuity correction (S∓1) in ONE shared IEEE chain. Same
+    // per-group n² pair shape as theilsen (bounded by series length,
+    // never corpus²; the sampled key shows the thinning move).
+    "q_ts_mannkendall" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val hourly = Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS t",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type", "t").agg(sum("v").as("v"))
+      val sStat = hourly.selectExpr("event_type", "t AS ta", "v AS va")
+        .join(hourly.selectExpr("event_type", "t AS tb", "v AS vb"),
+          Seq("event_type"))
+        .where(col("tb") > col("ta"))
+        .groupBy("event_type")
+        .agg(sum(expr("CAST(sign(vb - va) AS BIGINT)")).as("s_stat"))
+      val ties = hourly.groupBy("event_type", "v")
+        .agg(count(lit(1)).as("tcnt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_distinct"), sum("tcnt").as("n_hours"),
+          sum(expr("tcnt * (tcnt - 1) * (2 * tcnt + 5)")).as("tie18"))
+      sStat.join(ties, "event_type")
+        .selectExpr("event_type", "n_hours", "s_stat",
+          "n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie18 AS var18")
+        .selectExpr("event_type", "n_hours", "s_stat", "var18",
+          "CAST(floor(CASE WHEN s_stat > 0 THEN " +
+            "(CAST(s_stat AS DOUBLE) - 1.0D) / sqrt(CAST(var18 AS DOUBLE) / 18.0D) " +
+            "WHEN s_stat < 0 THEN " +
+            "(CAST(s_stat AS DOUBLE) + 1.0D) / sqrt(CAST(var18 AS DOUBLE) / 18.0D) " +
+            "ELSE 0.0D END * 1000000.0D) AS BIGINT) AS z_micros")
+        .orderBy("event_type")
+    }),
+
     // Median absolute deviation of the hourly series per event type —
     // the robust SPREAD beside q_ts_theilsen's robust trend (stddev
     // triples on one spiked hour; MAD shrugs it off — the classic
@@ -417,6 +457,31 @@ object TimeSeries extends QueryFamily {
       "rk.slope AS theil_slope_micros " +
       "FROM rk JOIN m ON rk.event_type = m.event_type " +
       "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
+
+    // identical hourly grid, identical integer S and tie-corrected
+    // 18·Var, identical continuity-corrected z chain
+    "q_ts_mannkendall" -> ("WITH h AS (SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS t, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) " +
+      "AS BIGINT) AS v FROM events GROUP BY event_type, t), " +
+      "ss AS (SELECT a.event_type, " +
+      "CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat " +
+      "FROM h a JOIN h b ON a.event_type = b.event_type AND b.t > a.t " +
+      "GROUP BY a.event_type), " +
+      "ti AS (SELECT event_type, CAST(sum(tcnt) AS BIGINT) AS n_hours, " +
+      "CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT) AS tie18 FROM " +
+      "(SELECT event_type, v, CAST(count(*) AS BIGINT) AS tcnt FROM h " +
+      "GROUP BY event_type, v) GROUP BY event_type), " +
+      "vr AS (SELECT ss.event_type, n_hours, s_stat, " +
+      "n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie18 AS var18 " +
+      "FROM ss JOIN ti ON ss.event_type = ti.event_type) " +
+      "SELECT event_type, n_hours, s_stat, var18, " +
+      "CAST(floor(CASE WHEN s_stat > 0 THEN " +
+      "(CAST(s_stat AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+      "WHEN s_stat < 0 THEN " +
+      "(CAST(s_stat AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+      "ELSE 0.0 END * 1000000.0) AS BIGINT) AS z_micros " +
+      "FROM vr ORDER BY event_type"),
 
     // identical hourly grid, identical lower-median rank picks, all
     // integers — no float boundary at all

@@ -13,6 +13,43 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeSeriesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q_ts_mannkendall: scalar re-derivation + range and sign theorems") {
+    val rows = SparkEntry.queries("q_ts_mannkendall")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+      "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+    val hourly = Tables(spark, sf0001, "events")
+      .selectExpr("event_type", s"$x AS t",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      .groupBy("event_type", "t").agg(sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3)).sortBy(_._1)).toMap
+    rows.foreach { r =>
+      val hs = hourly(r.getString(0))
+      val n = hs.length.toLong
+      assert(r.getAs[Long]("n_hours") == n)
+      var sStat = 0L
+      for (i <- hs.indices; j <- (i + 1) until hs.length)
+        sStat += java.lang.Long.signum(hs(j)._2 - hs(i)._2)
+      assert(r.getAs[Long]("s_stat") == sStat, s"${r.getString(0)} S")
+      assert(math.abs(sStat) <= n * (n - 1) / 2, "S out of range")
+      val tie18 = hs.groupBy(_._2).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie18
+      assert(r.getAs[Long]("var18") == var18, s"${r.getString(0)} var18")
+      val z =
+        if (sStat > 0) (sStat.toDouble - 1.0) / math.sqrt(var18.toDouble / 18.0)
+        else if (sStat < 0) (sStat.toDouble + 1.0) / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      assert(r.getAs[Long]("z_micros") == math.floor(z * 1000000.0).toLong,
+        s"${r.getString(0)} z chain")
+      // the test and the estimate agree on direction: a |z| > 2 trend
+      // call must match the sign of S by construction
+      assert(r.getAs[Long]("z_micros") == 0L ||
+        java.lang.Long.signum(r.getAs[Long]("z_micros")) == java.lang.Long.signum(sStat))
+    }
+  }
+
   test("q_ts_mad: scalar re-derivation + the defining half-mass property") {
     val rows = SparkEntry.queries("q_ts_mad")(spark, sf0001).collect()
     assert(rows.nonEmpty)
