@@ -632,22 +632,28 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q_agg_ks")(spark, sf0001)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the row-scale prefix sums run under bkt-PARTITIONED windows
-    assert("windowspecdefinition\\(bkt#\\d+, v#\\d+L ASC".r.findFirstIn(fin).isDefined,
-      s"expected a bkt-partitioned value window:\n${fin.take(2500)}")
+    // the row-scale prefix sums run under (vs, bkt)-PARTITIONED windows
+    assert("windowspecdefinition\\(vs#\\d+, bkt#\\d+, v#\\d+L ASC".r
+      .findFirstIn(fin).isDefined,
+      s"expected a (vs, bkt)-partitioned value window:\n${fin.take(2500)}")
     // and the grid NEVER passes through a single-partition value sort —
-    // the only unpartitioned window is over the ~32 bucket totals
+    // the only narrower window is over the per-vs ~32 bucket totals
     assert("windowspecdefinition\\(v#\\d+L ASC".r.findFirstIn(fin).isEmpty,
       s"global value-ordered window survived — the 100 TB killer:\n${fin.take(2500)}")
     assert(!fin.contains("CartesianProduct"), fin.take(2000))
+    // multi-pair form: the grids and totals read events a FIXED number
+    // of times (≤4 map-side scans), never per pair — the per-pair form
+    // scanned events 12× and was measured 2.6× slower
+    assert("Scan parquet .*events".r.findAllIn(fin).size <= 4, fin.take(2500))
   }
 
   test("q_agg_mannwhitney: the shared distributed-ECDF shape — no global value window") {
     val df = SparkEntry.queries("q_agg_mannwhitney")(spark, sf0001)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert("windowspecdefinition\\(bkt#\\d+, v#\\d+L ASC".r.findFirstIn(fin).isDefined,
-      s"expected a bkt-partitioned value window:\n${fin.take(2500)}")
+    assert("windowspecdefinition\\(vs#\\d+, bkt#\\d+, v#\\d+L ASC".r
+      .findFirstIn(fin).isDefined,
+      s"expected a (vs, bkt)-partitioned value window:\n${fin.take(2500)}")
     assert("windowspecdefinition\\(v#\\d+L ASC".r.findFirstIn(fin).isEmpty,
       s"global value-ordered window survived:\n${fin.take(2500)}")
     assert(!fin.contains("CartesianProduct"), fin.take(2000))
