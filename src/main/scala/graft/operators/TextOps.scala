@@ -469,6 +469,38 @@ object TextOps extends QueryFamily {
         .orderBy("doc_id")
     }),
 
+    // Token BURSTINESS (Church & Gale's variance-to-mean dispersion —
+    // the published content-word detector): a function word ("the")
+    // spreads Poisson-like across documents (Fano ≈ 1); a topical word
+    // clumps into the few docs about its topic (Fano ≫ 1). Per token
+    // over the FULL doc universe D (zeros included — that's what makes
+    // it a dispersion): Fano = Var/μ = (D·Σc² − (Σc)²)/(D·Σc), served
+    // from the exact integer sufficient statistics (df, Σc, Σc²) with
+    // ONE IEEE chain (each factor casts exactly below 2^53; the
+    // all-integer numerator would cross 2⁶³ at D ≈ 10⁹·… — the chisq
+    // lesson, so the products are double-side). Top 20 by (Σc DESC,
+    // token). One (doc, token) count shuffle + one token rollup; D
+    // rides a one-row broadcast. UnigramSpec pins the scalar recompute
+    // and the dispersion law (Fano strictly positive for any token off
+    // full-uniform support).
+    "q_text_burstiness" -> ((s, dir) => {
+      val dt = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .where(length(col("t")) >= 1)
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val d = Tables(s, dir, "documents").agg(count(lit(1)).as("d"))
+      dt.groupBy("t")
+        .agg(count(lit(1)).as("df"), sum("c").as("sc"),
+          sum(expr("c * c")).as("sc2"))
+        .crossJoin(broadcast(d))
+        .selectExpr("t", "df", "sc", "sc2",
+          "CAST(floor((CAST(d AS DOUBLE) * CAST(sc2 AS DOUBLE) - " +
+            "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / " +
+            "(CAST(d AS DOUBLE) * CAST(sc AS DOUBLE)) * 1000000.0D) " +
+            "AS BIGINT) AS fano_ppm")
+        .orderBy(col("sc").desc, col("t")).limit(20)
+    }),
+
     // Jensen–Shannon divergence between language unigram distributions
     // — the corpus-mix drift measure (symmetric, bounded, defined on
     // disjoint supports where KL blows up): JSD(P‖Q) = ½Σp·ln(p/m) +
@@ -1480,6 +1512,22 @@ object TextOps extends QueryFamily {
       "CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) * 1000000.0) " +
       "AS BIGINT) AS slope_micros FROM s JOIN m2 USING (lang) " +
       "ORDER BY lang"),
+
+    // identical exact sufficient statistics, identical one-chain Fano
+    "q_text_burstiness" -> ("WITH dt AS (SELECT doc_id, t, " +
+      "CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t " +
+      "FROM documents) WHERE len(t) >= 1 GROUP BY doc_id, t), " +
+      "dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
+      "st AS (SELECT t, CAST(count(*) AS BIGINT) AS df, " +
+      "CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sc2 " +
+      "FROM dt GROUP BY t) " +
+      "SELECT t, df, sc, sc2, " +
+      "CAST(floor((CAST(d AS DOUBLE) * CAST(sc2 AS DOUBLE) - " +
+      "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / " +
+      "(CAST(d AS DOUBLE) * CAST(sc AS DOUBLE)) * 1000000.0) " +
+      "AS BIGINT) AS fano_ppm FROM st, dd " +
+      "ORDER BY sc DESC, t LIMIT 20"),
 
     // identical integer-rational ratios into the 6-dp ln grid,
     // identical exact integer contribution sums, one final IEEE chain

@@ -194,6 +194,32 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_burstiness: scalar recompute + positive dispersion off full support") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_burstiness")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dTot = docs.length.toLong
+    val perToken = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, g) => (t, id, g.length.toLong) }
+    }.groupBy(_._1).view.mapValues(_.map(x => x._3)).toMap
+    rows.foreach { r =>
+      val cs = perToken(r.getString(0))
+      val (df, sc, sc2) = (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      assert(r.getAs[Long]("df") == df && r.getAs[Long]("sc") == sc &&
+        r.getAs[Long]("sc2") == sc2, s"'${r.getString(0)}' stats")
+      val fano = math.floor((dTot.toDouble * sc2.toDouble - sc.toDouble * sc.toDouble) /
+        (dTot.toDouble * sc.toDouble) * 1e6).toLong
+      assert(r.getAs[Long]("fano_ppm") == fano, s"'${r.getString(0)}' fano chain")
+      // dispersion is strictly positive unless the token appears in
+      // every doc with identical count — impossible here when df < D
+      if (df < dTot) assert(fano > 0, s"'${r.getString(0)}' zero dispersion at df<$dTot")
+    }
+  }
+
   test("q_text_jsd: scalar recompute, symmetry, and the ln 2 bound") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_text_jsd")(spark, sf0001).collect()
