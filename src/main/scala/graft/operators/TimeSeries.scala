@@ -230,6 +230,53 @@ object TimeSeries extends QueryFamily {
         .orderBy("event_type")
     }),
 
+    // Wald–Wolfowitz RUNS test per event type — the randomness check
+    // beside q_ts_mannkendall's trend test (a series can be trendless
+    // yet non-random — oscillation or clumping both shrink/inflate the
+    // run count): each hour signs against the series' lower-median
+    // (the q_ts_mad pick; exact ties with the median drop, the
+    // standard rule), R = number of sign runs via the lag-transition
+    // count (exact integer, one ordered window per type), n₁/n₂ the
+    // side populations. E[R] = 2n₁n₂/n + 1 and Var share the one IEEE
+    // chain that serves z. All products stay in double (each count
+    // < 2^53 exactly); 2n₁n₂(2n₁n₂−n) as BIGINT would wrap past
+    // n ≈ 3e4 — the chisq lesson, so only the exact R/n₁/n₂ are
+    // integers and the moments are double-side.
+    "q_ts_runs" -> ((s, dir) => {
+      val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+        "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+      val hourly = Tables(s, dir, "events")
+        .selectExpr("event_type", s"$x AS t",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+        .groupBy("event_type", "t").agg(sum("v").as("v"))
+      val wV = Window.partitionBy("event_type").orderBy("v")
+      val wA = Window.partitionBy("event_type")
+      val med = hourly
+        .withColumn("rn", row_number().over(wV))
+        .withColumn("m", count(lit(1)).over(wA))
+        .where(col("rn") === expr("(m + 1) DIV 2"))
+        .select(col("event_type"), col("v").as("med"))
+      val wT = Window.partitionBy("event_type").orderBy("t")
+      hourly.join(broadcast(med), "event_type")
+        .where(col("v") =!= col("med"))
+        .withColumn("sgn", expr("CASE WHEN v > med THEN 1 ELSE 0 END"))
+        .withColumn("prev", lag("sgn", 1).over(wT))
+        .groupBy("event_type")
+        .agg(sum("sgn").as("n1"),
+          sum(expr("1 - sgn")).as("n2"),
+          sum(expr("CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END"))
+            .as("runs"))
+        .selectExpr("event_type", "n1", "n2", "runs",
+          "CAST(floor((CAST(runs AS DOUBLE) - (2.0D * CAST(n1 AS DOUBLE) * " +
+            "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0D)) / " +
+            "sqrt(2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+            "(2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+            "CAST(n1 + n2 AS DOUBLE)) / " +
+            "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * " +
+            "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0D) AS BIGINT) AS z_micros")
+        .orderBy("event_type")
+    }),
+
     // Mann–Kendall trend TEST per event type — the significance
     // companion of q_ts_theilsen's trend ESTIMATE (the published pair:
     // Sen's slope sizes the trend, Kendall's S decides it exists):
@@ -457,6 +504,35 @@ object TimeSeries extends QueryFamily {
       "rk.slope AS theil_slope_micros " +
       "FROM rk JOIN m ON rk.event_type = m.event_type " +
       "WHERE rn = (mm + 1) // 2 ORDER BY rk.event_type"),
+
+    // identical hourly grid, identical lower-median sign rule and
+    // lag-transition run count, identical one-chain z
+    "q_ts_runs" -> ("WITH h AS (SELECT event_type, " +
+      "(epoch_us(ts) - epoch_us(TIMESTAMP '2000-01-01')) // 3600000000 AS t, " +
+      "CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) " +
+      "AS BIGINT) AS v FROM events GROUP BY event_type, t), " +
+      "rk AS (SELECT event_type, v, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m FROM h), " +
+      "md AS (SELECT event_type, v AS med FROM rk WHERE rn = (m + 1) // 2), " +
+      "sg AS (SELECT h.event_type, h.t, " +
+      "CASE WHEN h.v > md.med THEN 1 ELSE 0 END AS sgn " +
+      "FROM h JOIN md ON h.event_type = md.event_type WHERE h.v <> md.med), " +
+      "tr AS (SELECT event_type, sgn, lag(sgn, 1) OVER " +
+      "(PARTITION BY event_type ORDER BY t) AS prev FROM sg), " +
+      "st AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS n1, " +
+      "CAST(sum(1 - sgn) AS BIGINT) AS n2, " +
+      "CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS runs FROM tr GROUP BY event_type) " +
+      "SELECT event_type, n1, n2, runs, " +
+      "CAST(floor((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * " +
+      "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)) / " +
+      "sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+      "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+      "CAST(n1 + n2 AS DOUBLE)) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * " +
+      "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS z_micros " +
+      "FROM st ORDER BY event_type"),
 
     // identical hourly grid, identical integer S and tie-corrected
     // 18·Var, identical continuity-corrected z chain

@@ -13,6 +13,41 @@ import org.scalatest.funsuite.AnyFunSuite
 class TimeSeriesSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("q_ts_runs: scalar re-derivation + run-count bounds") {
+    val rows = SparkEntry.queries("q_ts_runs")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val x = "(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+      "unix_micros(TIMESTAMP '2000-01-01 00:00:00')) DIV 3600000000"
+    val hourly = Tables(spark, sf0001, "events")
+      .selectExpr("event_type", s"$x AS t",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
+      .groupBy("event_type", "t").agg(sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3)).sortBy(_._1)).toMap
+    def lowerMedian(s: Seq[Long]): Long = s.sorted.apply((s.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      val hs = hourly(r.getString(0))
+      val med = lowerMedian(hs.map(_._2).toSeq)
+      val sgns = hs.collect { case (_, v) if v != med => if (v > med) 1 else 0 }
+      val n1 = sgns.count(_ == 1).toLong; val n2 = sgns.count(_ == 0).toLong
+      val runs = if (sgns.isEmpty) 0L
+        else 1L + sgns.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2,
+        s"${r.getString(0)} side populations")
+      assert(r.getAs[Long]("runs") == runs, s"${r.getString(0)} run count")
+      // bounds: at least 2 runs when both sides exist, at most n1+n2,
+      // at most 2·min+1 alternations
+      assert(runs >= 2 && runs <= n1 + n2 && runs <= 2 * math.min(n1, n2) + 1,
+        s"${r.getString(0)} run bounds broken: $runs of ($n1, $n2)")
+      val n = (n1 + n2).toDouble
+      val z = (runs.toDouble - (2.0 * n1.toDouble * n2.toDouble / n + 1.0)) /
+        math.sqrt(2.0 * n1.toDouble * n2.toDouble *
+          (2.0 * n1.toDouble * n2.toDouble - n) / (n * n * (n - 1.0)))
+      assert(r.getAs[Long]("z_micros") == math.floor(z * 1000000.0).toLong,
+        s"${r.getString(0)} z chain")
+    }
+  }
+
   test("q_ts_mannkendall: scalar re-derivation + range and sign theorems") {
     val rows = SparkEntry.queries("q_ts_mannkendall")(spark, sf0001).collect()
     assert(rows.nonEmpty)
