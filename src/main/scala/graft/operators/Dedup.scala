@@ -730,6 +730,12 @@ object Dedup extends QueryFamily {
     * the update is one narrow (s, k, pos) shuffle — training never
     * collects a vector to the driver.
     */
+  /** Completed seed-count validations, keyed (session, analyzed-plan
+    * semantic hash of `sub`, ksub) — Unit-valued: this memoizes that a
+    * fail-loud check PASSED, never data. */
+  private val seedChecks =
+    new graft.SessionMemo[(SparkSession, Int, Int), Unit](_._1)
+
   private def pqCodebook(sub: DataFrame, trained: Boolean,
       ksub: Int = 16): DataFrame = {
     val cb0 = sub.where(col("vec_id").between(10, 9 + ksub))
@@ -737,11 +743,19 @@ object Dedup extends QueryFamily {
     // fail LOUDLY on a fixture too small to seed ksub centroids — the
     // ADC lookup strides s·ksub into the flattened distance table, so
     // a short codebook would otherwise surface as an out-of-range
-    // element_at deep in the serve path (r18 advice)
-    val nSeed = cb0.select("k").distinct().count()
-    require(nSeed == ksub,
-      s"PQ codebook needs $ksub seed vectors (vec_id 10..${9 + ksub}); " +
-        s"fixture seeds only $nSeed — candidate corpus too small")
+    // element_at deep in the serve path (r18 advice). The check is an
+    // eager driver-blocking Spark job, and pqCodebook is re-entered on
+    // every serve of the UNTRAINED paths (Bench invokes each key 3x) —
+    // so the VALIDATION (a per-(session, input-plan, ksub) fact about
+    // the corpus, not a query result) memoizes; the first serve still
+    // fails loudly on a short corpus (r19 ADVICE item 2).
+    seedChecks.getOrBuild(
+      (sub.sparkSession, sub.queryExecution.analyzed.semanticHash(), ksub))(_ => {
+        val nSeed = cb0.select("k").distinct().count()
+        require(nSeed == ksub,
+          s"PQ codebook needs $ksub seed vectors (vec_id 10..${9 + ksub}); " +
+            s"fixture seeds only $nSeed — candidate corpus too small")
+      })
     if (!trained) cb0
     else {
       val tr = sub.where(col("vec_id") >= 10)

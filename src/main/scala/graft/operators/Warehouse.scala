@@ -263,15 +263,30 @@ object Warehouse extends QueryFamily {
     // no set bits, which reads as 0 — the no-false-negative theorem
     // (BloomSkipSpec) is untouched.
     val neededWords = probePos.flatten.map(_ / 64).distinct
-    val blooms = s.read.parquet(idxPath)
-      .where(col("w").isin(neededWords: _*))
-      .collect() // O(files × needed words), never the full bitmap
-      .groupBy(_.getAs[String]("file"))
-      .view.mapValues(_.map(r =>
-        r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap)
-      .toMap
-    val total = s.read.parquet(idxPath).select("file").distinct()
-      .count().toInt // O(files) plan-step count, no bitmap transfer
+    // Zero probe keys means zero probe positions: the word-filtered scan
+    // would select no files VACUOUSLY (the isin() over an empty list is
+    // false everywhere), which is also the correct answer — no keys, no
+    // may-contain files — but make it explicit instead of a degenerate
+    // scan, and still report the true file total (r19 ADVICE item 3).
+    // The probe leg and the file-count leg are independent index reads
+    // (the count leg CANNOT share the probe's word-filtered scan: the
+    // index stores only set words, so a file with none of the probed
+    // words is absent from it) — overlap them (graft.Par) instead of
+    // paying two sequential driver-blocking jobs per plan step.
+    @volatile var blooms: Map[String, Map[Long, Long]] = Map.empty
+    @volatile var total: Int = 0
+    graft.Par.run(
+      () => if (neededWords.nonEmpty) {
+        blooms = s.read.parquet(idxPath)
+          .where(col("w").isin(neededWords: _*))
+          .collect() // O(files × needed words), never the full bitmap
+          .groupBy(_.getAs[String]("file"))
+          .view.mapValues(_.map(r =>
+            r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap)
+          .toMap
+      },
+      () => total = s.read.parquet(idxPath).select("file").distinct()
+        .count().toInt) // O(files) plan-step count, no bitmap transfer
     def mayContain(words: Map[Long, Long], ps: Seq[Long]): Boolean =
       ps.forall(p => ((words.getOrElse(p / 64, 0L) >> (p % 64)) & 1L) == 1L)
     val selected = blooms.collect {

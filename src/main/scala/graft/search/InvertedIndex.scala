@@ -119,10 +119,14 @@ object InvertedIndex {
     val post = postingsOf(docs)
     val ds = docstatsOf(docs)
     try {
-      // cluster by token so term lookups skip row groups (see header)
-      post.repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
-        .write.parquet(s"$staging/postings")
-      ds.write.parquet(s"$staging/docstats")
+      // the two segment files are independent jobs over disjoint inputs —
+      // submit them together so the second back-fills the first's idle
+      // cores (graft.Par); each is tiny relative to the cluster
+      graft.Par.run(
+        // cluster by token so term lookups skip row groups (see header)
+        () => post.repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
+          .write.parquet(s"$staging/postings"),
+        () => ds.write.parquet(s"$staging/docstats"))
       Files.move(staging, rootP.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -150,12 +154,15 @@ object InvertedIndex {
             Files.readAllLines(Paths.get(p, "segments")).asScala.toSeq
               .map(_.trim).filter(_.nonEmpty) :+ segName)
       }
-      lex.repartition(1).write.parquet(s"$dir/lexicon")
-      glob.write.parquet(s"$dir/globals")
-      // tombstones survive an append: the deleted docs' rows still sit
-      // in the old segments, so dropping the list would resurrect them
-      prev.flatMap(p => deletes(spark, p)).foreach(
-        _.repartition(1).write.parquet(s"$dir/deletes"))
+      // lexicon / globals / tombstone-carry are independent jobs into
+      // disjoint subdirs of the same staging version — overlap them
+      graft.Par.run(
+        () => lex.repartition(1).write.parquet(s"$dir/lexicon"),
+        () => glob.write.parquet(s"$dir/globals"),
+        // tombstones survive an append: the deleted docs' rows still sit
+        // in the old segments, so dropping the list would resurrect them
+        () => prev.flatMap(p => deletes(spark, p)).foreach(
+          _.repartition(1).write.parquet(s"$dir/deletes")))
       // the stream ledger carries identically — dropping it would let a
       // replayed micro-batch re-append after an interleaved nightly run
       batch.orElse(prev.flatMap(ledger)).foreach(b =>
@@ -236,19 +243,23 @@ object InvertedIndex {
     val segName = f"seg-$next%05d"
     val staging = Files.createTempDirectory(rootP, s".building-$segName-")
     try {
-      postings(spark, root)
-        .repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
-        .write.parquet(s"$staging/postings")
-      docstats(spark, root).write.parquet(s"$staging/docstats")
+      // independent merged-segment files — overlap, as in append
+      graft.Par.run(
+        () => postings(spark, root)
+          .repartition(col("tok")).sortWithinPartitions("tok", "doc_id")
+          .write.parquet(s"$staging/postings"),
+        () => docstats(spark, root).write.parquet(s"$staging/docstats"))
       Files.move(staging, rootP.resolve(segName), StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case scala.util.control.NonFatal(e) =>
         AliasedIndex.deleteRecursively(staging); throw e
     }
     AliasedIndex.publish(metaRoot(root)) { dir =>
-      spark.read.parquet(s"$prevDir/lexicon").repartition(1)
-        .write.parquet(s"$dir/lexicon")
-      spark.read.parquet(s"$prevDir/globals").write.parquet(s"$dir/globals")
+      graft.Par.run(
+        () => spark.read.parquet(s"$prevDir/lexicon").repartition(1)
+          .write.parquet(s"$dir/lexicon"),
+        () => spark.read.parquet(s"$prevDir/globals")
+          .write.parquet(s"$dir/globals"))
       ledger(prevDir).foreach(b =>
         Files.write(Paths.get(dir, "batch"), b.toString.getBytes("UTF-8")))
       Files.write(Paths.get(dir, "segments"), segName.getBytes("UTF-8"))
@@ -303,17 +314,21 @@ object InvertedIndex {
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum("dl"), lit(0L))).as("total_tokens"))
     AliasedIndex.publish(metaRoot(root)) { dir =>
-      spark.read.parquet(s"$prevDir/lexicon").unionByName(negLex)
-        .groupBy("tok").agg(sum("df").as("df"), sum("tf_total").as("tf_total"))
-        .where(col("df") > 0) // a token living only in deleted docs vanishes
-        .repartition(1).write.parquet(s"$dir/lexicon")
-      spark.read.parquet(s"$prevDir/globals").unionByName(negGlob)
-        .agg(sum("n_docs").as("n_docs"),
-          sum("total_tokens").as("total_tokens"))
-        .write.parquet(s"$dir/globals")
-      val dels = newDel.select("doc_id")
-      deletes(spark, prevDir).fold(dels)(_.unionByName(dels).distinct())
-        .repartition(1).write.parquet(s"$dir/deletes")
+      // the three meta artifacts fold from independent inputs — overlap
+      graft.Par.run(
+        () => spark.read.parquet(s"$prevDir/lexicon").unionByName(negLex)
+          .groupBy("tok").agg(sum("df").as("df"), sum("tf_total").as("tf_total"))
+          .where(col("df") > 0) // a token living only in deleted docs vanishes
+          .repartition(1).write.parquet(s"$dir/lexicon"),
+        () => spark.read.parquet(s"$prevDir/globals").unionByName(negGlob)
+          .agg(sum("n_docs").as("n_docs"),
+            sum("total_tokens").as("total_tokens"))
+          .write.parquet(s"$dir/globals"),
+        () => {
+          val dels = newDel.select("doc_id")
+          deletes(spark, prevDir).fold(dels)(_.unionByName(dels).distinct())
+            .repartition(1).write.parquet(s"$dir/deletes")
+        })
       ledger(prevDir).foreach(b =>
         Files.write(Paths.get(dir, "batch"), b.toString.getBytes("UTF-8")))
       Files.copy(Paths.get(prevDir, "segments"), Paths.get(dir, "segments"))

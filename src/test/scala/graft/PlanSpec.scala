@@ -589,7 +589,12 @@ class PlanSpec extends AnyFunSuite {
     // the pairing is an EQUI join keyed on the hour bucket, with the
     // half-open overlap + ownership predicates as residual condition
     assert("Join \\[bucket".r.findFirstIn(fin).isDefined, fin.take(2500))
-    assert(fin.contains("greatest(a_start"),
+    // r20: the ownership test is the HOISTED form — each side's first
+    // bucket (ab0/bb0 = date_trunc of its start) is computed once per
+    // session row before the explode, so the per-candidate predicate is
+    // greatest()+equality over two precomputed timestamps, not a
+    // per-pair date_trunc chain (identical by monotonicity of trunc)
+    assert(fin.contains("greatest(ab0"),
       s"ownership filter must ride the join condition:\n${fin.take(2500)}")
     // the ownership rule replaced the DISTINCT: exactly one (ua, ub)
     // aggregate pair (partial+final), no dedup aggregate anywhere else
