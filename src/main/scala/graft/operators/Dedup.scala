@@ -607,17 +607,26 @@ object Dedup extends QueryFamily {
       minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val ord = rarestOrdered(s, dir)
-    val tok = ord.select(col("doc_id"), col("lang"),
+    val tok = ord.select(col("doc_id"), col("lang"), col("sz"),
       explode(expr("transform(ord, x -> x.t)")).as("t"))
     val d = ord.select(col("doc_id"), col("lang"),
       expr("array_sort(transform(ord, x -> x.t))").as("toks"))
     val pairs =
       if (!ordered) {
+        // size prune riding the candidate join (r20): the asymmetric
+        // consumer checks A ⊆ B, which REQUIRES |A| <= |B| — so pairs
+        // with sza > szb can be dropped before the two array-attach
+        // shuffles and the per-pair sorted-merge intersect ever see
+        // them. Exact: sorted_intersect_size(ta,tb) == size(ta) is
+        // unsatisfiable when size(ta) > size(tb) (sz IS the distinct
+        // count rarestOrdered grouped). sza==szb stays: equal sets
+        // contain each other.
         val a = ord.select(col("doc_id").as("da"), col("lang"),
-          expr("ord[0].t").as("t"))
-        val b = tok.select(col("doc_id").as("db"), col("lang"), col("t"))
+          col("sz").as("sza"), expr("ord[0].t").as("t"))
+        val b = tok.select(col("doc_id").as("db"), col("lang"),
+          col("sz").as("szb"), col("t"))
         a.join(b.hint("shuffle_hash"), Seq("lang", "t"))
-          .where(col("da") =!= col("db"))
+          .where(col("da") =!= col("db") && col("sza") <= col("szb"))
           .select("da", "db")
       } else {
         val prefix = ord
@@ -1286,6 +1295,11 @@ object Dedup extends QueryFamily {
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       val truth = nearDupEdges(s, dir)
       def graded(name: String, perms: Int, bands: Int): DataFrame = {
+        // cand feeds two consumers (n_cand + the hit join) — left
+        // declarative: ReuseExchange dedupes the signature/band map
+        // stages, and an eager pin of the pair list MEASURED SLOWER
+        // (r20: 3.2s pinned vs 1.4s declarative at sf0.1 — the
+        // materialization barrier outweighs the duplicated reduce side)
         val cand = minhashCandidates(d, perms, bands).select("doc_a", "doc_b")
         truth.agg(count(lit(1)).as("n_true"))
           .crossJoin(cand.agg(count(lit(1)).as("n_cand")))

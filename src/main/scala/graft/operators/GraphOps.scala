@@ -162,7 +162,6 @@ object GraphOps extends QueryFamily {
 
     // 3-iteration PageRank over the similarity graph.
     "q_graph_pagerank" -> ((s, dir) => {
-      val pin = Dedup.passPinner(s)
       val (sym, deg) = symWithDeg(s, dir)
       val nn = deg.agg(count(lit(1)).as("n"))
       // node table carries (id, deg, n); rank starts uniform
@@ -176,12 +175,19 @@ object GraphOps extends QueryFamily {
             round(col("pr") / col("deg").cast("double"), 12)
               .cast(DecimalType(28, 12)).as("c"))
         val sums = contrib.groupBy("dst").agg(sum("c").as("csum"))
-        // pin each pass: iteration k+1 must not re-run iteration k's joins
-        r = pin(deg.crossJoin(broadcast(nn))
+        // No per-iteration pin (r20): each iteration's r feeds the next
+        // exactly ONCE, so the unrolled 3-iteration chain is a single
+        // linear DAG in which every join runs once — the eager
+        // localCheckpoint per pass bought no re-use and cost a
+        // materialization job per iteration (the edge set itself stays
+        // pinned in symWithDeg, where it IS multiply consumed).
+        // Convergence-driven loops with unbounded depth still pin
+        // (q_dedup_cluster) — that is what lineage truncation is for.
+        r = deg.crossJoin(broadcast(nn))
           .join(sums, col("src") === col("dst")) // symmetric graph: every node has in-edges
           .select(col("src").as("id"), col("deg"), col("n"),
             (lit(0.15) / col("n").cast("double") +
-              lit(0.85) * col("csum").cast("double")).as("pr")))
+              lit(0.85) * col("csum").cast("double")).as("pr"))
       }
       r.select(col("id"), col("deg").cast("long").as("deg"), col("pr"))
         .orderBy("id")
