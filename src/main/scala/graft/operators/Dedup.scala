@@ -521,7 +521,8 @@ object Dedup extends QueryFamily {
     val span = hi - lo + 1
     def cut(i: Int): Long = lo - 1 + span * i / k
     val meta = docMeta(docs)
-    val enc = tokenCodes(s, dir)
+    // 4 verify passes x 2 attach legs each — pin the encode pass once
+    val enc = passPinner(s)(tokenCodes(s, dir))
     val dropped = (1 to k).map { i =>
       val delta = meta.where(col("doc_id") > cut(i - 1) && col("doc_id") <= cut(i))
       val store = meta.where(col("doc_id") <= cut(i))
@@ -1182,7 +1183,12 @@ object Dedup extends QueryFamily {
     "q_dedup_near" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       val meta = docMeta(Tables(s, dir, "documents"))
-      val enc = tokenCodes(s, dir)
+      // enc feeds the candidate generator AND both verify attach legs,
+      // which join on DIFFERENT keys (doc_a / doc_b) — no exchange
+      // reuse, so left declarative the per-token md5 encode pass runs
+      // 2-3x per invocation; pin it once (r20, measured win — unlike
+      // q_dedup_recall's cand pin, there is no shared exchange here)
+      val enc = passPinner(s)(tokenCodes(s, dir))
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
 
@@ -1222,7 +1228,7 @@ object Dedup extends QueryFamily {
       val docs = Tables(s, dir, "documents")
       val cut = docs.selectExpr("(4 * max(doc_id)) DIV 5 AS c").head().getLong(0)
       val meta = docMeta(docs)
-      val enc = tokenCodes(s, dir)
+      val enc = passPinner(s)(tokenCodes(s, dir))
       val pairs = incrementalCandidates(meta.where(col("doc_id") > cut), meta, 4, 5)
       jaccardVerify(pairs, enc, 0.8)
     }),
@@ -1262,7 +1268,10 @@ object Dedup extends QueryFamily {
         s"minhashBands=$nBands must divide minhashPerms=$perms into equal bands")
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      jaccardVerify(minhashCandidates(d, perms, nBands), tokenCodes(s, dir), 0.8)
+      // verify's two attach legs join on different keys — pin the
+      // encode pass once per invocation (see q_dedup_near)
+      jaccardVerify(minhashCandidates(d, perms, nBands),
+        passPinner(s)(tokenCodes(s, dir)), 0.8)
     }),
 
     // The generalized banding, oracle-pinned at NON-fixture parameters
@@ -1274,7 +1283,8 @@ object Dedup extends QueryFamily {
       graft.functions.SortedJaccardGe.register(s)
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      jaccardVerify(minhashCandidates(d, 12, 3), tokenCodes(s, dir), 0.8)
+      jaccardVerify(minhashCandidates(d, 12, 3),
+        passPinner(s)(tokenCodes(s, dir)), 0.8)
     }),
 
     // Candidate-quality gate for the approximate dedup paths — the
@@ -1373,8 +1383,10 @@ object Dedup extends QueryFamily {
     "q_dedup_ngram" -> ((s, dir) => {
       graft.functions.SortedJaccardGe.register(s)
       graft.functions.TrigramCodes.register(s)
-      val grams = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "trigram_codes(text) AS codes")
+      // grams feeds the candidate generator and both verify attach
+      // legs — pin the one-pass trigram encode once per invocation
+      val grams = passPinner(s)(Tables(s, dir, "documents")
+        .selectExpr("doc_id", "trigram_codes(text) AS codes"))
       val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
         "n_chars DIV 100 AS bucket", "size(trigram_codes(text)) AS sz")
       jaccardVerify(candidatePairs(grams, meta, 3, 5, s"ngram:$dir"), grams, 0.6)
