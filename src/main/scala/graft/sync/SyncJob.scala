@@ -472,8 +472,19 @@ object SyncRunner {
     val retriedAcc = spark.sparkContext.longAccumulator(s"graft.sync.${job.name}.retriedTasks")
     val wmAcc = wmTrack.map(_._2)
     val keep = wmTrack.map(_._1).toSeq
+    // Partition the delivery by (routing, batch_id), not routing alone:
+    // a (shard, batch) is the atomic delivery unit (hash partitioning
+    // keeps every group whole, the sort keeps groups contiguous, and
+    // batch membership was fixed upstream by planDocs), so delivery
+    // parallelism is no longer CAPPED at the shard count — 8 shards on a
+    // 32-core local (or a 100-node cluster) otherwise leave 3/4 of the
+    // cluster idle during the bulk-send stage. Replays still regenerate
+    // identical (shard, batchIdx, docs) triples: the triple content
+    // depends only on the deterministic plan columns, not on which task
+    // flushes it. (r20, opt guide §2.5 — partition count decoupled from
+    // a semantic constant.)
     val prepared = planDocs(docsDf, job, keep)
-      .repartition(job.shards, col("routing"))
+      .repartition(col("routing"), col("batch_id"))
       .sortWithinPartitions("routing", "batch_id", "h", "_id")
       .select("routing", (Seq("batch_id", "_id", "doc", "action") ++ keep): _*)
     // the partition loop, shared by both actions below: consecutive
