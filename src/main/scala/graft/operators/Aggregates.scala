@@ -653,8 +653,14 @@ object Aggregates extends QueryFamily {
             "WHEN u < 996340153 THEN 4 ELSE 5 END"))
         .groupBy("event_type", "r")
         .agg(sum(expr("w * v")).as("sv"), sum("w").as("sw"))
+        // sw = 0 (a replicate whose Poisson weights are all zero —
+        // probability ~e^-n per cell, reachable only for tiny groups)
+        // would compute 0/0: non-ANSI Spark silently nulls the NaN cast
+        // where DuckDB ERRORS casting NaN to BIGINT — guard identically
+        // in both engines (r19 ADVICE item 1; same guard in the oracle)
         .withColumn("mean_r", expr(
-          "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT)"))
+          "CASE WHEN sw = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+            "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) END"))
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("mean_r"), col("r"))
       val point = Tables(s, dir, "events")
@@ -1128,7 +1134,8 @@ object Aggregates extends QueryFamily {
       "mr AS (SELECT event_type, r, CAST(sum(w * v) AS BIGINT) AS sv, " +
       "CAST(sum(w) AS BIGINT) AS sw FROM wt GROUP BY event_type, r), " +
       "m2 AS (SELECT event_type, r, " +
-      "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) " +
+      "CASE WHEN sw = 0 THEN NULL ELSE " +
+      "CAST(floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) END " +
       "AS mean_r FROM mr), " +
       "rk AS (SELECT event_type, mean_r, " +
       "row_number() OVER (PARTITION BY event_type ORDER BY mean_r, r) AS rn " +

@@ -266,14 +266,20 @@ object TimeSeries extends QueryFamily {
           sum(expr("1 - sgn")).as("n2"),
           sum(expr("CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END"))
             .as("runs"))
+        // zero-variance populations (n1*n2 = 0, or n1 = n2 = 1) make z
+        // 0/0 — Spark silently nulls the NaN->BIGINT cast, DuckDB errors
+        // on it: guard identically in both engines (r19 ADVICE item 1)
         .selectExpr("event_type", "n1", "n2", "runs",
-          "CAST(floor((CAST(runs AS DOUBLE) - (2.0D * CAST(n1 AS DOUBLE) * " +
+          "CASE WHEN n1 * n2 = 0 OR 2 * n1 * n2 = n1 + n2 THEN " +
+            "CAST(NULL AS BIGINT) ELSE " +
+            "CAST(floor((CAST(runs AS DOUBLE) - (2.0D * CAST(n1 AS DOUBLE) * " +
             "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0D)) / " +
             "sqrt(2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
             "(2.0D * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
             "CAST(n1 + n2 AS DOUBLE)) / " +
             "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * " +
-            "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0D) AS BIGINT) AS z_micros")
+            "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0D) AS BIGINT) " +
+            "END AS z_micros")
         .orderBy("event_type")
     }),
 
@@ -525,13 +531,14 @@ object TimeSeries extends QueryFamily {
       "CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS runs FROM tr GROUP BY event_type) " +
       "SELECT event_type, n1, n2, runs, " +
+      "CASE WHEN n1 * n2 = 0 OR 2 * n1 * n2 = n1 + n2 THEN NULL ELSE " +
       "CAST(floor((CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * " +
       "CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0)) / " +
       "sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
       "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
       "CAST(n1 + n2 AS DOUBLE)) / " +
       "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) * " +
-      "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS z_micros " +
+      "CAST(n1 + n2 - 1 AS DOUBLE))) * 1000000.0) AS BIGINT) END AS z_micros " +
       "FROM st ORDER BY event_type"),
 
     // identical hourly grid, identical integer S and tie-corrected
