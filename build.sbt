@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the ONE JSON line Bench prints. sbt's
+// default LoggedOutput strategy decorates every forked-stdout line with
+// "[info] ", which has made that line unparseable since round 10
+// (BENCH_rNN.json: parsed:null). StdoutOutput inherits the parent's
+// stdout/stderr so the line reaches the log bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
