@@ -521,8 +521,8 @@ object Dedup extends QueryFamily {
     val span = hi - lo + 1
     def cut(i: Int): Long = lo - 1 + span * i / k
     val meta = docMeta(docs)
-    // 4 verify passes x 2 attach legs each — pin the encode pass once
-    val enc = passPinner(s)(tokenCodes(s, dir))
+    // 4 verify passes x 2 attach legs each — encode-pass pin gated (encodePinner)
+    val enc = encodePinner(s)(tokenCodes(s, dir))
     val dropped = (1 to k).map { i =>
       val delta = meta.where(col("doc_id") > cut(i - 1) && col("doc_id") <= cut(i))
       val store = meta.where(col("doc_id") <= cut(i))
@@ -653,6 +653,25 @@ object Dedup extends QueryFamily {
       .join(tb.hint("shuffle_hash"), "db")
       .select("da", "db", "ta", "tb")
   }
+
+  /** Pin wrapper for the per-invocation verify ENCODE pass (the r20
+    * ab9c195 sites). The quiet-box r21 A/B reversed r20's contended-window
+    * finding: at fixture scale the pin LOSES ~12% on the 6-key set
+    * (pinned 9.61/8.36 s vs unpinned 8.17/7.86 s; q_dedup_near 0.76-0.92
+    * vs 0.68-0.69, minhash 1.95-2.06 vs 1.70-1.75) — the per-token md5
+    * encode is cheap enough there that recomputing it inside each fused
+    * consumer pipeline beats a localCheckpoint materialization barrier.
+    * At 100 TB the trade reverses (the encode pass is a full corpus
+    * scan + tokenize, re-run 2-8x per invocation without the pin — §2.4
+    * repeated layout work), so the pin stays available behind
+    * spark.graft.dedup.pinEncode=true; the default keeps the
+    * measured-faster local form. The memoized structural pins
+    * (postingsMemo/edgesMemo/pq codebooks) are NOT gated — those are
+    * shared across queries, not re-built per invocation. */
+  private def encodePinner(s: SparkSession): DataFrame => DataFrame =
+    if (s.conf.getOption("spark.graft.dedup.pinEncode").exists(_.toBoolean))
+      passPinner(s)
+    else identity
 
   private[operators] def passPinner(s: SparkSession): DataFrame => DataFrame = {
     val reliable = s.conf.getOption("spark.graft.cluster.reliableCheckpoint")
@@ -1186,9 +1205,10 @@ object Dedup extends QueryFamily {
       // enc feeds the candidate generator AND both verify attach legs,
       // which join on DIFFERENT keys (doc_a / doc_b) — no exchange
       // reuse, so left declarative the per-token md5 encode pass runs
-      // 2-3x per invocation; pin it once (r20, measured win — unlike
-      // q_dedup_recall's cand pin, there is no shared exchange here)
-      val enc = passPinner(s)(tokenCodes(s, dir))
+      // 2-3x per invocation; pinning it once is a 100 TB trade gated
+      // behind spark.graft.dedup.pinEncode (see encodePinner — the
+      // quiet-box r21 A/B measured the pin as a fixture-scale loss)
+      val enc = encodePinner(s)(tokenCodes(s, dir))
       jaccardVerify(candidatePairs(enc, meta, 4, 5, s"near:$dir"), enc, 0.8)
     }),
 
@@ -1228,7 +1248,7 @@ object Dedup extends QueryFamily {
       val docs = Tables(s, dir, "documents")
       val cut = docs.selectExpr("(4 * max(doc_id)) DIV 5 AS c").head().getLong(0)
       val meta = docMeta(docs)
-      val enc = passPinner(s)(tokenCodes(s, dir))
+      val enc = encodePinner(s)(tokenCodes(s, dir))
       val pairs = incrementalCandidates(meta.where(col("doc_id") > cut), meta, 4, 5)
       jaccardVerify(pairs, enc, 0.8)
     }),
@@ -1268,10 +1288,10 @@ object Dedup extends QueryFamily {
         s"minhashBands=$nBands must divide minhashPerms=$perms into equal bands")
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      // verify's two attach legs join on different keys — pin the
-      // encode pass once per invocation (see q_dedup_near)
+      // verify's two attach legs join on different keys — encode-pass
+      // pin gated behind spark.graft.dedup.pinEncode (see q_dedup_near)
       jaccardVerify(minhashCandidates(d, perms, nBands),
-        passPinner(s)(tokenCodes(s, dir)), 0.8)
+        encodePinner(s)(tokenCodes(s, dir)), 0.8)
     }),
 
     // The generalized banding, oracle-pinned at NON-fixture parameters
@@ -1284,7 +1304,7 @@ object Dedup extends QueryFamily {
       val d = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
         array_sort(array_distinct(split(col("text"), " "))).as("toks"))
       jaccardVerify(minhashCandidates(d, 12, 3),
-        passPinner(s)(tokenCodes(s, dir)), 0.8)
+        encodePinner(s)(tokenCodes(s, dir)), 0.8)
     }),
 
     // Candidate-quality gate for the approximate dedup paths — the
@@ -1384,8 +1404,8 @@ object Dedup extends QueryFamily {
       graft.functions.SortedJaccardGe.register(s)
       graft.functions.TrigramCodes.register(s)
       // grams feeds the candidate generator and both verify attach
-      // legs — pin the one-pass trigram encode once per invocation
-      val grams = passPinner(s)(Tables(s, dir, "documents")
+      // legs — trigram-encode pin gated behind spark.graft.dedup.pinEncode
+      val grams = encodePinner(s)(Tables(s, dir, "documents")
         .selectExpr("doc_id", "trigram_codes(text) AS codes"))
       val meta = Tables(s, dir, "documents").selectExpr("doc_id", "lang",
         "n_chars DIV 100 AS bucket", "size(trigram_codes(text)) AS sz")
