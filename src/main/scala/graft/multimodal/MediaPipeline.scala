@@ -1164,13 +1164,46 @@ object MediaPipeline {
     * payload isn't a signed-16-bit PCM WAV the JDK can read — corrupt
     * blob, wrong encoding, or not audio at all. NonFatal-guarded like the
     * image path: arbitrary bytes must fall back, never fail the task. */
+  // AudioSystem.getAudioInputStream re-queries the AudioFileReader
+  // service providers ON EVERY CALL (the sound registry has no ImageIO-
+  // style per-format reader cache) — at millions of small clips the
+  // registry walk, not the PCM parse, is the decode cost. The provider
+  // set is JVM-static: resolve it once and drive the readers directly
+  // (same public SPI AudioSystem itself dispatches to, same first-claim
+  // semantics, same parse). Readers are stateless per the SPI contract —
+  // each call builds its own stream objects — so one shared instance
+  // serves all executor threads. Empty-loader fallback keeps behavior
+  // identical if the platform loader hides the providers.
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
+  private def audioStreamOf(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed AudioFileReader claims the payload")
+  }
+
   private def decodeWav(bytes: Array[Byte]): Pcm = {
     if (bytes == null || bytes.length < 44 ||
       bytes(0) != 'R'.toByte || bytes(1) != 'I'.toByte ||
       bytes(2) != 'F'.toByte || bytes(3) != 'F'.toByte) return null
     val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      try audioStreamOf(bytes)
       catch { case scala.util.control.NonFatal(_) => return null }
     try {
       val fmt = in.getFormat

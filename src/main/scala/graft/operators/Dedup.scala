@@ -673,6 +673,20 @@ object Dedup extends QueryFamily {
       passPinner(s)
     else identity
 
+  /** Convergence bit from an Observation attached to an EAGERLY pinned
+    * pass: localCheckpoint/checkpoint runs through Dataset.withAction, so
+    * the CollectMetrics result is published to the listener bus by the
+    * time the pin returns — but the callback is asynchronous, so poll
+    * briefly. None = metric not delivered in time (caller falls back to
+    * a probe job). */
+  private def convergedVia(
+      obs: org.apache.spark.sql.Observation): Option[Boolean] =
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(2, "seconds"))
+      Some(row.getAs[Long]("n_changed") == 0L)
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+
   private[operators] def passPinner(s: SparkSession): DataFrame => DataFrame = {
     val reliable = s.conf.getOption("spark.graft.cluster.reliableCheckpoint")
       .exists(_.toBoolean)
@@ -1488,8 +1502,8 @@ object Dedup extends QueryFamily {
     // docs (the overwhelming majority of a deduped corpus) keep
     // lbl = doc_id and rejoin at the end, so the per-pass shuffles move
     // the duplicate subgraph, not the corpus. The driver loop reads one
-    // convergence bit per pass, computed from the SAME checkpointed pass
-    // result (a cached-block scan, not an extra join job);
+    // convergence bit per pass as an observe() metric riding the pin job
+    // itself (no separate probe job — r21);
     // each pass is pinned (passPinner) so plans stay constant-size
     // instead of growing exponentially with iterations; set
     // spark.graft.cluster.reliableCheckpoint=true to survive executor
@@ -1527,10 +1541,25 @@ object Dedup extends QueryFamily {
         // same-component neighbors), so following the label one hop stays
         // inside `stepped` — the inner join is total
         val ptr = stepped.select(col("doc_id").as("p"), col("lbl").as("plbl"))
+        // the convergence count rides the pin job itself as an observe()
+        // metric (CollectMetrics is a streaming-fold over rows the
+        // checkpoint job already materializes), replacing the per-pass
+        // probe job `next.where(changed).isEmpty` — one job per pass
+        // instead of two (r20 verdict item 5, guide §1.5)
+        val obs = org.apache.spark.sql.Observation()
         val next = pin(stepped.join(ptr, stepped("lbl") === ptr("p"))
           .select(stepped("doc_id").as("doc_id"), col("plbl").as("lbl"),
-            (col("plbl") =!= col("prev")).as("changed")))
-        done = next.where(col("changed")).isEmpty
+            (col("plbl") =!= col("prev")).as("changed"))
+          .observe(obs, coalesce(sum(when(col("changed"), lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("n_changed")))
+        done = convergedVia(obs).getOrElse {
+          // metric delivery is a listener-bus callback; if the bus lags
+          // past the bounded wait, fall back to the pre-r21 probe job —
+          // never wrong, just one extra job for that pass
+          System.err.println(
+            "q_dedup_cluster: observe metric missed, probe fallback")
+          next.where(col("changed")).isEmpty
+        }
         lbl = next.select("doc_id", "lbl")
         iter += 1
       }

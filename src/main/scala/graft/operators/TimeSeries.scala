@@ -211,8 +211,25 @@ object TimeSeries extends QueryFamily {
         .selectExpr("event_type", s"$x AS t",
           "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v")
         .groupBy("event_type", "t").agg(sum("v").as("v"))
+      // scale guard (r21): the exact leg is O(n²) per group BY DEFINITION,
+      // so a series past the ceiling must fail LOUDLY (the sampled
+      // variant is the scale path) instead of running a 100 TB misuse
+      // forever. The check rides the meta subtree — the broadcast build
+      // of the final join, which executes before the pair join's probe
+      // side streams — so it costs no extra job; CASE keeps it from
+      // being constant-folded away, and the default ceiling (20k hours
+      // ≈ 2·10⁸ pairs/group) is conf-overridable for clusters that
+      // genuinely want a bigger exact leg.
+      val maxHours = s.conf.getOption("spark.graft.ts.theilsenExactMaxHours")
+        .map(_.toLong).getOrElse(20000L)
       val meta = hourly.groupBy("event_type")
         .agg(count(lit(1)).as("n_hours"))
+        .withColumn("n_hours", expr(
+          s"CASE WHEN n_hours <= ${maxHours}L THEN n_hours ELSE " +
+            "CAST(raise_error(concat('q_ts_theilsen: series ', event_type, " +
+            s"' spans ', CAST(n_hours AS STRING), ' hours > $maxHours — " +
+            "the exact O(n\\u00b2) leg refuses; use q_ts_theilsen_sampled " +
+            "or raise spark.graft.ts.theilsenExactMaxHours')) AS BIGINT) END"))
       val slopes = hourly.selectExpr("event_type", "t AS ta", "v AS va")
         .join(hourly.selectExpr("event_type", "t AS tb", "v AS vb"),
           Seq("event_type"))

@@ -110,11 +110,47 @@ object InvertedIndex {
       batch: Option[Long] = None): Unit = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    // stage the segment hidden, rename visible-but-unreferenced; numbering
-    // past orphans (max+1 over everything on disk) so a crashed append
-    // never blocks the retry with a name collision
-    val next = segDirs(rootP).lastOption.fold(1)(_._1 + 1)
-    val segName = f"seg-$next%05d"
+    val segName = nextSegNames(rootP, 1).head
+    stageSegment(rootP, docs, segName)
+    publishSegment(spark, root, segName, batch)
+  }
+
+  /** Append several independent deltas in one maintenance window. Every
+    * delta's segment stages CONCURRENTLY (guide §2.6 — the stagings are
+    * disjoint-input jobs that each leave most cores idle, so the later
+    * jobs' tasks back-fill the earlier jobs' tails), then the meta
+    * versions publish sequentially in the given order. Commit semantics
+    * are IDENTICAL to calling [[append]] once per delta: each delta still
+    * gets its own segment and its own incremental lexicon/globals fold,
+    * the publish flips stay last and ordered, and a crash leaves only
+    * invisible orphans ([[vacuum]] reclaims) plus a fully-committed
+    * prefix of the deltas — never a half-indexed corpus.
+    */
+  def appendAll(spark: SparkSession, root: String,
+      deltas: Seq[DataFrame]): Unit = {
+    if (deltas.isEmpty) return
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val names = nextSegNames(rootP, deltas.size)
+    graft.Par.run(deltas.zip(names).map { case (d, n) =>
+      () => stageSegment(rootP, d, n)
+    }: _*)
+    names.foreach(publishSegment(spark, root, _, batch = None))
+  }
+
+  /** Reserve the next `n` segment names — numbering past orphans (max+1
+    * over everything on disk) so a crashed append never blocks the retry
+    * with a name collision. */
+  private def nextSegNames(rootP: Path, n: Int): Seq[String] = {
+    val base = segDirs(rootP).lastOption.fold(0)(_._1)
+    (1 to n).map(i => f"seg-${base + i}%05d")
+  }
+
+  /** Stage `docs` as segment `segName`: write into a hidden temp dir,
+    * then rename visible-but-unreferenced (readers only see segments the
+    * committed manifest names). */
+  private def stageSegment(rootP: Path, docs: DataFrame,
+      segName: String): Unit = {
     val staging = Files.createTempDirectory(rootP, s".building-$segName-")
     val post = postingsOf(docs)
     val ds = docstatsOf(docs)
@@ -132,7 +168,12 @@ object InvertedIndex {
       case scala.util.control.NonFatal(e) =>
         AliasedIndex.deleteRecursively(staging); throw e
     }
+  }
 
+  /** Fold the staged segment `segName` into a new committed meta version
+    * (incremental lexicon/globals union-merge + manifest + alias flip). */
+  private def publishSegment(spark: SparkSession, root: String,
+      segName: String, batch: Option[Long]): Unit = {
     val prev = AliasedIndex.resolve(metaRoot(root))
     val deltaLex = spark.read.parquet(s"$root/$segName/postings")
       .groupBy("tok")

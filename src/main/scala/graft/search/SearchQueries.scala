@@ -284,9 +284,14 @@ object SearchQueries extends QueryFamily {
     "q_search_incremental" -> ((s, dir) => {
       val root = freshRoot("q_search_incremental", dir)
       val d = docs(s, dir)
-      InvertedIndex.build(s, root, d.where("doc_id % 3 = 0"))
-      InvertedIndex.append(s, root, d.where("doc_id % 3 = 1"))
-      InvertedIndex.append(s, root, d.where("doc_id % 3 = 2"))
+      // the three deltas' segment stagings are mutually independent jobs;
+      // only the lexicon/globals folds are serial by contract — appendAll
+      // overlaps the stagings (§2.6) and keeps the three ordered meta
+      // publishes (same segments, same folds, same final fingerprint)
+      InvertedIndex.appendAll(s, root, Seq(
+        d.where("doc_id % 3 = 0"),
+        d.where("doc_id % 3 = 1"),
+        d.where("doc_id % 3 = 2")))
       InvertedIndex.compact(s, root)
       InvertedIndex.vacuum(root)
       val lex = InvertedIndex.lexicon(s, root)

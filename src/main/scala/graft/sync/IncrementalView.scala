@@ -86,6 +86,48 @@ object IncrementalView {
       v: ViewDef): Unit =
     doRefresh(spark, root, delta, v, lit(1L), wmCol = None)
 
+  /** Fold several independent deltas in one maintenance window: each
+    * delta's PARTIAL aggregation — the O(delta) half of a refresh —
+    * materializes CONCURRENTLY (guide §2.6: independent jobs back-fill
+    * each other's idle cores), then the O(state) merge+publish commits
+    * run sequentially in the given order. Commit semantics are IDENTICAL
+    * to calling [[refresh]] once per delta: same per-delta folds, same
+    * atomic publishes, and a crash leaves a fully-committed prefix.
+    * Deltas must not depend on the view's own state — watermark-tracked
+    * pulls do ([[refreshTracked]] stays serial by contract); plain,
+    * signed and CDC deltas don't.
+    */
+  def refreshAll(spark: SparkSession, root: String, deltas: Seq[DataFrame],
+      v: ViewDef): Unit =
+    refreshAllPrepared(spark, root, deltas.map(d => (d, lit(1L))), v)
+
+  /** [[refreshAll]] with a per-delta sign column — the batched
+    * [[refreshSigned]] (retractable views only). Commits fold in caller
+    * order, so an add-then-retract sequence keeps its over-retraction
+    * failure semantics.
+    */
+  def refreshAllSigned(spark: SparkSession, root: String,
+      deltas: Seq[(DataFrame, Column)], v: ViewDef): Unit = {
+    require(v.retractable,
+      "refreshAllSigned needs a retractable ViewDef: min/max are not " +
+        "invertible, so append-only views refuse signed deltas")
+    refreshAllPrepared(spark, root, deltas, v)
+  }
+
+  private def refreshAllPrepared(spark: SparkSession, root: String,
+      deltas: Seq[(DataFrame, Column)], v: ViewDef): Unit = {
+    val parts = deltas.map { case (d, sign) =>
+      preparePartials(d, v, sign, wmCol = None)
+    }
+    try {
+      // eager concurrent materialization of every persisted partials
+      // table; the sequential commits below then read cached blocks only
+      graft.Par.run(parts.map(p => () => { p.count(); () }): _*)
+      parts.foreach(p => commitPartials(spark, root, p, v,
+        wmCol = None, batch = None))
+    } finally parts.foreach(_.unpersist())
+  }
+
   /** Fold a SIGNED delta: `sign` is +1 (add) or −1 (retract) per row.
     * Only retractable views — an append-only view's min/max cannot
     * un-see a retracted row.
@@ -117,6 +159,18 @@ object IncrementalView {
       current: DataFrame, idCol: String, v: ViewDef): Unit = {
     require(v.retractable,
       "refreshCdc retracts deleted/changed rows — the view must be retractable")
+    doRefresh(spark, root, cdcSignedDelta(previous, current, idCol, v), v,
+      col("mv_sign"), wmCol = None)
+  }
+
+  /** The one signed delta of a snapshot diff (the [[refreshCdc]] body):
+    * deleted/changed rows carry their OLD values with mv_sign −1,
+    * inserted/changed rows their NEW values with +1. Exposed so a caller
+    * batching several independent folds ([[refreshAllSigned]]) can
+    * overlap this delta's partial aggregation with others — the diff
+    * reads only the two snapshots, never the view's state. */
+  def cdcSignedDelta(previous: DataFrame, current: DataFrame,
+      idCol: String, v: ViewDef): DataFrame = {
     val cols = v.keys ++ v.measures
     val o = previous.select((idCol +: cols).map(col): _*).alias("o")
     val n = current.select((idCol +: cols).map(col): _*).alias("n")
@@ -128,8 +182,7 @@ object IncrementalView {
     val folded = joined
       .where(col(s"n.$idCol").isNotNull && (col(s"o.$idCol").isNull || !same))
       .select(cols.map(c => col(s"n.$c").as(c)) :+ lit(1L).as("mv_sign"): _*)
-    doRefresh(spark, root, retracted.unionByName(folded), v,
-      col("mv_sign"), wmCol = None)
+    retracted.unionByName(folded)
   }
 
   /** Watermark-tracked refresh: pull the delta (`wmCol` strictly past
@@ -248,6 +301,16 @@ object IncrementalView {
   private def doRefresh(spark: SparkSession, root: String, rawDelta: DataFrame,
       v: ViewDef, sign: Column, wmCol: Option[String],
       batch: Option[Long] = None): Unit = {
+    val partials = preparePartials(rawDelta, v, sign, wmCol)
+    try commitPartials(spark, root, partials, v, wmCol, batch)
+    finally partials.unpersist()
+  }
+
+  /** The O(delta) half of a refresh: the per-key partial aggregation of
+    * one delta, persisted (lazily — the caller's first action
+    * materializes it). Independent of the view's published state. */
+  private def preparePartials(rawDelta: DataFrame, v: ViewDef, sign: Column,
+      wmCol: Option[String]): DataFrame = {
     val keyCols = v.keys.map(col)
     // a NULL event time is untrackable: it would fold on the refresh that
     // happens to see it but every later pull's `wm > mark` pushdown drops
@@ -288,11 +351,26 @@ object IncrementalView {
     // it feeds the empty-probe, (tracked) the watermark max, and the
     // merge, which must not re-aggregate the delta three times
     partials.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // an empty delta must NOT rewrite O(state) bytes for nothing (nor
-      // advance the watermark: there is nothing to advance past)
-      if (partials.isEmpty) return
-      val wmMax = wm.headOption.map { _ =>
+  }
+
+  /** The O(state) half of a refresh: merge one delta's (persisted)
+    * partials into the published state and atomically publish. The
+    * caller owns the partials' lifecycle (unpersist). */
+  private def commitPartials(spark: SparkSession, root: String,
+      partials: DataFrame, v: ViewDef, wmCol: Option[String],
+      batch: Option[Long]): Unit = {
+    val keyCols = v.keys.map(col)
+    val pinned: Map[String, (DecimalType, DecimalType)] =
+      v.measures.map(mm => mm -> {
+        val (sumT, sqT) = (partials.schema(v.stateCol("s", mm)).dataType,
+          partials.schema(v.stateCol("s2", mm)).dataType)
+        (sumT.asInstanceOf[DecimalType], sqT.asInstanceOf[DecimalType])
+      }).toMap
+    // an empty delta must NOT rewrite O(state) bytes for nothing (nor
+    // advance the watermark: there is nothing to advance past)
+    if (partials.isEmpty) return
+    locally {
+      val wmMax = wmCol.map { _ =>
         val raw = partials.agg(max(col("mv_wm"))).head().get(0)
         SyncRunner.wmLiteral(raw)
       }
@@ -346,6 +424,6 @@ object IncrementalView {
         carriedBatch.foreach(b =>
           Files.writeString(Paths.get(dir, "batch"), b.toString))
       }
-    } finally partials.unpersist()
+    }
   }
 }

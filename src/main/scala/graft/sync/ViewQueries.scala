@@ -64,8 +64,11 @@ object ViewQueries extends QueryFamily {
         val root = graft.Scratch.freshRoot("q_view_shared")
         val o = ordersSrc(s, dir)
         val v = IncrementalView.ViewDef(keys, "total")
-        IncrementalView.refresh(s, root, o.where(s"o_orderdate <= $cutoff"), v)
-        IncrementalView.refresh(s, root, o.where(s"o_orderdate > $cutoff"), v)
+        // the two deltas' partial aggregations overlap (refreshAll);
+        // commits stay sequential — fold semantics unchanged
+        IncrementalView.refreshAll(s, root, Seq(
+          o.where(s"o_orderdate <= $cutoff"),
+          o.where(s"o_orderdate > $cutoff")), v)
         root
       })
 
@@ -122,18 +125,28 @@ object ViewQueries extends QueryFamily {
       val src = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("user_id"), col("ts"))
       val cuts = Seq("1970-01-01", "2024-01-11", "2024-01-21", "2100-01-01")
-      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
-        val delta = src
-          .where(col("ts") >= Dets.tsLit(a) && col("ts") < Dets.tsLit(b))
+      // the three deltas' sketch aggregations are independent O(delta)
+      // jobs — materialize them concurrently (§2.6), then run the
+      // through-disk state folds sequentially exactly as before (each
+      // refresh still reads the previous state parquet, never the
+      // prior deltas)
+      val deltas = cuts.sliding(2).toSeq.map { case Seq(a, b) =>
+        src.where(col("ts") >= Dets.tsLit(a) && col("ts") < Dets.tsLit(b))
           .groupBy("event_type")
           .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-        val folded =
-          if (i == 0) delta
-          else s.read.parquet(s"$root/v${i - 1}").union(delta)
-            .groupBy("event_type")
-            .agg(expr("hll_union_agg(sk)").as("sk"))
-        folded.write.mode("overwrite").parquet(s"$root/v$i")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
+      try {
+        graft.Par.run(deltas.map(d => () => { d.count(); () }): _*)
+        deltas.zipWithIndex.foreach { case (delta, i) =>
+          val folded =
+            if (i == 0) delta
+            else s.read.parquet(s"$root/v${i - 1}").union(delta)
+              .groupBy("event_type")
+              .agg(expr("hll_union_agg(sk)").as("sk"))
+          folded.write.mode("overwrite").parquet(s"$root/v$i")
+        }
+      } finally deltas.foreach(_.unpersist())
       val est = s.read.parquet(s"$root/v2")
         .select(col("event_type"),
           expr("hll_sketch_estimate(sk)").as("est_users"))
@@ -155,9 +168,12 @@ object ViewQueries extends QueryFamily {
       val o = ordersSrc(s, dir)
       val v = IncrementalView.ViewDef(Seq("priority"), "total",
         retractable = true)
-      IncrementalView.refresh(s, root, o, v)
-      IncrementalView.refreshSigned(s, root,
-        o.where("o_orderkey % 7 = 0"), v, lit(-1L))
+      // both deltas' partials overlap; the retraction still commits
+      // SECOND (refreshAllSigned folds in order), so over-retraction
+      // semantics are exactly the sequential form's
+      IncrementalView.refreshAllSigned(s, root, Seq(
+        (o, lit(1L)),
+        (o.where("o_orderkey % 7 = 0"), lit(-1L))), v)
       served(s, root, Seq("priority"), withMinMax = false)
     }),
 
@@ -176,10 +192,9 @@ object ViewQueries extends QueryFamily {
         col("l_shipdate"))
       val v = IncrementalView.ViewDef(Seq("rflag", "lstatus"), "qty",
         extraMeasures = Seq("price"))
-      IncrementalView.refresh(s, root,
-        li.where(s"l_shipdate <= $cutoff"), v)
-      IncrementalView.refresh(s, root,
-        li.where(s"l_shipdate > $cutoff"), v)
+      IncrementalView.refreshAll(s, root, Seq(
+        li.where(s"l_shipdate <= $cutoff"),
+        li.where(s"l_shipdate > $cutoff")), v)
       val base = li.select("rflag", "lstatus", "qty", "price")
       graft.plans.ViewRewrite.register("q_view_multi", base, root, v)
       try {
@@ -219,8 +234,13 @@ object ViewQueries extends QueryFamily {
           expr("CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END")
             .as("status"),
           Dets.money(col("o_totalprice")).as("total"))
-      IncrementalView.refresh(s, root, prev, v)
-      IncrementalView.refreshCdc(s, root, prev, cur, "o_orderkey", v)
+      // the initial fold and the snapshot-diff delta are both
+      // state-independent — overlap their partials, commit in order
+      // (initial fold first, so the diff's retractions land on it)
+      IncrementalView.refreshAllSigned(s, root, Seq(
+        (prev, lit(1L)),
+        (IncrementalView.cdcSignedDelta(prev, cur, "o_orderkey", v),
+          col("mv_sign"))), v)
       served(s, root, Seq("status"), withMinMax = false)
     }),
 
@@ -326,8 +346,9 @@ object ViewQueries extends QueryFamily {
           col("o_custkey") === col("c_custkey"))
           .select("segment", "status", "total")
       val v = IncrementalView.ViewDef(Seq("segment", "status"), "total")
-      IncrementalView.refresh(s, root, facts(s"o_orderdate <= $cutoff"), v)
-      IncrementalView.refresh(s, root, facts(s"o_orderdate > $cutoff"), v)
+      IncrementalView.refreshAll(s, root, Seq(
+        facts(s"o_orderdate <= $cutoff"),
+        facts(s"o_orderdate > $cutoff")), v)
       val joined = orders.join(cust, col("o_custkey") === col("c_custkey"))
         .select("segment", "status", "total")
       graft.plans.ViewRewrite.register("q_view_join", joined, root, v)

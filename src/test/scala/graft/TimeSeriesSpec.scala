@@ -169,4 +169,25 @@ class TimeSeriesSpec extends AnyFunSuite {
         math.abs(pos - 0.5) < 0.10, s"$et drifted: $servedMedian vs $exactMedian")
     }
   }
+
+  test("q_ts_theilsen: the exact O(n²) leg refuses a series past the ceiling") {
+    // scale guard (r21): a 100 TB misuse of the exact leg must fail
+    // loudly, not run forever — the sampled variant is the scale path.
+    // Lower the ceiling below the fixture's series length and expect the
+    // loud refusal; restore and expect the normal answer.
+    spark.conf.set("spark.graft.ts.theilsenExactMaxHours", "10")
+    try {
+      val e = intercept[Exception] {
+        SparkEntry.queries("q_ts_theilsen")(spark, sf0001).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m =>
+        m.contains("q_ts_theilsen") && m.contains("theilsen_sampled")),
+        s"expected the loud ceiling refusal, got: $e")
+    } finally spark.conf.unset("spark.graft.ts.theilsenExactMaxHours")
+    // default ceiling: untouched behavior
+    assert(SparkEntry.queries("q_ts_theilsen")(spark, sf0001).collect().nonEmpty)
+  }
 }
