@@ -427,6 +427,17 @@ object Joins extends QueryFamily {
     * skew=true firing on this exact helper under test-lowered thresholds,
     * with pair counts identical to the unsalted run. */
   private[graft] def intervalOverlapPairs(sess: DataFrame): DataFrame = {
+    // The session table feeds BOTH self-join sides. Left declarative, the
+    // session construction (scan + shuffle + session-window sort) PLANS
+    // AND RUNS TWICE — ReuseExchange cannot dedupe the two subtrees
+    // because AQE puts one side under a BroadcastExchange at fixture size
+    // (r21 plan audit: 2 parquet scans, 2 exchanges, 2 session
+    // aggregates). Pin it once (§2.4 — compute a multiply-consumed heavy
+    // subtree once; measured 6.4-7.7 s → 4.6-5.7 s noop-sink at sf0.1).
+    // At 100 TB one session pass instead of two corpus-scale
+    // aggregations is also the right shape; passPinner upgrades to a
+    // reliable checkpoint under spark.graft.cluster.reliableCheckpoint.
+    val pinned = Dedup.passPinner(sess.sparkSession)(sess)
     // Each side's FIRST bucket (date_trunc of its start) is computed once
     // per session row, BEFORE the explode — the ownership test then runs
     // per candidate pair as greatest() + equality over two precomputed
@@ -435,7 +446,7 @@ object Joins extends QueryFamily {
     // precisetimestampconversion + truncation chain per CANDIDATE
     // (Σ n_bucket² times, 6.5M at sf0.1 — r20 plan audit); identical by
     // monotonicity: trunc(greatest(a,b)) == greatest(trunc(a), trunc(b)).
-    def bucketed(u: String, st: String, en: String, b0: String) = sess
+    def bucketed(u: String, st: String, en: String, b0: String) = pinned
       .select(col("user_id").as(u), col("s_start").as(st), col("s_end").as(en))
       .withColumn(b0, expr(s"date_trunc('HOUR', $st)"))
       .withColumn("bucket", explode(expr(

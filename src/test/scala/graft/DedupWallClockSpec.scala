@@ -57,8 +57,27 @@ class DedupWallClockSpec extends AnyFunSuite {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** 1-min loadavg, 0.0 when unreadable — the same best-effort telemetry
+    * Bench records. Wall-clock ratio assertions are only meaningful on a
+    * box that isn't already saturated by OTHER work: the r20 driver
+    * window inflated individual timings 5–26x, which turns a complexity-
+    * class check into a scheduler-noise lottery. */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case scala.util.control.NonFatal(_) => 0.0 }
+
   test("dedup wall-clock grows sub-quadratically on a Zipfian corpus with auto knobs",
       SlowTest) {
+    // load-aware gate (r20 verdict item 3): on a contended host the
+    // timing ratios are noise — CANCEL (visible, not failed) instead of
+    // flaking the suite. Half the core count is far above this box's
+    // idle load and far below the contended windows on record.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val load = loadavg()
+    assume(load < cores / 2.0,
+      f"host contended (1-min load $load%.1f on $cores cores) — " +
+        "wall-clock ratios are scheduler noise here; rerun on a quiet box")
     val (n, factor) = (3000, 4)
     val small = synthCorpus(n)
     val big = synthCorpus(n * factor)

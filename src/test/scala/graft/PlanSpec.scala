@@ -600,8 +600,14 @@ class PlanSpec extends AnyFunSuite {
     // aggregate pair (partial+final), no dedup aggregate anywhere else
     assert("HashAggregate\\(keys=\\[ua".r.findAllIn(fin).size == 2, fin.take(2500))
     // both exploded sides serve from ONE sessionization of events — the
-    // second side is a ReusedExchange, so the corpus shuffles once
-    assert(fin.contains("ReusedExchange"), fin.take(2500))
+    // session table is pinned once (r21: localCheckpoint via passPinner)
+    // and both sides scan the pinned blocks, so the serve plan holds NO
+    // events scan at all. (Pre-r21 this was a ReusedExchange of the
+    // events shuffle — which still re-ran the session-window sort-agg
+    // and the explode once per side.)
+    assert(!fin.contains("Scan parquet"),
+      s"events must be scanned only inside the one pinned session pass:\n${fin.take(2500)}")
+    assert("Scan ExistingRDD".r.findAllIn(fin).size >= 2, fin.take(2500))
   }
 
   test("q_graph_bfs: per-hop frontier join + anti-join over pinned id-only rows") {
